@@ -1,0 +1,193 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference has no dedup at all — it blindly re-inserts rows
+(``rag.py:55``; ``email_fetching.py:54`` would crash on duplicate Chroma
+ids). These operators are the north star's LLM-training-data dedup surface,
+built scale-first:
+
+- **exact**: fingerprint (md5 of normalized text) → groupBy → keep min id.
+  One shuffle on the fingerprint; at 100 TB this is the cheapest possible
+  dedup (hash-partitioned, map-side combinable).
+- **MinHash + LSH banding**: shingle → k min-hashes → band buckets →
+  self-join *within buckets only*. The self-join is the textbook LSH
+  shuffle: candidates are pairs sharing ≥1 band, so the quadratic blow-up
+  is confined to bucket-local groups instead of the full corpus.
+- **SimHash**: per-token 60-bit hashes folded into a b-bit signature
+  entirely with array higher-order functions (no UDF).
+- **n-gram Jaccard**: exact set similarity for candidate pairs (used to
+  verify LSH candidates, or standalone within a blocking key).
+
+MinHash here uses *lexicographic min of salted md5 hex strings* as the hash
+family — deterministic, portable to ANSI SQL (so the oracle can replicate
+it bit-for-bit), and just as uniform as integer min-hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.functions.text import (
+    fingerprint,
+    md5_long,
+    shingles,
+    tokens,
+)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (minimum id) per normalized-text fingerprint."""
+    fp = df.withColumn("_fp", fingerprint(text_col))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, [id_col, "_fp"], "inner").drop("_fp")
+
+
+def minhash_signature(tok: Column, n_hashes: int = 8, shingle_n: int = 3) -> Column:
+    """Array of ``n_hashes`` min-hash values (md5 hex strings) over the
+    document's ``shingle_n``-gram shingle set."""
+    sh = F.array_distinct(shingles(tok, shingle_n))
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_band_hashes(sig_col: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Hash each band (contiguous slice of the signature) to one bucket key."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash LSH banding, scored by
+    the estimated Jaccard (fraction of matching signature components).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ threshold.
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(tokens(text_col), n_hashes, shingle_n).alias("sig"),
+    )
+    sig = sig.withColumn(
+        "bands", lsh_band_hashes(F.col("sig"), n_bands, rows_per_band)
+    )
+    # Explode to (band_idx, band_hash) and self-join within buckets only.
+    banded = sig.select(
+        id_col, "sig", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "band_idx",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        "band_idx",
+        "band_hash",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda a, b: F.when(a == b, 1.0).otherwise(0.0)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(n_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "source",
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing a blocking key.
+
+    Blocking bounds the quadratic pair space to within-block groups —
+    at scale the block should be an LSH bucket (minhash_lsh_pairs) or a
+    cheap partition key like here.
+    """
+    sh = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(text_col), shingle_n)).alias("sh"),
+    )
+    a = sh.select(
+        F.col("_blk"), F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("_blk"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = a.join(b, "_blk").where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(tok: Column, bits: int = 32) -> Column:
+    """SimHash signature of a token array as a non-negative bigint.
+
+    bit j of the signature = 1 iff sum over tokens of ±1 (by bit j of the
+    token's 60-bit md5 hash) is positive. Pure column expressions: the
+    per-token hash array is materialized once, then each bit position
+    folds it."""
+    hashes = F.transform(tok, lambda t: md5_long(t))
+
+    def bit_sum(j: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    total = F.lit(0).cast("long")
+    for j in range(bits):
+        total = total + F.when(bit_sum(j) > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return total

@@ -1,0 +1,269 @@
+"""Dedup queries, oracle-checked end-to-end.
+
+The fixture corpus has no natural duplicates (the driver generator emits
+unique word-soup), so each query *plants* duplicates deterministically —
+exact copies or single-token-appended near-copies — inside the query
+itself (a UNION ALL both engines run identically), then detects them.
+This keeps the oracle meaningful: the expected pairs are known.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.functions import text as TX
+from emails_to_vector_db_spark.functions.vector import cosine_similarity
+from emails_to_vector_db_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+_DUP_OFFSET = 100_000
+_N_PLANT = 50
+
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _docs_with_exact_dups(spark, sf_dir) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dups = d.where(F.col("doc_id") < _N_PLANT).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(dups)
+
+
+_DOCS_EXACT_SQL = f"""
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + {_DUP_OFFSET} AS doc_id, text, source
+    FROM documents WHERE doc_id < {_N_PLANT}
+"""
+
+
+def _docs_with_near_dups(spark, sf_dir) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dups = d.where(F.col("doc_id") < _N_PLANT).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzduptoken")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(dups)
+
+
+_DOCS_NEAR_SQL = f"""
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + {_DUP_OFFSET} AS doc_id, text || ' zzduptoken' AS text, source
+    FROM documents WHERE doc_id < {_N_PLANT}
+"""
+
+
+_EXACT_ORACLE = f"""
+WITH docs AS ({_DOCS_EXACT_SQL}),
+fp AS (
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM docs
+)
+SELECT fp, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
+FROM fp
+GROUP BY fp
+HAVING count(*) > 1
+"""
+
+
+@register("exact_dedup_groups", oracle=_EXACT_ORACLE, tags=("dedup", "exact"), bench=True)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint; one
+    shuffle, map-side combinable. Returns the duplicate groups (the planted
+    exact copies) with the id that survives."""
+    docs = _docs_with_exact_dups(spark, sf_dir)
+    return (
+        docs.withColumn("fp", TX.fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def _minhash_sql_sig(n: int) -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min')"
+        for i in range(n)
+    )
+    return f"[{mins}]"
+
+
+_MINHASH_ORACLE = f"""
+WITH docs AS ({_DOCS_NEAR_SQL}),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                    i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END) AS sh
+    FROM docs
+),
+sig AS (
+    SELECT doc_id, {_minhash_sql_sig(8)} AS sig FROM sh
+),
+bands AS (
+    SELECT doc_id, sig, b.band_idx,
+           md5(sig[b.band_idx * 2 + 1] || '|' || sig[b.band_idx * 2 + 2]) AS band_hash
+    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       list_sum(list_transform(generate_series(1, 8),
+            i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1.0 ELSE 0.0 END)) / 8.0
+           AS est_jaccard
+FROM cand
+WHERE list_sum(list_transform(generate_series(1, 8),
+        i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1.0 ELSE 0.0 END)) / 8.0 >= 0.5
+"""
+
+
+@register("minhash_lsh_near_dups", oracle=_MINHASH_ORACLE, tags=("dedup", "minhash", "lsh"), bench=True)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH banding (4 bands × 2 rows): near-duplicate candidate
+    pairs with estimated Jaccard ≥ 0.5. Detects the planted
+    one-token-appended near-copies; the bucket-local self-join is the
+    LSH shuffle pattern that scales (no full cross join)."""
+    docs = _docs_with_near_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+_JACCARD_ORACLE = f"""
+WITH docs AS ({_DOCS_NEAR_SQL}),
+sh AS (
+    SELECT source, doc_id,
+           list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                    i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END) AS sh
+    FROM docs
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6)
+           AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) >= 0.3
+"""
+
+
+@register("ngram_jaccard_near_dups", oracle=_JACCARD_ORACLE, tags=("dedup", "jaccard"))
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.3 for pairs blocked by source (quadratic
+    only within blocks). Finds the planted near-copies exactly."""
+    docs = _docs_with_near_dups(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, block_col="source", shingle_n=3, threshold=0.3
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {2**j}::BIGINT ELSE 0 END)"
+        for j in range(bits)
+    )
+    return terms
+
+
+_SIMHASH_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id < 200
+),
+h AS (
+    SELECT doc_id,
+           list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+    FROM t
+)
+SELECT doc_id, ({_simhash_sql(32)}) AS simhash32
+FROM h
+"""
+
+
+@register("simhash_signatures", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (doc_id < 200) — near-dup clustering by
+    Hamming distance operates on these signatures."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id", simhash(TX.tokens("text"), bits=32).alias("simhash32")
+    )
+
+
+_EMB_DUP_OFFSET = 100_000
+_EMB_N_PLANT = 25
+
+_EMB_NEAR_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_EMB_DUP_OFFSET} AS vec_id, label,
+           list_transform(embedding::DOUBLE[], x -> x * 2.0) AS v
+    FROM embeddings WHERE vec_id < {_EMB_N_PLANT}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           AS cos_sim
+FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+"""
+
+
+@register("embedding_near_dups", oracle=_EMB_NEAR_ORACLE, tags=("dedup", "vector", "cosine"))
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (≥ 0.99), blocked by label so the
+    pair space stays block-local (at scale the block is an LSH/IVF bucket).
+    Planted scale-doubled copies are exact cosine-1 matches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") < _EMB_N_PLANT).select(
+        (F.col("vec_id") + _EMB_DUP_OFFSET).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 2.0).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    ).unionByName(planted)
+    a = base.select(
+        F.col("label").alias("_lbl"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = base.select(
+        F.col("label").alias("_lbl"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(b, "_lbl").where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity("va", "vb")
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= 0.99)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )

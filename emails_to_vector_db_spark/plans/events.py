@@ -1,0 +1,133 @@
+"""Event-stream queries (batch form): date bucketing, JSON extraction,
+sessionization. The streaming/ package runs the same logic under
+Structured Streaming; these batch queries are their oracle-checkable
+equivalents (SURVEY.md §2.8).
+
+``events.ts`` is stored as nanosecond parquet timestamps; sources.tables
+normalizes to microseconds, matching DuckDB's read of the same file, so
+epoch values agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+_HOURLY_ORACLE = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+       event_type,
+       count(*)::BIGINT         AS n_events,
+       round(sum(value), 4)     AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("hourly_event_counts", oracle=_HOURLY_ORACLE, tags=("events", "date", "agg"), bench=True)
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour counts per event type — the batch equivalent of the
+    streaming tumbling-window aggregation (F.window under readStream)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       count(*)::BIGINT                                   AS n_events,
+       round(avg(json_extract_string(props, '$.k')::INT), 6) AS avg_k,
+       max(json_extract_string(props, '$.k')::INT)        AS max_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("props_json_stats", oracle=_JSON_ORACLE, tags=("events", "json"))
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the ``props`` string column (SURVEY.md F5 —
+    the reference's JSON path extraction at ``rag.py:120`` generalized)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.where(k.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+_SESSION_ORACLE = """
+WITH with_gap AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800000000
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM with_gap
+GROUP BY user_id
+"""
+
+
+@register("user_sessionization", oracle=_SESSION_ORACLE, tags=("events", "window", "session"))
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity) via lag + cumulative
+    flag — the batch twin of ``F.session_window`` in streaming/. Partitions
+    by user_id, so it scales horizontally with the user population."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_VALUE_BUCKETS_ORACLE = """
+SELECT (CASE WHEN value < 0 THEN -1
+             WHEN value >= 100 THEN 10
+             ELSE floor(value / 10) END)::INT AS bucket,
+       count(*)::BIGINT     AS n,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v
+FROM events
+GROUP BY 1
+"""
+
+
+@register("event_value_histogram", oracle=_VALUE_BUCKETS_ORACLE, tags=("events", "agg"))
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the value column (10 buckets over [0,100),
+    with underflow/overflow buckets)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0, F.lit(-1))
+        .when(F.col("value") >= 100, F.lit(10))
+        .otherwise(F.floor(F.col("value") / 10))
+        .cast("int")
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+    )

@@ -1,0 +1,242 @@
+"""Text-analysis queries over the ``documents`` table: token statistics,
+quality scoring, language-ID heuristic, fingerprinting, term frequency.
+
+These are the training-data-pipeline operators the north star adds beyond
+the reference's surface. Every expression is JVM-native (no UDFs) with an
+exact DuckDB twin; see functions/text.py.
+
+Portability notes baked into the oracles:
+- tokenization: ``regexp_split_to_array(trim(text), '\\s+')`` ≡
+  ``F.split(F.trim(text), r'\\s+')``
+- token hash:  ``('0x' || substr(md5(t), 1, 15))::BIGINT`` ≡
+  ``F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast('long')``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.functions import text as TX
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+_STATS_ORACLE = f"""
+WITH t AS (
+    SELECT lang, source, {_TOKENS_SQL} AS toks, length(text) AS n_chars
+    FROM documents
+)
+SELECT lang, source,
+       count(*)::BIGINT                 AS n_docs,
+       sum(len(toks))::BIGINT           AS total_tokens,
+       round(avg(len(toks)), 6)         AS avg_tokens,
+       round(avg(n_chars), 6)           AS avg_chars
+FROM t
+GROUP BY lang, source
+"""
+
+
+@register("doc_token_stats", oracle=_STATS_ORACLE, tags=("text", "agg"), bench=True)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) aggregated per (lang, source)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens("text")
+    return (
+        d.select("lang", "source", F.size(tok).alias("n_tok"), F.length("text").alias("n_chars"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+_EN = TX.LANG_STOPWORDS["en"]
+_EN_SQL = ", ".join(f"'{w}'" for w in _EN)
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks, text FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           len(list_filter(toks, x -> x IN ({_EN_SQL})))::DOUBLE
+               / greatest(len(toks), 1) AS stop_ratio,
+           length(regexp_replace(text, '[^.,!?;:''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio
+    FROM t
+)
+SELECT doc_id,
+       n_tok::INT AS n_tok,
+       round(stop_ratio, 6)  AS stop_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(least(n_tok / 100.0, 1.0) * 0.4
+             + least(stop_ratio * 5.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2, 6) AS quality
+FROM m
+"""
+
+
+@register("doc_quality_scores", oracle=_QUALITY_ORACLE, tags=("text", "quality"))
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: length / stopword-ratio / punctuation
+    components (the composite formula of functions.text.quality_score)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens("text")
+    d = d.select(
+        "doc_id",
+        F.size(tok).alias("n_tok"),
+        TX.stopword_ratio(tok, _EN).alias("stop_ratio_raw"),
+        TX.punct_ratio("text").alias("punct_ratio_raw"),
+    )
+    quality = (
+        F.least(F.col("n_tok") / 100.0, F.lit(1.0)) * 0.4
+        + F.least(F.col("stop_ratio_raw") * 5.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio_raw") * 4.0, F.lit(1.0))) * 0.2
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.round("stop_ratio_raw", 6).alias("stop_ratio"),
+        F.round("punct_ratio_raw", 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+_LANG_CASES_SQL = "\n".join(
+    f"           len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)})))::DOUBLE"
+    f" / greatest(len(toks), 1) AS score_{lang},"
+    for lang, ws in TX.LANG_STOPWORDS.items()
+).rstrip(",")
+
+_LANGID_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang AS actual_lang, {_TOKENS_SQL} AS toks FROM documents
+),
+scored AS (
+    SELECT doc_id, actual_lang,
+{_LANG_CASES_SQL}
+    FROM t
+),
+pred AS (
+    SELECT actual_lang,
+           CASE WHEN greatest(score_en, score_fr, score_es, score_de) = 0 THEN 'und'
+                WHEN score_en >= greatest(score_fr, score_es, score_de) THEN 'en'
+                WHEN score_fr >= greatest(score_es, score_de) THEN 'fr'
+                WHEN score_es >= score_de THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM scored
+)
+SELECT actual_lang, predicted_lang, count(*)::BIGINT AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+
+@register("lang_id_confusion", oracle=_LANGID_ORACLE, tags=("text", "langid"))
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic, reported as a confusion matrix
+    against the fixture's lang column. Deterministic tiebreak: en>fr>es>de,
+    'und' when no stopwords hit."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens("text")
+    scored = d.select(
+        F.col("lang").alias("actual_lang"),
+        *[
+            TX.stopword_ratio(tok, ws).alias(f"score_{lang}")
+            for lang, ws in TX.LANG_STOPWORDS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{l}") for l in TX.LANG_STOPWORDS])
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(F.col("score_en") >= F.greatest("score_fr", "score_es", "score_de"), F.lit("en"))
+        .when(F.col("score_fr") >= F.greatest("score_es", "score_de"), F.lit("fr"))
+        .when(F.col("score_es") >= F.col("score_de"), F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return (
+        scored.withColumn("predicted_lang", pred)
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_FP_ORACLE = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))::BIGINT
+           AS n_distinct_fingerprints
+FROM documents
+GROUP BY source
+"""
+
+
+@register("doc_fingerprints", oracle=_FP_ORACLE, tags=("text", "fingerprint", "dedup"))
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of normalized text) + distinct count
+    per source — the exact-dedup cardinality check."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(TX.fingerprint("text")).alias("n_distinct_fingerprints"),
+    )
+
+
+_TF_ORACLE = """
+WITH tok AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+)
+SELECT term, count(*)::BIGINT AS freq
+FROM tok
+GROUP BY term
+ORDER BY freq DESC, term ASC
+LIMIT 20
+"""
+
+
+@register("term_frequency_top20", oracle=_TF_ORACLE, tags=("text", "agg", "topk"))
+def term_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global term frequency top-20 (explode → partial agg → top-k). The
+    classic wordcount: map-side combine keeps the shuffle tiny even at
+    100 TB; top-k is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+_SHINGLE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       len(toks)::INT AS n_tokens,
+       len(list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+           ELSE list_transform(generate_series(1, len(toks) - 2),
+                i -> array_to_string(toks[i:i+2], ' ')) END))::INT AS n_distinct_shingles
+FROM t
+"""
+
+
+@register("shingle_cardinality", oracle=_SHINGLE_ORACLE, tags=("text", "shingles"))
+def shingle_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle set cardinality per document (the MinHash input)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    tok = TX.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(tok).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(TX.shingles(tok, 3))).cast("int").alias(
+            "n_distinct_shingles"
+        ),
+    )

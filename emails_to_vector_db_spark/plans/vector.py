@@ -1,0 +1,221 @@
+"""Vector-search queries: KNN top-k (flagship), KNN join, ANN, near-dup.
+
+Parity target: the reference's pgvector KNN search (``rag.py:65-90``) —
+exact L2, k=5, full scan, result columns (id, content, distance)
+(``rag.py:77-90``). The probe here is a stored embedding rather than a
+model-encoded user query so the whole query is deterministic; the
+model-encode path lives in pipeline/ behind the embedder interface.
+
+Oracle note: distances are rounded to 6dp on both sides; both engines
+compute in double over the same element order, so the hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.functions.vector import (
+    cosine_similarity,
+    l2_distance,
+)
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+PROBE_ID = 7
+K = 5
+
+_FLAGSHIP_ORACLE = f"""
+WITH probe AS (
+    SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = {PROBE_ID}
+)
+SELECT e.vec_id,
+       d.text AS content,
+       round(list_distance(e.embedding::DOUBLE[], p.q), 6) AS distance
+FROM embeddings e
+CROSS JOIN probe p
+JOIN documents d ON d.doc_id = e.vec_id
+WHERE e.vec_id <> {PROBE_ID}
+ORDER BY list_distance(e.embedding::DOUBLE[], p.q) ASC, e.vec_id ASC
+LIMIT {K}
+"""
+
+
+@register(
+    "knn_topk_l2",
+    oracle=_FLAGSHIP_ORACLE,
+    tags=("vector", "knn", "T1", "J1", "flagship"),
+    bench=True,
+)
+def knn_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: exact L2 top-5 neighbors of a stored probe vector, joined
+    to document text — the reference's retrieval query (``rag.py:77-82``)
+    with the products⋈embeddings join the reference denormalizes away
+    (``rag.py:48``) restored as a real join (J1).
+
+    Plan shape: probe row broadcast; distance map-side;
+    TakeOrderedAndProject for the top-k; broadcast hash join to documents.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    probe = F.broadcast(
+        emb.where(F.col("vec_id") == PROBE_ID).select(
+            F.col("embedding").alias("q")
+        )
+    )
+    topk = (
+        emb.where(F.col("vec_id") != PROBE_ID)
+        .crossJoin(probe)
+        .withColumn("dist_raw", l2_distance("embedding", "q"))
+        .orderBy(F.col("dist_raw").asc(), F.col("vec_id").asc())
+        .limit(K)
+    )
+    return (
+        topk.join(F.broadcast(docs), topk.vec_id == docs.doc_id)
+        .select(
+            "vec_id",
+            F.col("text").alias("content"),
+            F.round("dist_raw", 6).alias("distance"),
+        )
+    )
+
+
+_COSINE_ORACLE = f"""
+WITH probe AS (
+    SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = {PROBE_ID}
+),
+scored AS (
+    SELECT e.vec_id, e.label,
+           list_dot_product(e.embedding::DOUBLE[], p.q)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(p.q, p.q))) AS sim
+    FROM embeddings e CROSS JOIN probe p
+    WHERE e.vec_id <> {PROBE_ID}
+)
+SELECT vec_id, label, round(sim, 6) AS cos_sim
+FROM scored
+ORDER BY sim DESC, vec_id ASC
+LIMIT {K}
+"""
+
+
+@register(
+    "knn_topk_cosine",
+    oracle=_COSINE_ORACLE,
+    tags=("vector", "knn", "T1", "F3"),
+)
+def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity top-5 (pgvector ``<=>`` family — unused by the
+    reference but same operator class, SURVEY.md F3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        emb.where(F.col("vec_id") == PROBE_ID).select(
+            F.col("embedding").alias("q")
+        )
+    )
+    return (
+        emb.where(F.col("vec_id") != PROBE_ID)
+        .crossJoin(probe)
+        .withColumn("sim", cosine_similarity("embedding", "q"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(K)
+        .select("vec_id", "label", F.round("sim", 6).alias("cos_sim"))
+    )
+
+
+N_PROBES = 8
+
+_KNN_JOIN_ORACLE = f"""
+WITH probes AS (
+    SELECT vec_id AS probe_id, embedding::DOUBLE[] AS q
+    FROM embeddings WHERE vec_id < {N_PROBES}
+),
+scored AS (
+    SELECT p.probe_id, e.vec_id,
+           list_distance(e.embedding::DOUBLE[], p.q) AS dist,
+           row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], p.q) ASC,
+                        e.vec_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN probes p
+    WHERE e.vec_id <> p.probe_id
+)
+SELECT probe_id, vec_id, round(dist, 6) AS distance
+FROM scored WHERE rn <= {K}
+"""
+
+
+@register(
+    "knn_join_multi_probe",
+    oracle=_KNN_JOIN_ORACLE,
+    tags=("vector", "knn", "J3"),
+    bench=True,
+)
+def knn_join_multi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN similarity join (J3): k=5 nearest base vectors for each of
+    8 probe vectors — the generalization of the reference's 1-probe search
+    (``rag.py:77-82``). Probes broadcast; per-probe window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    # Self-matches (distance 0) must be excluded BEFORE ranking or they
+    # consume a top-k slot, so the plain operators.knn_join isn't reused here.
+    pairs = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("dist", l2_distance("embedding", "probe_vec"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("probe_id", "vec_id", F.round("dist", 6).alias("distance"))
+    )
+
+
+_CENTROID_ORACLE = """
+WITH per_dim AS (
+    SELECT label, i, avg(e.embedding[i]::DOUBLE) AS dim_mean
+    FROM embeddings e, generate_series(1, 64) AS gs(i)
+    GROUP BY label, i
+)
+SELECT label, round(sum(dim_mean * dim_mean), 6) AS centroid_sq_norm
+FROM per_dim GROUP BY label
+"""
+
+
+@register(
+    "label_centroid_norm",
+    oracle=_CENTROID_ORACLE,
+    tags=("vector", "agg"),
+)
+def label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column (vector aggregation —
+    the building block of IVF index construction), reduced to the squared
+    norm so the oracle hash is scale-independent.
+
+    Spark side: explode-free — posexplode would shuffle 64× rows; instead
+    aggregate per-dimension sums via ``F.transform`` + array sum is not
+    built-in, so use posexplode but note it is a narrow op followed by one
+    shuffle on (label, dim): at 100 TB the better plan is a pandas_udf
+    partial-centroid per partition; this exact query is small-dim so the
+    explode is acceptable and oracle-checkable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .groupBy("label", F.col("pos"))
+        .agg(F.avg("col").alias("dim_mean"))
+    )
+    return per_dim.groupBy("label").agg(
+        F.round(F.sum(F.col("dim_mean") * F.col("dim_mean")), 6).alias(
+            "centroid_sq_norm"
+        )
+    )

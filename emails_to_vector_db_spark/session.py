@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is a single JVM; ``spark.driver.memory`` is the only memory
+knob. On a real cluster the same SQL confs apply (AQE, Arrow, UTC);
+``shuffle.partitions`` scales with the cluster instead of local cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# events.parquet carries INT64 TIMESTAMP(NANOS) which Spark cannot read
+# natively; this legacy conf reads it as a long (ns since epoch) which
+# sources.tables converts to a microsecond timestamp (matching DuckDB's
+# truncation). Runtime-settable, but set at build time for new sessions.
+NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def get_spark(
+    app_name: str = "emails_to_vector_db_spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    if shuffle_partitions is None:
+        shuffle_partitions = (
+            int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+        )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config(NANOS_AS_LONG, "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,56 @@
+"""Parquet table loaders for the driver-generated fixture tables.
+
+Replaces the reference's scan surface (SURVEY.md §2.1): the Postgres
+``SELECT ... FROM products`` full scan (reference ``rag.py:40-41``) becomes
+``spark.read.parquet(...).select(...)`` — Parquet column pruning and filter
+pushdown make the manual projection unnecessary; Catalyst prunes at the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.session import NANOS_AS_LONG
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; ``events`` gets its nanosecond timestamp
+    normalized to a microsecond TimestampType (same truncation DuckDB
+    applies, so oracle comparisons line up exactly)."""
+    if name == "events":
+        # The fixture stores ts as INT64 TIMESTAMP(NANOS); Spark reads it
+        # only as a long under this conf (session-settable, so it also
+        # works when the caller owns the SparkSession).
+        spark.conf.set(NANOS_AS_LONG, "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
+    """Register each fixture table as a temp view (mirrors the DuckDB
+    oracle's pre-registered views)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
