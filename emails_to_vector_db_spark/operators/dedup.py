@@ -35,6 +35,18 @@ from emails_to_vector_db_spark.functions.text import (
 )
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism.
+
+    Compute-heavy per-row stages (shingling, hashing, signatures) are CPU-
+    bound, not IO-bound: a small parquet input arrives as 1-2 splits, which
+    would serialize the expensive stage onto 1-2 cores. The repartition
+    shuffles only the raw rows (cheap) and buys full-width execution. At
+    100 TB inputs already arrive in thousands of splits and this is a no-op
+    cost-wise (AQE coalesces)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -44,32 +56,46 @@ def exact_dedup(
     return fp.join(keep, [id_col, "_fp"], "inner").drop("_fp")
 
 
-def minhash_signature(tok: Column, n_hashes: int = 8, shingle_n: int = 3) -> Column:
-    """Array of ``n_hashes`` min-hash values (md5 hex strings) over the
-    document's ``shingle_n``-gram shingle set."""
-    sh = F.array_distinct(shingles(tok, shingle_n))
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-            )
-            for i in range(n_hashes)
-        ]
+def salted_md5s(sh_col: Column, salt_idx: int) -> Column:
+    """One md5 per shingle (salted for salt_idx > 0); each md5 hex string
+    yields FOUR independent 32-bit hash values via 8-char slices, so a
+    k-hash MinHash signature costs only ceil(k/4) md5 passes."""
+    if salt_idx == 0:
+        return F.transform(sh_col, lambda s: F.md5(s))
+    return F.transform(
+        sh_col, lambda s: F.md5(F.concat(F.lit(f"{salt_idx}|"), s))
     )
+
+
+def minhash_components(md5_col: Column) -> list[Column]:
+    """The four min-hash components carried by one md5 array: min over the
+    shingle set of each 8-hex-char slice (lexicographic min of a uniform
+    hex string ≡ integer min-hash)."""
+    def comp(i: int) -> Column:
+        return F.array_min(
+            F.transform(md5_col, lambda h: F.substring(h, 1 + 8 * i, 8))
+        )
+
+    return [comp(i) for i in range(4)]
 
 
 def lsh_band_hashes(sig_col: Column, n_bands: int, rows_per_band: int) -> Column:
-    """Hash each band (contiguous slice of the signature) to one bucket key."""
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
+    """Hash each band (contiguous slice of the signature) to one bucket key.
+
+    NULL signature components (docs with no shingles) propagate to a NULL
+    band hash — never joined, matching SQL `||` semantics — hence
+    array_join with no null replacement would differ; use aggregate-concat
+    that nulls out."""
+
+    def band(b: int) -> Column:
+        parts = []
+        for r in range(rows_per_band):
+            if parts:
+                parts.append(F.lit("|"))
+            parts.append(F.element_at(sig_col, b * rows_per_band + r + 1))
+        return F.md5(F.concat(*parts))
+
+    return F.array(*[band(b) for b in range(n_bands)])
 
 
 def minhash_lsh_pairs(
@@ -88,16 +114,34 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ threshold.
     """
     rows_per_band = n_hashes // n_bands
-    sig = df.select(
+    if n_hashes % 4:
+        raise ValueError("n_hashes must be a multiple of 4 (4 per md5 pass)")
+    # Staged projections: each stage's arrays are referenced several times
+    # downstream, so CollapseProject keeps them materialized once per row —
+    # one shingle pass, ceil(n/4) md5 passes, instead of n of each.
+    sh_df = spread(df).select(
         F.col(id_col),
-        minhash_signature(tokens(text_col), n_hashes, shingle_n).alias("sig"),
+        F.array_distinct(shingles(tokens(text_col), shingle_n)).alias("sh"),
     )
+    n_md5 = n_hashes // 4
+    md5_df = sh_df.select(
+        id_col,
+        *[salted_md5s(F.col("sh"), m).alias(f"m{m}") for m in range(n_md5)],
+    )
+    comps = []
+    for m in range(n_md5):
+        comps.extend(minhash_components(F.col(f"m{m}")))
+    sig = md5_df.select(id_col, F.array(*comps).alias("sig"))
     sig = sig.withColumn(
         "bands", lsh_band_hashes(F.col("sig"), n_bands, rows_per_band)
     )
     # Explode to (band_idx, band_hash) and self-join within buckets only.
+    # posexplode_OUTER on purpose: the non-outer form makes Catalyst infer a
+    # `size(bands) > 0` filter and push the whole signature expression tree
+    # down as a per-row filter (recomputing it once more per row); the outer
+    # form infers nothing, and NULL band rows drop out of the equi-join.
     banded = sig.select(
-        id_col, "sig", F.posexplode("bands").alias("band_idx", "band_hash")
+        id_col, "sig", F.posexplode_outer("bands").alias("band_idx", "band_hash")
     )
     left = banded.select(
         F.col(id_col).alias("id_a"),
@@ -146,7 +190,7 @@ def ngram_jaccard_pairs(
     at scale the block should be an LSH bucket (minhash_lsh_pairs) or a
     cheap partition key like here.
     """
-    sh = df.select(
+    sh = spread(df).select(
         F.col(block_col).alias("_blk"),
         F.col(id_col),
         F.array_distinct(shingles(tokens(text_col), shingle_n)).alias("sh"),

@@ -95,10 +95,11 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql_sig(n: int) -> str:
+def _minhash_sql_sig(n_md5: int) -> str:
     mins = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}|' || s)), 'min')"
-        for i in range(n)
+        f"list_aggregate(list_transform(m{m}, h -> substr(h, {1 + 8 * i}, 8)), 'min')"
+        for m in range(n_md5)
+        for i in range(4)
     )
     return f"[{mins}]"
 
@@ -112,8 +113,14 @@ sh AS (
                     i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END) AS sh
     FROM docs
 ),
+m AS (
+    SELECT doc_id,
+           list_transform(sh, s -> md5(s)) AS m0,
+           list_transform(sh, s -> md5('1|' || s)) AS m1
+    FROM sh
+),
 sig AS (
-    SELECT doc_id, {_minhash_sql_sig(8)} AS sig FROM sh
+    SELECT doc_id, {_minhash_sql_sig(2)} AS sig FROM m
 ),
 bands AS (
     SELECT doc_id, sig, b.band_idx,

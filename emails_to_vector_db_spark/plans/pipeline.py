@@ -51,14 +51,20 @@ def product_content_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIM = 16
 _PROBE_DOC = 3
 _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
-_EMBED_SQL = f"""list_transform(generate_series(0, {_DIM - 1}),
-        j -> len(list_filter({_TOKENS_SQL},
-                 t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {_DIM} = j))::DOUBLE
-             / greatest(len({_TOKENS_SQL}), 1))"""
 
 _HASH_EMBED_ORACLE = f"""
-WITH emb AS (
-    SELECT doc_id, {_EMBED_SQL} AS e FROM documents
+WITH hashed AS (
+    SELECT doc_id,
+           list_transform({_TOKENS_SQL},
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {_DIM}) AS hl
+    FROM documents
+),
+emb AS (
+    SELECT doc_id,
+           list_transform(generate_series(0, {_DIM - 1}),
+               j -> len(list_filter(hl, h -> h = j))::DOUBLE
+                    / greatest(len(hl), 1)) AS e
+    FROM hashed
 ),
 probe AS (SELECT e AS q FROM emb WHERE doc_id = {_PROBE_DOC})
 SELECT emb.doc_id,
@@ -81,13 +87,18 @@ def hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative plan with zero Python boundary.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens("text")
+    # Stage 1: hash every token ONCE (one md5 pass); the hl column is
+    # referenced _DIM times below, so CollapseProject keeps it materialized.
+    hashed = d.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: md5_long(t) % _DIM).alias("hl"),
+    )
     embed = F.transform(
         F.sequence(F.lit(0), F.lit(_DIM - 1)),
-        lambda j: F.size(F.filter(tok, lambda t: md5_long(t) % _DIM == j))
-        / F.greatest(F.size(tok), F.lit(1)),
+        lambda j: F.size(F.filter("hl", lambda h: h == j))
+        / F.greatest(F.size("hl"), F.lit(1)),
     )
-    emb = d.select("doc_id", embed.alias("e"))
+    emb = hashed.select("doc_id", embed.alias("e"))
     probe = F.broadcast(
         emb.where(F.col("doc_id") == _PROBE_DOC).select(F.col("e").alias("q"))
     )
