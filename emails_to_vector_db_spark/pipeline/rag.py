@@ -1,0 +1,139 @@
+"""Retrieval orchestration: intent classification → routed retrieval →
+context assembly → (optional) LLM generation.
+
+Reference lifecycle being re-expressed (``rag.py:169-198``; SURVEY.md §3.1):
+
+- ``classify_query`` (``rag.py:93-123``): an OpenRouter chat call that maps
+  a query to one of {product_search, niche_advice, mixed}, falling back to
+  ``product_search`` on any error (``rag.py:121-123``). Here the default is
+  a DETERMINISTIC rule-based classifier (SURVEY.md §5.3 — tests never
+  depend on an LLM); the HTTP-LLM classifier is an optional drop-in behind
+  the same interface and stays outside the correctness-checked surface.
+- intent routing (``rag.py:187-191``): {product_search, mixed} → vector
+  retrieval; else a canned advisory context.
+- context assembly (``rag.py:189``): ``"\\n\\n".join(documents)`` →
+  ``concat_ws`` over a distance-ordered ``collect_list`` (A2) — order
+  preserved by sorting on (distance, id) before aggregation.
+- ``call_openrouter_llm`` (``rag.py:126-166``): generation with fallback
+  string ``"LLM call failed."`` (``rag.py:166``) — optional, gated, never
+  imported in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+INTENTS = ("product_search", "niche_advice", "mixed")
+FALLBACK_INTENT = "product_search"  # rag.py:123
+
+# Deterministic stand-in for the LLM classifier: keyword rules with the
+# same label space and fallback as rag.py:94-100's prompt contract.
+_ADVICE_WORDS = ("advice", "recommend", "suggest", "best", "should", "help")
+_PRODUCT_WORDS = ("price", "buy", "product", "color", "category", "image", "cost")
+
+
+def classify_intent_rule_based(query: str) -> str:
+    q = (query or "").strip().lower()  # rag.py:120 normalization
+    has_advice = any(w in q for w in _ADVICE_WORDS)
+    has_product = any(w in q for w in _PRODUCT_WORDS)
+    if has_advice and has_product:
+        return "mixed"
+    if has_advice:
+        return "niche_advice"
+    if has_product:
+        return "product_search"
+    return FALLBACK_INTENT
+
+
+def assemble_context(
+    hits: DataFrame,
+    *,
+    content_col: str = "content",
+    dist_col: str = "distance",
+    id_col: str = "id",
+) -> str:
+    """A2: fold retrieved documents into one LLM context string, preserving
+    ascending-distance order (``"\\n\\n".join`` at ``rag.py:189``)."""
+    row = (
+        hits.orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+        .agg(F.concat_ws("\n\n", F.collect_list(content_col)).alias("ctx"))
+        .collect()[0]
+    )
+    return row.ctx
+
+
+ADVISORY_CONTEXT = (
+    "You are a helpful niche-advice assistant; answer from general "
+    "knowledge."  # stands in for rag.py:191's canned advisory context
+)
+
+
+def retrieve(
+    query: str,
+    *,
+    store,
+    embed_query: Callable[[str], list[float]],
+    k: int = 5,
+    classifier: Callable[[str], str] = classify_intent_rule_based,
+) -> dict:
+    """The full chat-turn retrieval path (``start_conversation`` body,
+    ``rag.py:181-196``, minus the LLM generation): classify → route →
+    search → assemble. Returns {intent, context, hits}.
+
+    ``embed_query`` is the single-text twin of the batch embedder (the
+    reference encodes the query in-process at ``rag.py:72-73``)."""
+    intent = classifier(query)
+    if intent not in INTENTS:
+        intent = FALLBACK_INTENT
+    if intent in ("product_search", "mixed"):  # rag.py:187
+        hits = store.search(embed_query(query), k=k)
+        context = assemble_context(
+            hits, content_col="content", dist_col="distance", id_col=store.id_col
+        )
+        return {"intent": intent, "context": context, "hits": hits}
+    return {"intent": intent, "context": ADVISORY_CONTEXT, "hits": None}
+
+
+def generate_with_llm(
+    prompt: str,
+    context: str,
+    *,
+    api_key: str | None = None,
+    model: str = "",
+    endpoint: str = "",
+    timeout: int = 30,
+) -> str:
+    """U3 (``rag.py:126-166``): optional HTTP-LLM generation. Network and
+    key are caller-provided; on ANY failure returns the reference's
+    fallback string (``rag.py:166``). Never exercised in tests."""
+    if not api_key or not endpoint:
+        return "LLM call failed."
+    try:  # pragma: no cover - requires network
+        import json
+        import urllib.request
+
+        body = json.dumps(
+            {
+                "model": model,
+                "messages": [
+                    {"role": "system", "content": context},
+                    {"role": "user", "content": prompt},
+                ],
+            }
+        ).encode()
+        req = urllib.request.Request(
+            endpoint,
+            data=body,
+            headers={
+                "Authorization": f"Bearer {api_key}",
+                "Content-Type": "application/json",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            payload = json.load(resp)
+        return payload["choices"][0]["message"]["content"]  # rag.py:120,163
+    except Exception:
+        return "LLM call failed."

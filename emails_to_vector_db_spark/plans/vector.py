@@ -178,6 +178,30 @@ def knn_join_multi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # LSH bucketing is not reasonably SQL-expressible; the
+    # driver records a rows-only check. Recall vs the exact baseline is
+    # asserted in tests/test_similarity.py.
+    tags=("vector", "ann", "lsh"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate KNN join via random-hyperplane LSH with Hamming-1
+    multiprobe (operators/similarity.py) — the scale path the reference
+    never built (pgvector with no index, ``rag.py:77-82``). Deterministic:
+    fixed seed, fixed tiebreaks."""
+    from emails_to_vector_db_spark.operators.similarity import ann_lsh_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    res = ann_lsh_join(probes, emb, k=K, n_planes=6, metric="cosine")
+    return res.select(
+        "probe_id", "vec_id", F.round("distance", 6).alias("distance")
+    )
+
+
 _CENTROID_ORACLE = """
 WITH per_dim AS (
     SELECT label, i, avg(e.embedding[i]::DOUBLE) AS dim_mean

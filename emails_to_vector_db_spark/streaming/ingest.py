@@ -1,0 +1,170 @@
+"""Structured Streaming ingestion — the reference's poll-and-slice email
+loop (``email_fetching.py:30-33``: manual re-run, last-10 slice, no
+exactly-once, no late-data story) upgraded to Spark's streaming model
+(SURVEY.md §2.8):
+
+- file-source ``readStream`` over a landing directory (the batch plans in
+  plans/ are the oracle-checked equivalents of these streams),
+- event-time watermarks for late data,
+- tumbling / sliding / session windows,
+- ``dropDuplicatesWithinWatermark`` replacing the reference's
+  crash-on-duplicate-id behavior,
+- ``foreachBatch`` writing through the same idempotent EmbeddingStore
+  append used in batch (exactly-once via checkpoint + anti-join).
+
+Every builder here returns an *unstarted* DataFrame/query description, so
+tests and callers choose sink + trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.sources.tables import load_table
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream with the events schema. The fixture's nanosecond
+    timestamp is normalized exactly as the batch loader does, so streaming
+    results line up with the batch oracles."""
+    # Prime the nanosAsLong conf (and schema handling) via the batch loader.
+    load_table(spark, sf_dir, "events")
+    # The file stream source requires a DIRECTORY; select just the events
+    # file out of the fixture dir with a glob filter.
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string,"
+            " value double, props string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return stream.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window counts per event type with a watermark: the
+    streaming twin of plans/events.py::hourly_event_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window event counts (overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            F.unix_timestamp(F.col("w.end")).alias("window_end_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — the streaming
+    twin of plans/events.py::user_sessionization."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            "n_events",
+        )
+    )
+
+
+def deduped_stream(
+    events: DataFrame, *, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Exactly-once-per-id within the watermark horizon — replaces the
+    reference's duplicate-id crash (``email_fetching.py:54``) for streams;
+    state is bounded by the watermark, so it runs forever at scale."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, *, timeout_sec: int = 120
+) -> None:
+    """Test helper: run an unstarted streaming DF to completion (all files
+    of the bounded file source) into an in-memory table named ``name``."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def stream_embed_to_store(
+    texts_stream: DataFrame,
+    store,
+    embedder,
+    *,
+    checkpoint: str,
+    id_col: str = "msg_id",
+    content_col: str = "text",
+):
+    """foreachBatch sink: every micro-batch goes through the SAME
+    idempotent embed-and-store path as batch ingestion (anti-join dedup),
+    giving effective exactly-once even across checkpoint replays."""
+    from emails_to_vector_db_spark.pipeline.store import embed_and_store
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        embed_and_store(
+            batch_df.sparkSession,
+            batch_df,
+            store,
+            embedder,
+            id_col=id_col,
+            content_col=content_col,
+        )
+
+    return (
+        texts_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -1,0 +1,101 @@
+"""Email ingestion + embedder + store pipeline tests (reference parity:
+email_fetching.py and rag.py:22-62 behaviors, SURVEY.md §3.2-3.3)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.pipeline.embedder import HashingEmbedder
+from emails_to_vector_db_spark.pipeline.store import EmbeddingStore, embed_and_store
+from emails_to_vector_db_spark.sources.emails import (
+    extract_plain_text,
+    ingest_emails,
+    synthetic_emails,
+)
+from emails_to_vector_db_spark.sources.products import (
+    product_content,
+    read_products_csv,
+)
+
+
+def test_extract_plain_text_filters_and_order(spark):
+    raw = synthetic_emails(spark, n=8)
+    texts = {r.msg_id: r.text for r in extract_plain_text(raw).collect()}
+    # kind 0 (multipart plain+html): plain kept, html dropped (P3)
+    assert "plain body 0" in texts["m0000"]
+    assert "html" not in texts["m0000"]
+    # kind 2 (html only): entirely filtered out (P5)
+    assert "m0002" not in texts and "m0006" not in texts
+    # kind 3 (two plain parts): both present, original order (P7)
+    assert texts["m0003"].index("part one") < texts["m0003"].index("part two")
+    # broken bytes: Python's email parser is lenient — a headerless blob
+    # parses as a text/plain body (same as the reference's msg.walk path);
+    # the point is it must not crash and must decode with replacement.
+    assert "broken" in texts
+
+
+def test_hashing_embedder_deterministic_unit_norm(spark):
+    df = spark.createDataFrame(
+        [("a", "hello world"), ("b", "hello world"), ("c", "other text")],
+        "id string, content string",
+    )
+    emb = HashingEmbedder(dim=64)
+    out = {r.id: r.e for r in df.select("id", emb("content").alias("e")).collect()}
+    assert len(out["a"]) == 64
+    assert out["a"] == out["b"]  # deterministic
+    assert out["a"] != out["c"]
+    norm = math.sqrt(sum(v * v for v in out["a"]))
+    assert abs(norm - 1.0) < 1e-5
+
+
+def test_store_append_idempotent_and_search(spark, tmp_path):
+    store = EmbeddingStore(spark, str(tmp_path / "store"))
+    src = spark.createDataFrame(
+        [(i, f"doc number {i} about topic{i % 3}") for i in range(30)],
+        "id long, content string",
+    )
+    emb = HashingEmbedder(dim=64)
+    n1 = embed_and_store(spark, src, store, emb)
+    assert n1 == 30
+    # re-run: anti-join dedup makes it a no-op (the reference would crash /
+    # duplicate here, rag.py:55)
+    n2 = embed_and_store(spark, src, store, emb)
+    assert n2 == 0
+    assert store.read().count() == 30
+
+    probe = src.where(F.col("id") == 7)
+    probe_vec = (
+        probe.select(emb("content").alias("e")).collect()[0].e
+    )
+    hits = store.search(probe_vec, k=5).collect()
+    assert len(hits) == 5
+    # nearest neighbor of doc 7's own vector is doc 7 at distance ~0
+    assert hits[0].id == 7
+    assert hits[0].distance < 1e-5
+
+
+def test_ingest_emails_end_to_end(spark, tmp_path):
+    store = EmbeddingStore(spark, str(tmp_path / "emails"), id_col="msg_id")
+    raw = synthetic_emails(spark, n=12)
+    n = ingest_emails(spark, raw, store, HashingEmbedder(dim=64))
+    # 12 messages + 1 broken blob, 1/4 html-only filtered out -> 10
+    assert n == 10
+    assert ingest_emails(spark, raw, store, HashingEmbedder(dim=64)) == 0
+
+
+def test_products_csv_roundtrip(spark, tmp_path):
+    csv = tmp_path / "products.csv"
+    csv.write_text(
+        "id,name,price,img_url,color,category,description\n"
+        '1,Widget,9.99,http://x/1.png,red,Tools - Hand,A fine widget\n'
+        '2,Gadget,19.5,http://x/2.png,blue,Tools - Power,"A gadget, deluxe"\n'
+    )
+    df = read_products_csv(spark, str(csv))
+    assert df.count() == 2
+    rows = {r.id: r for r in product_content(df).collect()}
+    assert rows[1].content.startswith("Widget, category: Tools - Hand")
+    assert "price: 9.99$" in rows[1].content
+    assert "A gadget, deluxe" in rows[2].content
