@@ -1,0 +1,305 @@
+"""Advanced relational coverage: as-of join, range-predicate join, batch
+sliding windows, ranking functions, INTERSECT, scalar function surface,
+approximate distinct.
+
+None of these exist in the reference (SURVEY.md §2.3 J5, §2.6: "absent");
+they complete the engine surface a SQL-backed store user expects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# As-of join (J5): last click before each purchase, per user.
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) AS last_click_us
+FROM purchases p
+ASOF JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+@register("asof_last_click_before_purchase", oracle=_ASOF_ORACLE, tags=("join", "asof", "J5"))
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join expressed the scalable Spark way: tag both
+    sides, single sort within user partitions, running last_value with
+    ignoreNulls — one shuffle on user_id, no pairwise join blow-up.
+    (DuckDB spells the same thing ASOF JOIN.)"""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_probe")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+    )
+    tagged = purchases.unionByName(clicks)
+    # clicks sort before purchases at equal ts (is_probe asc) => ties count,
+    # matching ASOF's c.ts <= p.ts
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = tagged.withColumn(
+        "last_click_us",
+        F.last(
+            F.when(F.col("is_probe") == 0, F.unix_micros("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        matched.where((F.col("is_probe") == 1) & F.col("last_click_us").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            "last_click_us",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Range-predicate join: lineitems shipped within 30 days of order date.
+# --------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+SELECT o.o_orderpriority,
+       count(*)::BIGINT AS n_fast_items,
+       round(avg(date_diff('day', o.o_orderdate, l.l_shipdate)), 6) AS avg_lag_days
+FROM orders o
+JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <  o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("fast_shipments_range_join", oracle=_RANGE_ORACLE, tags=("join", "range", "J5"))
+def fast_shipments_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join with a range residual predicate: the equi key carries the
+    shuffle; the range condition evaluates post-match (no interval
+    explosion)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_fast_items"),
+        F.round(
+            F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))), 6
+        ).alias("avg_lag_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch sliding windows: 1-hour windows, 15-minute slide.
+# --------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH expanded AS (
+    SELECT event_type,
+           (floor(epoch(ts) / 900) - i.i) * 900 AS ws_epoch
+    FROM events, (SELECT unnest(generate_series(0, 3)) AS i) i
+)
+SELECT ws_epoch::BIGINT AS window_start_epoch,
+       event_type,
+       count(*)::BIGINT AS n_events
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
+@register("sliding_window_counts", oracle=_SLIDING_ORACLE, tags=("events", "window", "sliding"))
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) windows in batch via F.window(1h, 15m) — each
+    event lands in exactly 4 windows. The streaming twin is
+    streaming/ingest.py::sliding_counts; the oracle expands windows
+    arithmetically."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Ranking functions.
+# --------------------------------------------------------------------------
+
+_RANKING_ORACLE = """
+SELECT c_mktsegment, c_custkey,
+       round(c_acctbal, 2) AS acctbal,
+       rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)::INT AS rnk,
+       dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)::INT AS drnk,
+       round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS prnk,
+       ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)::INT AS quartile
+FROM customer
+"""
+
+
+@register("customer_balance_ranking", oracle=_RANKING_ORACLE, tags=("window", "rank"))
+def customer_balance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile. The rank family uses a
+    tie-collapsing order (safe under duplicate balances); ntile gets a
+    unique tiebreaker because tile assignment within ties is positional."""
+    c = _t(spark, sf_dir, "customer")
+    w_rank = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    w_tile = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.rank().over(w_rank).cast("int").alias("rnk"),
+        F.dense_rank().over(w_rank).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w_rank), 6).alias("prnk"),
+        F.ntile(4).over(w_tile).cast("int").alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# INTERSECT.
+# --------------------------------------------------------------------------
+
+_INTERSECT_ORACLE = """
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+
+
+@register("retained_customers_intersect", oracle=_INTERSECT_ORACLE, tags=("setops",))
+def retained_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both 1995 and 1996."""
+    o = _t(spark, sf_dir, "orders")
+
+    def year(y):
+        return o.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return year(1995).intersect(year(1996))
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface: string / date / array.
+# --------------------------------------------------------------------------
+
+_SCALARS_ORACLE = """
+SELECT o_orderkey,
+       upper(o_orderstatus)                         AS status_u,
+       substr(o_orderpriority, 3)                   AS priority_name,
+       length(o_orderpriority)::INT                 AS priority_len,
+       year(o_orderdate)::INT                       AS order_year,
+       quarter(o_orderdate)::INT                    AS order_quarter,
+       date_diff('day', o_orderdate, TIMESTAMP '2000-01-01')::INT AS days_to_y2k,
+       round(o_totalprice / 1000.0, 3)              AS price_k
+FROM orders
+WHERE o_orderkey % 100 = 0
+"""
+
+
+@register("order_scalar_functions", oracle=_SCALARS_ORACLE, tags=("scalar", "date", "string"))
+def order_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + date scalar surface (SURVEY.md §2.7 'absent in reference'
+    rows): upper/substr/length/year/quarter/datediff/arithmetic."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.substring("o_orderpriority", 3, 100).alias("priority_name"),
+        F.length("o_orderpriority").cast("int").alias("priority_len"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_y2k"),
+        F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
+    )
+
+
+_ARRAY_ORACLE = """
+SELECT vec_id,
+       len(embedding)::INT                                   AS dim,
+       round(list_aggregate(embedding::DOUBLE[], 'max'), 6)  AS max_val,
+       list_position(embedding::DOUBLE[],
+                     list_aggregate(embedding::DOUBLE[], 'max'))::INT AS argmax_pos,
+       round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'), 6)
+           AS sq_norm
+FROM embeddings
+WHERE vec_id < 100
+"""
+
+
+@register("embedding_array_functions", oracle=_ARRAY_ORACLE, tags=("scalar", "array", "vector"))
+def embedding_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface over the embedding column: size / array_max /
+    array_position / element-wise transform + aggregate."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+        F.array_position(v, F.array_max(v)).cast("int").alias("argmax_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sq_norm"),
+    )
+
+
+@register("segment_approx_distinct", oracle=None, tags=("agg", "approx"))
+def segment_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) per segment — sketches differ across
+    engines so there is no value oracle; tests/test_advanced.py asserts
+    the estimate is within 5% of exact."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.approx_count_distinct("o_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("o_orderkey").alias("exact_orders"),
+    )

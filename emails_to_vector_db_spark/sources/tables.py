@@ -42,9 +42,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set(NANOS_AS_LONG, "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes)["ts"] == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division: `/` is double division and can round the
+            # last microsecond (1.7e18 ns exceeds double's exact range)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 
