@@ -103,6 +103,27 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATEST_ORACLE = """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 10
+"""
+
+
+@register("latest_events", oracle=_LATEST_ORACLE, tags=("events", "topk", "T2", "T3"))
+def latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency slice, newest first — the reference's last-N mailbox slice +
+    reversed iteration (``email_fetching.py:33-34``) as a descending top-k
+    (TakeOrderedAndProject; never a full sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(10)
+        .select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
 _VALUE_BUCKETS_ORACLE = """
 SELECT (CASE WHEN value < 0 THEN -1
              WHEN value >= 100 THEN 10

@@ -481,6 +481,34 @@ def parts_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_API_ORACLE = """
+SELECT n.n_name,
+       count(DISTINCT c.c_custkey)::BIGINT AS n_customers,
+       round(sum(c.c_acctbal), 2)          AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("sql_api_nation_customers", oracle=_SQL_API_ORACLE, tags=("sql", "agg", "join"))
+def sql_api_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same engine through the SQL front door: temp views + ``spark.sql``
+    (Catalyst produces the identical plan either way — SURVEY.md §2's
+    'SQL API' row). Views are registered from the same loaders."""
+    from emails_to_vector_db_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, names=("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               count(DISTINCT c.c_custkey) AS n_customers,
+               round(sum(c.c_acctbal), 2)  AS total_acctbal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
 _SCAN_ORACLE = """
 SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS retailprice
 FROM part
