@@ -4,6 +4,10 @@ from emails_to_vector_db_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
 )
+from emails_to_vector_db_spark.operators.ivf import (  # noqa: F401
+    ivf_ann_join,
+    train_centroids,
+)
 from emails_to_vector_db_spark.operators.knn import (  # noqa: F401
     knn_join,
     knn_topk,

@@ -1,0 +1,172 @@
+"""Statistical aggregates, percentiles, grouping sets, TF-IDF.
+
+All built-in Spark aggregation machinery (SURVEY.md §2.4's "absent in
+reference" rows) — the work is the oracle parity: stddev/var/corr/covar
+and interpolated percentiles agree with DuckDB to 6dp after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.functions import text as TX
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+_STATS_ORACLE = """
+SELECT l_returnflag,
+       count(*)::BIGINT                                  AS n,
+       round(stddev_samp(l_extendedprice), 4)            AS price_stddev,
+       round(var_samp(l_quantity), 4)                    AS qty_var,
+       round(corr(l_extendedprice, l_quantity), 6)       AS price_qty_corr,
+       round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar,
+       round(skewness(l_extendedprice), 6)               AS price_skew
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("lineitem_stats", oracle=_STATS_ORACLE, tags=("agg", "stats"))
+def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: stddev/variance/corr/covar/skewness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
+            "price_qty_corr"
+        ),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias(
+            "price_disc_covar"
+        ),
+        F.round(F.skewness("l_extendedprice"), 6).alias("price_skew"),
+    )
+
+
+_PCT_ORACLE = """
+SELECT c_mktsegment,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("order_value_percentiles", oracle=_PCT_ORACLE, tags=("agg", "percentile"))
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). The approximate sketch variant
+    (``percentile_approx``) is the scale path but engine-specific, so the
+    oracle pins the exact one."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+_GSETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::BIGINT          AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("orders_grouping_sets", oracle=_GSETS_ORACLE, tags=("agg", "grouping_sets"))
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint single-dimension rollups + grand
+    total) via the SQL API — rollup/cube's general form."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*)                    AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS term
+    FROM documents
+),
+df AS (
+    SELECT term, count(*)::BIGINT AS doc_freq FROM tok GROUP BY term
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+SELECT term, doc_freq,
+       round(ln(n.n_docs / doc_freq), 6) AS idf
+FROM df, n
+ORDER BY doc_freq DESC, term ASC
+LIMIT 30
+"""
+
+
+@register("tfidf_idf_top30", oracle=_TFIDF_ORACLE, tags=("text", "tfidf"))
+def tfidf_idf_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency + IDF (the TF-IDF weighting table): distinct
+    terms per doc -> explode -> df counts -> idf = ln(N/df). The N scalar
+    joins in as a broadcast literal-free cross join (1 row)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokens("text"))).alias("term")
+    )
+    df_counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "doc_freq",
+            F.round(F.log(F.col("n_docs") / F.col("doc_freq")), 6).alias("idf"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(30)
+    )
+
+
+_BPE_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS pieces
+    FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       len(pieces)::INT                                           AS n_pieces,
+       len(list_filter(pieces, p -> p ~ '^[a-z]+$'))::INT         AS n_word_pieces,
+       len(list_filter(pieces, p -> p ~ '^[0-9]+$'))::INT         AS n_number_pieces
+FROM t
+"""
+
+
+@register("bpe_style_token_counts", oracle=_BPE_ORACLE, tags=("text", "tokenize"))
+def bpe_style_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counting (the GPT-2 pre-tokenizer family:
+    letter runs | digit runs | punctuation singletons) via regexp_extract_all
+    — the token-budget estimator for LLM training data."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pieces = F.regexp_extract_all(
+        F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    t = d.select("doc_id", pieces.alias("pieces"))
+    return t.select(
+        "doc_id",
+        F.size("pieces").cast("int").alias("n_pieces"),
+        F.size(F.filter("pieces", lambda p: p.rlike("^[a-z]+$")))
+        .cast("int")
+        .alias("n_word_pieces"),
+        F.size(F.filter("pieces", lambda p: p.rlike("^[0-9]+$")))
+        .cast("int")
+        .alias("n_number_pieces"),
+    )

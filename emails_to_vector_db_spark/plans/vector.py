@@ -202,6 +202,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivf_ann_topk",
+    oracle=None,  # k-means index build is not SQL-expressible; rows-only
+    # check here, recall-vs-exact asserted in tests/test_ivf_bucketing.py.
+    tags=("vector", "ann", "ivf"),
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate KNN join (k-means coarse quantizer, nprobe=4 of 16
+    lists) — the index the reference's pgvector store was designed for but
+    never builds (``rag.py:77-82``). Deterministic: seeded k-means, fixed
+    tiebreaks."""
+    from emails_to_vector_db_spark.operators.ivf import ivf_ann_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    res = ivf_ann_join(probes, emb, k=K, n_centroids=16, nprobe=4)
+    return res.select(
+        "probe_id", "vec_id", F.round("distance", 6).alias("distance")
+    )
+
+
 _CENTROID_ORACLE = """
 WITH per_dim AS (
     SELECT label, i, avg(e.embedding[i]::DOUBLE) AS dim_mean
