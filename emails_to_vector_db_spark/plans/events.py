@@ -103,6 +103,34 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_hourly_counts",
+    oracle=_HOURLY_ORACLE,  # bounded stream == batch: same oracle
+    tags=("events", "streaming", "window"),
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling-window aggregation executed through Structured
+    Streaming (file source, availableNow trigger, memory sink) — the
+    bounded stream must produce exactly the batch answer, and the oracle
+    checks it against DuckDB like any other query (SURVEY.md §2.8)."""
+    from emails_to_vector_db_spark.streaming.ingest import (
+        read_events_stream,
+        tumbling_counts,
+    )
+
+    name = "stream_hourly_counts_tbl"
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 _LATEST_ORACLE = """
 SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
 FROM events

@@ -215,6 +215,40 @@ def term_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTEXT_ORACLE = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       string_agg(substr(text, 1, 30), chr(10) || chr(10) ORDER BY doc_id) AS context
+FROM documents
+WHERE doc_id < 60
+GROUP BY source
+"""
+
+
+@register("context_assembly_per_source", oracle=_CONTEXT_ORACLE, tags=("text", "agg", "A2"))
+def context_assembly_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: ordered string aggregation — the reference's
+    ``"\\n\\n".join(documents)`` context assembly (``rag.py:189``) as
+    concat_ws over an order-restoring collect_list (collect_list alone is
+    partition-order nondeterministic; sort structs first)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    snip = F.substring("text", 1, 30)
+    return (
+        d.select("source", "doc_id", snip.alias("snip"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "snip"))),
+                    lambda s: s.getField("snip"),
+                ),
+            ).alias("context"),
+        )
+    )
+
+
 _SHINGLE_ORACLE = f"""
 WITH t AS (
     SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id < 100
