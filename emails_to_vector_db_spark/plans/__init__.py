@@ -17,6 +17,7 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     advanced,
     dedup,
     events,
+    ingest,
     pipeline,
     relational,
     stats,

@@ -220,6 +220,89 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_pairs_sql() -> str:
+    """SimHash near-dup pairs oracle: band the 32-bit signature into 4
+    bytes; hamming(a,b) <= 3 guarantees >= 1 identical byte (pigeonhole),
+    so a 4-band bucket join loses no candidate."""
+    return f"""
+WITH docs AS ({_DOCS_NEAR_SQL}),
+h AS (
+    SELECT doc_id,
+           list_transform({_TOKENS_SQL},
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+    FROM docs WHERE doc_id < 200 OR doc_id >= {_DUP_OFFSET}
+),
+s AS (
+    SELECT doc_id, ({_simhash_sql(32)}) AS sh FROM h
+),
+banded AS (
+    SELECT doc_id, sh, b.i AS band_idx, (sh >> (b.i * 8)) & 255 AS band_val
+    FROM s, (SELECT unnest([0, 1, 2, 3]) AS i) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+@register("simhash_near_dups", oracle=_simhash_pairs_sql(), tags=("dedup", "simhash", "lsh"))
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: 32-bit signatures, 4×8-bit band
+    bucketing (hamming ≤ 3 ⟹ some band matches — no candidate loss),
+    exact hamming verification on candidates. Finds the planted
+    one-token-appended near-copies without any quadratic pair space."""
+    docs = _docs_with_near_dups(spark, sf_dir).where(
+        (F.col("doc_id") < 200) | (F.col("doc_id") >= _DUP_OFFSET)
+    )
+    sig = docs.select("doc_id", simhash(TX.tokens("text"), bits=32).alias("sh"))
+    banded = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("sh", i * 8).bitwiseAND(F.lit(255)).alias(
+                            "band_val"
+                        ),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sh", "b.band_idx", "b.band_val")
+    a = banded.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 _EMB_DUP_OFFSET = 100_000
 _EMB_N_PLANT = 25
 
