@@ -41,8 +41,10 @@ def md5_long(col: Column | str, salt: str = "") -> Column:
 
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized, lowercased text
-    — the exact-dedup key."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " "))
+    — the exact-dedup key. Collapse \\s+ BEFORE trim: trim only strips
+    spaces, so leading/trailing tabs/newlines would otherwise leak into
+    the hash."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " ")))
 
 
 def shingles(tok: Column, n: int = 3) -> Column:

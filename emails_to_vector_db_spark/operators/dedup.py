@@ -202,6 +202,13 @@ def ngram_jaccard_pairs(
         F.col("_blk"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
     )
     pairs = a.join(b, "_blk").where(F.col("id_a") < F.col("id_b"))
+    # Size-ratio prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    # with mismatched set sizes can't reach the threshold — prune them
+    # BEFORE the expensive intersection. Output is provably unchanged.
+    sa, sb = F.size("sh_a"), F.size("sh_b")
+    pairs = pairs.where(
+        F.least(sa, sb) >= F.greatest(sa, sb) * F.lit(threshold)
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter / F.greatest(union, F.lit(1))

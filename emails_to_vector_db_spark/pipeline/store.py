@@ -55,6 +55,20 @@ class EmbeddingStore:
             batch.write.mode("append").parquet(self.path)
         return n
 
+    def compact(self, target_partitions: int | None = None) -> int:
+        """Small-file compaction: incremental appends accumulate one file
+        per append-partition; periodic compaction rewrites the store into
+        well-sized files (the standard housekeeping job any 100 TB
+        parquet store needs). Returns the new file-partition count."""
+        df = self.read()
+        if target_partitions is None:
+            target_partitions = max(1, df.rdd.getNumPartitions() // 4)
+        tmp = self.path + "__compacting"
+        df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+        # swap: overwrite the store from the compacted copy
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        return target_partitions
+
     def search(
         self, probe_vec, k: int = 5, metric: str = "l2"
     ) -> DataFrame:

@@ -71,7 +71,7 @@ _DOCS_NEAR_SQL = f"""
 _EXACT_ORACLE = f"""
 WITH docs AS ({_DOCS_EXACT_SQL}),
 fp AS (
-    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
     FROM docs
 )
 SELECT fp, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies

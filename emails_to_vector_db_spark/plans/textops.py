@@ -169,7 +169,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FP_ORACLE = """
 SELECT source,
        count(*)::BIGINT AS n_docs,
-       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))::BIGINT
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))::BIGINT
            AS n_distinct_fingerprints
 FROM documents
 GROUP BY source

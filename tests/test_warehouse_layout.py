@@ -1,0 +1,49 @@
+"""Physical-layout tests: partitioned writes prune at scan time, and
+store compaction preserves data while reducing files."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.pipeline.embedder import HashingEmbedder
+from emails_to_vector_db_spark.pipeline.store import EmbeddingStore, embed_and_store
+from emails_to_vector_db_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.write.partitionBy("event_type").parquet(out)
+    # hive-style layout exists
+    assert glob.glob(f"{out}/event_type=click")
+    read = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    # the filter must become a PartitionFilter (pruned listing), not a
+    # post-scan predicate over all partitions
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+    n_click = read.count()
+    n_all = ev.where(F.col("event_type") == "click").count()
+    assert n_click == n_all
+
+
+def test_store_compaction_preserves_data(spark, tmp_path):
+    store = EmbeddingStore(spark, str(tmp_path / "cstore"))
+    emb = HashingEmbedder(dim=16)
+    # 5 incremental appends -> many small files
+    for batch in range(5):
+        src = spark.createDataFrame(
+            [(batch * 10 + i, f"doc {batch}-{i}") for i in range(10)],
+            "id long, content string",
+        )
+        embed_and_store(spark, src, store, emb)
+    files_before = len(glob.glob(str(tmp_path / "cstore" / "*.parquet")))
+    before = sorted(r.id for r in store.read().select("id").collect())
+    store.compact(target_partitions=1)
+    files_after = len(glob.glob(str(tmp_path / "cstore" / "*.parquet")))
+    after = sorted(r.id for r in store.read().select("id").collect())
+    assert before == after == list(range(50))
+    assert files_after < files_before
