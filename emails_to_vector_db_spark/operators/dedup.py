@@ -135,6 +135,13 @@ def minhash_lsh_pairs(
     sig = sig.withColumn(
         "bands", lsh_band_hashes(F.col("sig"), n_bands, rows_per_band)
     )
+    # Persist: the LSH self-join consumes this twice and Spark does not
+    # reuse the exchange across differently-aliased sides — without this
+    # the whole shingle→md5→signature pipeline runs twice. Tiny payload
+    # (id + n_hashes short strings per row); spills to disk if not.
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     # Explode to (band_idx, band_hash) and self-join within buckets only.
     # posexplode_OUTER on purpose: the non-outer form makes Catalyst infer a
     # `size(bands) > 0` filter and push the whole signature expression tree
@@ -190,6 +197,12 @@ def ngram_jaccard_pairs(
     at scale the block should be an LSH bucket (minhash_lsh_pairs) or a
     cheap partition key like here.
     """
+    # NOT persisted, deliberately: the shingle arrays are large (~KBs/row);
+    # A/B at 50k docs showed caching them costs more (serialize + double
+    # shuffle read) than recomputing the narrow shingle pipeline per side.
+    # Contrast minhash_lsh_pairs, whose signature rows are tiny and DO win
+    # from persist. Exact block-quadratic Jaccard is the verification tool;
+    # at corpus scale use minhash/simhash banding for candidates first.
     sh = spread(df).select(
         F.col(block_col).alias("_blk"),
         F.col(id_col),

@@ -1,0 +1,101 @@
+"""Scale stress: replicate the sf0.1 fixtures 10x (deterministic id/ts
+shifts) into .scale/sf1 and run the headline queries there.
+
+This answers the 'would this plan survive a 10x scale-up' question with
+measurements instead of guesses. Writes stay inside the repo (.scale/ is
+gitignored). Usage:
+
+    python scripts/scale_stress.py [--copies 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from emails_to_vector_db_spark.plans import REGISTRY  # noqa: E402
+from emails_to_vector_db_spark.session import get_spark  # noqa: E402
+from emails_to_vector_db_spark.sources.tables import (  # noqa: E402
+    TABLE_NAMES,
+    load_table,
+)
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+
+# id columns to shift per copy so keys stay unique and joins stay valid
+KEY_SHIFTS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "part": ["p_partkey"],
+    "supplier": [],  # dims stay identical (they're dims)
+    "nation": [],
+    "region": [],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build(spark, copies: int) -> None:
+    for name in TABLE_NAMES:
+        src = load_table(spark, SRC, name)
+        if not KEY_SHIFTS[name]:
+            out = src
+        else:
+            maxes = {
+                c: src.agg(F.max(c)).collect()[0][0] + 1
+                for c in KEY_SHIFTS[name]
+            }
+            parts = []
+            for i in range(copies):
+                df = src
+                for c, m in maxes.items():
+                    df = df.withColumn(c, F.col(c) + F.lit(i * m))
+                if name == "events":
+                    df = df.withColumn(
+                        "ts", F.col("ts") + F.expr(f"INTERVAL {i * 31} DAYS")
+                    )
+                parts.append(df)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        print(f"built {name}: {spark.read.parquet(f'{DST}/{name}.parquet').count()} rows")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="scale-stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if not args.skip_build:
+        t0 = time.perf_counter()
+        build(spark, args.copies)
+        print(f"build: {time.perf_counter() - t0:.1f}s")
+
+    bench = {n: s for n, s in REGISTRY.items() if s.bench}
+    # plus the heavy non-bench operators worth stressing
+    for extra in ("ngram_jaccard_near_dups", "embedding_near_dups", "user_sessionization", "top3_orders_per_customer"):
+        bench[extra] = REGISTRY[extra]
+    for name, spec in sorted(bench.items()):
+        t0 = time.perf_counter()
+        try:
+            spec.fn(spark, DST).write.format("noop").mode("overwrite").save()
+            print(f"{name}: {time.perf_counter() - t0:.2f}s")
+        except Exception as e:
+            print(f"{name}: ERROR {str(e)[:200]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
