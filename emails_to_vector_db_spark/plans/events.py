@@ -131,6 +131,57 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_STREAM_SESSION_ORACLE = """
+WITH with_gap AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800000000
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM with_gap
+GROUP BY user_id
+"""
+
+
+@register(
+    "streaming_session_counts",
+    oracle=_STREAM_SESSION_ORACLE,
+    tags=("events", "streaming", "session"),
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window`` under Structured Streaming, aggregated to
+    per-user session counts — must equal the batch lag/cumsum
+    sessionization (user_sessionization) exactly, and the oracle checks it
+    against the same DuckDB SQL. (Ties: events at identical (user, ts)
+    merge into one session either way because the gap is 0.)"""
+    from emails_to_vector_db_spark.streaming.ingest import (
+        read_events_stream,
+        session_counts,
+    )
+
+    name = "stream_session_counts_tbl"
+    stream = session_counts(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
 _LATEST_ORACLE = """
 SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
 FROM events

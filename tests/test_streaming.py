@@ -58,6 +58,43 @@ def test_session_counts_match_batch_totals(spark):
     )
 
 
+def test_foreachbatch_store_exactly_once(spark, tmp_path):
+    """foreachBatch -> embed -> idempotent store append: restarting the
+    stream over the same data (fresh checkpoint, same store) must not
+    duplicate rows — the anti-join makes replays exactly-once in effect."""
+    from emails_to_vector_db_spark.pipeline.embedder import HashingEmbedder
+    from emails_to_vector_db_spark.pipeline.store import EmbeddingStore
+    from emails_to_vector_db_spark.streaming.ingest import stream_embed_to_store
+
+    src_dir = tmp_path / "texts"
+    spark.createDataFrame(
+        [(f"m{i}", f"text number {i}") for i in range(40)],
+        "msg_id string, text string",
+    ).repartition(4).write.parquet(str(src_dir))
+
+    store = EmbeddingStore(spark, str(tmp_path / "st"), id_col="msg_id")
+    emb = HashingEmbedder(dim=16)
+
+    def run(checkpoint: str):
+        stream = (
+            spark.readStream.schema("msg_id string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        q = stream_embed_to_store(
+            stream, store, emb, checkpoint=checkpoint
+        ).start()
+        assert q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    assert store.read().count() == 40
+    # full replay with a fresh checkpoint: at-least-once delivery from the
+    # source, exactly-once effect at the sink
+    run(str(tmp_path / "ckpt2"))
+    assert store.read().count() == 40
+    assert store.read().select("msg_id").distinct().count() == 40
+
+
 def test_dedup_within_watermark(spark):
     stream = read_events_stream(spark, SF_SMOKE)
     q = (
