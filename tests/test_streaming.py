@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.plans.registry import REGISTRY
+from emails_to_vector_db_spark.sources.tables import load_table
 from emails_to_vector_db_spark.streaming.ingest import (
     deduped_stream,
     read_events_stream,
@@ -56,6 +57,55 @@ def test_session_counts_match_batch_totals(spark):
     assert result.agg(F.sum("n_events")).collect()[0][0] == sum(
         r.n_events for r in batch.collect()
     )
+
+
+def test_multi_batch_stateful_agg(spark, tmp_path):
+    """Stateful aggregation across MANY micro-batches: events split into 6
+    files ingested one file per trigger (out of event-time order within the
+    stream) must still converge to the batch answer — state merges across
+    batches."""
+    src = tmp_path / "ev_multi"
+    ev = load_table(spark, SF_SMOKE, "events")
+    # hash-split: each file holds an arbitrary time-interleaved slice
+    ev.withColumn("part", F.pmod(F.xxhash64("event_id"), F.lit(6))).repartition(
+        6, "part"
+    ).drop("part").write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("multi_batch_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert q.lastProgress is not None
+    got = {
+        (r.hour_epoch, r.event_type): r.n_events
+        for r in spark.table("multi_batch_t").collect()
+    }
+    want = {
+        (r.hour_epoch, r.event_type): r.n_events
+        for r in ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want
 
 
 def test_foreachbatch_store_exactly_once(spark, tmp_path):

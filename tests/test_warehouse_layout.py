@@ -30,6 +30,24 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert n_click == n_all
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A join whose partition-key filter arrives through the OTHER side
+    must prune partitions at runtime (DPP): the fact scan shows a
+    dynamicpruning subquery instead of reading all partitions."""
+    out = str(tmp_path / "events_part")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.write.partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("purchase", "rev"), ("click", "eng"), ("view", "eng")],
+        "event_type string, kind string",
+    ).where(F.col("kind") == "rev")
+    j = fact.join(dim, "event_type")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert j.count() == ev.where(F.col("event_type") == "purchase").count()
+
+
 def test_store_compaction_preserves_data(spark, tmp_path):
     store = EmbeddingStore(spark, str(tmp_path / "cstore"))
     emb = HashingEmbedder(dim=16)
