@@ -36,6 +36,11 @@ _PRODUCT_WORDS = ("price", "buy", "product", "color", "category", "image", "cost
 
 
 def classify_intent_rule_based(query: str) -> str:
+    """Driver-side single-query classifier (substring matching — catches
+    'pricing' via 'price'). The column-expression variant
+    classify_intent_expr uses exact TOKEN membership, the right semantics
+    for bulk routing; they can differ on words that merely contain a
+    keyword."""
     q = (query or "").strip().lower()  # rag.py:120 normalization
     has_advice = any(w in q for w in _ADVICE_WORDS)
     has_product = any(w in q for w in _PRODUCT_WORDS)
@@ -46,6 +51,28 @@ def classify_intent_rule_based(query: str) -> str:
     if has_product:
         return "product_search"
     return FALLBACK_INTENT
+
+
+def classify_intent_expr(col):
+    """The rule-based classifier as a NATIVE column expression (same rules
+    as classify_intent_rule_based), for routing whole columns of queries
+    declaratively — when/otherwise + token membership (SURVEY.md F6)."""
+    from pyspark.sql import functions as F
+
+    q = F.lower(F.trim(col if not isinstance(col, str) else F.col(col)))
+    toks = F.split(q, r"\s+")
+
+    def hits(words):
+        return F.size(F.filter(toks, lambda t: t.isin(*words))) > 0
+
+    has_advice = hits(_ADVICE_WORDS)
+    has_product = hits(_PRODUCT_WORDS)
+    return (
+        F.when(has_advice & has_product, F.lit("mixed"))
+        .when(has_advice, F.lit("niche_advice"))
+        .when(has_product, F.lit("product_search"))
+        .otherwise(F.lit(FALLBACK_INTENT))
+    )
 
 
 def assemble_context(

@@ -48,6 +48,51 @@ def product_content_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _intent_oracle() -> str:
+    from emails_to_vector_db_spark.pipeline.rag import (
+        _ADVICE_WORDS,
+        _PRODUCT_WORDS,
+    )
+
+    adv = ", ".join(f"'{w}'" for w in _ADVICE_WORDS)
+    prod = ", ".join(f"'{w}'" for w in _PRODUCT_WORDS)
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+    FROM documents WHERE doc_id < 500
+),
+flags AS (
+    SELECT doc_id,
+           len(list_filter(toks, x -> x IN ({adv})))  > 0 AS has_advice,
+           len(list_filter(toks, x -> x IN ({prod}))) > 0 AS has_product
+    FROM t
+)
+SELECT CASE WHEN has_advice AND has_product THEN 'mixed'
+            WHEN has_advice THEN 'niche_advice'
+            ELSE 'product_search' END AS intent,
+       count(*)::BIGINT AS n_queries
+FROM flags
+GROUP BY 1
+"""
+
+
+@register("intent_routing_counts", oracle=_intent_oracle(), tags=("rag", "U2", "F6"))
+def intent_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intent classification (U2) as a declarative column expression over a
+    column of query texts — the routed-retrieval gate of the reference's
+    chat loop (``rag.py:183-191``) with the deterministic rule classifier,
+    aggregated to a routing histogram."""
+    from emails_to_vector_db_spark.pipeline.rag import classify_intent_expr
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return (
+        d.select(classify_intent_expr("text").alias("intent"))
+        .groupBy("intent")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+    )
+
+
 _DIM = 16
 _PROBE_DOC = 3
 _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"

@@ -46,6 +46,23 @@ def test_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.25, f"recall {recall}"
 
 
+def test_exact_knn_join_operator(spark):
+    from emails_to_vector_db_spark.operators.knn import knn_join
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = _probes_from_base(emb, 6)
+    res = knn_join(probes, emb.select("vec_id", "embedding"), k=3, metric="l2")
+    rows = {}
+    for r in res.collect():
+        rows.setdefault(r.probe_id, []).append(r)
+    assert set(rows) == set(range(6))
+    for pid, hits in rows.items():
+        assert len(hits) == 3
+        # self-match is the nearest (distance 0) since probes come from base
+        best = min(hits, key=lambda r: r.distance)
+        assert best.vec_id == pid and best.distance == 0.0
+
+
 def test_ann_deterministic(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     probes = _probes_from_base(emb, 5)

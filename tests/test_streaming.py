@@ -145,6 +145,58 @@ def test_foreachbatch_store_exactly_once(spark, tmp_path):
     assert store.read().select("msg_id").distinct().count() == 40
 
 
+def test_stateful_user_profiles_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user running profiles accumulated over
+    6 micro-batches must converge to the batch aggregate."""
+    from emails_to_vector_db_spark.streaming.stateful import (
+        running_user_profiles,
+    )
+
+    src = tmp_path / "ev_state"
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.withColumn("part", F.pmod(F.xxhash64("event_id"), F.lit(6))).repartition(
+        6, "part"
+    ).drop("part").write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        running_user_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("profiles_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    # update-mode memory sink appends each batch's updated rows; the live
+    # profile is the row with the max n_events per user
+    rows = spark.table("profiles_t").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur.n_events:
+            final[r.user_id] = r
+    want = {
+        r.user_id: (r.n, round(r.total, 6), r.last_us)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .collect()
+    }
+    got = {
+        uid: (r.n_events, round(r.total_value, 6), r.last_seen_us)
+        for uid, r in final.items()
+    }
+    assert got == want
+
+
 def test_dedup_within_watermark(spark):
     stream = read_events_stream(spark, SF_SMOKE)
     q = (
