@@ -23,5 +23,6 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     relational,
     stats,
     textops,
+    tpch_extra,
     vector,
 )

@@ -266,3 +266,26 @@ def label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_sq_norm"
         )
     )
+
+
+@register(
+    "label_centroid_norm_pandas",
+    oracle=_CENTROID_ORACLE,
+    tags=("vector", "agg", "applyInPandas"),
+)
+def label_centroid_norm_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME centroid aggregation as label_centroid_norm, but via the
+    grouped-map Python lane (applyInPandas — one Arrow batch per label,
+    one BLAS reduction) instead of posexplode+shuffle: the right shape for
+    high-dim vectors. Checked against the SAME DuckDB oracle; within-group
+    rows are sorted before the fold so the hash is stable."""
+    from emails_to_vector_db_spark.operators.centroids import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb)
+    sq = F.aggregate(
+        F.transform("centroid", lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return cents.select("label", F.round(sq, 6).alias("centroid_sq_norm"))
