@@ -83,7 +83,10 @@ def ann_lsh_join(
     Returns (probe_id, base_id, distance). Recall is approximate by
     construction; exact-duplicate and near-duplicate probes always hit
     (identical sign bits → same bucket)."""
-    dim = len(base.select(base_vec).first()[0])
+    first = base.select(base_vec).first()
+    if first is None or first[0] is None:
+        raise ValueError("ann_lsh_join: base table has no vectors")
+    dim = len(first[0])
     planes = random_hyperplanes(dim, n_planes, seed)
 
     base_b = base.withColumn("_bucket", lsh_bucket(F.col(base_vec), planes))

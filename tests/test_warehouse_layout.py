@@ -48,6 +48,39 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert j.count() == ev.where(F.col("event_type") == "purchase").count()
 
 
+def test_runtime_bloom_filter_join(spark):
+    """Runtime bloom-filter injection: a selective build side gets a
+    bloom_filter_agg whose filter prunes the probe-side scan before the
+    shuffle. Size-gated by default (application side must be ~10GB+), so
+    the threshold is zeroed to demonstrate on fixture data — at 100 TB the
+    defaults fire on their own."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_totalprice") > 490000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.sum("l_quantity").alias("q")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan.lower() or "bloomfilter" in plan.lower()
+        j.collect()  # and it still executes correctly
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_store_compaction_preserves_data(spark, tmp_path):
     store = EmbeddingStore(spark, str(tmp_path / "cstore"))
     emb = HashingEmbedder(dim=16)
