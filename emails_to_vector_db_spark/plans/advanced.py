@@ -39,7 +39,7 @@ ASOF JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
 """
 
 
-@register("asof_last_click_before_purchase", oracle=_ASOF_ORACLE, tags=("join", "asof", "J5"))
+@register("asof_last_click_before_purchase", oracle=_ASOF_ORACLE, tags=("join", "asof", "J5"), bench=True)
 def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (backward) join expressed the scalable Spark way: tag both
     sides, single sort within user partitions, running last_value with
@@ -136,7 +136,7 @@ GROUP BY 1, 2
 """
 
 
-@register("sliding_window_counts", oracle=_SLIDING_ORACLE, tags=("events", "window", "sliding"))
+@register("sliding_window_counts", oracle=_SLIDING_ORACLE, tags=("events", "window", "sliding"), bench=True)
 def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping (sliding) windows in batch via F.window(1h, 15m) — each
     event lands in exactly 4 windows. The streaming twin is

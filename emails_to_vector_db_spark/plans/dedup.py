@@ -251,7 +251,7 @@ WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
 
-@register("simhash_near_dups", oracle=_simhash_pairs_sql(), tags=("dedup", "simhash", "lsh"))
+@register("simhash_near_dups", oracle=_simhash_pairs_sql(), tags=("dedup", "simhash", "lsh"), bench=True)
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: 32-bit signatures, 4×8-bit band
     bucketing (hamming ≤ 3 ⟹ some band matches — no candidate loss),

@@ -113,7 +113,7 @@ LIMIT 30
 """
 
 
-@register("tfidf_idf_top30", oracle=_TFIDF_ORACLE, tags=("text", "tfidf"))
+@register("tfidf_idf_top30", oracle=_TFIDF_ORACLE, tags=("text", "tfidf"), bench=True)
 def tfidf_idf_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-frequency + IDF (the TF-IDF weighting table): distinct
     terms per doc -> explode -> df counts -> idf = ln(N/df). The N scalar

@@ -33,7 +33,7 @@ LIMIT 20
 """
 
 
-@register("q10_returned_item_customers", oracle=_Q10_ORACLE, tags=("join", "agg", "topk"))
+@register("q10_returned_item_customers", oracle=_Q10_ORACLE, tags=("join", "agg", "topk"), bench=True)
 def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10-shaped: customers who returned the most revenue in a year."""
     c = _t(spark, sf_dir, "customer")
