@@ -314,6 +314,111 @@ def _emb_planes(n_planes: int = 8, dim: int = 64, seed: int = 1234):
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def _emb_lsh_global_oracle() -> str:
+    """Like _emb_lsh_oracle but with NO label blocking — buckets alone
+    bound the pair space (the production shape when no natural blocking
+    key exists). More planes than the blocked variant: without the label
+    dimension the bucket count must carry all the selectivity (10 planes →
+    1024 buckets; exact-direction duplicates still always collide)."""
+    planes = _emb_planes(n_planes=10)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}::DOUBLE[]) > 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {2**i})" for i in range(len(planes))])
+    return f"""
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_EMB_DUP_OFFSET} AS vec_id,
+           list_transform(embedding::DOUBLE[], x -> x * 2.0) AS v
+    FROM embeddings WHERE vec_id < {_EMB_N_PLANT}
+),
+bucketed AS (
+    SELECT vec_id, v, ({bits})::BIGINT AS bucket FROM base
+),
+probes AS (
+    SELECT vec_id, v, unnest([{probes}]) AS probe_bucket FROM bucketed
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+    FROM probes a JOIN bucketed b
+      ON a.probe_bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       round(list_dot_product(va, vb)
+             / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)
+           AS cos_sim
+FROM cand
+WHERE list_dot_product(va, vb)
+      / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) >= 0.99
+"""
+
+
+@register(
+    "embedding_near_dups_lsh_global",
+    oracle=_emb_lsh_global_oracle(),
+    tags=("dedup", "vector", "lsh", "cosine"),
+)
+def embedding_near_dups_lsh_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide embedding near-dup detection with NO blocking key:
+    sign-bucket LSH + Hamming-1 multiprobe alone bound the pair space —
+    the production shape for dedup over an unlabeled 100 TB corpus."""
+    from emails_to_vector_db_spark.operators.similarity import lsh_bucket
+
+    planes = _emb_planes(n_planes=10)
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") < _EMB_N_PLANT).select(
+        (F.col("vec_id") + _EMB_DUP_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 2.0
+        ).alias("v"),
+    )
+    from emails_to_vector_db_spark.functions.vector import l2_norm
+
+    base = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .unionByName(planted)
+        .withColumn("bucket", lsh_bucket(F.col("v"), planes).cast("long"))
+        # precompute the norm ONCE per vector: cosine on a pair then needs a
+        # single dot fold instead of three (HOF lambdas are interpreted, so
+        # per-pair folds dominate at millions of candidates)
+        .withColumn("norm", l2_norm(F.col("v")))
+    )
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(2**i)) for i in range(len(planes))],
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
+        F.explode(probe_buckets).alias("probe_bucket"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
+        F.col("bucket").alias("probe_bucket"),
+    )
+    # No dropDuplicates needed: the probe list holds DISTINCT buckets and
+    # the right side carries exactly one bucket, so each (id_a, id_b) pair
+    # can satisfy the equi-join at most once — skipping the dedup avoids
+    # shuffling every candidate's vector pair a second time.
+    cand = a.join(b, "probe_bucket").where(F.col("id_a") < F.col("id_b"))
+    from emails_to_vector_db_spark.functions.vector import dot
+
+    cos = dot("va", "vb") / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        cand.withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= 0.99)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
 def _emb_lsh_oracle() -> str:
     """Sign-bucket LSH near-dup oracle: hyperplanes embedded as literals;
     candidates = pairs sharing (label, bucket) after Hamming-1 multiprobe;
@@ -369,6 +474,7 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked (the hyperplanes are plan literals on both engines).
     Scale-doubled planted copies keep identical sign bits, so they are
     always found."""
+    from emails_to_vector_db_spark.functions.vector import dot, l2_norm
     from emails_to_vector_db_spark.operators.similarity import lsh_bucket
 
     planes = _emb_planes()
@@ -386,6 +492,7 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(planted)
         .withColumn("bucket", lsh_bucket(F.col("v"), planes).cast("long"))
+        .withColumn("norm", l2_norm(F.col("v")))
     )
     from pyspark import StorageLevel
 
@@ -398,20 +505,20 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("_lbl"),
         F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
         F.explode(probe_buckets).alias("probe_bucket"),
     )
     b = base.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("_lbl"),
         F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
         F.col("bucket").alias("probe_bucket"),
     )
-    cand = (
-        a.join(b, ["_lbl", "probe_bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    cos = cosine_similarity("va", "vb")
+    # See embedding_near_dups_lsh_global: each pair matches at most once,
+    # dropDuplicates would only add a full shuffle of the vector pairs.
+    cand = a.join(b, ["_lbl", "probe_bucket"]).where(F.col("id_a") < F.col("id_b"))
+    cos = dot("va", "vb") / (F.col("norm_a") * F.col("norm_b"))
     return (
         cand.withColumn("cos_raw", cos)
         .where(F.col("cos_raw") >= 0.99)
