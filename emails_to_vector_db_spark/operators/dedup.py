@@ -113,9 +113,15 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ threshold.
     """
-    rows_per_band = n_hashes // n_bands
     if n_hashes % 4:
         raise ValueError("n_hashes must be a multiple of 4 (4 per md5 pass)")
+    if n_bands < 1 or n_hashes % n_bands:
+        # silently-truncated bands would drop trailing signature components
+        # (reduced recall); n_bands > n_hashes would build empty bands.
+        raise ValueError(
+            f"n_bands ({n_bands}) must be >= 1 and divide n_hashes ({n_hashes})"
+        )
+    rows_per_band = n_hashes // n_bands
     # Staged projections: each stage's arrays are referenced several times
     # downstream, so CollapseProject keeps them materialized once per row —
     # one shingle pass, ceil(n/4) md5 passes, instead of n of each.

@@ -83,11 +83,28 @@ def assemble_context(
     id_col: str = "id",
 ) -> str:
     """A2: fold retrieved documents into one LLM context string, preserving
-    ascending-distance order (``"\\n\\n".join`` at ``rag.py:189``)."""
+    ascending-distance order (``"\\n\\n".join`` at ``rag.py:189``).
+
+    Order discipline: ``collect_list`` after a global aggregate does NOT
+    preserve any upstream ``orderBy`` across partitions, so the structs are
+    collected unordered and sorted INSIDE the row with ``array_sort`` on
+    (distance, id) — the same safe pattern as
+    ``plans/textops.py::context_assembly_per_source``."""
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(dist_col).alias("d"),
+                F.col(id_col).alias("i"),
+                F.col(content_col).alias("c"),
+            )
+        )
+    )
     row = (
-        hits.orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
-        .agg(F.concat_ws("\n\n", F.collect_list(content_col)).alias("ctx"))
-        .collect()[0]
+        hits.agg(
+            F.concat_ws(
+                "\n\n", F.transform(ordered, lambda s: s.getField("c"))
+            ).alias("ctx")
+        ).collect()[0]
     )
     return row.ctx
 

@@ -10,10 +10,13 @@ Reference behavior replaced:
   the existing store on id first (SURVEY.md J4) — idempotent re-runs.
 - ``rag.py:65-90``  KNN search → operators.knn.knn_topk on the store.
 
-Scale notes: the store is written with a fixed partition count derived
-from row count (items-per-file target), so 100 TB stores land as many
-well-sized files; the anti-join broadcasts the NEW batch when it is small
-(the common incremental-ingest case), never the full store.
+Scale notes: the anti-join's build side is the EXISTING store projected to
+its id column only — Catalyst broadcasts it while the id set is small and
+falls back to a shuffled sort-merge anti join once it isn't (Spark cannot
+broadcast the stream side of a left_anti join, so "broadcast the new
+batch" is not an available plan shape). The deduped batch is persisted
+before the row count so the upstream pipeline — including the embedding
+pandas_udf — executes exactly once per append.
 """
 
 from __future__ import annotations
@@ -50,23 +53,46 @@ class EmbeddingStore:
         if dedup and self.exists():
             existing = self.read().select(self.id_col)
             batch = batch.join(existing, self.id_col, "left_anti")
-        n = batch.count()
-        if n:
-            batch.write.mode("append").parquet(self.path)
+        # Persist before counting: count() + write would otherwise execute
+        # the whole upstream pipeline twice — with a real model in the
+        # embedding pandas_udf that is double inference per append.
+        from pyspark import StorageLevel
+
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = batch.count()
+            if n:
+                batch.write.mode("append").parquet(self.path)
+        finally:
+            batch.unpersist()
         return n
 
     def compact(self, target_partitions: int | None = None) -> int:
         """Small-file compaction: incremental appends accumulate one file
         per append-partition; periodic compaction rewrites the store into
         well-sized files (the standard housekeeping job any 100 TB
-        parquet store needs). Returns the new file-partition count."""
+        parquet store needs). Returns the new file-partition count.
+
+        Atomicity: the final swap is ``mode("overwrite")`` on the live
+        path, which is NOT atomic — a crash mid-swap can leave the store
+        partial, recoverable from the ``__compacting`` copy (which is only
+        deleted after the swap completes). A production deployment should
+        compact through a table format with atomic commits (Delta/Iceberg
+        metadata swap) instead of raw parquet directories."""
         df = self.read()
         if target_partitions is None:
             target_partitions = max(1, df.rdd.getNumPartitions() // 4)
         tmp = self.path + "__compacting"
         df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
-        # swap: overwrite the store from the compacted copy
+        # swap: overwrite the store from the compacted copy; the tmp copy
+        # stays on disk until the swap succeeds, then is removed.
         self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = jpath.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        fs.delete(jpath, True)
         return target_partitions
 
     def search(

@@ -53,25 +53,29 @@ def knn_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the products⋈embeddings join the reference denormalizes away
     (``rag.py:48``) restored as a real join (J1).
 
-    Plan shape: probe row broadcast; distance map-side;
-    TakeOrderedAndProject for the top-k; broadcast hash join to documents.
+    Plan shape: probe row broadcast; join to documents BEFORE the top-k
+    (matching the oracle, which also joins before LIMIT — so an embedding
+    without a documents row can neither shrink the result below K nor
+    diverge from the oracle); distance map-side; TakeOrderedAndProject for
+    the top-k. The doc join is left to Catalyst/AQE: auto-broadcast at
+    small scale, sort-merge on the co-partitionable id key at 100 TB
+    (documents is corpus-sized — never force-broadcast it).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents")
-    probe = F.broadcast(
-        emb.where(F.col("vec_id") == PROBE_ID).select(
-            F.col("embedding").alias("q")
-        )
-    )
-    topk = (
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
         emb.where(F.col("vec_id") != PROBE_ID)
-        .crossJoin(probe)
+        .join(docs, F.col("vec_id") == F.col("doc_id"))
+        .crossJoin(
+            F.broadcast(
+                emb.where(F.col("vec_id") == PROBE_ID).select(
+                    F.col("embedding").alias("q")
+                )
+            )
+        )
         .withColumn("dist_raw", l2_distance("embedding", "q"))
         .orderBy(F.col("dist_raw").asc(), F.col("vec_id").asc())
         .limit(K)
-    )
-    return (
-        topk.join(F.broadcast(docs), topk.vec_id == docs.doc_id)
         .select(
             "vec_id",
             F.col("text").alias("content"),
