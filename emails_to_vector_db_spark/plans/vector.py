@@ -182,27 +182,85 @@ def knn_join_multi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_planes() -> list[list[float]]:
+    """The ann_lsh_topk index: 6 fixed hyperplanes over the 64-dim fixture
+    embeddings, rounded to 6dp so the SAME values are embedded as literals
+    in both the Spark plan and the DuckDB oracle SQL."""
+    from emails_to_vector_db_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    return random_hyperplanes(dim=64, n_planes=6, seed=42)
+
+
+def _ann_lsh_oracle() -> str:
+    """The full LSH search — sign-bit bucketing with literal hyperplanes,
+    Hamming-1 multiprobe, per-probe cosine top-k — spelled in ANSI SQL
+    (same construction proven for the dedup oracles at plans/dedup.py)."""
+    planes = _ann_planes()
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}::DOUBLE[]) > 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {2**i})" for i in range(len(planes))]
+    )
+    return f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, ({bits})::BIGINT AS bucket
+    FROM embeddings
+),
+probes AS (
+    SELECT vec_id AS probe_id, v AS q,
+           unnest([{probe_list}]) AS probe_bucket
+    FROM bucketed WHERE vec_id < {N_PROBES}
+),
+cand AS (
+    SELECT p.probe_id, b.vec_id,
+           1.0 - list_dot_product(b.v, p.q)
+                 / (sqrt(list_dot_product(b.v, b.v))
+                    * sqrt(list_dot_product(p.q, p.q))) AS dist
+    FROM probes p JOIN bucketed b ON p.probe_bucket = b.bucket
+),
+ranked AS (
+    SELECT probe_id, vec_id, dist,
+           row_number() OVER (
+               PARTITION BY probe_id ORDER BY dist ASC, vec_id ASC
+           ) AS rn
+    FROM cand
+)
+SELECT probe_id, vec_id, round(dist, 6) + 0.0 AS distance
+FROM ranked WHERE rn <= {K}
+"""
+# ^ "+ 0.0" canonicalizes IEEE -0.0 (cos slightly >1 on self-matches) to
+# +0.0 so the value hash agrees with Spark; mirrored in the Spark select.
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # LSH bucketing is not reasonably SQL-expressible; the
-    # driver records a rows-only check. Recall vs the exact baseline is
-    # asserted in tests/test_similarity.py.
+    oracle=_ann_lsh_oracle(),
     tags=("vector", "ann", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate KNN join via random-hyperplane LSH with Hamming-1
     multiprobe (operators/similarity.py) — the scale path the reference
     never built (pgvector with no index, ``rag.py:77-82``). Deterministic:
-    fixed seed, fixed tiebreaks."""
+    fixed literal planes (the prebuilt index — no job at plan time), fixed
+    tiebreaks; the DuckDB oracle replays the identical bucketing with the
+    same plane literals, so the whole approximate search is hash-checked,
+    not just row-counted. Recall vs exact is asserted separately in
+    tests/test_similarity.py."""
     from emails_to_vector_db_spark.operators.similarity import ann_lsh_join
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    res = ann_lsh_join(probes, emb, k=K, n_planes=6, metric="cosine")
+    res = ann_lsh_join(probes, emb, k=K, planes=_ann_planes(), metric="cosine")
     return res.select(
-        "probe_id", "vec_id", F.round("distance", 6).alias("distance")
+        "probe_id",
+        "vec_id",
+        (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
     )
 
 

@@ -19,10 +19,13 @@ def _probes_from_base(emb, n=10):
     )
 
 
+DIM = 64  # fixture embedding dimension (TESTDATA.md)
+
+
 def test_duplicate_probes_always_hit(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     probes = _probes_from_base(emb, 10)
-    res = ann_lsh_join(probes, emb, k=1)
+    res = ann_lsh_join(probes, emb, k=1, dim=DIM)
     hits = {r.probe_id: (r.vec_id, r.distance) for r in res.collect()}
     # a probe identical to a base vector lands in the same bucket: its own
     # nearest neighbor (cosine distance ~0) must always be found
@@ -39,7 +42,7 @@ def test_ann_recall_vs_bruteforce(spark):
     exact = brute_force_join(probes, emb, k=k)
     # 6 planes ≈ 64 buckets over 500 near-uniform vectors (LSH's worst
     # case — no cluster structure); measured recall ~0.31 and deterministic
-    approx = ann_lsh_join(probes, emb, k=k, n_planes=6)
+    approx = ann_lsh_join(probes, emb, k=k, dim=DIM, n_planes=6)
     e = {(r.probe_id, r.vec_id) for r in exact.collect()}
     a = {(r.probe_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
@@ -66,6 +69,62 @@ def test_exact_knn_join_operator(spark):
 def test_ann_deterministic(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     probes = _probes_from_base(emb, 5)
-    r1 = sorted(map(tuple, ann_lsh_join(probes, emb, k=5).collect()))
-    r2 = sorted(map(tuple, ann_lsh_join(probes, emb, k=5).collect()))
+    r1 = sorted(map(tuple, ann_lsh_join(probes, emb, k=5, dim=DIM).collect()))
+    r2 = sorted(map(tuple, ann_lsh_join(probes, emb, k=5, dim=DIM).collect()))
     assert r1 == r2
+
+
+def test_ann_plan_construction_launches_no_job(spark):
+    """Never run a job to plan a job: building the ANN join plan must not
+    execute anything — proven by giving it an upstream that EXPLODES if any
+    row is ever computed."""
+
+    @F.udf("array<double>")
+    def boom():
+        raise RuntimeError("plan construction executed a job")
+
+    base = spark.range(100).select(
+        F.col("id").alias("vec_id"), boom().alias("embedding")
+    )
+    probes = spark.range(4).select(
+        F.col("id").alias("probe_id"), boom().alias("probe_vec")
+    )
+    # constructing the plan (no action) must not raise / run anything
+    res = ann_lsh_join(probes, base, k=3, dim=8)
+    assert "distance" in res.columns
+
+
+def test_ann_base_side_not_shuffled(spark):
+    """The candidate join must broadcast the exploded probe side — the base
+    must NOT be exchanged on the low-cardinality bucket key (a 64-value
+    shuffle key is guaranteed skew at scale)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = _probes_from_base(emb, 5)
+    res = ann_lsh_join(probes, emb, k=5, dim=DIM, n_planes=6)
+    plan = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning(_bucket" not in plan, plan
+
+
+def test_n_planes_for_budget():
+    from emails_to_vector_db_spark.operators.similarity import n_planes_for
+
+    assert n_planes_for(1_000) == 4  # floor
+    assert n_planes_for(1_000_000, target_bucket_size=1024) == 10
+    assert n_planes_for(10**12, target_bucket_size=1024) == 24  # ceiling
+    # doubling the corpus adds ~one plane: bucket size stays ~flat
+    assert (
+        n_planes_for(2_000_000, target_bucket_size=1024)
+        == n_planes_for(1_000_000, target_bucket_size=1024) + 1
+    )
+
+
+def test_ann_requires_dim_or_planes(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = _probes_from_base(emb, 2)
+    import pytest
+
+    with pytest.raises(ValueError, match="planes= .*or dim="):
+        ann_lsh_join(probes, emb, k=1)
