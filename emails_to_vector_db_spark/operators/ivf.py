@@ -33,18 +33,91 @@ def train_centroids(
     seed: int = 42,
     max_iter: int = 20,
     sample_fraction: float | None = None,
+    target_points: int = 1000,
 ) -> list[list[float]]:
-    """K-means centroids via MLlib on (a sample of) the base vectors.
-    At 100 TB you sample — k-means quality needs only ~1000× n_centroids
-    points, not the corpus."""
+    """K-means centroids via MLlib — the INDEX BUILD, a driver-coordinated
+    job run once and amortized (never inside a query plan; persist the
+    result with save_centroids and load it at query time).
+
+    Samples by default: k-means quality needs ~``target_points`` ×
+    n_centroids points, not the corpus — training on the full 100 TB base
+    is the anti-pattern this default removes. Pass ``sample_fraction``
+    explicitly to override (1.0 = full base)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    df = base.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    if sample_fraction:
+    df = base.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    if sample_fraction is None:
+        n = df.count()  # one cheap count job, part of the index build
+        want = target_points * n_centroids
+        sample_fraction = 1.0 if n <= want else want / n
+    if sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(df)
     return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def train_centroids_numpy(
+    vectors,
+    *,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 25,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means on an in-memory sample (numpy, no
+    Spark session, no jobs) — the quantizer build used by the registered
+    query's persisted index: its output is reproducible bit-for-bit from
+    (sample, seed) regardless of cluster partitioning, so the SAME
+    centroid literals can be embedded in the Spark plan and the DuckDB
+    oracle SQL. Centroids are rounded to 6dp for compact plan/SQL
+    literals."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    n = len(X)
+    if n < n_centroids:
+        raise ValueError(f"need >= {n_centroids} sample vectors, got {n}")
+    rng = np.random.default_rng(seed)
+    centroids = X[rng.choice(n, size=n_centroids, replace=False)].copy()
+    for _ in range(max_iter):
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=-1)
+        assign = d.argmin(axis=1)
+        updated = np.stack(
+            [
+                X[assign == j].mean(axis=0) if (assign == j).any() else centroids[j]
+                for j in range(n_centroids)
+            ]
+        )
+        if np.allclose(updated, centroids):
+            centroids = updated
+            break
+        centroids = updated
+    return np.round(centroids, 6).tolist()
+
+
+def save_centroids(path: str, centroids: list[list[float]]) -> None:
+    """Persist a trained quantizer (tiny: k × dim floats) — the index
+    artifact queries load instead of re-training per run."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(centroids, f)
+    os.replace(tmp, path)  # atomic publish
+
+
+def load_centroids(path: str) -> list[list[float]] | None:
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def _dist_to(vec_col: Column, centroid: list[float]) -> Column:
@@ -101,8 +174,10 @@ def ivf_ann_join(
     dist_col: str = "distance",
 ) -> DataFrame:
     """Approximate KNN join through an IVF index. Pass prebuilt
-    ``centroids`` to amortize the index across queries; otherwise trains
-    on the full base (fine at test scale)."""
+    ``centroids`` (load_centroids of a persisted index) to amortize the
+    index across queries — the intended production path; otherwise
+    sample-trains on the base as a convenience (an index build runs
+    inside the call)."""
     if centroids is None:
         centroids = train_centroids(
             base, vec_col=base_vec, n_centroids=n_centroids, seed=seed

@@ -264,26 +264,127 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_K = 16
+_IVF_NPROBE = 4
+_IVF_SEED = 42
+_IVF_SAMPLE = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _ivf_index_path() -> str:
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    return os.path.join(
+        root, "spark-warehouse", "ivf_index",
+        f"embeddings_k{_IVF_K}_seed{_IVF_SEED}.json",
+    )
+
+
+def _ivf_centroids() -> list[list[float]]:
+    """The persisted IVF quantizer: loaded from the warehouse index
+    artifact; (re)built once from the fixed training sample (the sf0.001
+    embeddings slice, read via pyarrow — no Spark session, no jobs) with
+    deterministic numpy k-means. Both the Spark plan and the DuckDB
+    oracle embed these SAME centroid literals, so the registered query
+    never fits k-means — it loads the index, like a real vector store."""
+    from emails_to_vector_db_spark.operators.ivf import (
+        load_centroids,
+        save_centroids,
+        train_centroids_numpy,
+    )
+
+    path = _ivf_index_path()
+    cents = load_centroids(path)
+    if cents is None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(_IVF_SAMPLE, columns=["vec_id", "embedding"])
+        d = tbl.sort_by("vec_id").to_pydict()  # stable sample order
+        cents = train_centroids_numpy(
+            d["embedding"], n_centroids=_IVF_K, seed=_IVF_SEED
+        )
+        save_centroids(path, cents)
+    return cents
+
+
+def _ivf_oracle() -> str:
+    """The full IVF search in ANSI SQL with the persisted centroids as
+    literals: rank-based assignment (argmin with cid tiebreak — identical
+    to Spark's array_min over (dist, cid) structs), probe explosion to
+    the nprobe nearest lists, bucket-equi-join, exact rerank."""
+    cents = _ivf_centroids()
+    values = ", ".join(f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents))
+    return f"""
+WITH cents AS (
+    SELECT * FROM (VALUES {values}) AS t(cid, c)
+),
+base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+base_assign AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT b.vec_id, b.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_distance(b.v, c.c) ASC, c.cid ASC
+               ) AS rnk
+        FROM base b CROSS JOIN cents c
+    ) WHERE rnk = 1
+),
+probe_assign AS (
+    SELECT vec_id AS probe_id, v AS q, cid FROM (
+        SELECT b.vec_id, b.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_distance(b.v, c.c) ASC, c.cid ASC
+               ) AS rnk
+        FROM base b CROSS JOIN cents c
+        WHERE b.vec_id < {N_PROBES}
+    ) WHERE rnk <= {_IVF_NPROBE}
+),
+cand AS (
+    SELECT p.probe_id, b.vec_id, list_distance(b.v, p.q) AS dist
+    FROM probe_assign p JOIN base_assign b ON p.cid = b.cid
+),
+ranked AS (
+    SELECT probe_id, vec_id, dist,
+           row_number() OVER (
+               PARTITION BY probe_id ORDER BY dist ASC, vec_id ASC
+           ) AS rn
+    FROM cand
+)
+SELECT probe_id, vec_id, round(dist, 6) + 0.0 AS distance
+FROM ranked WHERE rn <= {K}
+"""
+
+
 @register(
     "ivf_ann_topk",
-    oracle=None,  # k-means index build is not SQL-expressible; rows-only
-    # check here, recall-vs-exact asserted in tests/test_ivf_bucketing.py.
+    oracle=_ivf_oracle(),
     tags=("vector", "ann", "ivf"),
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate KNN join (k-means coarse quantizer, nprobe=4 of 16
     lists) — the index the reference's pgvector store was designed for but
-    never builds (``rag.py:77-82``). Deterministic: seeded k-means, fixed
-    tiebreaks."""
+    never builds (``rag.py:77-82``). The quantizer is a PERSISTED index
+    artifact (spark-warehouse/ivf_index/, built once by deterministic
+    numpy k-means over the fixed training sample): no KMeans fit in this
+    query's plan, and the DuckDB oracle replays the identical assignment /
+    nprobe / rerank with the same centroid literals — hash-checked, not
+    rows-only. Recall vs exact asserted in tests/test_ivf_bucketing.py."""
     from emails_to_vector_db_spark.operators.ivf import ivf_ann_join
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    res = ivf_ann_join(probes, emb, k=K, n_centroids=16, nprobe=4)
+    res = ivf_ann_join(
+        probes, emb, k=K, centroids=_ivf_centroids(), nprobe=_IVF_NPROBE
+    )
     return res.select(
-        "probe_id", "vec_id", F.round("distance", 6).alias("distance")
+        "probe_id",
+        "vec_id",
+        (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
     )
 
 

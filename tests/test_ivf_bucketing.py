@@ -26,7 +26,7 @@ def test_ivf_self_probe_hits_and_recall(spark):
     assert len(cents) == 16 and len(cents[0]) == 64
     probes = _probes(emb, 20)
     k = 10
-    approx = ivf_ann_join(probes, emb, k=k, centroids=cents, nprobe=4)
+    approx = ivf_ann_join(probes, emb, k=k, centroids=cents, nprobe=8)
     rows = approx.collect()
     # a probe identical to a base vector is assigned the same centroid:
     # its own nearest neighbor must always be found at distance 0
@@ -37,9 +37,10 @@ def test_ivf_self_probe_hits_and_recall(spark):
     e = {(r.probe_id, r.vec_id) for r in exact.collect()}
     a = {(r.probe_id, r.vec_id) for r in rows}
     recall = len(e & a) / len(e)
-    # nprobe=4 of 16 centroids on near-uniform vectors; recall must beat
-    # the random-candidate floor (~25%) decisively
-    assert recall >= 0.4, f"recall {recall}"
+    # nprobe=8 of 16 lists on near-uniform 64-dim vectors (LSH/IVF worst
+    # case — no cluster structure): measured 0.86; a broken quantizer
+    # (e.g. constant assignment) lands far below this bar
+    assert recall >= 0.8, f"recall {recall}"
 
 
 def test_ivf_deterministic(spark):
@@ -51,6 +52,42 @@ def test_ivf_deterministic(spark):
     r1 = sorted(map(tuple, ivf_ann_join(probes, emb, centroids=cents1).collect()))
     r2 = sorted(map(tuple, ivf_ann_join(probes, emb, centroids=cents2).collect()))
     assert r1 == r2
+
+
+def test_numpy_kmeans_deterministic_and_persistable(tmp_path):
+    import numpy as np
+
+    from emails_to_vector_db_spark.operators.ivf import (
+        load_centroids,
+        save_centroids,
+        train_centroids_numpy,
+    )
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((200, 8))
+    c1 = train_centroids_numpy(X, n_centroids=4, seed=7)
+    c2 = train_centroids_numpy(X, n_centroids=4, seed=7)
+    assert c1 == c2  # bit-for-bit reproducible from (sample, seed)
+    path = str(tmp_path / "idx" / "cents.json")
+    save_centroids(path, c1)
+    assert load_centroids(path) == c1
+    assert load_centroids(str(tmp_path / "missing.json")) is None
+
+
+def test_registered_ivf_query_uses_persisted_index():
+    """The registry query must load the warehouse index artifact — no
+    k-means fit per run; repeated loads return the identical quantizer."""
+    import os
+
+    from emails_to_vector_db_spark.plans.vector import (
+        _ivf_centroids,
+        _ivf_index_path,
+    )
+
+    c1 = _ivf_centroids()
+    assert os.path.exists(_ivf_index_path())  # persisted artifact on disk
+    assert _ivf_centroids() == c1
+    assert len(c1) == 16 and len(c1[0]) == 64
 
 
 def test_bucketed_join_is_exchange_free(spark, tmp_path):
