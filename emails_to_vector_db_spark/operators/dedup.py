@@ -242,22 +242,39 @@ def simhash(tok: Column, bits: int = 32) -> Column:
     """SimHash signature of a token array as a non-negative bigint.
 
     bit j of the signature = 1 iff sum over tokens of ±1 (by bit j of the
-    token's 60-bit md5 hash) is positive. Pure column expressions: the
-    per-token hash array is materialized once, then each bit position
-    folds it."""
+    token's 60-bit md5 hash) is positive.
+
+    Single-pass shape: ONE fold over the token hashes with an array-of-
+    bit-sums accumulator (each step zip_adds the token's ±1 bit vector),
+    then one zip_with over bit positions to weight positive sums by 2^j.
+    The naive form — ``bits`` separate aggregate folds — re-walks (and
+    with expression re-use, re-hashes) the token array per bit position:
+    32× the passes for identical output. Values are bit-identical either
+    way, so the engine-mirrored SQL oracle is unchanged."""
     hashes = F.transform(tok, lambda t: md5_long(t))
 
-    def bit_sum(j: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    def plus_minus(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+                for j in range(bits)
+            ]
         )
 
-    total = F.lit(0).cast("long")
-    for j in range(bits):
-        total = total + F.when(bit_sum(j) > 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return total
+    bit_sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, plus_minus(h), lambda a, b: a + b),
+    )
+    weights = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            bit_sums,
+            weights,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
