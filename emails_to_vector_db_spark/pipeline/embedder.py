@@ -84,6 +84,26 @@ class HashingEmbedder:
 _MODEL_CACHE: dict[str, object] = {}
 
 
+def _st_embed_batch(texts: pd.Series, name: str) -> pd.Series:
+    """One Arrow batch through the real model: lazy per-process load, then
+    a single batched ``encode`` call (module-level so the contract is
+    testable with a mocked ``sentence_transformers`` — the UDF below runs
+    in worker processes a driver-side mock cannot reach)."""
+    try:
+        from sentence_transformers import SentenceTransformer
+    except ImportError as e:  # pragma: no cover - env without dep
+        raise ImportError(
+            "sentence-transformers not installed; use "
+            "HashingEmbedder for deterministic embeddings"
+        ) from e
+    model = _MODEL_CACHE.get(name)
+    if model is None:  # once per executor process
+        model = SentenceTransformer(name)
+        _MODEL_CACHE[name] = model
+    vecs = model.encode(texts.fillna("").tolist())
+    return pd.Series([np.asarray(v, dtype=np.float32) for v in vecs])
+
+
 class SentenceTransformerEmbedder:
     """Real-model embedder behind the same interface. Requires the optional
     ``sentence-transformers`` dependency AT EXECUTION time only (import
@@ -98,19 +118,7 @@ class SentenceTransformerEmbedder:
 
         @F.pandas_udf(ArrayType(FloatType()))
         def _udf(texts: pd.Series) -> pd.Series:
-            try:
-                from sentence_transformers import SentenceTransformer
-            except ImportError as e:  # pragma: no cover - env without dep
-                raise ImportError(
-                    "sentence-transformers not installed; use "
-                    "HashingEmbedder for deterministic embeddings"
-                ) from e
-            model = _MODEL_CACHE.get(name)
-            if model is None:  # once per executor process
-                model = SentenceTransformer(name)
-                _MODEL_CACHE[name] = model
-            vecs = model.encode(texts.fillna("").tolist())
-            return pd.Series([np.asarray(v, dtype=np.float32) for v in vecs])
+            return _st_embed_batch(texts, name)
 
         self._udf = _udf
 

@@ -291,15 +291,41 @@ def embedding_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("segment_approx_distinct", oracle=None, tags=("agg", "approx"))
+_APPROX_RSD = 0.02
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT c_mktsegment,
+       count(DISTINCT o_orderkey)::BIGINT AS exact_orders,
+       TRUE AS within_tolerance
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "segment_approx_distinct",
+    oracle=_APPROX_DISTINCT_ORACLE,
+    tags=("agg", "approx"),
+)
 def segment_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) per segment — sketches differ across
-    engines so there is no value oracle; tests/test_advanced.py asserts
-    the estimate is within 5% of exact."""
+    """approx_count_distinct (HLL++) per segment. The sketch estimate
+    itself differs across engines, so the CLAIM is made checkable
+    instead: the query emits the exact distinct count plus a boolean
+    asserting |approx − exact| / exact ≤ 3×rsd, and the oracle computes
+    the exact count in SQL with ``TRUE`` for the tolerance column — a
+    drifting sketch flips the boolean and fails the hash match."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     j = c.join(o, c.c_custkey == o.o_custkey)
-    return j.groupBy("c_mktsegment").agg(
-        F.approx_count_distinct("o_orderkey", rsd=0.02).alias("approx_orders"),
+    agg = j.groupBy("c_mktsegment").agg(
+        F.approx_count_distinct("o_orderkey", rsd=_APPROX_RSD).alias("_approx"),
         F.countDistinct("o_orderkey").alias("exact_orders"),
+    )
+    rel_err = F.abs(F.col("_approx") - F.col("exact_orders")) / F.col(
+        "exact_orders"
+    )
+    return agg.select(
+        "c_mktsegment",
+        "exact_orders",
+        (rel_err <= F.lit(3 * _APPROX_RSD)).alias("within_tolerance"),
     )

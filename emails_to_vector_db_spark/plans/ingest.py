@@ -1,11 +1,16 @@
 """Driver-visible ingestion queries: the email/MIME and multimodal paths
-as registry entries. Neither is SQL-expressible (stdlib MIME parsing,
-mapInPandas feature extraction), so the driver records rows-only checks;
-the full behavioral assertions live in tests/test_pipeline.py and
-tests/test_rag_multimodal.py.
+as registry entries — HASH-CHECKED via fixture parquet.
 
-Both are deterministic end-to-end: synthetic fixtures are generated
-inside the query from fixed seeds/ids.
+The pipelines themselves (stdlib MIME parsing, mapInPandas decode) are
+not SQL-expressible, so the oracle strategy is differential instead:
+sources/fixtures.py lands (a) the raw inputs and (b) the expected outputs
+of a sequential driver-side reference implementation as parquet. The
+Spark side runs the DISTRIBUTED pipeline over (a); the DuckDB oracle runs
+plain SQL over (b). A hash match proves the distributed parse/decode
+equals the sequential reference byte-for-byte, then that the stats agree.
+
+Both are deterministic end-to-end: fixtures are generated from fixed
+seeds/ids (written once, idempotent, no Spark session involved).
 """
 
 from __future__ import annotations
@@ -14,20 +19,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.fixtures import ensure_fixtures
+
+_FIXTURES = ensure_fixtures()
+
+_EMAIL_ORACLE = f"""
+SELECT msg_id,
+       length(text) AS n_chars,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+FROM read_parquet('{_FIXTURES["emails_text_ref"]}')
+"""
 
 
-@register("email_ingest_text_stats", oracle=None, tags=("email", "ingest", "U4", "P7"))
+@register(
+    "email_ingest_text_stats",
+    oracle=_EMAIL_ORACLE,
+    tags=("email", "ingest", "U4", "P7"),
+)
 def email_ingest_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's email pipeline (``email_fetching.py:30-51``) end to
-    end on the synthetic MIME corpus: parse UDF → text/plain explode/
-    filter → order-preserving re-concat → non-empty filter → per-message
-    text stats. (sf_dir unused: the corpus is generated, not scaled.)"""
+    end on the landed MIME corpus: parse UDF → text/plain explode/filter →
+    order-preserving re-concat → non-empty filter → per-message text
+    stats. The oracle reads the sequential reference extraction from
+    parquet — hash match proves the distributed extraction identical.
+    (sf_dir unused: the corpus is a fixed fixture, not scaled.)"""
     from emails_to_vector_db_spark.sources.emails import (
+        RAW_EMAIL_SCHEMA,
         extract_plain_text,
-        synthetic_emails,
     )
 
-    raw = synthetic_emails(spark, n=40)
+    raw = spark.read.schema(RAW_EMAIL_SCHEMA).parquet(_FIXTURES["emails_raw"])
     texts = extract_plain_text(raw)
     return texts.select(
         "msg_id",
@@ -36,18 +57,32 @@ def email_ingest_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_feature_stats", oracle=None, tags=("multimodal", "mapInPandas"))
-def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal column plumbing through the driver contract: synthetic
-    binary media → mapInPandas feature extraction (deterministic
-    byte-histogram stand-in for a real decoder) → per-modality stats."""
-    from emails_to_vector_db_spark.sources.multimodal import (
-        extract_features,
-        synthetic_media,
-    )
+_MEDIA_ORACLE = f"""
+SELECT modality,
+       count(*)::BIGINT AS n_items,
+       sum(n_bytes)::BIGINT AS total_bytes,
+       round(avg(feature[1]), 6) AS avg_f0
+FROM read_parquet('{_FIXTURES["media_features_ref"]}')
+GROUP BY modality
+"""
 
-    media = synthetic_media(spark, n=48)
-    feats = extract_features(media, dim=16)
+
+@register(
+    "multimodal_feature_stats",
+    oracle=_MEDIA_ORACLE,
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline through the driver contract: landed binary
+    media (REAL binary-PPM images + WAV-PCM audio, opaque video blobs) →
+    mapInPandas decode + feature extraction → per-modality stats. The
+    oracle aggregates the sequential reference features from parquet, so
+    the Arrow-batched distributed decode path is hash-checked."""
+    from emails_to_vector_db_spark.sources.fixtures import FEATURE_DIM
+    from emails_to_vector_db_spark.sources.multimodal import extract_features
+
+    media = spark.read.parquet(_FIXTURES["media_raw"])
+    feats = extract_features(media, dim=FEATURE_DIM)
     return feats.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),

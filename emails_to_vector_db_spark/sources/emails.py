@@ -169,10 +169,12 @@ def fetch_imap_to_dataframe(
     return spark.createDataFrame(rows, RAW_EMAIL_SCHEMA)
 
 
-def synthetic_emails(spark: SparkSession, n: int = 20) -> DataFrame:
-    """Deterministic MIME fixture per FIXTURES.md §B: multipart messages
-    mixing text/plain + text/html, an html-only message (exercises the P5
-    empty filter), a plain singlepart, and a broken-bytes message."""
+def synthetic_email_rows(n: int = 20) -> list[tuple[str, bytes]]:
+    """Deterministic MIME fixture rows per FIXTURES.md §B (pure Python —
+    no Spark session needed, so the same bytes can be landed as a parquet
+    fixture for the DuckDB oracle): multipart messages mixing text/plain +
+    text/html, an html-only message (exercises the P5 empty filter), a
+    plain singlepart, and a broken-bytes message."""
     rows = []
     for i in range(n):
         kind = i % 4
@@ -205,4 +207,36 @@ def synthetic_emails(spark: SparkSession, n: int = 20) -> DataFrame:
             )
         rows.append((f"m{i:04d}", msg.as_bytes()))
     rows.append(("broken", b"\xff\xfe not an email at all"))
-    return spark.createDataFrame(rows, RAW_EMAIL_SCHEMA)
+    return rows
+
+
+def synthetic_emails(spark: SparkSession, n: int = 20) -> DataFrame:
+    """synthetic_email_rows as a DataFrame."""
+    return spark.createDataFrame(synthetic_email_rows(n), RAW_EMAIL_SCHEMA)
+
+
+def reference_extract_text(raw: bytes) -> str:
+    """Straight-line reference implementation of the extraction the Spark
+    pipeline performs distributed (``email_fetching.py:41-49``): walk the
+    MIME tree, keep decoded ``text/plain`` leaf parts in order, join with
+    a newline. Returns "" when no plain text (the P5 filter drops it).
+
+    Used ONLY to land the expected-output parquet fixture for the DuckDB
+    oracle — the differential check then proves the distributed parse →
+    explode → filter → order-preserving re-concat pipeline produces
+    byte-identical text to this sequential form."""
+    try:
+        msg = email.message_from_bytes(bytes(raw))
+    except Exception:
+        return ""
+    parts = []
+    for part in msg.walk():
+        if part.get_content_maintype() == "multipart":
+            continue
+        if part.get_content_type() != "text/plain":
+            continue
+        payload = part.get_payload(decode=True)
+        if payload is None:
+            payload = b""
+        parts.append(payload.decode("utf-8", errors="replace"))
+    return "\n".join(parts)

@@ -1,0 +1,125 @@
+"""Deterministic fixture parquet for the DuckDB oracle.
+
+The email and multimodal pipelines consume synthetic in-process data, which
+a SQL oracle cannot see — so their driver checks were rows-only. This
+module lands BOTH the raw inputs and the reference (sequential,
+driver-side) expected outputs as parquet files, written once with pyarrow
+(no Spark session, no jobs, idempotent):
+
+- ``emails_raw.parquet``       (msg_id, raw)   — RFC822 bytes
+- ``emails_text_ref.parquet``  (msg_id, text)  — reference_extract_text
+  output (``email_fetching.py:41-49`` semantics), non-empty only
+- ``media_raw.parquet``        MEDIA_SCHEMA rows (real PPM/WAV payloads)
+- ``media_features_ref.parquet`` (media_id, modality, feature, n_bytes)
+  — media_feature() computed in a plain loop
+
+The registered queries then run the DISTRIBUTED pipeline (pandas_udf MIME
+parse → explode/filter/re-concat; mapInPandas decode → feature) over the
+raw fixtures, while the oracle runs plain SQL over the reference outputs:
+a true differential test of the distributed implementation, hash-checked
+end to end.
+"""
+
+from __future__ import annotations
+
+import os
+
+FIXTURE_EMAILS_N = 40
+FIXTURE_MEDIA_N = 48
+FEATURE_DIM = 16
+
+
+def fixtures_dir() -> str:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    return os.path.join(root, "spark-warehouse", "fixtures")
+
+
+def ensure_fixtures() -> dict[str, str]:
+    """Write all fixture parquet files if absent; return name → path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = fixtures_dir()
+    paths = {
+        "emails_raw": os.path.join(d, "emails_raw.parquet"),
+        "emails_text_ref": os.path.join(d, "emails_text_ref.parquet"),
+        "media_raw": os.path.join(d, "media_raw.parquet"),
+        "media_features_ref": os.path.join(d, "media_features_ref.parquet"),
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(d, exist_ok=True)
+
+    from emails_to_vector_db_spark.sources.emails import (
+        reference_extract_text,
+        synthetic_email_rows,
+    )
+
+    email_rows = synthetic_email_rows(FIXTURE_EMAILS_N)
+    pq.write_table(
+        pa.table(
+            {
+                "msg_id": [m for m, _ in email_rows],
+                "raw": pa.array([r for _, r in email_rows], type=pa.binary()),
+            }
+        ),
+        paths["emails_raw"],
+    )
+    extracted = [(m, reference_extract_text(r)) for m, r in email_rows]
+    nonempty = [(m, t) for m, t in extracted if t]
+    pq.write_table(
+        pa.table(
+            {
+                "msg_id": [m for m, _ in nonempty],
+                "text": [t for _, t in nonempty],
+            }
+        ),
+        paths["emails_text_ref"],
+    )
+
+    from emails_to_vector_db_spark.sources.multimodal import (
+        media_feature,
+        synthetic_media_rows,
+    )
+
+    media_rows = synthetic_media_rows(FIXTURE_MEDIA_N)
+    meta_type = pa.struct(
+        [
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("duration_ms", pa.int32()),
+            ("sha256", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array([r[0] for r in media_rows], pa.int64()),
+                "modality": [r[1] for r in media_rows],
+                "mime": [r[2] for r in media_rows],
+                "payload": pa.array([r[3] for r in media_rows], pa.binary()),
+                "meta": pa.array([r[4] for r in media_rows], meta_type),
+            }
+        ),
+        paths["media_raw"],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array([r[0] for r in media_rows], pa.int64()),
+                "modality": [r[1] for r in media_rows],
+                "feature": pa.array(
+                    [
+                        [float(v) for v in media_feature(r[1], r[3], FEATURE_DIM)]
+                        for r in media_rows
+                    ],
+                    pa.list_(pa.float32()),
+                ),
+                "n_bytes": pa.array(
+                    [len(r[3]) for r in media_rows], pa.int64()
+                ),
+            }
+        ),
+        paths["media_features_ref"],
+    )
+    return paths

@@ -9,10 +9,13 @@ PDFs in ``data/``); this is the north star's multimodal surface. Design:
   explicitly-chosen Arrow-batched stages;
 - decode / feature-extract / resize / frame-sample run via ``mapInPandas``
   (arrow batches of bytes → numpy), partition-parallel;
-- the actual codec work is STUBBED (``NotImplementedError`` or a
-  deterministic fake) because image/audio libs aren't in this container —
-  the Spark-side plumbing (schema, batch shape, partitioning, UDF
-  signatures) is real and tested.
+- uncompressed formats are decoded for REAL with stdlib-only parsers
+  (binary PPM images via a numpy header parse, WAV PCM audio via the
+  ``wave`` module) feeding genuine per-pixel / per-sample features;
+  compressed codecs (PNG/JPEG/MP4) stay STUBBED
+  (``NotImplementedError``) because no imaging/codec lib ships in this
+  container — the Spark-side plumbing (schema, batch shape,
+  partitioning, UDF signatures) is identical either way.
 """
 
 from __future__ import annotations
@@ -57,48 +60,187 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
-    """Deterministic fake media: payload bytes are seeded by media_id, so
-    every stage downstream is reproducible."""
+def encode_ppm(img: "np.ndarray") -> bytes:
+    """HxWx3 uint8 → binary PPM (P6, maxval 255)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """REAL image decode, stdlib+numpy only: parse the binary-PPM (P6)
+    header (whitespace-delimited magic/width/height/maxval, ``#``
+    comments allowed) and view the pixel block as HxWx3 uint8."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # tokenize the header: 4 fields, comments run to end-of-line
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def encode_wav(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """int16 mono PCM → WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    assert samples.dtype == np.int16
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm(payload: bytes) -> tuple["np.ndarray", int]:
+    """REAL audio decode, stdlib only: WAV container → (int16 mono
+    samples, sample_rate) via the ``wave`` module."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise ValueError("only 16-bit mono PCM supported")
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    return np.frombuffer(frames, dtype=np.int16), rate
+
+
+def synthetic_media_rows(n: int = 24) -> list[tuple]:
+    """Deterministic media fixture rows, pure Python/numpy (no Spark —
+    the same rows are landed as a parquet fixture for the DuckDB oracle):
+    REAL binary-PPM images and REAL WAV-PCM audio seeded by media_id;
+    video stays an opaque seeded blob (codec decode is stubbed)."""
     rows = []
     for i in range(n):
         modality = ("image", "audio", "video")[i % 3]
-        payload = bytes(
-            hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 5)
-        )
+        if modality == "image":
+            w, h = 8 + i % 5, 6 + i % 4
+            rng = np.random.default_rng(1000 + i)
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_ppm(img)
+            meta_wh, duration = (w, h), None
+        elif modality == "audio":
+            rate = 8000
+            rng = np.random.default_rng(2000 + i)
+            samples = rng.integers(
+                -(2**15), 2**15, size=256 + 16 * i, dtype=np.int16
+            )
+            payload = encode_wav(samples, rate)
+            meta_wh, duration = (None, None), int(len(samples) * 1000 / rate)
+        else:
+            payload = bytes(
+                hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 5)
+            )
+            meta_wh, duration = (64 + i, 48 + i), 1000 * (i + 1)
         meta = {
-            "width": 64 + i if modality != "audio" else None,
-            "height": 48 + i if modality != "audio" else None,
-            "duration_ms": 1000 * (i + 1) if modality != "image" else None,
+            "width": meta_wh[0],
+            "height": meta_wh[1],
+            "duration_ms": duration,
             "sha256": hashlib.sha256(payload).hexdigest(),
         }
         mime = {
-            "image": "image/png",
+            "image": "image/x-portable-pixmap",
             "audio": "audio/wav",
             "video": "video/mp4",
         }[modality]
         rows.append((i, modality, mime, payload, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
+    """synthetic_media_rows as a DataFrame."""
+    return spark.createDataFrame(synthetic_media_rows(n), MEDIA_SCHEMA)
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB: real decode needs an image lib not present in this container.
-    The mapInPandas plumbing around it is real; swap this body for
-    PIL/cv2 in production."""
+    """Compressed-codec decode STUB: PNG/JPEG need an imaging lib not
+    present in this container. Uncompressed images decode for real via
+    decode_ppm; swap this body for PIL/cv2 in production."""
     raise NotImplementedError(
-        "image decode requires an imaging library (PIL/cv2); "
-        "use fake_feature() for deterministic tests"
+        "compressed image decode requires an imaging library (PIL/cv2); "
+        "binary PPM decodes for real via decode_ppm()"
     )
 
 
 def fake_feature(payload: bytes, dim: int = 16) -> np.ndarray:
     """Deterministic stand-in feature: byte-histogram folded to ``dim``
     buckets, L2-normalized. Exercises the same batch shapes as a real
-    decoder+encoder without any codec dependency."""
+    decoder+encoder without any codec dependency (used for the video
+    modality, whose codec decode is stubbed)."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
     n = np.sqrt(hist @ hist)
     return (hist / n if n else hist).astype(np.float32)
+
+
+def _pad_normalize(vals: list[float], dim: int) -> np.ndarray:
+    out = np.zeros(dim, dtype=np.float64)
+    out[: min(len(vals), dim)] = vals[:dim]
+    n = np.sqrt(out @ out)
+    return (out / n if n else out).astype(np.float32)
+
+
+def image_feature(payload: bytes, dim: int = 16) -> np.ndarray:
+    """REAL decode → feature for uncompressed images: PPM pixels →
+    [w, h, per-channel means, per-channel stds, min, max], L2-normalized
+    into ``dim`` slots."""
+    img = decode_ppm(payload)
+    px = img.astype(np.float64)
+    h, w, _ = img.shape
+    vals = [float(w), float(h)]
+    vals += [float(px[..., c].mean()) for c in range(3)]
+    vals += [float(px[..., c].std()) for c in range(3)]
+    vals += [float(px.min()), float(px.max())]
+    return _pad_normalize(vals, dim)
+
+
+def audio_feature(payload: bytes, dim: int = 16) -> np.ndarray:
+    """REAL decode → feature for WAV PCM: [rate, n_samples, mean, std,
+    mean |x|, min, max, zero-crossing count], L2-normalized."""
+    samples, rate = decode_wav_pcm(payload)
+    x = samples.astype(np.float64)
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    vals = [
+        float(rate),
+        float(len(x)),
+        float(x.mean()),
+        float(x.std()),
+        float(np.abs(x).mean()),
+        float(x.min()),
+        float(x.max()),
+        float(zc),
+    ]
+    return _pad_normalize(vals, dim)
+
+
+def media_feature(modality: str, payload: bytes, dim: int = 16) -> np.ndarray:
+    """Per-modality decode → feature dispatch: image and audio decode for
+    REAL (stdlib parsers above); video byte-histograms through the
+    documented codec stub path."""
+    if modality == "image":
+        return image_feature(payload, dim)
+    if modality == "audio":
+        return audio_feature(payload, dim)
+    return fake_feature(payload, dim)
 
 
 def extract_features(
@@ -113,8 +255,8 @@ def extract_features(
         # (real decoders initialize their model/codec HERE, once)
         for pdf in batches:
             feats = [
-                fake_feature(bytes(p), dim) if p is not None else None
-                for p in pdf["payload"]
+                media_feature(m, bytes(p), dim) if p is not None else None
+                for m, p in zip(pdf["modality"], pdf["payload"])
             ]
             yield pd.DataFrame(
                 {
