@@ -21,7 +21,13 @@ SELECT l_returnflag,
        round(var_samp(l_quantity), 4)                    AS qty_var,
        round(corr(l_extendedprice, l_quantity), 6)       AS price_qty_corr,
        round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar,
-       round(skewness(l_extendedprice), 6)               AS price_skew
+       -- DuckDB skewness is the SAMPLE statistic G1; Spark's is the
+       -- POPULATION g1 = G1 * (n-2)/sqrt(n(n-1)). The factor is O(1/n):
+       -- invisible under 6dp rounding at sf0.01, a real mismatch at
+       -- sf0.001 — convert exactly instead of hoping rounding hides it.
+       round(skewness(l_extendedprice)
+             * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 6)
+                                                         AS price_skew
 FROM lineitem
 GROUP BY l_returnflag
 """
