@@ -24,5 +24,6 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     stats,
     textops,
     tpch_extra,
+    tpch_more,
     vector,
 )

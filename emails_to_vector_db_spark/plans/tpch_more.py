@@ -1,0 +1,479 @@
+"""TPC-H breadth, second batch: Q4/Q6/Q7/Q8/Q9/Q13/Q15/Q16/Q17/Q20/Q21
+analogues adapted to the fixture schema (no partsupp table, no
+commit/receipt dates — "late" predicates use shipdate vs orderdate).
+
+These exercise the planner shapes the first batch didn't: EXISTS /
+NOT-EXISTS rewrites into semi/anti joins (Q4, Q20, Q21 — including
+same-table semi+anti in one query), pure pushdown scans (Q6), multi-way
+join trees with two independent dimension chains (Q7, Q8, Q9), left
+outer join + double aggregation (Q13), scalar-subquery-against-agg
+top-1 (Q15), distinct aggregation after anti join (Q16), and a
+correlated per-group average threshold (Q17).
+
+The reference itself has no relational queries at all (its single SQL
+SELECT is ``rag.py:40``); this surface exists because the engine's bar
+is the full SURVEY.md §2 A/J/W/SO rows at oracle-checked parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("q4_order_priority_checking", oracle=_Q4_ORACLE, tags=("semi", "agg"))
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped: EXISTS → left-semi join (orders with at least one
+    lineitem shipped >60 days after ordering), priority histogram."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE, tags=("scan", "pushdown", "agg"), bench=True)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shaped: the pushdown showcase — a single scan whose three
+    predicates all reach the parquet reader (PushedFilters) and whose
+    projection prunes to 4 columns, then one global agg. No joins, no
+    shuffle beyond the final partial-agg merge."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("forecast_revenue")
+        )
+    )
+
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate)::INT AS ship_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+"""
+
+
+@register("q7_volume_shipping", oracle=_Q7_ORACLE, tags=("join", "agg", "multiway"), bench=True)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped: two independent dimension chains (supplier→nation,
+    order→customer→nation) hanging off the fact table, with a
+    cross-chain disjunctive filter. The nation joins broadcast; the
+    orders join is the only large shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(F.round(F.sum(rev), 2).alias("volume"))
+
+
+_Q8_ORACLE = """
+WITH all_sales AS (
+    SELECT year(o.o_orderdate)::INT AS order_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           n1.n_name AS supp_nation
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+)
+SELECT order_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS market_share
+FROM all_sales GROUP BY order_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE, tags=("join", "agg", "multiway"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped: one nation's share of PROMO-part revenue sold into a
+    region, per year — an 8-table join tree where every dimension
+    broadcast-joins onto the lineitem spine."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0)
+    return (
+        j.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(F.sum(nation_vol) / F.sum(vol), 6).alias("market_share")
+        )
+    )
+
+
+_Q9_ORACLE = """
+SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS order_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - l.l_quantity * p.p_retailprice * 0.1), 2) AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%1%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+@register("q9_product_type_profit", oracle=_Q9_ORACLE, tags=("join", "agg", "multiway"), bench=True)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped: profit (revenue minus a retail-price-derived cost — the
+    fixture has no partsupp/supplycost) by supplier nation and year for a
+    LIKE-filtered part subset."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%1%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "l_quantity"
+    ) * F.col("p_retailprice") * F.lit(0.1)
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("order_year"),
+    ).agg(F.round(F.sum(profit), 2).alias("profit"))
+
+
+_Q13_ORACLE = """
+WITH per_customer AS (
+    SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM per_customer GROUP BY c_count
+"""
+
+
+@register("q13_customer_order_distribution", oracle=_Q13_ORACLE, tags=("outer-join", "agg"))
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped: LEFT OUTER join (customers with zero orders survive
+    with count 0) followed by a second aggregation over the first —
+    the order-count histogram."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-07-01'
+    GROUP BY l_suppkey
+),
+ranked AS (
+    SELECT supplier_no, total_rev,
+           row_number() OVER (ORDER BY total_rev DESC, supplier_no ASC) AS rn
+    FROM revenue
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM ranked r JOIN supplier s ON s.s_suppkey = r.supplier_no
+WHERE r.rn = 1
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE, tags=("agg", "topk", "join"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped: the half-year revenue leader among suppliers (the
+    classic view + max(total_revenue) formulated as a deterministic
+    rank-1 with a suppkey tiebreak)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-07-01"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("total_rev").desc(), F.col("supplier_no").asc())
+    top = rev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    s = _t(spark, sf_dir, "supplier")
+    return top.join(
+        F.broadcast(s), top.supplier_no == s.s_suppkey
+    ).select("s_suppkey", "s_name", "total_rev")
+
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#3'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("q16_supplier_part_kinds", oracle=_Q16_ORACLE, tags=("anti", "distinct-agg"))
+def q16_supplier_part_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped: distinct-supplier counts per part kind, excluding
+    suppliers with negative balance (the "complaints" NOT IN → anti
+    join; the fixture's lineitem stands in for partsupp)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).join(
+        bad, li.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+_Q17_ORACLE = """
+WITH part_avg AS (
+    SELECT l_partkey, avg(l_quantity) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11'
+  AND l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
+@register("q17_small_quantity_revenue", oracle=_Q17_ORACLE, tags=("join", "agg", "correlated"))
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped: the correlated per-part average-quantity threshold
+    (classically a correlated scalar subquery; planned here — and by any
+    modern optimizer — as a decorrelated aggregate self-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("a_partkey"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    )
+    return j.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+_Q20_ORACLE = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'part_1%'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_suppkey
+    HAVING sum(l.l_quantity) > 100
+)
+"""
+
+
+@register("q20_part_supply_candidates", oracle=_Q20_ORACLE, tags=("semi", "having"))
+def q20_part_supply_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped: nested IN-subquery with its own aggregate+HAVING →
+    an aggregated semi join (suppliers who moved >100 units of the
+    part_1* family in 1997)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("part_1%"))
+    movers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(
+        movers, s.s_suppkey == movers.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+_Q21_ORACLE = """
+WITH late AS (
+    SELECT l.l_orderkey, l.l_suppkey
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+"""
+
+
+@register("q21_suppliers_kept_orders_waiting", oracle=_Q21_ORACLE, tags=("semi", "anti", "multiway"), bench=True)
+def q21_suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped: the hardest classic rewrite — EXISTS and NOT EXISTS
+    against the SAME derived relation become a semi join plus an anti
+    join over two aliases of it: suppliers who were the SOLE late
+    shipper on a multi-supplier finished order ("late" = shipped >90
+    days after ordering; the fixture has no receiptdate)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    with_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
