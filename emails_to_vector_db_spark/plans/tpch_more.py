@@ -212,7 +212,7 @@ JOIN part p     ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN orders o   ON o.o_orderkey = l.l_orderkey
 JOIN nation n   ON n.n_nationkey = s.s_nationkey
-WHERE p.p_name LIKE '%1%'
+WHERE p.p_name LIKE '%gear%'
 GROUP BY n.n_name, year(o.o_orderdate)
 """
 
@@ -223,7 +223,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture has no partsupp/supplycost) by supplier nation and year for a
     LIKE-filtered part subset."""
     li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%1%"))
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
@@ -388,7 +388,7 @@ FROM supplier s
 WHERE s.s_suppkey IN (
     SELECT l.l_suppkey
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_name LIKE 'part_1%'
+    WHERE p.p_name LIKE 'small%'
       AND l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01'
     GROUP BY l.l_suppkey
@@ -401,12 +401,12 @@ WHERE s.s_suppkey IN (
 def q20_part_supply_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20-shaped: nested IN-subquery with its own aggregate+HAVING →
     an aggregated semi join (suppliers who moved >100 units of the
-    part_1* family in 1997)."""
+    small* part family in 1997)."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1998-01-01"))
     )
-    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("part_1%"))
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
     movers = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
