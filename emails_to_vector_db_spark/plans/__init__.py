@@ -16,11 +16,13 @@ from emails_to_vector_db_spark.plans.registry import (  # noqa: F401
 from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     advanced,
     chunking,
+    cleaning,
     dedup,
     events,
     ingest,
     pipeline,
     relational,
+    retrieval,
     stats,
     textops,
     tpch_extra,

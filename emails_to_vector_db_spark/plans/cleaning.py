@@ -1,0 +1,257 @@
+"""Training-data cleaning operators: PII redaction, deterministic
+stratified sampling, and sequence packing.
+
+These are corpus-preparation stages a large-scale LLM training pipeline
+runs after dedup/quality filtering (none exist in the reference, whose
+corpus is 1,000 product rows — ``data/dummy-products.csv``). All three
+are pure column-expression plans with exact DuckDB twins.
+
+Scale notes
+-----------
+- PII redaction is embarrassingly parallel (per-row regexp), no shuffle.
+- The stratified sample uses a deterministic md5-derived bucket, so the
+  sample is reproducible across runs/engines and requires no shuffle —
+  the filter is applied at scan time and pushes the per-stratum rate
+  through a broadcast map.
+- Sequence packing windows per (source) partition — the 100 TB shape:
+  never a single global cumulative sum; each shard packs independently
+  and pack ids are (source, local_pack). Skewed sources can be further
+  split by salting the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.functions import text as TX
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_RE_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}"
+_RE_SSN = r"\d{3}-\d{2}-\d{4}"
+_RE_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant deterministic synthetic PII into a subset of documents
+    (the fixture text itself contains none): email on doc_id%7==0,
+    phone on doc_id%5==0, SSN on doc_id%11==0 — overlapping moduli
+    give some docs multiple PII kinds."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(" reach user"), F.col("doc_id"), F.lit("@mail.example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") * 7 % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") * 13 % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", F.concat("text", email, phone, ssn).alias("text")
+    )
+
+
+_PII_DOCS_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' reach user' || doc_id || '@mail.example.com' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                THEN ' call 555-' || lpad((doc_id * 7 % 1000)::VARCHAR, 3, '0')
+                     || '-' || lpad((doc_id * 13 % 10000)::VARCHAR, 4, '0')
+                ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE '' END AS text
+    FROM documents
+"""
+
+_PII_ORACLE = f"""
+WITH docs AS ({_PII_DOCS_SQL}),
+counted AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_RE_EMAIL}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text, '{_RE_SSN}'))::BIGINT   AS n_ssns,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{_RE_EMAIL}', '[EMAIL]', 'g'),
+                   '{_RE_SSN}', '[SSN]', 'g'),
+               '{_RE_PHONE}', '[PHONE]', 'g') AS redacted
+    FROM docs
+)
+SELECT doc_id, n_emails, n_ssns,
+       len(regexp_extract_all(redacted, '\\[PHONE\\]'))::BIGINT AS n_phones,
+       md5(redacted) AS redacted_fp
+FROM counted
+WHERE n_emails + n_ssns
+      + len(regexp_extract_all(redacted, '\\[PHONE\\]')) > 0
+"""
+
+
+@register("pii_redaction", oracle=_PII_ORACLE, tags=("text", "cleaning", "pii"))
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: replace emails / SSNs / phone numbers with typed
+    placeholder tokens and report per-document match counts plus the
+    fingerprint of the redacted text (hash-checking the exact redaction
+    output, not just the counts). SSNs are replaced before phones so the
+    overlapping \\d{3}-\\d{2}/\\d{3}-\\d{3} families can't double-fire;
+    phone count is taken from the placeholder occurrences for the same
+    reason. Pure per-row regexp — no shuffle at any scale."""
+    docs = _docs_with_pii(spark, sf_dir)
+    counted = docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_RE_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_RE_SSN)).cast("long").alias("n_ssns"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", _RE_EMAIL, "[EMAIL]"),
+                _RE_SSN,
+                "[SSN]",
+            ),
+            _RE_PHONE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )
+    return (
+        counted.withColumn(
+            "n_phones",
+            F.regexp_count("redacted", F.lit(r"\[PHONE\]")).cast("long"),
+        )
+        .where(F.col("n_emails") + F.col("n_ssns") + F.col("n_phones") > 0)
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_ssns",
+            "n_phones",
+            F.md5("redacted").alias("redacted_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# Per-language keep-rate (percent of the 100 md5 buckets): downsample the
+# dominant language, keep more of the tail — the classic rebalancing move.
+_RATES = {"en": 10, "de": 40, "es": 40, "fr": 40, "zh": 40}
+
+_RATES_SQL = " ".join(
+    f"WHEN lang = '{lang}' THEN {rate}" for lang, rate in _RATES.items()
+)
+
+_SAMPLE_ORACLE = f"""
+WITH bucketed AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+    FROM documents
+)
+SELECT doc_id, lang, bucket
+FROM bucketed
+WHERE bucket < CASE {_RATES_SQL} ELSE 0 END
+"""
+
+
+@register(
+    "stratified_sample",
+    oracle=_SAMPLE_ORACLE,
+    tags=("cleaning", "sampling"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) downsampling via an
+    md5-derived bucket in [0,100): en keeps 10%, tail languages 40% —
+    reproducible across engines and runs (unlike ``df.sample``), applied
+    as a scan-time filter with zero shuffle. The md5→BIGINT construction
+    is the repo-standard portable hash (plans/textops.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.lit(0)
+    for lang, r in _RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source, len({_TOKENS_SQL}) AS n_tok
+    FROM documents
+),
+packed AS (
+    SELECT source, n_tok,
+           CAST(floor(
+               (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tok)
+               / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM toks
+)
+SELECT source, pack_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS pack_tokens
+FROM packed
+GROUP BY source, pack_id
+"""
+
+
+@register(
+    "sequence_packing",
+    oracle=_PACK_ORACLE,
+    tags=("cleaning", "packing", "window"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: stream documents per source shard in
+    doc_id order and open a new pack whenever the running token total
+    crosses a 512-token budget (pack = floor(exclusive-prefix-sum /
+    budget) — first-fit in arrival order, a doc may straddle the
+    boundary and overflows into its assigned pack). The window is
+    partitioned by source, so at 100 TB each shard packs independently
+    — no global ordering bottleneck."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(TX.tokens("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / float(_PACK_BUDGET))
+        .cast("long"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+    )

@@ -576,3 +576,128 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_raw") >= 0.99)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster canonicalization: LSH pairs -> connected components
+# ---------------------------------------------------------------------------
+
+_CHAIN_OFFSET_1 = 100_000
+_CHAIN_OFFSET_2 = 200_000
+
+_DOCS_CHAIN_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_CHAIN_OFFSET_1} AS doc_id, text || ' zzduptoken' AS text
+    FROM documents WHERE doc_id < {_N_PLANT}
+    UNION ALL
+    SELECT doc_id + {_CHAIN_OFFSET_2} AS doc_id,
+           text || ' zzduptoken zzduptokenb' AS text
+    FROM documents WHERE doc_id < {_N_PLANT}
+"""
+
+
+def _docs_with_chained_dups(spark, sf_dir) -> DataFrame:
+    """orig -> near-dup (1 extra token) -> near-dup-of-the-dup (2 extra
+    tokens): a 3-node chain per planted document, so transitive closure
+    does real work (pairwise LSH alone cannot name the cluster)."""
+    d = load_table(spark, sf_dir, "documents")
+    dup1 = d.where(F.col("doc_id") < _N_PLANT).select(
+        (F.col("doc_id") + _CHAIN_OFFSET_1).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzduptoken")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    dup2 = d.where(F.col("doc_id") < _N_PLANT).select(
+        (F.col("doc_id") + _CHAIN_OFFSET_2).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzduptoken zzduptokenb")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(dup1).unionByName(dup2)
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE docs AS ({_DOCS_CHAIN_SQL}),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                    i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END) AS sh
+    FROM docs
+),
+m AS (
+    SELECT doc_id,
+           list_transform(sh, s -> md5(s)) AS m0,
+           list_transform(sh, s -> md5('1|' || s)) AS m1
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, {_minhash_sql_sig(2)} AS sig FROM m
+),
+bands AS (
+    SELECT doc_id, sig, b.band_idx,
+           md5(sig[b.band_idx * 2 + 1] || '|' || sig[b.band_idx * 2 + 2]) AS band_hash
+    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b FROM cand
+    WHERE list_sum(list_transform(generate_series(1, 8),
+            i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1.0 ELSE 0.0 END)) / 8.0
+          >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, label) AS (
+    SELECT id, id AS label FROM nodes
+    UNION
+    SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+)
+SELECT id AS doc_id, min(label)::BIGINT AS component_id
+FROM walk GROUP BY id
+"""
+
+
+@register(
+    "near_dup_components",
+    oracle=_COMPONENTS_ORACLE,
+    tags=("dedup", "components", "minhash"),
+    bench=True,
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical duplicate clusters: MinHash-LSH candidate pairs (the same
+    8-hash/4-band family as minhash_lsh_near_dups) fed through iterative
+    min-label connected components (operators/components.py). Every node
+    in the dup graph is labeled with its cluster's minimum doc_id — the
+    keep-id; dedup is then `where(doc_id != component_id)`. The planted
+    orig->dup->dup-of-dup chains require real transitive closure. The
+    DuckDB oracle replays the identical signature family plus a recursive
+    min-label closure, so the full pipeline is hash-checked."""
+    from emails_to_vector_db_spark.operators.components import (
+        connected_components,
+    )
+    from emails_to_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_chained_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    )

@@ -1,0 +1,238 @@
+"""Lexical + hybrid retrieval: BM25 keyword top-k and reciprocal-rank
+fusion of keyword and vector rankings.
+
+The reference retrieves by vector similarity only (``rag.py:77-82``);
+production RAG systems pair that with a lexical ranker (BM25) and fuse
+the two rankings (RRF — Cormack et al., "Reciprocal Rank Fusion
+outperforms Condorcet", SIGIR 2009: score(d) = Σ_r 1/(k0 + rank_r(d))).
+Both are expressed as pure DataFrame plans with DuckDB twins.
+
+Scale notes
+-----------
+- BM25 prunes each document's token array to the query terms *before*
+  exploding (``F.filter`` on the array), so the explode is narrow and
+  emits at most |terms| rows per document, not |tokens|.
+- Corpus statistics (N, avgdl) and per-term document frequencies are
+  tiny aggregates broadcast back onto the per-doc scores — no large
+  shuffle except the one (doc_id, term) tf aggregation, which is
+  map-side combinable.
+- RRF joins two k-row rankings (k ≤ 20): driver-scale inputs, a
+  broadcast full-outer join, no wide shuffle at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.functions import text as TX
+from emails_to_vector_db_spark.functions.vector import cosine_similarity
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+QUERY_TERMS = ("spark", "window", "merge")
+_K1 = 1.2
+_B = 0.75
+TOP_N = 10
+_RRF_K0 = 60
+_RRF_DEPTH = 20
+_PROBE_ID = 7  # same stored-probe convention as plans/vector.py
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 score for the literal QUERY_TERMS."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.size(TX.tokens("text")).alias("dl"),
+        F.filter(
+            TX.tokens("text"), lambda x: x.isin(*QUERY_TERMS)
+        ).alias("qtoks"),
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", "dl", F.explode("qtoks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (_K1 + 1))
+            / (
+                F.col("tf")
+                + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("bm25_raw")
+    )
+
+
+_BM25_CTE = f"""
+toks AS (
+    SELECT doc_id,
+           len({_TOKENS_SQL}) AS dl,
+           list_filter({_TOKENS_SQL}, x -> x IN ({_TERMS_SQL})) AS qtoks
+    FROM documents
+),
+stats AS (
+    SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM toks
+),
+tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf, min(dl) AS dl
+    FROM (SELECT doc_id, dl, unnest(qtoks) AS term FROM toks)
+    GROUP BY doc_id, term
+),
+df_t AS (
+    SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+bm25 AS (
+    SELECT t.doc_id,
+           sum(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({_K1} + 1))
+               / (t.tf + {_K1} * (1 - {_B} + {_B} * t.dl / s.avgdl))
+           ) AS bm25_raw
+    FROM tf t JOIN df_t d USING (term) CROSS JOIN stats s
+    GROUP BY t.doc_id
+)
+"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTE}
+SELECT doc_id, round(bm25_raw, 6) AS bm25
+FROM bm25
+ORDER BY bm25_raw DESC, doc_id ASC
+LIMIT {TOP_N}
+"""
+
+
+@register("bm25_topk", oracle=_BM25_ORACLE, tags=("text", "retrieval", "bm25"), bench=True)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) keyword top-10 for a 3-term query — the
+    lexical ranker the reference's vector-only retrieval lacks. Token
+    arrays are pruned to query terms before exploding; corpus stats and
+    document frequencies broadcast onto the tf aggregation."""
+    scored = _bm25_scores(spark, sf_dir)
+    return (
+        scored.orderBy(F.col("bm25_raw").desc(), F.col("doc_id").asc())
+        .limit(TOP_N)
+        .select("doc_id", F.round("bm25_raw", 6).alias("bm25"))
+    )
+
+
+_HYBRID_ORACLE = f"""
+WITH {_BM25_CTE},
+kw_ranked AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25_raw DESC, doc_id ASC) AS kw_rank
+    FROM bm25
+    ORDER BY bm25_raw DESC, doc_id ASC
+    LIMIT {_RRF_DEPTH}
+),
+probe AS (
+    SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = {_PROBE_ID}
+),
+vec_scored AS (
+    SELECT e.vec_id AS doc_id,
+           list_dot_product(e.embedding::DOUBLE[], p.q)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(p.q, p.q))) AS sim
+    FROM embeddings e CROSS JOIN probe p
+    WHERE e.vec_id <> {_PROBE_ID}
+),
+vec_ranked AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS vec_rank
+    FROM vec_scored
+    ORDER BY sim DESC, doc_id ASC
+    LIMIT {_RRF_DEPTH}
+),
+fused AS (
+    SELECT coalesce(k.doc_id, v.doc_id) AS doc_id,
+           coalesce(1.0 / ({_RRF_K0} + k.kw_rank), 0.0)
+           + coalesce(1.0 / ({_RRF_K0} + v.vec_rank), 0.0) AS rrf_raw
+    FROM kw_ranked k FULL OUTER JOIN vec_ranked v ON k.doc_id = v.doc_id
+)
+SELECT doc_id, round(rrf_raw, 6) AS rrf_score
+FROM fused
+ORDER BY rrf_raw DESC, doc_id ASC
+LIMIT {TOP_N}
+"""
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=_HYBRID_ORACLE,
+    tags=("retrieval", "hybrid", "rrf", "vector", "bm25"),
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k0=60) of the BM25
+    top-20 and the cosine-KNN top-20 for the stored probe — the
+    production upgrade of the reference's single-channel retrieval
+    (``rag.py:77-90``). Both rankings are ≤20 rows when fused, so the
+    full-outer join is broadcast-trivial at any corpus size."""
+    kw = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25_raw").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "kw_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25_raw").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .select("doc_id", "kw_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        emb.where(F.col("vec_id") == _PROBE_ID).select(
+            F.col("embedding").alias("q")
+        )
+    )
+    vec = (
+        emb.where(F.col("vec_id") != _PROBE_ID)
+        .crossJoin(probe)
+        .withColumn("sim", cosine_similarity("embedding", "q"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "vec_rank")
+    )
+    fused = (
+        kw.join(vec, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_raw",
+            F.coalesce(1.0 / (_RRF_K0 + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K0 + F.col("vec_rank")), F.lit(0.0)),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
+        .limit(TOP_N)
+        .select("doc_id", F.round("rrf_raw", 6).alias("rrf_score"))
+    )
