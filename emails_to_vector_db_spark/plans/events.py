@@ -10,11 +10,29 @@ epoch values agree exactly.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.plans.registry import register
 from emails_to_vector_db_spark.sources.tables import load_table
+
+
+@contextlib.contextmanager
+def _stream_partitions(spark: SparkSession, n: int = 32):
+    """Cap shuffle partitions for the duration of a bounded streaming run:
+    state-store count == shuffle partitions, and a vanilla driver session
+    defaults to 200 — 6× more state tasks than cores for fixture-sized
+    micro-batches. Restored afterwards so batch queries keep the session
+    setting. (A real deployment sets this per-job at submit time.)"""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 _HOURLY_ORACLE = """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
@@ -119,15 +137,16 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = "stream_hourly_counts_tbl"
-    stream = tumbling_counts(read_events_stream(spark, sf_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_partitions(spark):
+        stream = tumbling_counts(read_events_stream(spark, sf_dir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -163,15 +182,16 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = "stream_session_counts_tbl"
-    stream = session_counts(read_events_stream(spark, sf_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_partitions(spark):
+        stream = session_counts(read_events_stream(spark, sf_dir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -230,4 +250,56 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("value"), 6).alias("min_v"),
         F.round(F.max("value"), 6).alias("max_v"),
+    )
+
+
+_STREAM_JOIN_ORACLE = """
+WITH clicks AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, count(*)::BIGINT AS n_pairs
+FROM clicks c
+JOIN purchases p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+"""
+
+
+@register(
+    "streaming_click_purchase_join",
+    oracle=_STREAM_JOIN_ORACLE,
+    tags=("events", "streaming", "stream-stream-join"),
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (clicks ⋈ purchases within a
+    1-hour horizon per user) executed through Structured Streaming, then
+    aggregated to per-user pair counts — the bounded stream must produce
+    exactly the batch interval-join answer, hash-checked against DuckDB.
+    The interval condition bounds both join state stores (SURVEY.md §2.8;
+    the reference has no streaming at all)."""
+    from emails_to_vector_db_spark.streaming.ingest import (
+        click_purchase_stream_join,
+        read_events_stream,
+    )
+
+    name = "stream_click_purchase_tbl"
+    with _stream_partitions(spark):
+        joined = click_purchase_stream_join(read_events_stream(spark, sf_dir))
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )

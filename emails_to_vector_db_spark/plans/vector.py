@@ -452,3 +452,82 @@ def label_centroid_norm_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return cents.select("label", F.round(sq, 6).alias("centroid_sq_norm"))
+
+
+_QUANT_ORACLE = f"""
+WITH mx AS (
+    SELECT max(list_aggregate(
+        list_transform(embedding::DOUBLE[], x -> abs(x)), 'max')) AS max_abs
+    FROM embeddings
+),
+q AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding::DOUBLE[],
+                          x -> round(x * 127.0 / m.max_abs)::INT) AS qv
+    FROM embeddings e CROSS JOIN mx m
+),
+probe AS (
+    SELECT qv AS pq FROM q WHERE vec_id = {PROBE_ID}
+),
+scored AS (
+    SELECT q.vec_id,
+           list_sum(list_transform(generate_series(1, 64),
+               i -> ((q.qv[i] - p.pq[i]) * (q.qv[i] - p.pq[i]))::BIGINT
+           ))::BIGINT AS qdist
+    FROM q CROSS JOIN probe p
+    WHERE q.vec_id <> {PROBE_ID}
+)
+SELECT vec_id, qdist
+FROM scored
+ORDER BY qdist ASC, vec_id ASC
+LIMIT {K}
+"""
+
+
+@register(
+    "int8_quantized_knn",
+    oracle=_QUANT_ORACLE,
+    tags=("vector", "knn", "quantization"),
+)
+def int8_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized KNN: embeddings compressed to int8 with a single
+    global symmetric scale (127/max|x|), top-5 by integer L2 — the 4×
+    memory-bandwidth / SIMD-friendly search mode of real vector stores
+    (pgvector ``halfvec``/``bit`` family; the reference stores raw
+    float32 — ``rag.py:35``). Distances are exact integers, so the
+    oracle hash needs no float rounding at all. The scale is a tiny agg
+    broadcast onto the scan; recall vs full-precision KNN is asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    scale = F.broadcast(
+        emb.agg(
+            F.max(F.array_max(F.transform(emb_d, lambda x: F.abs(x)))).alias(
+                "max_abs"
+            )
+        )
+    )
+    q = emb.crossJoin(scale).select(
+        "vec_id",
+        F.transform(
+            emb_d, lambda x: F.round(x * 127.0 / F.col("max_abs")).cast("int")
+        ).alias("qv"),
+    )
+    probe = F.broadcast(
+        q.where(F.col("vec_id") == PROBE_ID).select(F.col("qv").alias("pq"))
+    )
+    qdist = F.aggregate(
+        F.zip_with(
+            "qv", "pq", lambda a, b: ((a - b) * (a - b)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        q.where(F.col("vec_id") != PROBE_ID)
+        .crossJoin(probe)
+        .withColumn("qdist", qdist)
+        .orderBy(F.col("qdist").asc(), F.col("vec_id").asc())
+        .limit(K)
+        .select("vec_id", "qdist")
+    )

@@ -166,3 +166,45 @@ def stream_embed_to_store(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def click_purchase_stream_join(
+    events: DataFrame,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition: each click
+    pairs with the same user's purchases that land within ``horizon``
+    after it. Both sides carry watermarks, so the join state store
+    evicts rows once the other side can no longer match them — bounded
+    state, runs forever. (Self-join of one source stream: Spark plans
+    two independent stateful sides.)"""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {horizon}
+            """
+        ),
+    )

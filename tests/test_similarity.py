@@ -128,3 +128,18 @@ def test_ann_requires_dim_or_planes(spark):
 
     with pytest.raises(ValueError, match="planes= .*or dim="):
         ann_lsh_join(probes, emb, k=1)
+
+
+def test_int8_quantization_recall(spark):
+    """int8 scalar quantization must preserve the exact-KNN neighborhood:
+    ≥4 of the quantized top-5 appear in the full-precision top-5."""
+    from emails_to_vector_db_spark.plans.vector import (
+        PROBE_ID,
+        int8_quantized_knn,
+        knn_topk_l2,
+    )
+
+    quant = {r.vec_id for r in int8_quantized_knn(spark, SF_SMOKE).collect()}
+    exact = {r.vec_id for r in knn_topk_l2(spark, SF_SMOKE).collect()}
+    assert PROBE_ID not in quant
+    assert len(quant & exact) >= 4
