@@ -88,3 +88,37 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
     )
+
+
+_FRAMES_ORACLE = f"""
+SELECT media_id, frame_idx, width, height, round(mean_px, 6) AS mean_px
+FROM read_parquet('{_FIXTURES["video_frames_ref"]}')
+"""
+
+
+@register(
+    "video_frame_stats",
+    oracle=_FRAMES_ORACLE,
+    tags=("multimodal", "video", "mapInPandas"),
+)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling through the driver contract: raw
+    concatenated-PPM video payloads are demuxed inside mapInPandas, every
+    2nd frame decoded, per-frame (width, height, mean pixel) emitted —
+    one video row fanning out to its sampled frames inside the Arrow
+    batch. The oracle reads the sequential demux+decode of the same
+    payloads from fixture parquet, hash-checking the distributed decode
+    byte-for-byte."""
+    from emails_to_vector_db_spark.sources.multimodal import (
+        extract_video_frames,
+    )
+
+    media = spark.read.parquet(_FIXTURES["media_raw"])
+    frames = extract_video_frames(media, every_n=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+    )

@@ -61,6 +61,14 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
+    # tf is consumed twice (document frequencies + scoring) and Spark does
+    # not reuse subplans across branches — without this the whole
+    # tokenize→explode→agg lineage (a full corpus scan) runs twice. The
+    # persisted payload is tiny: only (doc, query-term) hits survive the
+    # term pruning. Corpus stats remain the one other full scan.
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_t), "term")

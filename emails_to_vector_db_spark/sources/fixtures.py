@@ -9,9 +9,12 @@ driver-side) expected outputs as parquet files, written once with pyarrow
 - ``emails_raw.parquet``       (msg_id, raw)   — RFC822 bytes
 - ``emails_text_ref.parquet``  (msg_id, text)  — reference_extract_text
   output (``email_fetching.py:41-49`` semantics), non-empty only
-- ``media_raw.parquet``        MEDIA_SCHEMA rows (real PPM/WAV payloads)
+- ``media_raw.parquet``        MEDIA_SCHEMA rows (real PPM/WAV/raw-video
+  payloads)
 - ``media_features_ref.parquet`` (media_id, modality, feature, n_bytes)
   — media_feature() computed in a plain loop
+- ``video_frames_ref.parquet`` (media_id, frame_idx, width, height,
+  mean_px) — sequential frame demux + decode of every 2nd frame
 
 The registered queries then run the DISTRIBUTED pipeline (pandas_udf MIME
 parse → explode/filter/re-concat; mapInPandas decode → feature) over the
@@ -29,9 +32,15 @@ FIXTURE_MEDIA_N = 48
 FEATURE_DIM = 16
 
 
+# Bump when fixture CONTENT changes (e.g. the media corpus format): the
+# writer is write-once per directory, so a new version gets a new dir and
+# stale files can never leak into the differential check.
+FIXTURE_VERSION = 2
+
+
 def fixtures_dir() -> str:
     root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    return os.path.join(root, "spark-warehouse", "fixtures")
+    return os.path.join(root, "spark-warehouse", f"fixtures_v{FIXTURE_VERSION}")
 
 
 def ensure_fixtures() -> dict[str, str]:
@@ -45,6 +54,7 @@ def ensure_fixtures() -> dict[str, str]:
         "emails_text_ref": os.path.join(d, "emails_text_ref.parquet"),
         "media_raw": os.path.join(d, "media_raw.parquet"),
         "media_features_ref": os.path.join(d, "media_features_ref.parquet"),
+        "video_frames_ref": os.path.join(d, "video_frames_ref.parquet"),
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -80,6 +90,7 @@ def ensure_fixtures() -> dict[str, str]:
     from emails_to_vector_db_spark.sources.multimodal import (
         media_feature,
         synthetic_media_rows,
+        video_frame_stats_rows,
     )
 
     media_rows = synthetic_media_rows(FIXTURE_MEDIA_N)
@@ -121,5 +132,24 @@ def ensure_fixtures() -> dict[str, str]:
             }
         ),
         paths["media_features_ref"],
+    )
+
+    frame_rows = [
+        fr
+        for r in media_rows
+        if r[1] == "video"
+        for fr in video_frame_stats_rows(r[0], r[3], every_n=2)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array([f[0] for f in frame_rows], pa.int64()),
+                "frame_idx": pa.array([f[1] for f in frame_rows], pa.int32()),
+                "width": pa.array([f[2] for f in frame_rows], pa.int32()),
+                "height": pa.array([f[3] for f in frame_rows], pa.int32()),
+                "mean_px": pa.array([f[4] for f in frame_rows], pa.float64()),
+            }
+        ),
+        paths["video_frames_ref"],
     )
     return paths

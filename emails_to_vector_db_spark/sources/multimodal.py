@@ -11,7 +11,8 @@ PDFs in ``data/``); this is the north star's multimodal surface. Design:
   (arrow batches of bytes → numpy), partition-parallel;
 - uncompressed formats are decoded for REAL with stdlib-only parsers
   (binary PPM images via a numpy header parse, WAV PCM audio via the
-  ``wave`` module) feeding genuine per-pixel / per-sample features;
+  ``wave`` module, raw video as concatenated PPM frames with a real
+  demuxer) feeding genuine per-pixel / per-sample / per-frame features;
   compressed codecs (PNG/JPEG/MP4) stay STUBBED
   (``NotImplementedError``) because no imaging/codec lib ships in this
   container — the Spark-side plumbing (schema, batch shape,
@@ -95,6 +96,46 @@ def decode_ppm(payload: bytes) -> "np.ndarray":
     return raster.reshape(h, w, 3)
 
 
+def encode_ppm_video(frames: list["np.ndarray"]) -> bytes:
+    """Raw 'video' container: concatenated binary-PPM frames (each frame a
+    self-describing P6 block). Uncompressed by construction, so the whole
+    modality decodes with the same stdlib parser as still images."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def split_ppm_video(payload: bytes) -> list[bytes]:
+    """REAL video demux, stdlib only: walk the byte stream parsing each
+    P6 header to compute its frame length, slicing frame payloads out
+    without copying the raster twice."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"expected P6 frame header at offset {pos}")
+        # parse 3 whitespace-delimited header fields after the magic
+        fields: list[int] = []
+        p = pos + 2
+        while len(fields) < 3:
+            while payload[p : p + 1].isspace():
+                p += 1
+            if payload[p : p + 1] == b"#":
+                while payload[p : p + 1] not in (b"\n", b""):
+                    p += 1
+                continue
+            start = p
+            while p < len(payload) and not payload[p : p + 1].isspace():
+                p += 1
+            fields.append(int(payload[start:p]))
+        p += 1  # the single whitespace before the raster
+        w, h, _maxval = fields
+        end = p + w * h * 3
+        if end > len(payload):
+            raise ValueError("truncated PPM frame")
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
 def encode_wav(samples: "np.ndarray", rate: int = 8000) -> bytes:
     """int16 mono PCM → WAV bytes (stdlib wave)."""
     import io
@@ -127,8 +168,8 @@ def decode_wav_pcm(payload: bytes) -> tuple["np.ndarray", int]:
 def synthetic_media_rows(n: int = 24) -> list[tuple]:
     """Deterministic media fixture rows, pure Python/numpy (no Spark —
     the same rows are landed as a parquet fixture for the DuckDB oracle):
-    REAL binary-PPM images and REAL WAV-PCM audio seeded by media_id;
-    video stays an opaque seeded blob (codec decode is stubbed)."""
+    REAL binary-PPM images, REAL WAV-PCM audio, and REAL raw-PPM video
+    (concatenated frames), all seeded by media_id."""
     rows = []
     for i in range(n):
         modality = ("image", "audio", "video")[i % 3]
@@ -147,10 +188,17 @@ def synthetic_media_rows(n: int = 24) -> list[tuple]:
             payload = encode_wav(samples, rate)
             meta_wh, duration = (None, None), int(len(samples) * 1000 / rate)
         else:
-            payload = bytes(
-                hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 5)
-            )
-            meta_wh, duration = (64 + i, 48 + i), 1000 * (i + 1)
+            # REAL raw video: 3-7 concatenated binary-PPM frames at 4 fps
+            w, h = 8 + i % 5, 6 + i % 4
+            n_frames = 3 + i % 5
+            frames = []
+            for f in range(n_frames):
+                rng = np.random.default_rng(3000 + 100 * i + f)
+                frames.append(
+                    rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                )
+            payload = encode_ppm_video(frames)
+            meta_wh, duration = (w, h), n_frames * 250
         meta = {
             "width": meta_wh[0],
             "height": meta_wh[1],
@@ -160,7 +208,7 @@ def synthetic_media_rows(n: int = 24) -> list[tuple]:
         mime = {
             "image": "image/x-portable-pixmap",
             "audio": "audio/wav",
-            "video": "video/mp4",
+            "video": "video/x-raw-ppm",
         }[modality]
         rows.append((i, modality, mime, payload, meta))
     return rows
@@ -232,14 +280,35 @@ def audio_feature(payload: bytes, dim: int = 16) -> np.ndarray:
     return _pad_normalize(vals, dim)
 
 
+def video_feature(payload: bytes, dim: int = 16) -> np.ndarray:
+    """REAL decode → feature for raw concatenated-PPM video: demux into
+    frames, per-frame pixel means, then [n_frames, w, h, mean of frame
+    means, std of frame means, global min, global max], L2-normalized."""
+    frames = [decode_ppm(fb) for fb in split_ppm_video(payload)]
+    h, w, _ = frames[0].shape
+    means = np.array([f.astype(np.float64).mean() for f in frames])
+    vals = [
+        float(len(frames)),
+        float(w),
+        float(h),
+        float(means.mean()),
+        float(means.std()),
+        float(min(int(f.min()) for f in frames)),
+        float(max(int(f.max()) for f in frames)),
+    ]
+    return _pad_normalize(vals, dim)
+
+
 def media_feature(modality: str, payload: bytes, dim: int = 16) -> np.ndarray:
-    """Per-modality decode → feature dispatch: image and audio decode for
-    REAL (stdlib parsers above); video byte-histograms through the
-    documented codec stub path."""
+    """Per-modality decode → feature dispatch: image, audio, and raw-PPM
+    video all decode for REAL (stdlib parsers above); compressed-codec
+    video falls through to the documented stub path (byte histogram)."""
     if modality == "image":
         return image_feature(payload, dim)
     if modality == "audio":
         return audio_feature(payload, dim)
+    if payload.startswith(b"P6"):
+        return video_feature(payload, dim)
     return fake_feature(payload, dim)
 
 
@@ -274,9 +343,9 @@ def extract_features(
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled timestamp
-    (the decode itself is stubbed). Demonstrates the explode pattern that
-    turns one video row into N frame rows without touching the payload."""
+    """Timestamp-level frame sampling plumbing: one output row per sampled
+    timestamp, derived from metadata only — the payload is never touched,
+    so this plans/exchanges exactly as it would with a codec."""
     frames = media.where(F.col("modality") == "video").select(
         "media_id",
         F.explode(
@@ -288,3 +357,60 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
         ).alias("frame_ts_ms"),
     )
     return frames
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+    ]
+)
+
+
+def video_frame_stats_rows(
+    media_id: int, payload: bytes, *, every_n: int = 2
+) -> list[tuple]:
+    """Sequential reference for one video: demux, keep every ``every_n``-th
+    frame, per-frame (width, height, mean pixel). Shared by the
+    distributed extractor below and the fixture writer, so the
+    differential check compares distributed vs sequential execution of
+    the same decode."""
+    out = []
+    for idx, fb in enumerate(split_ppm_video(payload)):
+        if idx % every_n:
+            continue
+        img = decode_ppm(fb)
+        h, w, _ = img.shape
+        out.append(
+            (media_id, idx, w, h, round(float(img.astype(np.float64).mean()), 6))
+        )
+    return out
+
+
+def extract_video_frames(media: DataFrame, *, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling via mapInPandas: demux raw-PPM video payloads
+    into frames, decode every ``every_n``-th one, emit per-frame stats.
+    One video row fans out to its sampled frames inside the Arrow batch —
+    the payload bytes cross into Python once, already partition-local."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                rows.extend(
+                    video_frame_stats_rows(
+                        int(mid), bytes(payload), every_n=every_n
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "width", "height", "mean_px"]
+            )
+
+    return media.where(F.col("modality") == "video").mapInPandas(
+        run, FRAME_SCHEMA
+    )

@@ -168,9 +168,54 @@ def test_frame_sampling(spark):
     media = synthetic_media(spark, n=9)
     frames = frame_sample_plan(media, every_ms=1000)
     rows = frames.collect()
-    # 3 videos (ids 2,5,8) with durations 3000/6000/9000 ms
+    # 3 videos: id 2 (5 frames -> 1250 ms), id 5 (3 -> 750), id 8 (6 -> 1500)
     per = {}
     for r in rows:
         per.setdefault(r.media_id, []).append(r.frame_ts_ms)
     assert set(per) == {2, 5, 8}
-    assert sorted(per[2]) == [0, 1000, 2000, 3000]
+    assert sorted(per[2]) == [0, 1000]
+    assert sorted(per[5]) == [0]
+    assert sorted(per[8]) == [0, 1000]
+
+
+def test_video_demux_and_frame_stats(spark):
+    """Raw-PPM video decodes for REAL: demux round-trips, and the
+    distributed frame extractor agrees with a hand loop."""
+    import numpy as np
+
+    from emails_to_vector_db_spark.sources.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        encode_ppm_video,
+        extract_video_frames,
+        split_ppm_video,
+        video_feature,
+    )
+
+    f0 = np.zeros((2, 3, 3), np.uint8)  # mean 0
+    f1 = np.full((2, 3, 3), 100, np.uint8)  # mean 100
+    f2 = np.full((2, 3, 3), 250, np.uint8)  # mean 250
+    payload = encode_ppm_video([f0, f1, f2])
+    parts = split_ppm_video(payload)
+    assert len(parts) == 3
+    np.testing.assert_array_equal(decode_ppm(parts[1]), f1)
+    assert parts[0] == encode_ppm(f0)
+
+    # hand-computed video feature: [n_frames, w, h, mean of frame means,
+    # std of frame means, global min, global max]
+    expected = np.zeros(16)
+    means = np.array([0.0, 100.0, 250.0])
+    expected[:7] = [3, 3, 2, means.mean(), means.std(), 0.0, 250.0]
+    expected = (expected / np.sqrt(expected @ expected)).astype(np.float32)
+    np.testing.assert_array_equal(video_feature(payload, dim=16), expected)
+
+    media = spark.createDataFrame(
+        [(7, "video", "video/x-raw-ppm", payload, None)],
+        "media_id long, modality string, mime string, payload binary,"
+        " meta struct<width:int,height:int,duration_ms:int,sha256:string>",
+    )
+    got = {
+        r.frame_idx: (r.width, r.height, r.mean_px)
+        for r in extract_video_frames(media, every_n=2).collect()
+    }
+    assert got == {0: (3, 2, 0.0), 2: (3, 2, 250.0)}
