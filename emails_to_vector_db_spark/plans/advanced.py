@@ -329,3 +329,71 @@ def segment_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_orders",
         (rel_err <= F.lit(3 * _APPROX_RSD)).alias("within_tolerance"),
     )
+
+
+# --------------------------------------------------------------------------
+# MERGE/upsert (CDC apply)
+# --------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH updates AS (
+    SELECT c_custkey, c_name,
+           round(c_acctbal + 100.0, 2) AS c_acctbal, 'updated' AS row_src
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey,
+           'new_' || c_name AS c_name,
+           0.0 AS c_acctbal, 'inserted' AS row_src
+    FROM customer WHERE c_custkey % 100 = 0
+),
+merged AS (
+    SELECT * FROM updates
+    UNION ALL
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+           'kept' AS row_src
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+)
+SELECT row_src, count(*)::BIGINT AS n_rows,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM merged GROUP BY row_src
+"""
+
+
+@register("merge_upsert_customers", oracle=_MERGE_ORACLE, tags=("merge", "cdc"))
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply via sources/warehouse.py::merge_upsert: a deterministic
+    updates batch (+100 balance for every 10th customer, brand-new rows
+    for every 100th) merged into the customer table — updates win,
+    unmatched rows survive, inserts land. Verified by per-disposition
+    row counts and balance totals against the SQL MERGE expansion."""
+    from emails_to_vector_db_spark.sources.warehouse import merge_upsert
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    ).withColumn("row_src", F.lit("kept"))
+    updates = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+            F.lit("updated").alias("row_src"),
+        )
+        .unionByName(
+            _t(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 100 == 0)
+            .select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("inserted").alias("row_src"),
+            )
+        )
+    )
+    merged = merge_upsert(c, updates, key="c_custkey")
+    return merged.groupBy("row_src").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

@@ -255,3 +255,45 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("pack_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group reservoir sampling
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_N = 5
+
+_RESERVOIR_ORACLE = f"""
+WITH ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC
+           ) AS rn
+    FROM documents
+)
+SELECT doc_id, lang, rn::INT AS rn
+FROM ranked WHERE rn <= {_RESERVOIR_N}
+"""
+
+
+@register(
+    "per_group_reservoir",
+    oracle=_RESERVOIR_ORACLE,
+    tags=("cleaning", "sampling", "window"),
+)
+def per_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (n=5) per-language sample — the deterministic analogue
+    of per-group reservoir sampling: rank by the md5 of the id (a
+    reproducible uniform ordering) inside each stratum and keep the first
+    n. One shuffle on the stratum key; at scale, rank-within-group
+    truncates via the window's running row_number, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _RESERVOIR_N)
+    )

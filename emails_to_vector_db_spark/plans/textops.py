@@ -274,3 +274,36 @@ def shingle_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_shingles"
         ),
     )
+
+
+_HH_ORACLE = f"""
+WITH t AS (
+    SELECT unnest({_TOKENS_SQL}) AS term FROM documents
+)
+SELECT term, count(*)::BIGINT AS freq
+FROM t GROUP BY term
+ORDER BY freq DESC, term ASC
+LIMIT 20
+"""
+
+
+@register(
+    "heavy_hitter_terms",
+    oracle=_HH_ORACLE,
+    tags=("text", "heavy-hitters", "mapInPandas"),
+)
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 terms via the bounded-memory heavy-hitters operator
+    (operators/heavyhitters.py): per-partition Misra-Gries candidate
+    generation (no shuffle of the distinct-term space), then an exact
+    broadcast-filtered rescoring pass. The oracle is the plain GROUP BY
+    top-20 — a hash match proves the sketch+rescore pipeline exact at
+    this capacity (256 ≫ corpus vocabulary), and the guarantee that makes
+    that hold at 100 TB is documented on the operator."""
+    from emails_to_vector_db_spark.operators.heavyhitters import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(F.explode(TX.tokens("text")).alias("item"))
+    return heavy_hitters(terms, k=20, capacity=256).select(
+        F.col("item").alias("term"), "freq"
+    )

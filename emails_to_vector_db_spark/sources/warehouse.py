@@ -37,3 +37,18 @@ def write_bucketed(
 def bucketed_join_ready(spark: SparkSession, left: str, right: str, on: str):
     """Read two bucketed tables for an exchange-free join on ``on``."""
     return spark.table(left), spark.table(right), on
+
+
+def merge_upsert(
+    existing: DataFrame, updates: DataFrame, *, key: str
+) -> DataFrame:
+    """MERGE/upsert semantics without a table format: rows from
+    ``updates`` win on key collision (matched → update), unmatched
+    existing rows pass through, brand-new keys insert. Planned as one
+    anti join + union — at scale both inputs shuffle once on the key
+    (or zero times if both are bucketed by it via write_bucketed).
+    The CDC-apply step of a foreachBatch pipeline; pair with
+    EmbeddingStore.compact-style rewrite for the physical swap."""
+    return updates.unionByName(
+        existing.join(updates.select(key), key, "left_anti")
+    )
