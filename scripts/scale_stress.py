@@ -85,7 +85,20 @@ def main() -> None:
 
     bench = {n: s for n, s in REGISTRY.items() if s.bench}
     # plus the heavy non-bench operators worth stressing
-    for extra in ("ngram_jaccard_near_dups", "embedding_near_dups", "user_sessionization", "top3_orders_per_customer"):
+    for extra in (
+        "ngram_jaccard_near_dups",
+        "embedding_near_dups",
+        "user_sessionization",
+        "top3_orders_per_customer",
+        "heavy_hitter_terms",
+        "sequence_packing",
+        "pii_redaction",
+        "stratified_sample",
+        "per_group_reservoir",
+        "int8_quantized_knn",
+        "hybrid_rrf_topk",
+        "merge_upsert_customers",
+    ):
         bench[extra] = REGISTRY[extra]
     for name, spec in sorted(bench.items()):
         t0 = time.perf_counter()
