@@ -122,3 +122,37 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("mean_px", 6).alias("mean_px"),
     )
+
+
+@register(
+    "email_datasource_stats",
+    oracle=_EMAIL_ORACLE,  # same reference extraction — connector must agree
+    tags=("email", "datasource", "S3", "S4"),
+)
+def email_datasource_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME email pipeline as email_ingest_text_stats, but ingesting
+    through the Spark 4 Python DataSource connector
+    (sources/email_datasource.py) instead of landed parquet: 4 range
+    partitions generate their message slices executor-side, then parse →
+    explode/filter → re-concat → stats. Hash-matching the sequential
+    reference extraction proves the connector's partition-parallel scan
+    delivers the identical corpus."""
+    from emails_to_vector_db_spark.sources.email_datasource import (
+        EmailCorpusDataSource,
+    )
+    from emails_to_vector_db_spark.sources.emails import extract_plain_text
+    from emails_to_vector_db_spark.sources.fixtures import FIXTURE_EMAILS_N
+
+    spark.dataSource.register(EmailCorpusDataSource)
+    raw = (
+        spark.read.format("email_corpus")
+        .option("n", str(FIXTURE_EMAILS_N))
+        .option("numPartitions", "4")
+        .load()
+    )
+    texts = extract_plain_text(raw)
+    return texts.select(
+        "msg_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )

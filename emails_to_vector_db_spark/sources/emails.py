@@ -169,45 +169,56 @@ def fetch_imap_to_dataframe(
     return spark.createDataFrame(rows, RAW_EMAIL_SCHEMA)
 
 
+def synthetic_email_row(i: int) -> tuple[str, bytes]:
+    """One deterministic MIME fixture row (pure function of ``i`` — the
+    property that lets the Python DataSource connector generate any index
+    range independently on any executor). Kinds cycle: multipart
+    plain+html, plain singlepart, html-only (exercises the P5 empty
+    filter), two plain parts (order-preserving re-concat)."""
+    kind = i % 4
+    if kind == 0:  # multipart: plain + html
+        msg = EmailMessage()
+        msg["Subject"] = f"order update {i}"
+        msg.set_content(f"plain body {i}\nline two of {i}")
+        msg.add_alternative(
+            f"<html><body>html body {i}</body></html>", subtype="html"
+        )
+    elif kind == 1:  # plain singlepart
+        msg = EmailMessage()
+        msg["Subject"] = f"receipt {i}"
+        msg.set_content(f"receipt text {i} total {i * 10}$")
+    elif kind == 2:  # html only -> no plain text -> filtered out (P5)
+        msg = EmailMessage()
+        msg["Subject"] = f"promo {i}"
+        msg.add_alternative(
+            f"<html><body>promo only html {i}</body></html>",
+            subtype="html",
+        )
+    else:  # two plain parts (tests part-order preserving re-concat)
+        msg = EmailMessage()
+        msg.set_content(f"part one of {i}")
+        msg.add_attachment(
+            f"part two of {i}".encode(),
+            maintype="text",
+            subtype="plain",
+            filename=f"note{i}.txt",
+        )
+    if msg.is_multipart():
+        # stdlib generates a RANDOM multipart boundary per serialization;
+        # pin it so the row is a pure function of ``i`` at byte level
+        # (the DataSource connector and the parquet fixture must agree).
+        msg.set_boundary(f"==bnd-{i:04d}==")
+    return (f"m{i:04d}", msg.as_bytes())
+
+
+BROKEN_EMAIL_ROW = ("broken", b"\xff\xfe not an email at all")
+
+
 def synthetic_email_rows(n: int = 20) -> list[tuple[str, bytes]]:
     """Deterministic MIME fixture rows per FIXTURES.md §B (pure Python —
     no Spark session needed, so the same bytes can be landed as a parquet
-    fixture for the DuckDB oracle): multipart messages mixing text/plain +
-    text/html, an html-only message (exercises the P5 empty filter), a
-    plain singlepart, and a broken-bytes message."""
-    rows = []
-    for i in range(n):
-        kind = i % 4
-        if kind == 0:  # multipart: plain + html
-            msg = EmailMessage()
-            msg["Subject"] = f"order update {i}"
-            msg.set_content(f"plain body {i}\nline two of {i}")
-            msg.add_alternative(
-                f"<html><body>html body {i}</body></html>", subtype="html"
-            )
-        elif kind == 1:  # plain singlepart
-            msg = EmailMessage()
-            msg["Subject"] = f"receipt {i}"
-            msg.set_content(f"receipt text {i} total {i * 10}$")
-        elif kind == 2:  # html only -> no plain text -> filtered out (P5)
-            msg = EmailMessage()
-            msg["Subject"] = f"promo {i}"
-            msg.add_alternative(
-                f"<html><body>promo only html {i}</body></html>",
-                subtype="html",
-            )
-        else:  # two plain parts (tests part-order preserving re-concat)
-            msg = EmailMessage()
-            msg.set_content(f"part one of {i}")
-            msg.add_attachment(
-                f"part two of {i}".encode(),
-                maintype="text",
-                subtype="plain",
-                filename=f"note{i}.txt",
-            )
-        rows.append((f"m{i:04d}", msg.as_bytes()))
-    rows.append(("broken", b"\xff\xfe not an email at all"))
-    return rows
+    fixture for the DuckDB oracle), plus a broken-bytes message."""
+    return [synthetic_email_row(i) for i in range(n)] + [BROKEN_EMAIL_ROW]
 
 
 def synthetic_emails(spark: SparkSession, n: int = 20) -> DataFrame:

@@ -99,3 +99,31 @@ def test_products_csv_roundtrip(spark, tmp_path):
     assert rows[1].content.startswith("Widget, category: Tools - Hand")
     assert "price: 9.99$" in rows[1].content
     assert "A gadget, deluxe" in rows[2].content
+
+
+def test_email_datasource_connector(spark):
+    """The Python DataSource connector: partition-parallel scan, option
+    handling, and agreement with the createDataFrame fixture path."""
+    from emails_to_vector_db_spark.sources.email_datasource import (
+        EmailCorpusDataSource,
+    )
+    from emails_to_vector_db_spark.sources.emails import synthetic_email_rows
+
+    spark.dataSource.register(EmailCorpusDataSource)
+    raw = (
+        spark.read.format("email_corpus")
+        .option("n", "12")
+        .option("numPartitions", "3")
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == 3
+    got = {(r.msg_id, bytes(r.raw)) for r in raw.collect()}
+    assert got == set(synthetic_email_rows(12))
+
+    no_broken = (
+        spark.read.format("email_corpus")
+        .option("n", "8")
+        .option("includeBroken", "false")
+        .load()
+    )
+    assert no_broken.count() == 8
