@@ -477,3 +477,143 @@ def q21_suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q11 analogues over an EMULATED partsupp: the fixture has no partsupp
+# table, so one is derived deterministically from lineitem — the distinct
+# (partkey, suppkey) pairs that actually traded, with supplycost/availqty
+# as pure integer functions of the keys (identical expressions in both
+# engines, so the emulation is hash-checkable like any base table).
+# ---------------------------------------------------------------------------
+
+_PS_COST = "round(((l_partkey * 7 + l_suppkey * 13) % 10000) / 100.0, 2)"
+_PS_QTY = "((l_partkey * 31 + l_suppkey * 17) % 1000 + 1)"
+
+_PS_SQL = f"""
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           {_PS_COST} AS ps_supplycost,
+           {_PS_QTY}::INT AS ps_availqty
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+"""
+
+
+def _partsupp(spark, sf_dir) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    return li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        F.round(
+            ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 10000) / 100.0, 2
+        ).alias("ps_supplycost"),
+        ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 1000 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+    )
+
+
+_Q2_ORACLE = f"""
+WITH ps AS ({_PS_SQL}),
+eligible AS (
+    SELECT ps.ps_partkey, ps.ps_supplycost,
+           s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM ps
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+min_cost AS (
+    SELECT ps_partkey, min(ps_supplycost) AS mc
+    FROM eligible GROUP BY ps_partkey
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type, e.ps_supplycost
+FROM eligible e
+JOIN min_cost m ON m.ps_partkey = e.ps_partkey AND e.ps_supplycost = m.mc
+JOIN part p     ON p.p_partkey = e.ps_partkey
+WHERE p.p_size = 15 AND p.p_type = 'PROMO'
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE, tags=("join", "correlated", "partsupp"))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped: cheapest EUROPE supplier per PROMO/size-15 part — the
+    classic correlated-min subquery decorrelated into an aggregate
+    self-join (min_cost is tiny: one row per part, broadcast back)."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    )
+    eligible = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_supplycost", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    min_cost = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    return (
+        eligible.join(
+            F.broadcast(min_cost.withColumnRenamed("ps_partkey", "mc_partkey")),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("mc")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost"
+        )
+    )
+
+
+_Q11_ORACLE = f"""
+WITH ps AS ({_PS_SQL}),
+national AS (
+    SELECT ps.ps_partkey,
+           ps.ps_supplycost * ps.ps_availqty AS value
+    FROM ps
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+),
+per_part AS (
+    SELECT ps_partkey, sum(value) AS part_value FROM national GROUP BY ps_partkey
+),
+total AS (
+    SELECT sum(part_value) AS total_value FROM per_part
+)
+SELECT pp.ps_partkey, round(pp.part_value, 2) AS part_value
+FROM per_part pp CROSS JOIN total t
+WHERE pp.part_value > 0.001 * t.total_value
+"""
+
+
+@register("q11_important_stock", oracle=_Q11_ORACLE, tags=("agg", "scalar-subquery", "partsupp"))
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped: parts whose NATION_3 stock value exceeds a fraction of
+    the national total — the global-scalar-subquery shape: the total is a
+    1-row aggregate broadcast onto the per-part values (never a second
+    scan of the base data)."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    national = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"),
+        )
+    )
+    per_part = national.groupBy("ps_partkey").agg(
+        F.sum("value").alias("part_value")
+    )
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > 0.001 * F.col("total_value"))
+        .select("ps_partkey", F.round("part_value", 2).alias("part_value"))
+    )
