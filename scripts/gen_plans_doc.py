@@ -43,6 +43,31 @@ SHOWCASE = [
         "asof_last_click_before_purchase",
         "As-of join as one window pass: single shuffle on user_id.",
     ),
+    (
+        "q6_forecast_revenue",
+        "Pure pushdown: all three predicates in PushedFilters, 4-column "
+        "ReadSchema, one partial→final agg, zero joins.",
+    ),
+    (
+        "stratified_sample",
+        "Deterministic-hash sampling as one whole-stage-codegen'd "
+        "scan+filter — zero shuffle.",
+    ),
+    (
+        "sequence_packing",
+        "Per-source prefix-sum packing: exactly one Exchange (the stratum "
+        "key); the final agg reuses the window partitioning.",
+    ),
+    (
+        "bm25_topk",
+        "Term-pruned explode; df/corpus-stats broadcast; persisted tf "
+        "consumed by both branches (two corpus scans, not three).",
+    ),
+    (
+        "int8_quantized_knn",
+        "Global quantization scale as a broadcast 1-row agg; integer "
+        "distances; TakeOrderedAndProject top-k.",
+    ),
 ]
 
 
