@@ -208,3 +208,46 @@ def click_purchase_stream_join(
             """
         ),
     )
+
+
+def stream_merge_upsert(
+    updates_stream: DataFrame,
+    table_dir: str,
+    *,
+    key: str,
+    checkpoint: str,
+):
+    """CDC apply under streaming: each micro-batch of upserts merges into
+    a VERSIONED parquet table (``v{n}`` directories + a ``_LATEST``
+    pointer file) via the same merge_upsert used in batch. Versioning
+    makes the apply crash-safe — a failed batch never corrupts the
+    readable version, and checkpoint replay of batch n simply rewrites
+    v{n+1} from the same inputs (idempotent). Readers follow _LATEST."""
+    import os
+
+    from emails_to_vector_db_spark.sources.warehouse import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pointer = os.path.join(table_dir, "_LATEST")
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                cur = fh.read().strip()
+            existing = spark.read.parquet(os.path.join(table_dir, cur))
+            version = int(cur[1:]) + 1
+        else:
+            existing = spark.createDataFrame([], batch_df.schema)
+            version = 0
+        merged = merge_upsert(existing, batch_df, key=key)
+        new_dir = os.path.join(table_dir, f"v{version}")
+        merged.write.mode("overwrite").parquet(new_dir)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"v{version}")
+        os.replace(tmp, pointer)  # atomic pointer flip
+
+    return (
+        updates_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -86,3 +86,91 @@ def test_stopword_and_punct_ratios_bounded(spark):
         assert 0.0 <= r.sr <= 1.0
         assert 0.0 <= r.pr <= 1.0
         assert 0.0 <= r.q <= 1.0
+
+
+def test_pii_redaction_idempotent(spark):
+    """Redacting already-redacted text is a no-op: placeholders contain no
+    match for any PII pattern (200 random PII-laced docs, one job)."""
+    from emails_to_vector_db_spark.plans.cleaning import (
+        _RE_EMAIL,
+        _RE_PHONE,
+        _RE_SSN,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        bits = [rng.choice(_VOCAB) for _ in range(rng.randint(0, 8))]
+        if i % 2:
+            bits.append(f"u{rng.randint(0, 999)}@ex{rng.randint(0, 9)}.org")
+        if i % 3 == 0:
+            bits.append(f"{rng.randint(100, 999)}-{rng.randint(100, 999)}-{rng.randint(1000, 9999)}")
+        if i % 5 == 0:
+            bits.append(f"{rng.randint(100, 999)}-{rng.randint(10, 99)}-{rng.randint(1000, 9999)}")
+        rows.append((i, " ".join(bits)))
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    def redact(col):
+        return F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(col, _RE_EMAIL, "[EMAIL]"), _RE_SSN, "[SSN]"
+            ),
+            _RE_PHONE,
+            "[PHONE]",
+        )
+
+    once = df.select("id", redact(F.col("text")).alias("r1"))
+    twice = once.select("id", "r1", redact(F.col("r1")).alias("r2"))
+    bad = twice.where(F.col("r1") != F.col("r2")).count()
+    assert bad == 0
+
+
+def test_sequence_packing_budget_property(spark):
+    """Every pack except a stratum's last is within one document of the
+    budget: pack_tokens - last_doc_tokens < budget (greedy first-fit
+    invariant), and packs partition the corpus exactly."""
+    from emails_to_vector_db_spark.plans.cleaning import (
+        _PACK_BUDGET,
+        sequence_packing,
+    )
+    from emails_to_vector_db_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    packs = sequence_packing(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    total_docs = d.count()
+    assert sum(p.n_docs for p in packs) == total_docs
+    # exclusive-prefix-sum binning: a pack's pre-overflow content is < budget,
+    # so pack_tokens < budget + max_doc_tokens
+    max_doc = d.select(
+        F.max(F.size(F.split(F.trim("text"), r"\s+"))).alias("m")
+    ).first().m
+    for p in packs:
+        assert p.pack_tokens < _PACK_BUDGET + max_doc
+
+
+def test_stratified_sample_rates(spark):
+    """Observed per-stratum sampling rates track the configured rates
+    (binomial tolerance at fixture scale)."""
+    from emails_to_vector_db_spark.plans.cleaning import _RATES, stratified_sample
+    from emails_to_vector_db_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sampled = {
+        r.lang: r.n
+        for r in stratified_sample(spark, SF_ORACLE)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, rate in _RATES.items():
+        observed = sampled.get(lang, 0) / totals[lang]
+        # 100-bucket hash at n>=60 docs: allow generous binomial slack
+        assert abs(observed - rate / 100.0) < 0.2, (lang, observed, rate)

@@ -212,3 +212,44 @@ def test_dedup_within_watermark(spark):
     n_batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
     # fixture has unique event_ids: dedup must not drop anything
     assert n == n_batch
+
+
+def test_stream_merge_upsert_versioned(spark, tmp_path):
+    """foreachBatch CDC apply: three micro-batches of upserts merge into
+    the versioned table; the final state equals the sequential merge and
+    the version pointer survives each flip."""
+    import os
+
+    from emails_to_vector_db_spark.streaming.ingest import stream_merge_upsert
+
+    src = str(tmp_path / "updates")
+    os.makedirs(src)
+    batches = [
+        [(1, "a0"), (2, "b0")],
+        [(2, "b1"), (3, "c1")],
+        [(1, "a2"), (4, "d2")],
+    ]
+    # land each batch as one file -> maxFilesPerTrigger=1 = one micro-batch each
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.parquet(
+            f"{src}/b{i}", mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    table = str(tmp_path / "table")
+    q = stream_merge_upsert(
+        stream, table, key="k", checkpoint=str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    with open(os.path.join(table, "_LATEST")) as fh:
+        latest = fh.read()
+    final = {
+        r.k: r.v
+        for r in spark.read.parquet(os.path.join(table, latest)).collect()
+    }
+    # sequential expectation (later batches win) — file order is lexical b0,b1,b2
+    assert final == {1: "a2", 2: "b1", 3: "c1", 4: "d2"}
