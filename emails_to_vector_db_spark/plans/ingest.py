@@ -144,6 +144,8 @@ def email_datasource_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emails_to_vector_db_spark.sources.fixtures import FIXTURE_EMAILS_N
 
     spark.dataSource.register(EmailCorpusDataSource)
+    # the connector implements pushFilters; Spark requires opt-in
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     raw = (
         spark.read.format("email_corpus")
         .option("n", str(FIXTURE_EMAILS_N))

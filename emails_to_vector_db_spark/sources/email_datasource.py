@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
 )
 
 
@@ -44,23 +50,76 @@ class EmailCorpusReader(DataSourceReader):
         self.include_broken = (
             options.get("includeBroken", "true").lower() == "true"
         )
+        # pushdown state: generate only [lo, hi) of the m-id range
+        self.lo = 0
+        self.hi = self.n
+
+    def pushFilters(self, filters):
+        """Predicate pushdown on ``msg_id``: range/equality filters narrow
+        the generated index range at the SOURCE (the connector analogue
+        of a server-side search), instead of generating every message and
+        filtering in Spark. Ids are fixed-width (``m0007``), so lexical
+        string order equals numeric index order and each comparison maps
+        to an index bound. The special ``broken`` row sorts before every
+        m-id; each supported filter is also evaluated against it
+        directly. Unsupported filters are returned for Spark to apply."""
+        import operator as op
+
+        cmp = {
+            EqualTo: op.eq,
+            GreaterThan: op.gt,
+            GreaterThanOrEqual: op.ge,
+            LessThan: op.lt,
+            LessThanOrEqual: op.le,
+        }
+        for f in filters:
+            if isinstance(f, IsNotNull) and tuple(f.attribute) == ("msg_id",):
+                continue  # ids are never null — trivially satisfied
+            if type(f) in cmp and tuple(f.attribute) == ("msg_id",):
+                v = f.value
+                if isinstance(v, str) and (
+                    (v.startswith("m") and v[1:].isdigit()) or v <= "m"
+                ):
+                    # the broken row: evaluate the predicate on it directly
+                    self.include_broken = self.include_broken and cmp[type(f)](
+                        "broken", v
+                    )
+                    if v.startswith("m") and v[1:].isdigit():
+                        idx = int(v[1:])
+                        if isinstance(f, EqualTo):
+                            self.lo = max(self.lo, idx)
+                            self.hi = min(self.hi, idx + 1)
+                        elif isinstance(f, GreaterThan):
+                            self.lo = max(self.lo, idx + 1)
+                        elif isinstance(f, GreaterThanOrEqual):
+                            self.lo = max(self.lo, idx)
+                        elif isinstance(f, LessThan):
+                            self.hi = min(self.hi, idx)
+                        else:  # LessThanOrEqual
+                            self.hi = min(self.hi, idx + 1)
+                    else:
+                        # v sorts before every m-id ('broken', '', ...):
+                        # the comparison is uniform across all m-ids
+                        if not cmp[type(f)]("m0000", v):
+                            self.hi = self.lo  # empty m-range
+                    continue
+            yield f
 
     def partitions(self):
-        per = -(-self.n // self.num_partitions)  # ceil div
+        span = max(0, self.hi - self.lo)
+        per = max(1, -(-span // self.num_partitions))  # ceil div
         parts = []
         for p in range(self.num_partitions):
-            start, end = p * per, min((p + 1) * per, self.n)
-            if start >= end and not (
-                p == self.num_partitions - 1 and self.include_broken
-            ):
+            start = self.lo + p * per
+            end = min(start + per, self.hi)
+            last = p == self.num_partitions - 1
+            if start >= end and not (last and self.include_broken):
                 continue
             parts.append(
-                _IdRange(
-                    start,
-                    end,
-                    self.include_broken and p == self.num_partitions - 1,
-                )
+                _IdRange(start, max(start, end), last and self.include_broken)
             )
+        if not parts:  # fully pruned: one empty partition keeps Spark happy
+            parts.append(_IdRange(0, 0, False))
         return parts
 
     def read(self, partition: _IdRange):

@@ -127,3 +127,54 @@ def test_email_datasource_connector(spark):
         .load()
     )
     assert no_broken.count() == 8
+
+
+def test_email_datasource_filter_pushdown(spark):
+    """msg_id range predicates narrow the generated range at the source;
+    unsupported filters are left for Spark; results stay correct."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+        StringContains,
+    )
+
+    from emails_to_vector_db_spark.sources.email_datasource import (
+        EmailCorpusDataSource,
+        EmailCorpusReader,
+    )
+
+    # unit: bound narrowing + unsupported passthrough
+    r = EmailCorpusReader({"n": "40", "numPartitions": "4"})
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("msg_id",), "m0010"),
+                LessThan(("msg_id",), "m0020"),
+                IsNotNull(("msg_id",)),
+                StringContains(("raw",), "receipt"),
+            ]
+        )
+    )
+    assert (r.lo, r.hi) == (10, 20)
+    assert r.include_broken is False  # 'broken' < 'm0010'
+    assert len(leftover) == 1 and isinstance(leftover[0], StringContains)
+    total = sum(p.end - p.start for p in r.partitions())
+    assert total == 10
+
+    # equality on the broken row: m-range fully pruned, broken survives
+    r2 = EmailCorpusReader({"n": "40"})
+    assert list(r2.pushFilters([EqualTo(("msg_id",), "broken")])) == []
+    assert r2.hi == r2.lo and r2.include_broken is True
+
+    # end-to-end through the planner
+    spark.dataSource.register(EmailCorpusDataSource)
+    df = (
+        spark.read.format("email_corpus")
+        .option("n", "40")
+        .load()
+        .where("msg_id >= 'm0010' AND msg_id < 'm0020'")
+    )
+    ids = sorted(row.msg_id for row in df.select("msg_id").collect())
+    assert ids == [f"m{i:04d}" for i in range(10, 20)]
