@@ -58,3 +58,44 @@ def test_salted_groupby_matches_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_aqe_skew_join_fires(spark):
+    """The AQE skew-join claimed in README actually triggers: a 90%-skewed
+    key with thresholds lowered to fixture scale shows skew-split reads
+    in the final adaptive plan, and results stay correct."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.shuffle.partitions": "4",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), F.lit("dim").alias("v")
+        )
+        joined = left.join(right, "k").select("k")
+        # collect() executes THIS Dataset's QueryExecution, so the adaptive
+        # final plan (with skew splits) is inspectable on it afterwards
+        rows = joined.collect()
+        expected = left.where(F.col("k") < 50).count()
+        assert len(rows) == expected
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "isSkew=true" in final or "skewed" in final.lower(), final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
