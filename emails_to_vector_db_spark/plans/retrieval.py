@@ -244,3 +244,84 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_N)
         .select("doc_id", F.round("rrf_raw", 6).alias("rrf_score"))
     )
+
+
+_BUDGET = 120
+_CAND_K = 20
+
+_CONTEXT_BUDGET_ORACLE = f"""
+WITH probe AS (
+    SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = {_PROBE_ID}
+),
+ranked AS (
+    SELECT e.vec_id, d.text,
+           round(list_distance(e.embedding::DOUBLE[], p.q), 6) AS distance
+    FROM embeddings e
+    CROSS JOIN probe p
+    JOIN documents d ON d.doc_id = e.vec_id
+    WHERE e.vec_id <> {_PROBE_ID}
+    ORDER BY list_distance(e.embedding::DOUBLE[], p.q) ASC, e.vec_id ASC
+    LIMIT {_CAND_K}
+),
+budgeted AS (
+    SELECT vec_id, distance,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+           sum(len(regexp_split_to_array(trim(text), '\\s+')))
+               OVER (ORDER BY distance ASC, vec_id ASC
+                     ROWS UNBOUNDED PRECEDING) AS cum_tok
+    FROM ranked
+)
+SELECT vec_id, distance, n_tok::INT AS n_tok, cum_tok::BIGINT AS cum_tok
+FROM budgeted
+WHERE cum_tok - n_tok < {_BUDGET}
+"""
+
+
+@register(
+    "context_token_budget",
+    oracle=_CONTEXT_BUDGET_ORACLE,
+    tags=("retrieval", "rag", "window"),
+)
+def context_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted context assembly: KNN top-20 candidates in distance
+    order, admitted greedily while the running token total is under a
+    120-token budget (the last admitted document may straddle it) — the
+    production version of the reference's unbounded ``"\\n\\n".join``
+    (``rag.py:189``), which overflows the LLM context window as soon as
+    retrieved documents are long. The window runs over ≤20 rows, so the
+    global ordering is driver-trivial at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from emails_to_vector_db_spark.functions.vector import l2_distance
+
+    probe = F.broadcast(
+        emb.where(F.col("vec_id") == _PROBE_ID).select(
+            F.col("embedding").alias("q")
+        )
+    )
+    ranked = (
+        emb.where(F.col("vec_id") != _PROBE_ID)
+        .join(docs, F.col("vec_id") == F.col("doc_id"))
+        .crossJoin(probe)
+        .withColumn("dist_raw", l2_distance("embedding", "q"))
+        .orderBy(F.col("dist_raw").asc(), F.col("vec_id").asc())
+        .limit(_CAND_K)
+        .select(
+            "vec_id",
+            F.round("dist_raw", 6).alias("distance"),
+            F.size(TX.tokens("text")).alias("n_tok"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = ranked.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return budgeted.where(
+        (F.col("cum_tok") - F.col("n_tok")) < _BUDGET
+    ).select(
+        "vec_id",
+        "distance",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.col("cum_tok").cast("long").alias("cum_tok"),
+    )
