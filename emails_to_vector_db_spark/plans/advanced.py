@@ -397,3 +397,45 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+_APPROX_PCT_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2)  AS exact_p50,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS exact_p95,
+       TRUE AS approx_within_5pct
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "order_approx_percentiles",
+    oracle=_APPROX_PCT_ORACLE,
+    tags=("agg", "approx", "percentile"),
+)
+def order_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (percentile_approx / KLL-style) made
+    checkable the same way as segment_approx_distinct: the query emits
+    the EXACT interpolated percentiles plus a boolean asserting the
+    sketch lands within 5% relative error of them — the oracle computes
+    the exact values with TRUE, so a drifting sketch flips the boolean
+    and fails the hash. The sketch (not the exact form) is what runs at
+    100 TB: it merges map-side without holding the value set."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("_exact50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("_exact95"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("_a50"),
+        F.expr("percentile_approx(o_totalprice, 0.95, 10000)").alias("_a95"),
+    )
+    ok = (
+        (F.abs(F.col("_a50") - F.col("_exact50")) / F.col("_exact50") <= 0.05)
+        & (F.abs(F.col("_a95") - F.col("_exact95")) / F.col("_exact95") <= 0.05)
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round("_exact50", 2).alias("exact_p50"),
+        F.round("_exact95", 2).alias("exact_p95"),
+        ok.alias("approx_within_5pct"),
+    )
