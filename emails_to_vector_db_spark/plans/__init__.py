@@ -15,6 +15,7 @@ from emails_to_vector_db_spark.plans.registry import (  # noqa: F401
 # Import for registration side effects.
 from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     advanced,
+    analytics,
     chunking,
     cleaning,
     dedup,

@@ -1,0 +1,235 @@
+"""Behavioral analytics + aggregate-surface extensions: multi-step funnel
+conversion, argmax/argmin aggregates, and an Arrow-batched UDAF.
+
+None of these exist in the reference (its only aggregates are the two
+``len()`` progress counts at ``rag.py:43`` / ``email_fetching.py:59``);
+they round out the aggregation surface a warehouse user expects
+(SURVEY.md §2.4 "hash-agg … absent in reference" row and the §2.9 "UDAF
+… absent" row) over the driver's `events` / `orders` fixtures.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Multi-step funnel: view -> click -> purchase, strictly ordered per user.
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH base AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+    FROM events GROUP BY user_id
+),
+clicked AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN base b ON e.user_id = b.user_id
+    WHERE e.event_type = 'click' AND e.ts >= b.t1
+    GROUP BY e.user_id
+),
+purchased AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN clicked c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+    GROUP BY e.user_id
+),
+funnel AS (
+    SELECT b.user_id, b.t1, c.t2, p.t3
+    FROM base b
+    LEFT JOIN clicked c ON b.user_id = c.user_id
+    LEFT JOIN purchased p ON b.user_id = p.user_id
+)
+SELECT count(*) AS users_total,
+       count(t1) AS step_view,
+       count(t2) AS step_click,
+       count(t3) AS step_purchase,
+       round(count(t2) * 1.0 / count(t1), 4) AS view_to_click,
+       round(count(t3) * 1.0 / count(t2), 4) AS click_to_purchase
+FROM funnel
+"""
+
+
+@register(
+    "event_funnel_conversion",
+    oracle=_FUNNEL_ORACLE,
+    tags=("agg", "events", "funnel"),
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel (view, then click at/after the first view,
+    then purchase at/after that click) with per-step user counts and
+    conversion rates.
+
+    Scale shape: three aggregations and two joins, ALL keyed on user_id —
+    one hash-partitioning by user_id is reusable across every stage (on a
+    cluster, co-partitioned exchange reuse; with AQE the tiny step-2/3
+    sides auto-broadcast). No window over the full event stream and no
+    per-user event collection: state per user is one timestamp per step,
+    so a 100 TB event log reduces at scan speed.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    base = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    clicked = (
+        ev.where(F.col("event_type") == "click")
+        .join(base.where(F.col("t1").isNotNull()), "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    purchased = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicked, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    funnel = base.join(clicked, "user_id", "left").join(
+        purchased, "user_id", "left"
+    )
+    return funnel.agg(
+        F.count(F.lit(1)).alias("users_total"),
+        F.count("t1").alias("step_view"),
+        F.count("t2").alias("step_click"),
+        F.count("t3").alias("step_purchase"),
+        F.round(F.count("t2") / F.count("t1"), 4).alias("view_to_click"),
+        F.round(F.count("t3") / F.count("t2"), 4).alias("click_to_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# argmax / argmin aggregates (max_by / min_by) with deterministic ties.
+# --------------------------------------------------------------------------
+
+_ARGMAX_ORACLE = """
+WITH ranked AS (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC
+           ) AS rn_max,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC, o_orderkey ASC
+           ) AS rn_min
+    FROM orders
+)
+SELECT o_orderpriority,
+       max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS priciest_order,
+       max(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest_order,
+       round(max(o_totalprice), 2) AS max_price,
+       count(*) AS n_orders
+FROM ranked
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "priority_argmax_orders",
+    oracle=_ARGMAX_ORACLE,
+    tags=("agg", "argmax"),
+)
+def priority_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregates) with an explicit struct
+    tiebreaker: on equal price, max_by prefers the larger orderkey and
+    min_by the smaller, so the result is deterministic under ties (the
+    §7 "top-k ties" discipline applied to argmax). The oracle spells the
+    identical semantics with ranked windows.
+
+    Scale shape: max_by is a plain hash aggregate with map-side partials
+    (each partial keeps one (price, key) champion per group) — unlike the
+    oracle's window form, no per-group sort materializes. 5 groups, one
+    shuffle of 5×n_partitions champion rows.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "max_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+        ).alias("priciest_order"),
+        F.expr(
+            "min_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+        ).alias("cheapest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Arrow-batched UDAF (grouped-agg pandas_udf): geometric mean.
+# --------------------------------------------------------------------------
+
+
+def _geomean_udaf():
+    """Grouped-agg pandas UDAF: geometric mean via log-mean-exp (stable
+    for positive inputs). Arrow transfers the whole group's values in one
+    batch; numpy reduces them vectorized. Built lazily — ``pandas_udf``
+    DDL-string return types need a live session to parse, so creating it
+    at import time would order-couple module import to session startup.
+    """
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    return geomean
+
+
+_GEOMEAN_ORACLE = """
+SELECT o_orderpriority,
+       round(exp(avg(ln(o_totalprice))), 2) AS geomean_udaf,
+       round(exp(avg(ln(o_totalprice))), 2) AS geomean_native,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "priority_geomean_udaf",
+    oracle=_GEOMEAN_ORACLE,
+    tags=("agg", "udaf", "pandas"),
+)
+def priority_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF surface SURVEY.md §2.9 lists as absent in the reference:
+    a grouped-agg ``pandas_udf`` (Arrow-batched, usable in ``agg`` and
+    ``Window``) computing the per-priority geometric mean of order value,
+    emitted NEXT TO the algebraically identical built-in form
+    ``exp(avg(ln(x)))`` — the query itself cross-checks the UDAF against
+    the native expression, and the oracle checks both.
+
+    Scale note (why the twin column exists): grouped-agg pandas UDFs do
+    no partial aggregation — every raw value shuffles to its group's
+    executor. The built-in twin IS the map-side-combinable form, which is
+    what a 100 TB job should run; the UDAF is for aggregations with no
+    SQL-algebraic equivalent. Rounded to 2dp so numpy's pairwise log-sum
+    vs the oracle's sequential avg can't flip the hash.
+    """
+    o = _t(spark, sf_dir, "orders")
+    geomean = _geomean_udaf()
+    # Spark forbids mixing a grouped-agg pandas UDF with JVM aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT): two aggregations over the
+    # same 5-group key, joined back (broadcast-sized).
+    udaf_side = o.groupBy("o_orderpriority").agg(
+        F.round(geomean("o_totalprice"), 2).alias("geomean_udaf")
+    )
+    native_side = o.groupBy("o_orderpriority").agg(
+        F.round(F.exp(F.avg(F.ln("o_totalprice"))), 2).alias("geomean_native"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return udaf_side.join(native_side, "o_orderpriority").select(
+        "o_orderpriority", "geomean_udaf", "geomean_native", "n_orders"
+    )
