@@ -22,6 +22,7 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     events,
     ingest,
     pipeline,
+    reduction,
     relational,
     retrieval,
     stats,
