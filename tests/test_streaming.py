@@ -253,3 +253,81 @@ def test_stream_merge_upsert_versioned(spark, tmp_path):
     }
     # sequential expectation (later batches win) — file order is lexical b0,b1,b2
     assert final == {1: "a2", 2: "b1", 3: "c1", 4: "d2"}
+
+
+def test_tws_plan_construction(spark):
+    """transformWithStateInPandas (Spark 4 typed-state API): the logical
+    plan builds and carries the declared output schema without executing
+    (execution needs google.protobuf — gated below)."""
+    from emails_to_vector_db_spark.streaming.ingest import read_events_stream
+    from emails_to_vector_db_spark.streaming.tws import (
+        running_user_profiles_tws,
+    )
+
+    prof = running_user_profiles_tws(read_events_stream(spark, SF_SMOKE))
+    assert prof.isStreaming
+    assert [f.name for f in prof.schema.fields] == [
+        "user_id",
+        "n_events",
+        "n_types",
+        "total_value",
+    ]
+
+
+def test_tws_profiles_across_batches(spark, tmp_path):
+    """Full transformWithStateInPandas execution across 4 micro-batches:
+    final per-user profiles must equal the batch GROUP BY. Skips when the
+    container lacks google.protobuf (PySpark's TWS state-server protocol)."""
+    pytest.importorskip("google.protobuf")
+    from emails_to_vector_db_spark.streaming.tws import (
+        running_user_profiles_tws,
+    )
+
+    src = tmp_path / "ev_tws"
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.withColumn("part", F.pmod(F.xxhash64("event_id"), F.lit(4))).repartition(
+        4, "part"
+    ).drop("part").write.parquet(str(src))
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            running_user_profiles_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_profiles_t")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        final = (
+            spark.table("tws_profiles_t")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("n_types").alias("n_types"),
+                F.round(F.max("total_value"), 2).alias("total_value"),
+            )
+        )
+        expect = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        assert final.exceptAll(expect).count() == 0
+        assert expect.exceptAll(final).count() == 0
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
