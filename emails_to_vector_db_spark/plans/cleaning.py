@@ -297,3 +297,156 @@ def per_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= _RESERVOIR_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram overlap removal)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4
+_EVAL_SOURCES = ("src0", "src1")
+_EVAL_IN = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - {_DECON_N - 1}),
+               i -> array_to_string(t[i:i + {_DECON_N - 1}], ' ')
+           ))) AS s
+    FROM toks WHERE len(t) >= {_DECON_N}
+),
+eval_sh AS (
+    SELECT DISTINCT s, doc_id AS eval_doc FROM sh
+    WHERE source IN ({_EVAL_IN})
+),
+train_sh AS (
+    SELECT doc_id, source, s FROM sh WHERE source NOT IN ({_EVAL_IN})
+)
+SELECT t.doc_id, t.source,
+       count(DISTINCT e.eval_doc)::BIGINT AS n_eval_docs,
+       count(DISTINCT t.s)::BIGINT AS n_shared_shingles
+FROM train_sh t JOIN eval_sh e USING (s)
+GROUP BY t.doc_id, t.source
+"""
+
+
+@register(
+    "benchmark_decontamination",
+    oracle=_DECON_ORACLE,
+    tags=("text", "cleaning", "decontamination"),
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap detection — the decontamination pass every LLM
+    training pipeline runs before training: a training document is
+    contaminated if it shares any {n}-token shingle with the benchmark
+    ("eval") set; contaminated docs are reported with how many eval docs
+    and distinct shingles they hit (the removal itself is then an
+    anti-join on doc_id).
+
+    Scale shape: the eval set is tiny and FIXED relative to the corpus
+    (benchmarks are KBs; the corpus is 100 TB), so its distinct-shingle
+    set is broadcast — the corpus is scanned once, shingled in place, and
+    never shuffled; only per-doc hit counts aggregate. The same plan at
+    n=13 (industry default for token-level decontamination) is a
+    parameter change.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens("text")
+    sh = F.array_distinct(TX.shingles(tok, _DECON_N))
+    shingled = d.select(
+        "doc_id", "source", F.explode(sh).alias("s")
+    )
+    is_eval = F.col("source").isin(*_EVAL_SOURCES)
+    eval_sh = (
+        shingled.where(is_eval)
+        .select("s", F.col("doc_id").alias("eval_doc"))
+        .distinct()
+    )
+    train_sh = shingled.where(~is_eval)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+            F.countDistinct("s").alias("n_shared_shingles"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition filter (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+_REP_TOK_THRESHOLD = 0.6
+_REP_G2_THRESHOLD = 0.3
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents
+),
+m AS (
+    SELECT doc_id, source,
+           1 - len(list_distinct(t)) * 1.0 / len(t) AS tok_dup,
+           CASE WHEN len(t) >= 2 THEN
+               1 - len(list_distinct(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1]
+                   ))) * 1.0 / (len(t) - 1)
+           ELSE 0.0 END AS gram2_dup
+    FROM toks
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(*) FILTER (
+           tok_dup > {_REP_TOK_THRESHOLD} OR gram2_dup > {_REP_G2_THRESHOLD}
+       )::BIGINT AS n_flagged,
+       round(avg(tok_dup), 4) + 0.0 AS avg_tok_dup,
+       round(avg(gram2_dup), 4) + 0.0 AS avg_gram2_dup
+FROM m GROUP BY source
+"""
+
+
+@register(
+    "doc_repetition_filter",
+    oracle=_REPETITION_ORACLE,
+    tags=("text", "cleaning", "quality"),
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics (the Gopher/MassiveText-style
+    quality rules): duplicate-token fraction and duplicate-bigram
+    fraction per document, aggregated per source with flag counts at the
+    published-style thresholds. Pure column expressions over the token
+    array — zero shuffle until the tiny per-source aggregate; at 100 TB
+    this runs at scan speed alongside the other quality signals
+    (doc_quality_scores) in one pass."""
+    d = load_table(spark, sf_dir, "documents")
+    t = TX.tokens("text")
+    m = d.select(
+        "doc_id",
+        "source",
+        (
+            F.lit(1)
+            - F.size(F.array_distinct(t)) / F.size(t)
+        ).alias("tok_dup"),
+        F.when(
+            F.size(t) >= 2,
+            F.lit(1)
+            - F.size(F.array_distinct(TX.shingles(t, 2)))
+            / (F.size(t) - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("gram2_dup"),
+    )
+    flagged = (F.col("tok_dup") > _REP_TOK_THRESHOLD) | (
+        F.col("gram2_dup") > _REP_G2_THRESHOLD
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(flagged, 1)).alias("n_flagged"),
+        (F.round(F.avg("tok_dup"), 4) + F.lit(0.0)).alias("avg_tok_dup"),
+        (F.round(F.avg("gram2_dup"), 4) + F.lit(0.0)).alias("avg_gram2_dup"),
+    )
