@@ -27,12 +27,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find with path compression; returns
+    node -> minimum node id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     *,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_cutover_edges: int = 2_000_000,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the minimum node
     id of its component.
@@ -40,12 +63,34 @@ def connected_components(
     Returns (id, component) for each distinct endpoint. Raises if the
     fixpoint is not reached within ``max_iter`` rounds (a loud failure
     beats silently-wrong clusters).
+
+    Size-adaptive execution: the dup-pair edge list is orders of
+    magnitude smaller than the corpus that produced it (LSH has already
+    pruned the non-candidates — 100 TB of documents yields an edge list
+    in the millions, tens of MB). At or below ``driver_cutover_edges``
+    the transitive closure runs as a driver-side union-find with path
+    compression (one collect of the pruned edges; microseconds of CPU),
+    exactly the cutover a production graph pipeline applies before
+    reaching for iterative propagation. Above it, the distributed
+    min-label loop runs unchanged — each round a join-sized shuffle with
+    per-round lineage truncation. Set ``driver_cutover_edges=0`` to
+    force the distributed path (the tests do, so both paths stay
+    equivalence-checked).
     """
-    sym = edges.select(
+    raw = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    )
-    sym = sym.union(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()  # one materialization reused by count + collect/loop
+
+    if raw.count() <= driver_cutover_edges:
+        # Union-find is direction- and duplicate-insensitive, so the raw
+        # pruned edge list collects as-is: no symmetrize/distinct shuffle.
+        comp = _union_find([(r["src"], r["dst"]) for r in raw.collect()])
+        return edges.sparkSession.createDataFrame(
+            list(comp.items()), "id long, component long"
+        )
+
+    sym = raw.union(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     sym = sym.localCheckpoint()
 
