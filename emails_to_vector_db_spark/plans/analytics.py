@@ -233,3 +233,68 @@ def priority_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return udaf_side.join(native_side, "o_orderpriority").select(
         "o_orderpriority", "geomean_udaf", "geomean_native", "n_orders"
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): dense calendar spine + gap fill.
+# --------------------------------------------------------------------------
+
+_SPINE_ORACLE = """
+WITH RECURSIVE months AS (
+    SELECT date_trunc('month', min(o_orderdate)) AS m,
+           date_trunc('month', max(o_orderdate)) AS last_m
+    FROM orders
+    UNION ALL
+    SELECT m + INTERVAL 1 MONTH, last_m FROM months WHERE m < last_m
+),
+per AS (
+    SELECT date_trunc('month', o_orderdate) AS m,
+           count(*) AS n, round(sum(o_totalprice), 2) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT strftime(months.m, '%Y-%m') AS month,
+       coalesce(n, 0)::BIGINT AS n_orders,
+       coalesce(rev, 0.0) + 0.0 AS revenue
+FROM months LEFT JOIN per ON months.m = per.m
+"""
+
+
+@register(
+    "monthly_order_spine",
+    oracle=_SPINE_ORACLE,
+    tags=("sql", "recursive-cte", "calendar"),
+)
+def monthly_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense monthly calendar spine via Spark 4's ``WITH RECURSIVE``
+    (SQL:1999 recursion — new surface in Spark 4.x, absent in 3.x),
+    left-joined with per-month order counts so months with no orders
+    report zero instead of vanishing — the standard gap-fill every
+    reporting pipeline needs. DuckDB runs the identical recursive SQL.
+
+    Scale shape: the recursion generates the SPINE (one row per month —
+    dozens of rows regardless of corpus size), never touches fact data;
+    the fact side is one ordinary month-keyed aggregate. Recursion depth
+    = month span, far under Spark's recursion limit."""
+    from emails_to_vector_db_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE months AS (
+            SELECT date_trunc('MONTH', min(o_orderdate)) AS m,
+                   date_trunc('MONTH', max(o_orderdate)) AS last_m
+            FROM orders
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH, last_m FROM months WHERE m < last_m
+        ),
+        per AS (
+            SELECT date_trunc('MONTH', o_orderdate) AS m,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               coalesce(n, 0L) AS n_orders,
+               coalesce(rev, 0.0d) + 0.0d AS revenue
+        FROM months LEFT JOIN per ON months.m = per.m
+        """
+    )

@@ -98,3 +98,53 @@ def test_store_compaction_preserves_data(spark, tmp_path):
     after = sorted(r.id for r in store.read().select("id").collect())
     assert before == after == list(range(50))
     assert files_after < files_before
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime-filter evidence: with a selective filter on the build side
+    of a shuffle join, Catalyst injects a bloom_filter_agg on the build
+    side and a might_contain probe filter on the scan side — the probe
+    table is pre-pruned BEFORE the shuffle (at 100 TB this is the
+    difference between shuffling the full fact table and shuffling only
+    rows that can match). Result identity with the feature off is
+    asserted too."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        # fixture-scale thresholds so injection fires at sf0.001
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+
+    def run():
+        return li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("q"),
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = run()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        with_filter = j.collect()[0]
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        without = run().collect()[0]
+        assert (with_filter.n, with_filter.q) == (without.n, without.q)
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
