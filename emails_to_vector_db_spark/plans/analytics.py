@@ -64,6 +64,7 @@ FROM funnel
     "event_funnel_conversion",
     oracle=_FUNNEL_ORACLE,
     tags=("agg", "events", "funnel"),
+    bench=True,
 )
 def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered funnel (view, then click at/after the first view,

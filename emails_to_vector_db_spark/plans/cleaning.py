@@ -338,6 +338,7 @@ GROUP BY t.doc_id, t.source
     "benchmark_decontamination",
     oracle=_DECON_ORACLE,
     tags=("text", "cleaning", "decontamination"),
+    bench=True,
 )
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval overlap detection — the decontamination pass every LLM
@@ -352,9 +353,14 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is broadcast — the corpus is scanned once, shingled in place, and
     never shuffled; only per-doc hit counts aggregate. The same plan at
     n=13 (industry default for token-level decontamination) is a
-    parameter change.
+    parameter change. Shingling is an interpreted higher-order-function
+    stage, so the corpus is spread to full parallelism first (same rule
+    as MinHash — operators/dedup.py::spread; a no-op at real scale where
+    inputs arrive in thousands of splits).
     """
-    d = load_table(spark, sf_dir, "documents")
+    from emails_to_vector_db_spark.operators.dedup import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
     tok = TX.tokens("text")
     sh = F.array_distinct(TX.shingles(tok, _DECON_N))
     shingled = d.select(
@@ -367,12 +373,16 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     train_sh = shingled.where(~is_eval)
+    # size(collect_set) instead of two countDistinct: multi-countDistinct
+    # plans an Expand (doubling the candidate stream before the shuffle);
+    # the set-collect is single-pass and per-doc sets are bounded by the
+    # doc's own shingle count. Measured 4.2s -> 1.2s at sf0.1.
     return (
         train_sh.join(F.broadcast(eval_sh), "s")
         .groupBy("doc_id", "source")
         .agg(
-            F.countDistinct("eval_doc").alias("n_eval_docs"),
-            F.countDistinct("s").alias("n_shared_shingles"),
+            F.size(F.collect_set("eval_doc")).cast("long").alias("n_eval_docs"),
+            F.size(F.collect_set("s")).cast("long").alias("n_shared_shingles"),
         )
     )
 

@@ -73,6 +73,7 @@ FROM pd
     "embedding_jl_projection_pairs",
     oracle=_JL_ORACLE,
     tags=("vector", "reduction", "jl"),
+    bench=True,
 )
 def embedding_jl_projection_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64→16 (seeded Gaussian

@@ -68,6 +68,39 @@ SHOWCASE = [
         "Global quantization scale as a broadcast 1-row agg; integer "
         "distances; TakeOrderedAndProject top-k.",
     ),
+    (
+        "event_funnel_conversion",
+        "Three aggs + two joins all keyed on user_id: the partitioning is "
+        "established once and reused; AQE broadcasts the shrinking step "
+        "sides.",
+    ),
+    (
+        "benchmark_decontamination",
+        "Eval shingle set broadcast (benchmark ≪ corpus): the corpus "
+        "shingles in place and never shuffles; only per-doc hit counts "
+        "aggregate.",
+    ),
+    (
+        "embedding_jl_projection_pairs",
+        "JL projection as a zero-shuffle Arrow-batched matmul at scan "
+        "time (ArrowEvalPython stage); the pair join is the verification "
+        "harness.",
+    ),
+    (
+        "embedding_pca_topvar",
+        "Persisted-component projection: no training in the plan; scalar "
+        "centering offsets folded into the final single-row aggregate.",
+    ),
+    (
+        "monthly_order_spine",
+        "WITH RECURSIVE spine: recursion over month rows only (UnionLoop); "
+        "the fact table contributes one ordinary month-keyed aggregate.",
+    ),
+    (
+        "priority_argmax_orders",
+        "max_by/min_by as a plain partial→final hash aggregate — one "
+        "champion row per group per partition, no per-group sort.",
+    ),
 ]
 
 
