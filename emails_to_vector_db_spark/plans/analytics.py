@@ -299,3 +299,54 @@ def monthly_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN per ON months.m = per.m
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Linear-regression aggregates (regr_slope / regr_intercept / regr_r2).
+# --------------------------------------------------------------------------
+
+_REGR_X = "epoch_us(ts) / 86400000000.0 - 19723.0"
+
+_REGR_ORACLE = f"""
+SELECT event_type,
+       round(regr_slope(value, {_REGR_X}), 6) + 0.0 AS slope_per_day,
+       round(regr_intercept(value, {_REGR_X}), 4) + 0.0 AS intercept,
+       round(regr_r2(value, {_REGR_X}), 6) + 0.0 AS r2,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "event_value_regression",
+    oracle=_REGR_ORACLE,
+    tags=("agg", "regression", "events"),
+)
+def event_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time via the
+    SQL:2016 linear-regression aggregates (regr_slope / regr_intercept /
+    regr_r2) — per-entity model fitting as a plain aggregate, no ML
+    library. The x axis is days since the corpus epoch (computed from
+    the same integer microseconds in both engines, so x is bit-identical
+    and only the summation order differs — absorbed by the rounds).
+
+    Scale shape: regression aggregates are moment sums (Σx, Σy, Σxy,
+    Σx², Σy²) — map-side partials, one shuffle of five doubles per
+    group. Fitting a trend per entity over 100 TB of events costs the
+    same as a count."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(86400000000.0) - F.lit(19723.0)
+    return (
+        ev.select("event_type", F.col("value").alias("y"), x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            (F.round(F.expr("regr_slope(y, x)"), 6) + F.lit(0.0)).alias(
+                "slope_per_day"
+            ),
+            (F.round(F.expr("regr_intercept(y, x)"), 4) + F.lit(0.0)).alias(
+                "intercept"
+            ),
+            (F.round(F.expr("regr_r2(y, x)"), 6) + F.lit(0.0)).alias("r2"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
