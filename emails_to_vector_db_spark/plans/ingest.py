@@ -158,3 +158,39 @@ def email_datasource_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
     )
+
+
+_SPECTRAL_ORACLE = f"""
+SELECT media_id, n_samples, rate,
+       round(dominant_hz, 6) + 0.0 AS dominant_hz,
+       round(centroid_hz, 6) + 0.0 AS centroid_hz
+FROM read_parquet('{_FIXTURES["audio_spectral_ref"]}')
+"""
+
+
+@register(
+    "audio_spectral_stats",
+    oracle=_SPECTRAL_ORACLE,
+    tags=("multimodal", "audio", "dsp", "mapInPandas"),
+)
+def audio_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frequency-domain audio analysis through the driver contract:
+    WAV payloads decode inside mapInPandas, numpy rFFT per clip, dominant
+    frequency + spectral centroid emitted per clip — multimodal feature
+    extraction past byte/PCM stats into actual DSP. The oracle reads the
+    sequential (plain-loop) analysis of the same payloads from fixture
+    parquet, hash-checking the distributed path end to end. Clips are
+    independent: at 100 TB this partitions freely and shuffles nothing."""
+    from emails_to_vector_db_spark.sources.multimodal import (
+        extract_audio_spectral,
+    )
+
+    media = spark.read.parquet(_FIXTURES["media_raw"])
+    spec = extract_audio_spectral(media)
+    return spec.select(
+        "media_id",
+        "n_samples",
+        "rate",
+        (F.round("dominant_hz", 6) + F.lit(0.0)).alias("dominant_hz"),
+        (F.round("centroid_hz", 6) + F.lit(0.0)).alias("centroid_hz"),
+    )

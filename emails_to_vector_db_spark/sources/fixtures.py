@@ -55,6 +55,7 @@ def ensure_fixtures() -> dict[str, str]:
         "media_raw": os.path.join(d, "media_raw.parquet"),
         "media_features_ref": os.path.join(d, "media_features_ref.parquet"),
         "video_frames_ref": os.path.join(d, "video_frames_ref.parquet"),
+        "audio_spectral_ref": os.path.join(d, "audio_spectral_ref.parquet"),
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -151,5 +152,27 @@ def ensure_fixtures() -> dict[str, str]:
             }
         ),
         paths["video_frames_ref"],
+    )
+
+    from emails_to_vector_db_spark.sources.multimodal import audio_spectral
+
+    spec_rows = [
+        (r[0], *audio_spectral(r[3])) for r in media_rows if r[1] == "audio"
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array([s[0] for s in spec_rows], pa.int64()),
+                "n_samples": pa.array([s[1] for s in spec_rows], pa.int64()),
+                "rate": pa.array([s[2] for s in spec_rows], pa.int64()),
+                "dominant_hz": pa.array(
+                    [s[3] for s in spec_rows], pa.float64()
+                ),
+                "centroid_hz": pa.array(
+                    [s[4] for s in spec_rows], pa.float64()
+                ),
+            }
+        ),
+        paths["audio_spectral_ref"],
     )
     return paths

@@ -219,3 +219,51 @@ def test_video_demux_and_frame_stats(spark):
         for r in extract_video_frames(media, every_n=2).collect()
     }
     assert got == {0: (3, 2, 0.0), 2: (3, 2, 250.0)}
+
+
+def test_audio_spectral_ground_truth():
+    """A pure 440 Hz sine must produce the nearest rFFT bin (437.5 Hz at
+    1024 samples / 8 kHz) as the dominant frequency — ground truth, not
+    just differential agreement."""
+    import numpy as np
+
+    from emails_to_vector_db_spark.sources.multimodal import (
+        audio_spectral,
+        encode_wav,
+    )
+
+    t = np.arange(1024) / 8000.0
+    s = (10000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    n, rate, dom, cen = audio_spectral(encode_wav(s, 8000))
+    assert (n, rate) == (1024, 8000)
+    assert abs(dom - 437.5) < 1e-9
+    # centroid is pulled toward the tone but spectral leakage keeps it
+    # between the tone and mid-band
+    assert 300 < cen < 2500
+
+
+def test_audio_spectral_distributed_matches_sequential(spark):
+    from emails_to_vector_db_spark.sources.fixtures import ensure_fixtures
+    from emails_to_vector_db_spark.sources.multimodal import (
+        audio_spectral,
+        extract_audio_spectral,
+    )
+
+    paths = ensure_fixtures()
+    media = spark.read.parquet(paths["media_raw"])
+    got = {
+        r.media_id: (r.n_samples, r.rate, r.dominant_hz, r.centroid_hz)
+        for r in extract_audio_spectral(media).collect()
+    }
+    raw = spark.read.parquet(paths["media_raw"]).where(
+        "modality = 'audio'"
+    ).collect()
+    want = {
+        r.media_id: audio_spectral(bytes(r.payload)) for r in raw
+    }
+    assert set(got) == set(want)
+    for k in want:
+        n, rate, dom, cen = want[k]
+        assert got[k][0] == n and got[k][1] == rate
+        assert abs(got[k][2] - dom) < 1e-9
+        assert abs(got[k][3] - cen) < 1e-9
