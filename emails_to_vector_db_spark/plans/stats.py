@@ -176,3 +176,81 @@ def bpe_style_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_number_pieces"),
     )
+
+
+_PMI_FLOOR = 10
+
+_PMI_ORACLE = f"""
+WITH tok AS (
+    SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+uni AS (SELECT unnest(t) AS w FROM tok),
+uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w),
+n AS (SELECT count(*)::DOUBLE AS nt FROM uni),
+big AS (
+    SELECT unnest(list_transform(
+        generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1]
+    )) AS b
+    FROM tok
+),
+bc AS (SELECT b, count(*)::BIGINT AS cb FROM big GROUP BY b),
+m AS (SELECT count(*)::DOUBLE AS mt FROM big)
+SELECT bc.b AS bigram, bc.cb AS pair_count,
+       round(ln((bc.cb * n.nt * n.nt) / (m.mt * u1.c * u2.c)), 6) AS pmi
+FROM bc, m, n
+JOIN uc u1 ON string_split(bc.b, ' ')[1] = u1.w
+JOIN uc u2 ON string_split(bc.b, ' ')[2] = u2.w
+WHERE bc.cb >= {_PMI_FLOOR}
+ORDER BY bc.cb DESC, bc.b ASC
+LIMIT 30
+"""
+
+
+@register("token_pmi_top_pairs", oracle=_PMI_ORACLE, tags=("text", "pmi", "collocation"))
+def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation statistic a word2vec/phrase-mining prep stage computes:
+    PMI = ln(p(ab) / (p(a)p(b))) from corpus unigram/bigram counts, with
+    a count floor, top-30 collocations. Ordering is by INTEGER pair
+    count + bigram text (the same discipline as tfidf_idf_top30), never
+    by the float PMI, so rank can't flip on a ulp.
+
+    Scale shape: two corpus-scan aggregations (unigrams, bigrams) whose
+    outputs are vocabulary-sized — the unigram count table broadcasts to
+    the bigram side (vocab ≪ corpus always; if a giant vocab ever
+    overflows the broadcast threshold AQE falls back to a shuffle join
+    on the word key). The ln argument is a ratio of exact small-integer
+    products computed in the same association order in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_arr = d.select(TX.tokens("text").alias("t"))
+    uni = tok_arr.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nt = uni.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    big = tok_arr.select(F.explode(TX.shingles(F.col("t"), 2)).alias("b"))
+    bc = big.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    mt = big.agg(F.count(F.lit(1)).cast("double").alias("mt"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    parts = F.split(F.col("b"), " ")
+    return (
+        bc.where(F.col("cb") >= _PMI_FLOOR)
+        .withColumn("w1", parts[0])
+        .withColumn("w2", parts[1])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(mt))
+        .select(
+            F.col("b").alias("bigram"),
+            F.col("cb").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("cb") * F.col("nt") * F.col("nt"))
+                    / (F.col("mt") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pair_count").desc(), F.col("bigram").asc())
+        .limit(30)
+    )
