@@ -194,3 +194,57 @@ def audio_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("dominant_hz", 6) + F.lit(0.0)).alias("dominant_hz"),
         (F.round("centroid_hz", 6) + F.lit(0.0)).alias("centroid_hz"),
     )
+
+
+_FORMATS_ORACLE = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) + 0.0 AS total_value,
+       min(epoch_us(ts))::BIGINT AS first_us,
+       max(epoch_us(ts))::BIGINT AS last_us
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "json_source_stats",
+    oracle=_FORMATS_ORACLE,
+    tags=("source", "json", "S1"),
+)
+def json_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table through the JSON Lines reader (explicit schema,
+    FAILFAST) instead of parquet — the oracle aggregates the ORIGINAL
+    parquet rows, so a hash match proves the JSON scan is lossless
+    (types, timestamps, row set). Explicit schema because inference is a
+    full extra scan at 100 TB."""
+    from emails_to_vector_db_spark.sources.formats import read_events_json
+
+    ev = read_events_json(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("total_value"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+
+
+@register(
+    "orc_source_stats",
+    oracle=_FORMATS_ORACLE,  # same oracle: format must not change results
+    tags=("source", "orc", "S1"),
+)
+def orc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same aggregation through the ORC reader — identical results
+    from a second columnar format (ORC scans get the same pushdown
+    treatment as parquet). Avro is documented as unavailable (spark-avro
+    is a separate package not in this container)."""
+    from emails_to_vector_db_spark.sources.formats import read_events_orc
+
+    ev = read_events_orc(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("total_value"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
