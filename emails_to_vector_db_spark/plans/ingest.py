@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.plans.registry import register
 from emails_to_vector_db_spark.sources.fixtures import ensure_fixtures
+from emails_to_vector_db_spark.sources.tables import load_table
 
 _FIXTURES = ensure_fixtures()
 
@@ -247,4 +248,51 @@ def orc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("total_value"),
         F.min(F.unix_micros("ts")).alias("first_us"),
         F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+
+
+_FPRINT_ORACLE = """
+SELECT event_type,
+       count(*)::BIGINT AS n_rows,
+       bit_xor(('0x' || substr(md5(
+           event_id::VARCHAR || '|' || user_id::VARCHAR || '|' ||
+           event_type || '|' || epoch_us(ts)::VARCHAR
+       ), 1, 15))::BIGINT) AS fingerprint
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "events_table_fingerprint",
+    oracle=_FPRINT_ORACLE,
+    tags=("integrity", "fingerprint", "cdc"),
+)
+def events_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: XOR of a canonical per-row
+    hash, grouped by event_type — the anti-entropy check a CDC/replication
+    pipeline runs to verify a replica without moving data (compare one
+    row per partition key across systems; any dropped, duplicated, or
+    mutated row flips the XOR). bit_xor is associative/commutative and
+    cannot overflow, so it map-side combines and is partitioning-proof —
+    at 100 TB the check costs one scan and shuffles 8 bytes per group.
+    The row rendering sticks to integer/string columns (doubles format
+    differently across engines; hash-checked columns must have canonical
+    text forms)."""
+    ev = load_table(spark, sf_dir, "events")
+    row_txt = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.unix_micros("ts").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_txt), 1, 15), 16, 10).cast("long")
+    return (
+        ev.select("event_type", h.alias("h"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("fingerprint"),
+        )
     )
