@@ -460,3 +460,73 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg("tok_dup"), 4) + F.lit(0.0)).alias("avg_tok_dup"),
         (F.round(F.avg("gram2_dup"), 4) + F.lit(0.0)).alias("avg_gram2_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching (edit-distance pairs with blocking)
+# ---------------------------------------------------------------------------
+
+_FUZZY_LEV = 2
+
+_FUZZY_ORACLE = f"""
+WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
+SELECT a.p_brand,
+       a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS edit_dist
+FROM p a JOIN p b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= {_FUZZY_LEV}
+ AND levenshtein(a.p_name, b.p_name) <= {_FUZZY_LEV}
+"""
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    oracle=_FUZZY_ORACLE,
+    tags=("cleaning", "fuzzy", "entity-matching"),
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: near-identical part names (edit distance
+    ≤ 2) within a brand — the catalog-dedup / record-linkage operator.
+    Same blocking discipline as the n-gram Jaccard verifier: the
+    quadratic candidate space is bounded to a block (brand), a cheap
+    length-difference prefilter runs BEFORE the O(len²) levenshtein, and
+    the half-matrix condition (key_a < key_b) halves the pairs. At
+    100 TB blocks come from a blocking key with bounded cardinality per
+    value (brand, sorted-token fingerprint, phonetic bucket) — never the
+    whole corpus; the engine-level guard is the same max-block-size rule
+    documented for ngram_jaccard_pairs."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(
+                    F.length("a.p_name") - F.length("b.p_name")
+                )
+                <= _FUZZY_LEV
+            )
+            & (
+                F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+                <= _FUZZY_LEV
+            ),
+        )
+        .select(
+            F.col("a.p_brand").alias("p_brand"),
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+    )
