@@ -11,7 +11,7 @@ they round out the aggregation surface a warehouse user expects
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.plans.registry import register
@@ -71,35 +71,41 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     then purchase at/after that click) with per-step user counts and
     conversion rates.
 
-    Scale shape: three aggregations and two joins, ALL keyed on user_id —
-    one hash-partitioning by user_id is reusable across every stage (on a
-    cluster, co-partitioned exchange reuse; with AQE the tiny step-2/3
-    sides auto-broadcast). No window over the full event stream and no
-    per-user event collection: state per user is one timestamp per step,
-    so a 100 TB event log reduces at scan speed.
+    Plan shape (asserted in tests/test_plan_budget.py): exactly TWO
+    exchanges — one hash partitioning on user_id shared by all three
+    chained window passes AND the per-user fold (Catalyst plans
+    successive Windows + the final aggregate over the existing
+    partitioning without re-exchanging), then the single-partition
+    1-row summary. Per-user state is one timestamp per step, so a
+    100 TB event log reduces at scan speed; the join-per-step
+    formulation (the oracle\'s SQL shape) would shuffle the event
+    table once per step instead.
     """
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    base = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
     )
-    clicked = (
-        ev.where(F.col("event_type") == "click")
-        .join(base.where(F.col("t1").isNotNull()), "user_id")
-        .where(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    purchased = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(clicked, "user_id")
-        .where(F.col("ts") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    funnel = base.join(clicked, "user_id", "left").join(
-        purchased, "user_id", "left"
-    )
-    return funnel.agg(
+    return per_user.agg(
         F.count(F.lit(1)).alias("users_total"),
         F.count("t1").alias("step_view"),
         F.count("t2").alias("step_click"),

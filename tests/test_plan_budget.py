@@ -1,0 +1,73 @@
+"""Shuffle-budget regression guard: every headline (bench) query's
+physical plan must stay within its pinned number of shuffle exchanges.
+
+A silent extra Exchange is the way a 100 TB plan quietly rots — an
+accidental repartition, a broadcast that fell back to shuffle, a lost
+partitioning reuse. The budgets below are the CURRENT measured plan
+shapes at sf0.01 (AQE on, local mode); a regression fails loudly and
+the budget may only be raised with a reviewed reason. Broadcast
+exchanges are intentionally NOT budgeted (their cost model is
+size-driven and environment-dependent); shuffles are the scale killer.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from emails_to_vector_db_spark.plans import REGISTRY
+from tests.conftest import SF_ORACLE
+
+# name -> max shuffle exchanges (hash/range/single-partition)
+SHUFFLE_BUDGET = {
+    "asof_last_click_before_purchase": 1,
+    "benchmark_decontamination": 2,
+    "bm25_topk": 5,
+    "doc_token_stats": 1,
+    "embedding_jl_projection_pairs": 0,
+    "embedding_near_dups_lsh": 0,
+    "event_funnel_conversion": 2,
+    "exact_dedup_groups": 1,
+    "hash_embed_knn": 0,
+    "hourly_event_counts": 1,
+    "knn_join_multi_probe": 1,
+    "knn_topk_l2": 0,
+    "minhash_lsh_near_dups": 1,
+    "near_dup_components": 0,  # union-find path: no distributed closure
+    "q10_returned_item_customers": 1,
+    "q1_pricing_summary": 1,
+    "q21_suppliers_kept_orders_waiting": 3,
+    "q3_shipping_priority": 1,
+    "q5_local_supplier_volume": 1,
+    "q6_forecast_revenue": 1,
+    "q7_volume_shipping": 1,
+    "q9_product_type_profit": 1,
+    "simhash_near_dups": 1,
+    "sliding_window_counts": 1,
+    "tfidf_idf_top30": 2,
+}
+
+
+def _count_shuffles(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_budget(spark, name):
+    df = REGISTRY[name].fn(spark, SF_ORACLE)
+    got = _count_shuffles(df)
+    assert got <= SHUFFLE_BUDGET[name], (
+        f"{name}: plan now has {got} shuffle exchanges, budget is "
+        f"{SHUFFLE_BUDGET[name]} — an extra shuffle crept in"
+    )
+
+
+def test_budget_covers_all_bench_queries():
+    bench = {n for n, s in REGISTRY.items() if s.bench}
+    assert bench == set(SHUFFLE_BUDGET), (
+        "bench set and shuffle budgets diverged: "
+        f"missing={sorted(bench - set(SHUFFLE_BUDGET))} "
+        f"stale={sorted(set(SHUFFLE_BUDGET) - bench)}"
+    )
