@@ -52,3 +52,43 @@ def merge_upsert(
     return updates.unionByName(
         existing.join(updates.select(key), key, "left_anti")
     )
+
+
+def list_versions(table_dir: str) -> list[int]:
+    """Version numbers present in a versioned table directory (the
+    ``v{n}`` layout written by streaming/ingest.py::stream_merge_upsert),
+    ascending."""
+    import os
+    import re
+
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(table_dir)
+        if (m := re.fullmatch(r"v(\d+)", d)) and
+        os.path.isdir(os.path.join(table_dir, d))
+    )
+
+
+def read_versioned(spark: SparkSession, table_dir: str, version: int | None = None):
+    """Time-travel read of a versioned table: ``version=None`` follows
+    the ``_LATEST`` pointer (the live state); an explicit version reads
+    that historical snapshot. Old versions are immutable directories —
+    this is the poor-man's Delta/Iceberg time travel, and the reason the
+    CDC apply keeps superseded versions around until an explicit
+    retention sweep."""
+    import os
+
+    if version is None:
+        pointer = os.path.join(table_dir, "_LATEST")
+        with open(pointer) as fh:
+            sub = fh.read().strip()
+    else:
+        sub = f"v{version}"
+        if not os.path.isdir(os.path.join(table_dir, sub)):
+            raise FileNotFoundError(
+                f"version {version} not present in {table_dir}; "
+                f"available: {list_versions(table_dir)}"
+            )
+    return spark.read.parquet(os.path.join(table_dir, sub))

@@ -331,3 +331,50 @@ def test_tws_profiles_across_batches(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", old
             )
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    """Every intermediate CDC state stays readable: version n is the
+    merge of batches 0..n, _LATEST follows the newest, and a missing
+    version fails loudly with the available list."""
+    import os
+
+    import pytest as _pytest
+
+    from emails_to_vector_db_spark.sources.warehouse import (
+        list_versions,
+        read_versioned,
+    )
+    from emails_to_vector_db_spark.streaming.ingest import stream_merge_upsert
+
+    src = str(tmp_path / "updates")
+    os.makedirs(src)
+    batches = [
+        [(1, "a0"), (2, "b0")],
+        [(2, "b1"), (3, "c1")],
+        [(1, "a2"), (4, "d2")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.parquet(
+            f"{src}/b{i}", mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    table = str(tmp_path / "table")
+    q = stream_merge_upsert(
+        stream, table, key="k", checkpoint=str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    assert list_versions(table) == [0, 1, 2]
+    snap = lambda v: {r.k: r.v for r in read_versioned(spark, table, v).collect()}
+    assert snap(0) == {1: "a0", 2: "b0"}
+    assert snap(1) == {1: "a0", 2: "b1", 3: "c1"}
+    assert snap(2) == {1: "a2", 2: "b1", 3: "c1", 4: "d2"}
+    latest = {r.k: r.v for r in read_versioned(spark, table).collect()}
+    assert latest == snap(2)
+    with _pytest.raises(FileNotFoundError, match="available"):
+        read_versioned(spark, table, 99)
