@@ -181,3 +181,50 @@ def generate_with_llm(
         return payload["choices"][0]["message"]["content"]  # rag.py:120,163
     except Exception:
         return "LLM call failed."
+
+
+def mmr_rerank(
+    candidates: list[tuple],
+    *,
+    k: int,
+    lam: float = 0.7,
+) -> list[tuple]:
+    """Maximal Marginal Relevance diversity re-rank of a retrieved
+    candidate list: greedily pick argmax of
+    ``lam * relevance − (1 − lam) * max_cosine_to_already_selected``.
+
+    ``candidates`` is [(id, relevance, vector), ...] — the TOP-N output
+    of a KNN/ANN query, so this runs on the driver over tens of rows
+    (the same documented collect-at-the-API-edge as result transpose,
+    SURVEY.md P8). The selection is greedy-sequential by nature — the
+    one genuinely non-data-parallel step in the retrieval path, and at
+    k≈10 it is microseconds. Ties break on candidate order (highest
+    relevance first), so the output is deterministic."""
+    import numpy as np
+
+    if k <= 0 or not candidates:
+        return []
+    pool = sorted(candidates, key=lambda c: (-c[1], c[0]))
+    vecs = {c[0]: np.asarray(c[2], dtype=np.float64) for c in pool}
+    norms = {
+        i: float(np.linalg.norm(v)) or 1.0 for i, v in vecs.items()
+    }
+    selected: list[tuple] = []
+    rest = list(pool)
+    while rest and len(selected) < k:
+        best, best_score = None, None
+        for c in rest:
+            if selected:
+                sim = max(
+                    float(np.dot(vecs[c[0]], vecs[s[0]]))
+                    / (norms[c[0]] * norms[s[0]])
+                    for s in selected
+                )
+            else:
+                sim = 0.0
+            score = lam * c[1] - (1.0 - lam) * sim
+            if best_score is None or score > best_score:
+                best, best_score = c, score
+        selected.append(best)
+        rest.remove(best)
+    return selected

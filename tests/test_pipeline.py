@@ -178,3 +178,29 @@ def test_email_datasource_filter_pushdown(spark):
     )
     ids = sorted(row.msg_id for row in df.select("msg_id").collect())
     assert ids == [f"m{i:04d}" for i in range(10, 20)]
+
+
+def test_mmr_rerank_prefers_diversity():
+    """Two near-duplicate top candidates: pure relevance would keep
+    both; MMR must demote the duplicate in favor of a diverse third."""
+    from emails_to_vector_db_spark.pipeline.rag import mmr_rerank
+
+    cands = [
+        (1, 0.99, [1.0, 0.0, 0.0]),
+        (2, 0.98, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, 0.80, [0.0, 1.0, 0.0]),      # diverse
+    ]
+    out = mmr_rerank(cands, k=2, lam=0.5)
+    assert [c[0] for c in out] == [1, 3]
+    # with lam=1.0 MMR degenerates to pure relevance order
+    out_rel = mmr_rerank(cands, k=2, lam=1.0)
+    assert [c[0] for c in out_rel] == [1, 2]
+
+
+def test_mmr_rerank_edges():
+    from emails_to_vector_db_spark.pipeline.rag import mmr_rerank
+
+    assert mmr_rerank([], k=3) == []
+    one = [(7, 0.5, [1.0, 0.0])]
+    assert mmr_rerank(one, k=0) == []
+    assert [c[0] for c in mmr_rerank(one, k=5)] == [7]
