@@ -356,3 +356,120 @@ def event_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IQR outlier filter (per-group robust outlier detection)
+# --------------------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH q AS (
+    SELECT source,
+           quantile_cont(n_chars, 0.25) AS q1,
+           quantile_cont(n_chars, 0.75) AS q3
+    FROM documents GROUP BY source
+)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       round(any_value(q.q1), 4) AS q1,
+       round(any_value(q.q3), 4) AS q3,
+       count(*) FILTER (
+           d.n_chars < q.q1 - 1.5 * (q.q3 - q.q1)
+           OR d.n_chars > q.q3 + 1.5 * (q.q3 - q.q1)
+       )::BIGINT AS n_outliers
+FROM documents d JOIN q ON d.source = q.source
+GROUP BY d.source
+"""
+
+
+@register(
+    "doc_length_outliers",
+    oracle=_IQR_ORACLE,
+    tags=("stats", "quality", "outliers"),
+)
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust (IQR) outlier detection on document length —
+    the Tukey-fence quality rule: flag docs outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR]. Exact interpolated percentiles per
+    group (broadcast back to the fact side), so the fences are
+    deterministic and the oracle reproduces them bit-for-bit.
+
+    Scale shape: the quartile table is group-cardinality-sized
+    (broadcast); at 100 TB the exact per-group percentile becomes the
+    sketch (percentile_approx — its checkable form is
+    order_approx_percentiles); the fence join is unchanged."""
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    q = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    j = d.join(F.broadcast(q), "source")
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("n_chars") < F.col("q1") - 1.5 * iqr) | (
+        F.col("n_chars") > F.col("q3") + 1.5 * iqr
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.first("q1"), 4).alias("q1"),
+        F.round(F.first("q3"), 4).alias("q3"),
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gaps and islands: contiguous daily-activity streaks per user.
+# --------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+tagged AS (
+    SELECT user_id, d,
+           date_diff('day', DATE '2024-01-01', d)
+           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+    FROM days
+),
+islands AS (
+    SELECT user_id, island, count(*) AS len
+    FROM tagged GROUP BY user_id, island
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_streaks,
+       max(len)::BIGINT AS longest_streak_days,
+       sum(len)::BIGINT AS active_days
+FROM islands GROUP BY user_id
+"""
+
+
+@register(
+    "user_activity_streaks",
+    oracle=_STREAK_ORACLE,
+    tags=("events", "window", "gaps-islands"),
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous daily-activity streaks per user via
+    the classic day-index-minus-row-number island key — consecutive days
+    share an island id, any gap starts a new one. One shuffle on
+    user_id reused by the window and both aggregates.
+
+    (The alternative lag/cumsum formulation is user_sessionization's
+    shape; this is the arithmetic variant that needs no conditional.)"""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    tagged = days.withColumn(
+        "island",
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    islands = tagged.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak_days"),
+        F.sum("len").alias("active_days"),
+    )
