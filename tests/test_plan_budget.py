@@ -56,6 +56,11 @@ def _count_shuffles(df) -> int:
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
 def test_shuffle_budget(spark, name):
+    # Plans are budgeted in their canonical uncached shape: earlier tests
+    # in the shared session may have left persisted intermediates (e.g.
+    # bm25's tf), and an InMemoryTableScan swaps exchanges in or out of
+    # the executed plan.
+    spark.catalog.clearCache()
     df = REGISTRY[name].fn(spark, SF_ORACLE)
     got = _count_shuffles(df)
     assert got <= SHUFFLE_BUDGET[name], (
