@@ -530,3 +530,64 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("edit_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 100 AS bucket
+    FROM documents
+),
+labeled AS (
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+)
+SELECT split, lang, count(*)::BIGINT AS n_docs
+FROM labeled GROUP BY split, lang
+"""
+
+
+@register(
+    "dataset_split_assignment",
+    oracle=_SPLIT_ORACLE,
+    tags=("cleaning", "split", "sampling"),
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from a salted
+    md5 bucket of the document id — reproducible across engines, runs,
+    and (critically) corpus growth: a doc's split never changes when new
+    docs arrive, unlike randomSplit. The salt ('split:') decorrelates
+    this hash from every other md5-bucket use of doc_id (sampling,
+    reservoir) so the splits are independent of those decisions. Pure
+    scan-time expression, zero shuffle before the tiny count."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
