@@ -701,3 +701,95 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("id").alias("doc_id"), F.col("component").alias("component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining: positives from near-dups, deterministic negatives
+# ---------------------------------------------------------------------------
+
+_NEG_STRIDE = 7
+
+_CONTRASTIVE_ORACLE = f"""
+WITH docs AS ({_DOCS_NEAR_SQL}),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                    i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END) AS sh
+    FROM docs
+),
+m AS (
+    SELECT doc_id,
+           list_transform(sh, s -> md5(s)) AS m0,
+           list_transform(sh, s -> md5('1|' || s)) AS m1
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, {_minhash_sql_sig(2)} AS sig FROM m
+),
+bands AS (
+    SELECT doc_id, sig, b.band_idx,
+           md5(sig[b.band_idx * 2 + 1] || '|' || sig[b.band_idx * 2 + 2]) AS band_hash
+    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+pos AS (
+    SELECT id_a, id_b FROM cand
+    WHERE list_sum(list_transform(generate_series(1, 8),
+            i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1.0 ELSE 0.0 END)) / 8.0
+          >= 0.5
+),
+neg AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM docs a JOIN docs b ON b.doc_id = a.doc_id + {_NEG_STRIDE}
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pos p WHERE p.id_a = a.doc_id AND p.id_b = b.doc_id
+    )
+)
+SELECT id_a, id_b, 1::BIGINT AS label FROM pos
+UNION ALL
+SELECT id_a, id_b, 0::BIGINT AS label FROM neg
+"""
+
+
+@register(
+    "contrastive_pair_mining",
+    oracle=_CONTRASTIVE_ORACLE,
+    tags=("dedup", "contrastive", "training-data"),
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled pair mining for contrastive embedding training: positives
+    are the MinHash-LSH near-duplicate pairs (the same banded family as
+    minhash_lsh_near_dups), negatives are a deterministic id-stride pair
+    per document (b = a + {stride}, inner join keeps only existing
+    partners — no global ordering, no RNG) with an anti-join guard so an
+    accidental near-dup can never be labeled negative.
+
+    Scale shape: positives come from the banded bucket-join (never
+    all-pairs); the negative stride join is an ordinary equi-join on a
+    computed key; the anti-join guard is semi-join sized. This is the
+    data-prep stage for training the very embedding model the store
+    serves — the engine feeding its own index's training loop."""
+    from emails_to_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    pos = minhash_lsh_pairs(
+        docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    neg = (
+        a.join(b, F.col("id_b") == F.col("id_a") + _NEG_STRIDE)
+        .join(pos, ["id_a", "id_b"], "left_anti")
+    )
+    return pos.select(
+        "id_a", "id_b", F.lit(1).cast("long").alias("label")
+    ).unionByName(
+        neg.select("id_a", "id_b", F.lit(0).cast("long").alias("label"))
+    )
