@@ -188,6 +188,34 @@ def minhash_lsh_pairs(
     )
 
 
+def guard_block_sizes(
+    df: DataFrame, block_col: str, max_block_rows: int | None
+) -> None:
+    """Loud-failure guard for bounded-quadratic operators: if any block
+    exceeds ``max_block_rows``, raise with the offenders instead of
+    silently launching an O(block²) job (a skewed blocking key at 100 TB
+    turns 'bounded' quadratic into corpus-quadratic — the guard costs one
+    cheap count-per-key aggregate, trivial next to the join it guards).
+    ``None`` disables the check."""
+    if max_block_rows is None:
+        return
+    big = (
+        df.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_block_rows)
+        .orderBy(F.col("n").desc())
+        .limit(5)
+        .collect()
+    )
+    if big:
+        detail = ", ".join(f"{r[block_col]}={r['n']}" for r in big)
+        raise ValueError(
+            f"block(s) over max_block_rows={max_block_rows} for quadratic "
+            f"pairing on {block_col!r}: {detail}. Use an LSH candidate "
+            "stage (minhash/simhash banding) or a finer blocking key."
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -196,13 +224,16 @@ def ngram_jaccard_pairs(
     block_col: str = "source",
     shingle_n: int = 3,
     threshold: float = 0.3,
+    max_block_rows: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing a blocking key.
 
     Blocking bounds the quadratic pair space to within-block groups —
     at scale the block should be an LSH bucket (minhash_lsh_pairs) or a
-    cheap partition key like here.
+    cheap partition key like here. ``max_block_rows`` fails loudly if a
+    block would explode quadratically (guard_block_sizes).
     """
+    guard_block_sizes(df, block_col, max_block_rows)
     # NOT persisted, deliberately: the shingle arrays are large (~KBs/row);
     # A/B at 50k docs showed caching them costs more (serialize + double
     # shuffle read) than recomputing the narrow shingle pipeline per side.

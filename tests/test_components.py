@@ -72,3 +72,19 @@ def test_paths_agree_on_random_graph(spark):
     fast = _cc(spark, pairs)
     dist = _cc(spark, pairs, driver_cutover_edges=0)
     assert fast == dist
+
+
+def test_block_size_guard_fails_loudly(spark):
+    """An oversized block must raise with the offending keys, not launch
+    an accidental quadratic join."""
+    import pytest as _pytest
+
+    from emails_to_vector_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.range(50).selectExpr(
+        "id AS doc_id", "'one_block' AS source", "'a b c d' AS text"
+    )
+    with _pytest.raises(ValueError, match="one_block=50"):
+        ngram_jaccard_pairs(df, max_block_rows=10)
+    # disabled guard runs (and the tiny block is fine anyway)
+    assert ngram_jaccard_pairs(df, max_block_rows=None).count() >= 0
