@@ -559,6 +559,11 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
     ).unionByName(planted)
+    # Same loud guard as ngram_jaccard_pairs: a skewed label block would
+    # turn this verification baseline corpus-quadratic silently.
+    from emails_to_vector_db_spark.operators.dedup import guard_block_sizes
+
+    guard_block_sizes(base, "label", 50_000)
     a = base.select(
         F.col("label").alias("_lbl"),
         F.col("vec_id").alias("id_a"),
