@@ -53,19 +53,18 @@ class EmbeddingStore:
         if dedup and self.exists():
             existing = self.read().select(self.id_col)
             batch = batch.join(existing, self.id_col, "left_anti")
-        # Persist before counting: count() + write would otherwise execute
-        # the whole upstream pipeline twice — with a real model in the
-        # embedding pandas_udf that is double inference per append.
-        from pyspark import StorageLevel
+        # observe(): the row count rides the WRITE job itself — one job,
+        # no persist, and the embedding pandas_udf runs exactly once per
+        # append (the earlier persist+count+write form held the batch in
+        # executor memory and still ran two jobs). An all-duplicate batch
+        # appends a zero-row part file: harmless, and cheaper than a
+        # pre-count that would double-run a real model to find out.
+        from pyspark.sql import Observation
 
-        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            n = batch.count()
-            if n:
-                batch.write.mode("append").parquet(self.path)
-        finally:
-            batch.unpersist()
-        return n
+        obs = Observation()
+        batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
+        batch.write.mode("append").parquet(self.path)
+        return int(obs.get["n"])
 
     def compact(self, target_partitions: int | None = None) -> int:
         """Small-file compaction: incremental appends accumulate one file

@@ -473,3 +473,45 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak_days"),
         F.sum("len").alias("active_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Window-function breadth: cume_dist / nth_value / first-last over frames.
+# --------------------------------------------------------------------------
+
+_DIST_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       round(cume_dist() OVER w, 6) AS balance_cume_dist,
+       first_value(c_custkey) OVER w2 AS poorest_in_segment,
+       last_value(c_custkey) OVER w2 AS richest_in_segment,
+       nth_value(c_custkey, 2) OVER w2 AS runner_up_poorest
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+       w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register(
+    "customer_balance_distribution",
+    oracle=_DIST_ORACLE,
+    tags=("window", "cume-dist", "nth-value"),
+)
+def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window functions customer_balance_ranking doesn't cover:
+    cume_dist over the running frame, first/last/nth_value over the full
+    partition (explicit UNBOUNDED frame — last_value over the DEFAULT
+    frame is the classic silent bug: it returns the current row). Unique
+    (c_acctbal, c_custkey) ordering keeps ties deterministic. One
+    shuffle on the segment key shared by both window specs."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.cume_dist().over(w), 6).alias("balance_cume_dist"),
+        F.first("c_custkey").over(w2).alias("poorest_in_segment"),
+        F.last("c_custkey").over(w2).alias("richest_in_segment"),
+        F.nth_value("c_custkey", 2).over(w2).alias("runner_up_poorest"),
+    )

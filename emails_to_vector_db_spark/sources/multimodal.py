@@ -469,3 +469,45 @@ def extract_audio_spectral(media: DataFrame) -> DataFrame:
     return media.where(F.col("modality") == "audio").mapInPandas(
         run, SPECTRAL_SCHEMA
     )
+
+
+def extract_features_arrow(
+    media: DataFrame, *, dim: int = 16
+) -> DataFrame:
+    """The mapInPandas feature stage re-expressed on the LOWER-level
+    Arrow lane (``mapInArrow``): RecordBatches in, RecordBatches out —
+    no pandas materialization, so binary payloads avoid the
+    bytes→object-Series copy. Same results as extract_features
+    (asserted in tests); the pandas lane stays the default for
+    readability, this one exists for payload-heavy pipelines where the
+    extra copy is measurable."""
+    import pyarrow as pa
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            media_ids = batch.column("media_id").to_pylist()
+            modalities = batch.column("modality").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            feats = [
+                media_feature(m, bytes(p), dim) if p is not None else None
+                for m, p in zip(modalities, payloads)
+            ]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "media_id": pa.array(media_ids, pa.int64()),
+                    "modality": pa.array(modalities, pa.string()),
+                    "feature": pa.array(
+                        [
+                            [float(v) for v in f] if f is not None else None
+                            for f in feats
+                        ],
+                        pa.list_(pa.float32()),
+                    ),
+                    "n_bytes": pa.array(
+                        [len(bytes(p)) if p is not None else 0 for p in payloads],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    return media.mapInArrow(run, FEATURE_SCHEMA)

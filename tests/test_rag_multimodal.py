@@ -267,3 +267,26 @@ def test_audio_spectral_distributed_matches_sequential(spark):
         assert got[k][0] == n and got[k][1] == rate
         assert abs(got[k][2] - dom) < 1e-9
         assert abs(got[k][3] - cen) < 1e-9
+
+
+def test_arrow_lane_matches_pandas_lane(spark):
+    """mapInArrow and mapInPandas feature stages must be row-identical."""
+    from emails_to_vector_db_spark.sources.fixtures import (
+        FEATURE_DIM,
+        ensure_fixtures,
+    )
+    from emails_to_vector_db_spark.sources.multimodal import (
+        extract_features,
+        extract_features_arrow,
+    )
+
+    media = spark.read.parquet(ensure_fixtures()["media_raw"])
+    pd_rows = {
+        r.media_id: (r.modality, tuple(r.feature), r.n_bytes)
+        for r in extract_features(media, dim=FEATURE_DIM).collect()
+    }
+    ar_rows = {
+        r.media_id: (r.modality, tuple(r.feature), r.n_bytes)
+        for r in extract_features_arrow(media, dim=FEATURE_DIM).collect()
+    }
+    assert pd_rows == ar_rows
