@@ -451,31 +451,41 @@ def q21_suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataF
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    late = (
+    # Aggregate rewrite of the semi+anti formulation (the oracle keeps
+    # that shape): ONE lineitem scan instead of three. Per (order,
+    # supplier) count the lines and the late lines; per order the
+    # qualifying condition "sole late supplier on a multi-supplier
+    # order" becomes (exactly one supplier with n_late>0) AND (>1
+    # suppliers total); that supplier is credited with their n_late —
+    # matching the per-l1-row counting of the EXISTS form (a supplier
+    # with two late lines in one order counts twice). Group states are
+    # bounded by suppliers-per-order, so both aggregates map-side
+    # combine; the (order,supplier) rows entering the second shuffle are
+    # already line-count-collapsed.
+    late_flag = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    per_os = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.when(late_flag, 1)).alias("n_late"))
     )
-    l1 = late.alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    with_other = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.sum((F.col("n_late") > 0).cast("int")).alias("n_late_supps"),
+        F.count(F.lit(1)).alias("n_supps"),
+        F.max(F.when(F.col("n_late") > 0, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+        F.sum(F.when(F.col("n_late") > 0, F.col("n_late"))).alias("late_cnt"),
     )
-    sole_late = with_other.join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-        "left_anti",
+    sole_late = per_o.where(
+        (F.col("n_late_supps") == 1) & (F.col("n_supps") > 1)
     )
     s = _t(spark, sf_dir, "supplier")
     return (
-        sole_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        sole_late.join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_cnt").cast("long").alias("numwait"))
     )
 
 
