@@ -76,3 +76,27 @@ def test_budget_covers_all_bench_queries():
         f"missing={sorted(bench - set(SHUFFLE_BUDGET))} "
         f"stale={sorted(set(SHUFFLE_BUDGET) - bench)}"
     )
+
+
+# (table, query) -> max parquet scans of that table in the plan.
+SCAN_BUDGET = {
+    ("lineitem", "q21_suppliers_kept_orders_waiting"): 1,  # aggregate rewrite
+    ("documents", "bm25_topk"): 2,  # tf persisted: 2 scans, not 3
+    ("documents", "benchmark_decontamination"): 2,  # eval + train sides
+    ("events", "event_funnel_conversion"): 1,  # window chain, single scan
+}
+
+
+@pytest.mark.parametrize("table,name", sorted(SCAN_BUDGET))
+def test_scan_budget(spark, table, name):
+    """Multi-scan regressions (a branch re-reading the fact table) are
+    as costly as extra shuffles at 100 TB — pin the per-table scan count
+    of the plans whose whole point is scan reduction."""
+    spark.catalog.clearCache()
+    df = REGISTRY[name].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    got = len(re.findall(rf"Location: InMemoryFileIndex \[[^\]]*{table}\.parquet", plan))
+    assert got <= SCAN_BUDGET[(table, name)], (
+        f"{name}: {got} scans of {table}, budget "
+        f"{SCAN_BUDGET[(table, name)]}"
+    )
