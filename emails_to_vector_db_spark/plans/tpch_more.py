@@ -17,7 +17,7 @@ is the full SURVEY.md §2 A/J/W/SO rows at oracle-checked parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.plans.registry import register
@@ -369,15 +369,19 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     modern optimizer — as a decorrelated aggregate self-join)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        F.avg("l_quantity").alias("avg_qty")
+    # Filter-first windowization: the brand predicate keeps WHOLE parts,
+    # so the per-part average over the brand-filtered rows equals the
+    # correlated subquery's average — compute it as a window over the
+    # already-filtered join instead of aggregating ALL of lineitem by
+    # partkey and joining back. One lineitem scan, and the partkey
+    # shuffle carries only the brand's ~4% of rows instead of the full
+    # table (the decorrelated self-join form shuffles everything).
+    j = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    flt = j.withColumn("avg_qty", F.avg("l_quantity").over(w)).where(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
     )
-    j = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(avg_qty, li.l_partkey == F.col("a_partkey"))
-        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-    )
-    return j.agg(
+    return flt.agg(
         F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
     )
 
