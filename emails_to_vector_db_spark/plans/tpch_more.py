@@ -561,22 +561,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
     )
+    # Filter-first windowization (same rule as Q17): the part predicate
+    # keeps whole parts, so joining the filtered part list BEFORE the
+    # per-part min leaves the min unchanged while shrinking the window
+    # input ~25x — and the window replaces the aggregate self-join that
+    # re-derived the (distinct-over-lineitem) partsupp emulation twice.
     eligible = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("ps_partkey", "ps_supplycost", "s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    min_cost = eligible.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("mc")
-    )
-    return (
-        eligible.join(
-            F.broadcast(min_cost.withColumnRenamed("ps_partkey", "mc_partkey")),
-            (F.col("ps_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("mc")),
+        .select(
+            "ps_partkey", "ps_supplycost", "s_suppkey", "s_name",
+            "s_acctbal", "n_name", "p_partkey", "p_type",
         )
-        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eligible.withColumn("mc", F.min("ps_supplycost").over(w))
+        .where(F.col("ps_supplycost") == F.col("mc"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost"
         )
@@ -622,8 +625,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"),
         )
     )
-    per_part = national.groupBy("ps_partkey").agg(
-        F.sum("value").alias("part_value")
+    # persist the NARROW shared derivative (rule 10, docs/SCALE_NOTES):
+    # both the total branch and the filter consume per_part, and without
+    # the persist each branch re-derives the distinct-over-lineitem
+    # partsupp emulation from scratch.
+    per_part = (
+        national.groupBy("ps_partkey")
+        .agg(F.sum("value").alias("part_value"))
+        .persist()
     )
     total = per_part.agg(F.sum("part_value").alias("total_value"))
     return (
