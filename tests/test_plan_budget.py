@@ -84,6 +84,8 @@ SCAN_BUDGET = {
     ("documents", "bm25_topk"): 2,  # tf persisted: 2 scans, not 3
     ("documents", "benchmark_decontamination"): 2,  # eval + train sides
     ("events", "event_funnel_conversion"): 1,  # window chain, single scan
+    ("lineitem", "q17_small_quantity_revenue"): 1,  # filter-first window
+    ("lineitem", "q2_min_cost_supplier"): 1,  # partsupp derived once
 }
 
 
