@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    SimpleDataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -146,3 +147,44 @@ class EmailCorpusDataSource(DataSource):
 
     def reader(self, schema) -> EmailCorpusReader:
         return EmailCorpusReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "EmailCorpusStreamReader":
+        return EmailCorpusStreamReader(self.options)
+
+
+class EmailCorpusStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor of the connector (Spark 4 Python DataSource
+    streaming API): the mailbox grows monotonically, and each micro-batch
+    reads the message-id range [start, latest) — exactly how an
+    incremental IMAP poller advances its UIDNEXT watermark. Offsets are
+    {"idx": n}; ``readBetweenOffsets`` replays a committed range
+    deterministically for exactly-once recovery (the corpus is a pure
+    function of the index, like a server re-fetch by UID range).
+
+    ``batchSize`` caps how many messages one micro-batch admits —
+    bounded-batch ingestion, the streaming twin of the reference's
+    last-N slice (``email_fetching.py:33``)."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", "20"))
+        self.batch_size = max(1, int(options.get("batchSize", "8")))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def _rows(self, start: int, end: int) -> list:
+        from emails_to_vector_db_spark.sources.emails import (
+            synthetic_email_row,
+        )
+
+        # a LIST, not a generator: the prefetched batch is pickled into
+        # the offset log for deterministic replay
+        return [synthetic_email_row(i) for i in range(start, end)]
+
+    def read(self, start: dict):
+        lo = int(start["idx"])
+        hi = min(self.n, lo + self.batch_size)
+        return self._rows(lo, hi), {"idx": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["idx"]), int(end["idx"]))

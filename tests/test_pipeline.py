@@ -204,3 +204,56 @@ def test_mmr_rerank_edges():
     one = [(7, 0.5, [1.0, 0.0])]
     assert mmr_rerank(one, k=0) == []
     assert [c[0] for c in mmr_rerank(one, k=5)] == [7]
+
+
+def test_email_streaming_connector_matches_batch(spark):
+    """The Spark 4 Python DataSource STREAMING reader: incremental
+    message-id offsets over the same corpus must deliver exactly the
+    batch connector's rows, in multiple bounded micro-batches (the
+    streaming twin of the reference's last-N polling loop)."""
+    import time
+
+    from emails_to_vector_db_spark.sources.email_datasource import (
+        EmailCorpusDataSource,
+    )
+
+    try:
+        spark.dataSource.register(EmailCorpusDataSource)
+    except Exception:
+        pass  # already registered by an earlier test in this session
+    batch = (
+        spark.read.format("email_corpus")
+        .option("n", "20")
+        .option("includeBroken", "false")
+        .load()
+    )
+    stream = (
+        spark.readStream.format("email_corpus")
+        .option("n", "20")
+        .option("batchSize", "8")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("em_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("em_stream_t").count() >= 20:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {
+        r.msg_id: bytes(r.raw)
+        for r in spark.table("em_stream_t").collect()
+    }
+    want = {r.msg_id: bytes(r.raw) for r in batch.collect()}
+    assert got == want
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    assert n_batches >= 2, "expected multiple bounded micro-batches"

@@ -378,3 +378,55 @@ def test_versioned_table_time_travel(spark, tmp_path):
     assert latest == snap(2)
     with _pytest.raises(FileNotFoundError, match="available"):
         read_versioned(spark, table, 99)
+
+
+def test_stateful_profiles_on_rocksdb_state_store(spark, tmp_path):
+    """The RocksDB state store provider (what bounds streaming-state
+    memory at scale: state lives off-heap/on-disk per key range, not in
+    executor heap) must produce identical profiles to the default HDFS
+    provider for the applyInPandasWithState operator."""
+    from emails_to_vector_db_spark.streaming.stateful import (
+        running_user_profiles,
+    )
+
+    src = tmp_path / "ev_rocks"
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.withColumn("part", F.pmod(F.xxhash64("event_id"), F.lit(3))).repartition(
+        3, "part"
+    ).drop("part").write.parquet(str(src))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            running_user_profiles(stream)
+            .writeStream.format("memory")
+            .queryName("profiles_rocks_t")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        final = (
+            spark.table("profiles_rocks_t")
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+        )
+        expect = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        assert final.exceptAll(expect).count() == 0
+        assert expect.exceptAll(final).count() == 0
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
