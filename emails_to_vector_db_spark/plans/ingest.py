@@ -296,3 +296,56 @@ def events_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").alias("fingerprint"),
         )
     )
+
+
+@register(
+    "email_datasource_stream_stats",
+    oracle=_EMAIL_ORACLE,  # same reference extraction — stream must agree
+    tags=("email", "datasource", "streaming", "S3", "S4"),
+)
+def email_datasource_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The email pipeline ingesting through the connector's STREAMING
+    reader (SimpleDataSourceStreamReader, incremental msg_id offsets,
+    bounded micro-batches) — the full incremental-IMAP shape: poll,
+    advance the watermark, parse, extract. The bounded stream must
+    deliver exactly the corpus the batch connector scans, so the SAME
+    sequential-reference oracle hash-checks it."""
+    import time
+
+    from emails_to_vector_db_spark.sources.email_datasource import (
+        EmailCorpusDataSource,
+    )
+    from emails_to_vector_db_spark.sources.emails import extract_plain_text
+    from emails_to_vector_db_spark.sources.fixtures import FIXTURE_EMAILS_N
+
+    try:
+        spark.dataSource.register(EmailCorpusDataSource)
+    except Exception:
+        pass  # already registered in this session
+    name = "email_stream_stats_tbl"
+    raw = (
+        spark.readStream.format("email_corpus")
+        .option("n", str(FIXTURE_EMAILS_N))
+        .option("batchSize", "16")
+        .load()
+    )
+    q = (
+        raw.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if spark.table(name).count() >= FIXTURE_EMAILS_N:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    texts = extract_plain_text(spark.table(name))
+    return texts.select(
+        "msg_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )

@@ -168,22 +168,34 @@ class EmailCorpusStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.n = int(options.get("n", "20"))
         self.batch_size = max(1, int(options.get("batchSize", "8")))
+        self.include_broken = (
+            options.get("includeBroken", "true").lower() == "true"
+        )
 
     def initialOffset(self) -> dict:
         return {"idx": 0}
 
+    def _last_idx(self) -> int:
+        # index n is the broken-bytes message (same corpus as the batch
+        # reader with includeBroken)
+        return self.n + (1 if self.include_broken else 0)
+
     def _rows(self, start: int, end: int) -> list:
         from emails_to_vector_db_spark.sources.emails import (
+            BROKEN_EMAIL_ROW,
             synthetic_email_row,
         )
 
         # a LIST, not a generator: the prefetched batch is pickled into
         # the offset log for deterministic replay
-        return [synthetic_email_row(i) for i in range(start, end)]
+        return [
+            BROKEN_EMAIL_ROW if i == self.n else synthetic_email_row(i)
+            for i in range(start, end)
+        ]
 
     def read(self, start: dict):
         lo = int(start["idx"])
-        hi = min(self.n, lo + self.batch_size)
+        hi = min(self._last_idx(), lo + self.batch_size)
         return self._rows(lo, hi), {"idx": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -231,6 +231,7 @@ def test_email_streaming_connector_matches_batch(spark):
         spark.readStream.format("email_corpus")
         .option("n", "20")
         .option("batchSize", "8")
+        .option("includeBroken", "false")
         .load()
     )
     q = (
