@@ -92,3 +92,28 @@ def read_versioned(spark: SparkSession, table_dir: str, version: int | None = No
                 f"available: {list_versions(table_dir)}"
             )
     return spark.read.parquet(os.path.join(table_dir, sub))
+
+
+def vacuum_versions(table_dir: str, *, keep_last: int = 2) -> list[int]:
+    """Retention sweep for the versioned table: delete all but the newest
+    ``keep_last`` version directories (never the one _LATEST points to),
+    returning the versions removed. Old versions are immutable, so the
+    sweep is a plain directory delete — the time-travel window shrinks to
+    the retained set, exactly like Delta/Iceberg VACUUM."""
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(table_dir)
+    pointer = os.path.join(table_dir, "_LATEST")
+    current = None
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            current = int(fh.read().strip()[1:])
+    doomed = [
+        v for v in versions[:-keep_last] if v != current
+    ]
+    for v in doomed:
+        shutil.rmtree(os.path.join(table_dir, f"v{v}"))
+    return doomed

@@ -258,3 +258,23 @@ def test_email_streaming_connector_matches_batch(spark):
         [p for p in q.recentProgress if p["numInputRows"] > 0]
     )
     assert n_batches >= 2, "expected multiple bounded micro-batches"
+
+
+def test_store_schema_evolution_merge(spark, tmp_path):
+    """Appends that add a column must not break existing readers:
+    mergeSchema reconciles old and new part files (missing values null),
+    and the default read still sees the original columns — the parquet
+    schema-evolution contract a long-lived store depends on."""
+    path = str(tmp_path / "evolving_store")
+    spark.createDataFrame(
+        [(1, "a", [0.1, 0.2])], "id long, content string, embedding array<double>"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", [0.3, 0.4], "en")],
+        "id long, content string, embedding array<double>, lang string",
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "content", "embedding", "lang"}
+    rows = {r.id: r.lang for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}

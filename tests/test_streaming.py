@@ -430,3 +430,42 @@ def test_stateful_profiles_on_rocksdb_state_store(spark, tmp_path):
     finally:
         if old is not None:
             spark.conf.set(key, old)
+
+
+def test_vacuum_versions_retention(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from emails_to_vector_db_spark.sources.warehouse import (
+        list_versions,
+        read_versioned,
+        vacuum_versions,
+    )
+    from emails_to_vector_db_spark.streaming.ingest import stream_merge_upsert
+
+    src = str(tmp_path / "updates")
+    os.makedirs(src)
+    for i, rows in enumerate([[(1, "a0")], [(2, "b1")], [(3, "c2")]]):
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.parquet(
+            f"{src}/b{i}", mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    table = str(tmp_path / "table")
+    q = stream_merge_upsert(
+        stream, table, key="k", checkpoint=str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    assert list_versions(table) == [0, 1, 2]
+
+    removed = vacuum_versions(table, keep_last=2)
+    assert removed == [0]
+    assert list_versions(table) == [1, 2]
+    # latest still readable; vacuumed version fails loudly
+    assert read_versioned(spark, table).count() == 3
+    with _pytest.raises(FileNotFoundError):
+        read_versioned(spark, table, 0)
