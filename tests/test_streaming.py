@@ -469,3 +469,42 @@ def test_vacuum_versions_retention(spark, tmp_path):
     assert read_versioned(spark, table).count() == 3
     with _pytest.raises(FileNotFoundError):
         read_versioned(spark, table, 0)
+
+
+def test_streaming_observe_metrics_in_progress(spark, tmp_path):
+    """df.observe on a streaming query surfaces per-micro-batch custom
+    metrics in StreamingQueryProgress (observedMetrics) — the hook a
+    production ingest job uses for row-level SLO counters without a
+    second aggregation pass."""
+    import os
+
+    src = tmp_path / "ev_obs"
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.limit(200).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    observed = stream.observe(
+        "ingest_metrics",
+        F.count(F.lit(1)).alias("rows"),
+        F.count(F.when(F.col("value") > 0, 1)).alias("positive_rows"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    metrics = [
+        p["observedMetrics"]["ingest_metrics"]
+        for p in q.recentProgress
+        if "ingest_metrics" in p.get("observedMetrics", {})
+    ]
+    assert metrics, "no observed metrics in progress events"
+    total = sum(m["rows"] for m in metrics)
+    assert total == 200
+    assert all(0 <= m["positive_rows"] <= m["rows"] for m in metrics)
