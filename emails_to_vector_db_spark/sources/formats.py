@@ -40,14 +40,27 @@ def ensure_format_copies(sf_dir: str) -> dict[str, str]:
         "events_jsonl": os.path.join(d, "events.jsonl"),
         "events_orc": os.path.join(d, "events.orc"),
     }
-    if all(os.path.exists(p) for p in paths.values()):
+    src = os.path.join(sf_dir, "events.parquet")
+    # Staleness guard: the driver may regenerate the fixture between
+    # rounds — a copy older than its source is rewritten, not trusted.
+    src_mtime = os.path.getmtime(src)
+    if all(
+        os.path.exists(p) and os.path.getmtime(p) >= src_mtime
+        for p in paths.values()
+    ):
         return paths
     os.makedirs(d, exist_ok=True)
 
-    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    # nanos → micros as plain int64 (the copies carry epoch_us, the
-    # readers rebuild TimestampType — identical to load_table's handling)
-    ts_us = [v // 1000 for v in tbl["ts"].cast("int64").to_pylist()]
+    tbl = pq.read_table(src)
+    # → micros as plain int64 (the copies carry epoch_us, the readers
+    # rebuild TimestampType — identical to load_table's handling).
+    # Fixture generations store ts as either INT64 epoch-nanos or a real
+    # timestamp type; normalize from whichever the file has.
+    ts_col = tbl["ts"]
+    if pa.types.is_timestamp(ts_col.type):
+        ts_us = ts_col.cast(pa.timestamp("us")).cast("int64").to_pylist()
+    else:
+        ts_us = [v // 1000 for v in ts_col.cast("int64").to_pylist()]
     cols = {
         "event_id": tbl["event_id"].to_pylist(),
         "ts_us": ts_us,

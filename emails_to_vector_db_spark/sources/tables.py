@@ -36,15 +36,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalized to a microsecond TimestampType (same truncation DuckDB
     applies, so oracle comparisons line up exactly)."""
     if name == "events":
-        # The fixture stores ts as INT64 TIMESTAMP(NANOS); Spark reads it
-        # only as a long under this conf (session-settable, so it also
-        # works when the caller owns the SparkSession).
+        # Fixture generations have stored ts as INT64 TIMESTAMP(NANOS)
+        # (readable only as a long under this conf) or as naive
+        # timestamp[us] (read as TIMESTAMP_NTZ). Normalize both to a
+        # session-TZ TimestampType; the machine/session TZ is UTC, so the
+        # NTZ→TZ cast is value-preserving and epoch extraction agrees
+        # with DuckDB's naive-timestamp arithmetic.
         spark.conf.set(NANOS_AS_LONG, "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes)["ts"] == "bigint":
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
             # integer division: `/` is double division and can round the
             # last microsecond (1.7e18 ns exceeds double's exact range)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

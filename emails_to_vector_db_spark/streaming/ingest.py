@@ -30,20 +30,32 @@ def read_events_stream(
     """File-source stream with the events schema. The fixture's nanosecond
     timestamp is normalized exactly as the batch loader does, so streaming
     results line up with the batch oracles."""
-    # Prime the nanosAsLong conf (and schema handling) via the batch loader.
+    # Prime the nanosAsLong conf (and schema handling) via the batch
+    # loader, then mirror the RAW file type for the stream schema —
+    # fixture generations vary between INT64 TIMESTAMP(NANOS) (read as
+    # bigint under the conf) and naive timestamp[us] (TIMESTAMP_NTZ).
     load_table(spark, sf_dir, "events")
+    raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    raw_ts = dict(raw.dtypes)["ts"]
+    if raw_ts == "bigint":
+        conv = F.timestamp_micros(F.expr("ts div 1000"))
+    elif raw_ts == "timestamp_ntz":
+        conv = F.col("ts").cast("timestamp")
+    else:
+        conv = F.col("ts").cast("timestamp")
+        raw_ts = "timestamp"
     # The file stream source requires a DIRECTORY; select just the events
     # file out of the fixture dir with a glob filter.
     stream = (
         spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string,"
-            " value double, props string"
+            f"event_id bigint, ts {raw_ts}, user_id bigint,"
+            " event_type string, value double, props string"
         )
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", conv)
 
 
 def tumbling_counts(
