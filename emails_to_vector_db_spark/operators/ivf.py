@@ -25,6 +25,24 @@ from pyspark.sql import functions as F
 from emails_to_vector_db_spark.functions.vector import distance, vector_lit
 
 
+def n_centroids_for(
+    n_rows: int, *, target_list_size: int = 128, lo: int = 16, hi: int = 65536
+) -> int:
+    """Coarse-quantizer size from an inverted-list budget: enough lists
+    that the EXPECTED list holds ~target_list_size vectors. A fixed list
+    count is the scale bug this avoids — with 16 lists forever, each
+    list (and the nprobe rerank work) grows linearly with the corpus;
+    k = ceil(n/target) keeps per-list rerank cost flat. lo matches the
+    fixture-scale index; hi bounds the centroid table the probe
+    assignment cross-joins against (65536 × 64 dims × 8B = 32 MB —
+    still broadcastable)."""
+    import math
+
+    if n_rows <= lo * target_list_size:
+        return lo
+    return min(hi, max(lo, math.ceil(n_rows / target_list_size)))
+
+
 def train_centroids(
     base: DataFrame,
     *,

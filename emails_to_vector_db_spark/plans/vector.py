@@ -53,19 +53,25 @@ def knn_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the products⋈embeddings join the reference denormalizes away
     (``rag.py:48``) restored as a real join (J1).
 
-    Plan shape: probe row broadcast; join to documents BEFORE the top-k
-    (matching the oracle, which also joins before LIMIT — so an embedding
-    without a documents row can neither shrink the result below K nor
-    diverge from the oracle); distance map-side; TakeOrderedAndProject for
-    the top-k. The doc join is left to Catalyst/AQE: auto-broadcast at
-    small scale, sort-merge on the co-partitionable id key at 100 TB
-    (documents is corpus-sized — never force-broadcast it).
+    Plan shape: probe row broadcast; a LEFT-SEMI prefilter against the
+    pruned ``documents(doc_id)`` column keeps the oracle contract (an
+    embedding without a documents row is not a candidate, so the result
+    can never shrink below K nor diverge from the oracle, which joins
+    before LIMIT) WITHOUT dragging document text through the scan; then
+    distance map-side and TakeOrderedAndProject for the top-k; finally
+    the K-row result broadcast-joins document text. At 100 TB the wide
+    corpus-sized text column is touched only by the final K-row
+    broadcast join — never shuffled, never sorted.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return (
+    docs = load_table(spark, sf_dir, "documents")
+    topk = (
         emb.where(F.col("vec_id") != PROBE_ID)
-        .join(docs, F.col("vec_id") == F.col("doc_id"))
+        .join(
+            docs.select("doc_id"),
+            F.col("vec_id") == F.col("doc_id"),
+            "left_semi",
+        )
         .crossJoin(
             F.broadcast(
                 emb.where(F.col("vec_id") == PROBE_ID).select(
@@ -76,6 +82,11 @@ def knn_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist_raw", l2_distance("embedding", "q"))
         .orderBy(F.col("dist_raw").asc(), F.col("vec_id").asc())
         .limit(K)
+        .select("vec_id", "dist_raw")
+    )
+    return (
+        F.broadcast(topk)
+        .join(docs.select("doc_id", "text"), F.col("vec_id") == F.col("doc_id"))
         .select(
             "vec_id",
             F.col("text").alias("content"),
@@ -182,22 +193,43 @@ def knn_join_multi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_planes() -> list[list[float]]:
-    """The ann_lsh_topk index: 6 fixed hyperplanes over the 64-dim fixture
-    embeddings, rounded to 6dp so the SAME values are embedded as literals
-    in both the Spark plan and the DuckDB oracle SQL."""
+_ANN_TARGET_BUCKET = 64
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def _embeddings_rows(sf_dir: str) -> int:
+    """Corpus row count from parquet FOOTER metadata only — no data read,
+    no Spark job; this is what index sizing keys off at plan time."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    ).metadata.num_rows
+
+
+def _ann_planes(n_rows: int) -> list[list[float]]:
+    """The ann_lsh_topk index: SELF-TUNED hyperplane count — planes =
+    n_planes_for(corpus rows, bucket budget 64), so expected bucket
+    occupancy stays ~flat as the corpus grows (4 planes at the 500-row
+    sf0.01 fixture, 5 at sf0.1's 2000 rows, 24 at 10^9). Values rounded
+    to 6dp so the SAME literals are embedded in both the Spark plan and
+    the DuckDB oracle SQL."""
     from emails_to_vector_db_spark.operators.similarity import (
+        n_planes_for,
         random_hyperplanes,
     )
 
-    return random_hyperplanes(dim=64, n_planes=6, seed=42)
+    n_planes = n_planes_for(
+        n_rows, target_bucket_size=_ANN_TARGET_BUCKET, lo=4
+    )
+    return random_hyperplanes(dim=64, n_planes=n_planes, seed=42)
 
 
 def _ann_lsh_oracle() -> str:
     """The full LSH search — sign-bit bucketing with literal hyperplanes,
     Hamming-1 multiprobe, per-probe cosine top-k — spelled in ANSI SQL
     (same construction proven for the dedup oracles at plans/dedup.py)."""
-    planes = _ann_planes()
+    planes = _ann_planes(_embeddings_rows(_ORACLE_SF_DIR))
     bits = " + ".join(
         f"(CASE WHEN list_dot_product(v, {p}::DOUBLE[]) > 0 THEN {2**i} ELSE 0 END)"
         for i, p in enumerate(planes)
@@ -245,10 +277,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate KNN join via random-hyperplane LSH with Hamming-1
     multiprobe (operators/similarity.py) — the scale path the reference
     never built (pgvector with no index, ``rag.py:77-82``). Deterministic:
-    fixed literal planes (the prebuilt index — no job at plan time), fixed
-    tiebreaks; the DuckDB oracle replays the identical bucketing with the
-    same plane literals, so the whole approximate search is hash-checked,
-    not just row-counted. Recall vs exact is asserted separately in
+    literal planes (the prebuilt index — no Spark job at plan time; the
+    plane COUNT self-tunes to the corpus row count from parquet footer
+    metadata via n_planes_for, keeping expected bucket occupancy ~flat
+    at any scale), fixed tiebreaks; the DuckDB oracle replays the
+    identical bucketing with the same plane literals, so the whole
+    approximate search is hash-checked, not just row-counted. Recall vs
+    exact and the occupancy budget are asserted in
     tests/test_similarity.py."""
     from emails_to_vector_db_spark.operators.similarity import ann_lsh_join
 
@@ -256,7 +291,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    res = ann_lsh_join(probes, emb, k=K, planes=_ann_planes(), metric="cosine")
+    res = ann_lsh_join(
+        probes,
+        emb,
+        k=K,
+        planes=_ann_planes(_embeddings_rows(sf_dir)),
+        metric="cosine",
+    )
     return res.select(
         "probe_id",
         "vec_id",
@@ -264,23 +305,32 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_K = 16
 _IVF_NPROBE = 4
 _IVF_SEED = 42
 _IVF_SAMPLE = "/root/testdata/sf0.001/embeddings.parquet"
 
 
-def _ivf_index_path() -> str:
+def _ivf_k(n_rows: int) -> int:
+    """SELF-TUNED quantizer size: k = n_centroids_for(corpus rows) keeps
+    the expected inverted-list length ~flat as the corpus grows (16 lists
+    at the 500-row fixture; ~n/128 beyond). Keyed into the index artifact
+    path, so each corpus size loads/trains its own persisted quantizer."""
+    from emails_to_vector_db_spark.operators.ivf import n_centroids_for
+
+    return n_centroids_for(n_rows)
+
+
+def _ivf_index_path(k: int) -> str:
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     return os.path.join(
         root, "spark-warehouse", "ivf_index",
-        f"embeddings_k{_IVF_K}_seed{_IVF_SEED}.json",
+        f"embeddings_k{k}_seed{_IVF_SEED}.json",
     )
 
 
-def _ivf_centroids() -> list[list[float]]:
+def _ivf_centroids(k: int) -> list[list[float]]:
     """The persisted IVF quantizer: loaded from the warehouse index
     artifact; (re)built once from the fixed training sample (the sf0.001
     embeddings slice, read via pyarrow — no Spark session, no jobs) with
@@ -293,7 +343,7 @@ def _ivf_centroids() -> list[list[float]]:
         train_centroids_numpy,
     )
 
-    path = _ivf_index_path()
+    path = _ivf_index_path(k)
     cents = load_centroids(path)
     if cents is None:
         import pyarrow.parquet as pq
@@ -301,7 +351,7 @@ def _ivf_centroids() -> list[list[float]]:
         tbl = pq.read_table(_IVF_SAMPLE, columns=["vec_id", "embedding"])
         d = tbl.sort_by("vec_id").to_pydict()  # stable sample order
         cents = train_centroids_numpy(
-            d["embedding"], n_centroids=_IVF_K, seed=_IVF_SEED
+            d["embedding"], n_centroids=k, seed=_IVF_SEED
         )
         save_centroids(path, cents)
     return cents
@@ -312,7 +362,7 @@ def _ivf_oracle() -> str:
     literals: rank-based assignment (argmin with cid tiebreak — identical
     to Spark's array_min over (dist, cid) structs), probe explosion to
     the nprobe nearest lists, bucket-equi-join, exact rerank."""
-    cents = _ivf_centroids()
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)))
     values = ", ".join(f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents))
     return f"""
 WITH cents AS (
@@ -379,7 +429,11 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     res = ivf_ann_join(
-        probes, emb, k=K, centroids=_ivf_centroids(), nprobe=_IVF_NPROBE
+        probes,
+        emb,
+        k=K,
+        centroids=_ivf_centroids(_ivf_k(_embeddings_rows(sf_dir))),
+        nprobe=_IVF_NPROBE,
     )
     return res.select(
         "probe_id",
@@ -435,6 +489,7 @@ def label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_centroid_norm_pandas",
     oracle=_CENTROID_ORACLE,
     tags=("vector", "agg", "applyInPandas"),
+    bench=True,
 )
 def label_centroid_norm_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME centroid aggregation as label_centroid_norm, but via the

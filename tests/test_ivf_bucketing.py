@@ -80,14 +80,18 @@ def test_registered_ivf_query_uses_persisted_index():
     import os
 
     from emails_to_vector_db_spark.plans.vector import (
+        _embeddings_rows,
         _ivf_centroids,
         _ivf_index_path,
+        _ivf_k,
+        _ORACLE_SF_DIR,
     )
 
-    c1 = _ivf_centroids()
-    assert os.path.exists(_ivf_index_path())  # persisted artifact on disk
-    assert _ivf_centroids() == c1
-    assert len(c1) == 16 and len(c1[0]) == 64
+    k = _ivf_k(_embeddings_rows(_ORACLE_SF_DIR))
+    c1 = _ivf_centroids(k)
+    assert os.path.exists(_ivf_index_path(k))  # persisted artifact on disk
+    assert _ivf_centroids(k) == c1
+    assert len(c1) == 16 and len(c1[0]) == 64  # fixture-scale quantizer
 
 
 def test_bucketed_join_is_exchange_free(spark, tmp_path):

@@ -121,6 +121,58 @@ def test_n_planes_for_budget():
     )
 
 
+def test_ann_self_tuned_occupancy_flat_across_scales():
+    """The registered ANN query's plane count self-tunes to the corpus
+    (plans/vector.py::_ann_planes): measured MAX bucket occupancy on the
+    REAL fixture embeddings must stay within a small factor of the
+    bucket budget at BOTH sf0.01 (500 rows → 4 planes) and sf0.1
+    (2000 rows → 5 planes) — i.e. growing the corpus 4× does not grow
+    bucket-local work 4×. Measured with numpy directly (same sign-bit
+    bucketing the plan compiles to)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from emails_to_vector_db_spark.plans.vector import (
+        _ANN_TARGET_BUCKET,
+        _ann_planes,
+        _embeddings_rows,
+    )
+
+    occupancy = {}
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        n = _embeddings_rows(sf_dir)
+        planes = np.array(_ann_planes(n))  # (p, 64)
+        vecs = np.array(
+            pq.read_table(
+                f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+            )["embedding"].to_pylist(),
+            dtype=np.float64,
+        )
+        bits = (vecs @ planes.T) > 0
+        buckets = bits @ (1 << np.arange(planes.shape[0]))
+        occupancy[sf_dir] = (n, planes.shape[0], np.bincount(buckets).max())
+    (n1, p1, max1), (n2, p2, max2) = occupancy.values()
+    assert (n1, n2) == (500, 2000) and p2 == p1 + 1  # corpus 4x -> +1 plane
+    # real-data skew allowance: max bucket within 4x of the budget at
+    # BOTH scales, and max occupancy growth far below corpus growth
+    assert max1 <= 4 * _ANN_TARGET_BUCKET, max1
+    assert max2 <= 4 * _ANN_TARGET_BUCKET, max2
+    assert max2 / max1 < 3.0, (max1, max2)
+
+
+def test_ivf_n_centroids_budget():
+    from emails_to_vector_db_spark.operators.ivf import n_centroids_for
+
+    assert n_centroids_for(500) == 16  # fixture scale: the floor
+    assert n_centroids_for(2_000) == 16  # sf0.1 still under lo*target
+    assert n_centroids_for(1_000_000, target_list_size=128) == 7813
+    assert n_centroids_for(10**10) == 65536  # ceiling: broadcastable
+    # doubling the corpus doubles the list count: list size stays flat
+    assert (
+        n_centroids_for(4_000_000) == 2 * n_centroids_for(2_000_000)
+    )
+
+
 def test_ann_requires_dim_or_planes(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     probes = _probes_from_base(emb, 2)
