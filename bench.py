@@ -66,6 +66,12 @@ def main() -> None:
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            # Cache hygiene BETWEEN runs and queries: several plans persist
+            # a shared intermediate (retrieval/dedup); leaving those cached
+            # pollutes later queries' executor memory and re-persisting the
+            # same data each run spams the CacheManager — each timed run
+            # must pay (and only pay) its own plan's cost.
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 

@@ -146,6 +146,7 @@ def _pca_oracle() -> str:
     "embedding_pca_topvar",
     oracle=_pca_oracle(),
     tags=("vector", "reduction", "pca"),
+    bench=True,
 )
 def embedding_pca_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection onto the top-4 persisted principal components, with

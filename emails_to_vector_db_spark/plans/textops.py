@@ -291,6 +291,7 @@ LIMIT 20
     "heavy_hitter_terms",
     oracle=_HH_ORACLE,
     tags=("text", "heavy-hitters", "mapInPandas"),
+    bench=True,
 )
 def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 terms via the bounded-memory heavy-hitters operator

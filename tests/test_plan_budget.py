@@ -27,12 +27,15 @@ SHUFFLE_BUDGET = {
     "doc_token_stats": 1,
     "embedding_jl_projection_pairs": 0,
     "embedding_near_dups_lsh": 0,
+    "embedding_pca_topvar": 1,  # projected-corpus moment agg
     "event_funnel_conversion": 2,
     "exact_dedup_groups": 1,
     "hash_embed_knn": 0,
+    "heavy_hitter_terms": 2,  # MG partials agg + exact rescore agg
     "hourly_event_counts": 1,
     "knn_join_multi_probe": 1,
     "knn_topk_l2": 0,
+    "label_centroid_norm_pandas": 1,  # one grouped-map exchange on label
     "minhash_lsh_near_dups": 1,
     "near_dup_components": 0,  # union-find path: no distributed closure
     "q10_returned_item_customers": 1,
