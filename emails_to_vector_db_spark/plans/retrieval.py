@@ -325,3 +325,140 @@ def context_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("int").alias("n_tok"),
         F.col("cum_tok").cast("long").alias("cum_tok"),
     )
+
+
+_MMR_LAM = 0.7
+_MMR_K = 5
+_MMR_POOL = 15
+
+
+def _mmr_oracle() -> str:
+    """The SAME k-step greedy MMR selection unrolled as chained CTEs —
+    one (score → argmax → pool-shrink) stage per selection step, max-sim
+    against the accumulated selected set via a grouped cross join.
+    Relevance and pairwise similarity are rounded to 6dp in BOTH engines
+    BEFORE any argmax, so every greedy decision is made on identical
+    doubles (the same discipline as the distance oracles)."""
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    rel = cos.format(a="e.embedding::DOUBLE[]", b="p.q")
+    pair = cos.format(a="p.v", b="s.v")
+    one_minus = repr(1.0 - _MMR_LAM)  # same double literal as the plan
+    parts = [
+        f"""WITH probe AS (
+    SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = {_PROBE_ID}
+),
+cand AS (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, {rel} AS rel
+    FROM embeddings e CROSS JOIN probe p
+    WHERE e.vec_id <> {_PROBE_ID}
+    ORDER BY rel DESC, e.vec_id ASC LIMIT {_MMR_POOL}
+),
+sel1 AS (
+    SELECT vec_id, v, rel, 1 AS sel_rank
+    FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+),
+selected1 AS (SELECT * FROM sel1),
+pool1 AS (
+    SELECT c.* FROM cand c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1)
+)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f""",
+ms{i} AS (
+    SELECT p.vec_id, max({pair}) AS max_sim
+    FROM pool{i - 1} p CROSS JOIN selected{i - 1} s
+    GROUP BY p.vec_id
+),
+sel{i} AS (
+    SELECT p.vec_id, p.v, p.rel, {i} AS sel_rank
+    FROM pool{i - 1} p JOIN ms{i} m ON p.vec_id = m.vec_id
+    ORDER BY {_MMR_LAM} * p.rel - {one_minus} * m.max_sim DESC,
+             p.vec_id ASC
+    LIMIT 1
+),
+selected{i} AS (SELECT * FROM selected{i - 1} UNION ALL SELECT * FROM sel{i}),
+pool{i} AS (
+    SELECT p.* FROM pool{i - 1} p
+    WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i})
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id, sel_rank, rel FROM selected{_MMR_K}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("retrieval", "rag", "mmr", "vector"),
+)
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-rank (Carbonell & Goldstein
+    1998): from the 15 most-probe-similar embeddings, greedily select 5
+    maximizing ``lam*rel − (1−lam)·max cos to already-selected`` — the
+    DataFrame twin of the driver-side ``pipeline.rag.mmr_rerank`` (the
+    reference's retrieval returns raw distance order only,
+    ``rag.py:77-90``). The greedy loop is unrolled into k plan stages;
+    every stage operates on the ≤15-row candidate relation (broadcast-
+    scale at any corpus size — the corpus-sized work is only the initial
+    top-N, a TakeOrderedAndProject). Rel/sim are rounded to 6dp before
+    every argmax so the DuckDB oracle's greedy decisions are bit-identical;
+    equivalence with pipeline.rag.mmr_rerank is asserted in
+    tests/test_retrieval.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        emb.where(F.col("vec_id") == _PROBE_ID).select(
+            F.col("embedding").alias("q")
+        )
+    )
+    cand = (
+        emb.where(F.col("vec_id") != _PROBE_ID)
+        .crossJoin(probe)
+        .select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            F.round(cosine_similarity("embedding", "q"), 6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_POOL)
+    )
+    selected = (
+        cand.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .withColumn("sel_rank", F.lit(1))
+    )
+    pool = cand.join(selected.select("vec_id"), "vec_id", "left_anti")
+    for i in range(2, _MMR_K + 1):
+        ms = (
+            pool.alias("p")
+            .crossJoin(selected.select(F.col("v").alias("sv")))
+            .groupBy(F.col("p.vec_id").alias("vec_id"))
+            .agg(
+                F.max(F.round(cosine_similarity("p.v", "sv"), 6)).alias(
+                    "max_sim"
+                )
+            )
+        )
+        step = (
+            pool.join(ms, "vec_id")
+            .orderBy(
+                (
+                    F.lit(_MMR_LAM) * F.col("rel")
+                    - F.lit(1.0 - _MMR_LAM) * F.col("max_sim")
+                ).desc(),
+                F.col("vec_id").asc(),
+            )
+            .limit(1)
+            .select("vec_id", "v", "rel", F.lit(i).alias("sel_rank"))
+        )
+        selected = selected.unionByName(step)
+        pool = pool.join(step.select("vec_id"), "vec_id", "left_anti")
+    return selected.select("vec_id", "sel_rank", "rel")
