@@ -21,6 +21,9 @@ pandas_udf — executes exactly once per append.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,22 +32,43 @@ from emails_to_vector_db_spark.pipeline.embedder import Embedder
 
 
 class EmbeddingStore:
-    """A Parquet-backed (id, content, embedding) table."""
+    """A Parquet-backed (id, content, embedding) table.
+
+    Layout: initially a flat parquet directory; after the first
+    ``compact()`` the store becomes versioned — ``path/v{n}`` data
+    directories plus a ``_LATEST`` pointer file (the same crash-safe
+    scheme as the CDC tables in streaming/ingest.py). Readers follow the
+    pointer; the pointer flip is an atomic ``os.replace``, so a crash at
+    ANY point of a compaction leaves the previously-live version fully
+    readable. Assumes a POSIX-atomic-rename filesystem (local, HDFS);
+    on object stores use a table format with atomic metadata commits
+    (Delta/Iceberg) instead.
+    """
 
     def __init__(self, spark: SparkSession, path: str, id_col: str = "id"):
         self.spark = spark
         self.path = path
         self.id_col = id_col
 
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_LATEST")
+
+    def _data_dir(self) -> str:
+        p = self._pointer()
+        if os.path.exists(p):
+            with open(p) as fh:
+                return os.path.join(self.path, fh.read().strip())
+        return self.path
+
     def exists(self) -> bool:
         try:
-            self.spark.read.parquet(self.path).schema
+            self.spark.read.parquet(self._data_dir()).schema
             return True
         except Exception:
             return False
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(self._data_dir())
 
     def append(self, batch: DataFrame, dedup: bool = True) -> int:
         """Append (id, content, embedding) rows; with dedup=True, rows whose
@@ -63,7 +87,7 @@ class EmbeddingStore:
 
         obs = Observation()
         batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
-        batch.write.mode("append").parquet(self.path)
+        batch.write.mode("append").parquet(self._data_dir())
         return int(obs.get["n"])
 
     def compact(self, target_partitions: int | None = None) -> int:
@@ -72,27 +96,50 @@ class EmbeddingStore:
         well-sized files (the standard housekeeping job any 100 TB
         parquet store needs). Returns the new file-partition count.
 
-        Atomicity: the final swap is ``mode("overwrite")`` on the live
-        path, which is NOT atomic — a crash mid-swap can leave the store
-        partial, recoverable from the ``__compacting`` copy (which is only
-        deleted after the swap completes). A production deployment should
-        compact through a table format with atomic commits (Delta/Iceberg
-        metadata swap) instead of raw parquet directories."""
+        Crash-safe: the compacted copy is written to a NEW ``v{n}``
+        directory, then the ``_LATEST`` pointer is flipped with an atomic
+        ``os.replace`` — the single commit point. A crash before the flip
+        leaves the old version live and complete; a crash after the flip
+        leaves the new version live and the stale directory is swept by
+        the next successful compaction. At no point is live data
+        overwritten in place (the defect the previous ``__compacting``
+        scheme had)."""
         df = self.read()
         if target_partitions is None:
             target_partitions = max(1, df.rdd.getNumPartitions() // 4)
-        tmp = self.path + "__compacting"
-        df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
-        # swap: overwrite the store from the compacted copy; the tmp copy
-        # stays on disk until the swap succeeds, then is removed.
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
-        jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(tmp)
-        fs = jpath.getFileSystem(
-            self.spark.sparkContext._jsc.hadoopConfiguration()
+        cur = self._data_dir()
+        if cur == self.path:
+            version = 0  # first compaction: flat layout → versioned
+        else:
+            version = int(os.path.basename(cur)[1:]) + 1
+        new_dir = os.path.join(self.path, f"v{version}")
+        df.repartition(target_partitions).write.mode("overwrite").parquet(
+            new_dir
         )
-        fs.delete(jpath, True)
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"v{version}")
+        os.replace(tmp, self._pointer())  # atomic commit point
+        self._sweep(keep=f"v{version}")
         return target_partitions
+
+    def _sweep(self, keep: str) -> None:
+        """Remove stale version directories, legacy flat part files, and
+        leftover pointer temp files — everything except the live version
+        and the pointer. Runs only AFTER the pointer flip, so a crash
+        mid-sweep never affects readability."""
+        for entry in os.listdir(self.path):
+            if entry in (keep, "_LATEST"):
+                continue
+            full = os.path.join(self.path, entry)
+            if (
+                entry.startswith("v")
+                and entry[1:].isdigit()
+                and os.path.isdir(full)
+            ):
+                shutil.rmtree(full)
+            elif os.path.isfile(full):
+                os.remove(full)
 
     def search(
         self, probe_vec, k: int = 5, metric: str = "l2"

@@ -81,6 +81,12 @@ def test_runtime_bloom_filter_join(spark):
                 spark.conf.set(k, v)
 
 
+def _store_files(root) -> list[str]:
+    return glob.glob(str(root / "**" / "*.parquet"), recursive=True) + glob.glob(
+        str(root / "*.parquet")
+    )
+
+
 def test_store_compaction_preserves_data(spark, tmp_path):
     store = EmbeddingStore(spark, str(tmp_path / "cstore"))
     emb = HashingEmbedder(dim=16)
@@ -91,13 +97,106 @@ def test_store_compaction_preserves_data(spark, tmp_path):
             "id long, content string",
         )
         embed_and_store(spark, src, store, emb)
-    files_before = len(glob.glob(str(tmp_path / "cstore" / "*.parquet")))
+    files_before = len(set(_store_files(tmp_path / "cstore")))
     before = sorted(r.id for r in store.read().select("id").collect())
     store.compact(target_partitions=1)
-    files_after = len(glob.glob(str(tmp_path / "cstore" / "*.parquet")))
+    files_after = len(set(_store_files(tmp_path / "cstore")))
     after = sorted(r.id for r in store.read().select("id").collect())
     assert before == after == list(range(50))
     assert files_after < files_before
+    # append after compaction lands in the live version, and a second
+    # compaction cycle (versioned → versioned) keeps everything
+    src = spark.createDataFrame(
+        [(100 + i, f"late {i}") for i in range(5)], "id long, content string"
+    )
+    embed_and_store(spark, src, store, emb)
+    store.compact(target_partitions=1)
+    final = sorted(r.id for r in store.read().select("id").collect())
+    assert final == list(range(50)) + list(range(100, 105))
+
+
+def test_store_compaction_crash_safe(spark, tmp_path, monkeypatch):
+    """A crash at EITHER side of the pointer flip must leave the store
+    fully readable — the flip (atomic os.replace) is the only commit
+    point (ADVICE r02: the old in-place overwrite could lose the store
+    mid-swap)."""
+    import pytest
+
+    import emails_to_vector_db_spark.pipeline.store as store_mod
+
+    store = EmbeddingStore(spark, str(tmp_path / "xstore"))
+    emb = HashingEmbedder(dim=16)
+    for batch in range(3):
+        src = spark.createDataFrame(
+            [(batch * 10 + i, f"doc {batch}-{i}") for i in range(10)],
+            "id long, content string",
+        )
+        embed_and_store(spark, src, store, emb)
+    before = sorted(
+        (r.id, r.content) for r in store.read().select("id", "content").collect()
+    )
+
+    # Crash 1: new version fully written, pointer flip never happens.
+    with monkeypatch.context() as m:
+        m.setattr(
+            store_mod.os,
+            "replace",
+            lambda *_: (_ for _ in ()).throw(
+                OSError("simulated crash before pointer flip")
+            ),
+        )
+        with pytest.raises(OSError, match="before pointer flip"):
+            store.compact(target_partitions=1)
+    assert (
+        sorted(
+            (r.id, r.content)
+            for r in store.read().select("id", "content").collect()
+        )
+        == before
+    ), "failed compaction must not touch the live store"
+
+    # Recovery: rerunning the compaction succeeds and loses nothing.
+    store.compact(target_partitions=1)
+    assert (
+        sorted(
+            (r.id, r.content)
+            for r in store.read().select("id", "content").collect()
+        )
+        == before
+    )
+
+    # Crash 2: pointer flipped, stale-version sweep dies. New version is
+    # live; the next compaction sweeps the leftovers.
+    with monkeypatch.context() as m:
+        m.setattr(
+            EmbeddingStore,
+            "_sweep",
+            lambda *_, **__: (_ for _ in ()).throw(
+                OSError("simulated crash mid-sweep")
+            ),
+        )
+        with pytest.raises(OSError, match="mid-sweep"):
+            store.compact(target_partitions=1)
+    assert (
+        sorted(
+            (r.id, r.content)
+            for r in store.read().select("id", "content").collect()
+        )
+        == before
+    ), "post-flip crash must leave the NEW version live and complete"
+    store.compact(target_partitions=1)
+    assert (
+        sorted(
+            (r.id, r.content)
+            for r in store.read().select("id", "content").collect()
+        )
+        == before
+    )
+    # exactly one live version dir + the pointer remain
+    entries = sorted(
+        e for e in (tmp_path / "xstore").iterdir() if e.name != "_LATEST"
+    )
+    assert len(entries) == 1 and entries[0].name.startswith("v")
 
 
 def test_runtime_bloom_filter_prunes_probe_side(spark):
