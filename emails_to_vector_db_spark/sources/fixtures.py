@@ -35,7 +35,8 @@ FEATURE_DIM = 16
 # Bump when fixture CONTENT changes (e.g. the media corpus format): the
 # writer is write-once per directory, so a new version gets a new dir and
 # stale files can never leak into the differential check.
-FIXTURE_VERSION = 3
+# v4: image rows alternate PPM / 24-bit BMP containers (decode dispatch).
+FIXTURE_VERSION = 4
 
 
 def fixtures_dir() -> str:

@@ -96,6 +96,55 @@ def decode_ppm(payload: bytes) -> "np.ndarray":
     return raster.reshape(h, w, 3)
 
 
+def encode_bmp(img: "np.ndarray") -> bytes:
+    """HxWx3 uint8 RGB → 24-bit uncompressed BMP (BI_RGB): 14-byte file
+    header + 40-byte BITMAPINFOHEADER, bottom-up rows, BGR byte order,
+    rows padded to 4-byte boundaries — the standard struct-packable
+    Windows DIB layout (like WAV, fully stdlib-writable)."""
+    import struct
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + img_size, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # RGB → BGR
+        rows.append(row + b"\x00" * (row_size - len(row)))
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """REAL image decode, stdlib+numpy only: parse the BMP file header +
+    BITMAPINFOHEADER with ``struct``, undo bottom-up row order, 4-byte
+    row padding, and BGR channel order. Supports the ubiquitous 24-bit
+    uncompressed (BI_RGB) form; anything else raises."""
+    import struct
+
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BI_RGB supported")
+    bottom_up, h = h_raw > 0, abs(h_raw)
+    row_size = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        row = np.frombuffer(
+            payload, dtype=np.uint8, count=w * 3, offset=data_offset + i * row_size
+        ).reshape(w, 3)
+        out[h - 1 - i if bottom_up else i] = row[:, ::-1]  # BGR → RGB
+    return out
+
+
 def encode_ppm_video(frames: list["np.ndarray"]) -> bytes:
     """Raw 'video' container: concatenated binary-PPM frames (each frame a
     self-describing P6 block). Uncompressed by construction, so the whole
@@ -177,7 +226,15 @@ def synthetic_media_rows(n: int = 24) -> list[tuple]:
             w, h = 8 + i % 5, 6 + i % 4
             rng = np.random.default_rng(1000 + i)
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload = encode_ppm(img)
+            # alternate container formats: every other image row is BMP,
+            # so the distributed decode path exercises the magic-byte
+            # dispatch (and the DuckDB-checked feature fixture covers it)
+            if (i // 3) % 2 == 0:
+                payload = encode_ppm(img)
+                img_mime = "image/x-portable-pixmap"
+            else:
+                payload = encode_bmp(img)
+                img_mime = "image/bmp"
             meta_wh, duration = (w, h), None
         elif modality == "audio":
             rate = 8000
@@ -206,7 +263,7 @@ def synthetic_media_rows(n: int = 24) -> list[tuple]:
             "sha256": hashlib.sha256(payload).hexdigest(),
         }
         mime = {
-            "image": "image/x-portable-pixmap",
+            "image": img_mime if modality == "image" else None,
             "audio": "audio/wav",
             "video": "video/x-raw-ppm",
         }[modality]
@@ -220,12 +277,17 @@ def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Compressed-codec decode STUB: PNG/JPEG need an imaging lib not
-    present in this container. Uncompressed images decode for real via
-    decode_ppm; swap this body for PIL/cv2 in production."""
+    """Image decode dispatch by magic bytes: binary PPM (P6) and 24-bit
+    BMP decode for REAL (stdlib+numpy); compressed codecs (PNG/JPEG)
+    remain STUBBED because no imaging lib ships in this container —
+    swap the fallthrough for PIL/cv2 in production."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
     raise NotImplementedError(
         "compressed image decode requires an imaging library (PIL/cv2); "
-        "binary PPM decodes for real via decode_ppm()"
+        "PPM and 24-bit BMP decode for real via decode_ppm()/decode_bmp()"
     )
 
 
@@ -248,10 +310,10 @@ def _pad_normalize(vals: list[float], dim: int) -> np.ndarray:
 
 
 def image_feature(payload: bytes, dim: int = 16) -> np.ndarray:
-    """REAL decode → feature for uncompressed images: PPM pixels →
-    [w, h, per-channel means, per-channel stds, min, max], L2-normalized
-    into ``dim`` slots."""
-    img = decode_ppm(payload)
+    """REAL decode → feature for uncompressed images: PPM or BMP pixels
+    (magic-byte dispatch) → [w, h, per-channel means, per-channel stds,
+    min, max], L2-normalized into ``dim`` slots."""
+    img = decode_image(payload)
     px = img.astype(np.float64)
     h, w, _ = img.shape
     vals = [float(w), float(h)]

@@ -121,6 +121,51 @@ def test_ppm_decode_real_hand_computed():
         decode_ppm(b"\x89PNG not a ppm")
 
 
+def test_bmp_decode_real_hand_computed():
+    import struct
+
+    import numpy as np
+
+    from emails_to_vector_db_spark.sources.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+        image_feature,
+    )
+
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], np.uint8
+    )
+    # round-trip through our encoder
+    payload = encode_bmp(img)
+    np.testing.assert_array_equal(decode_bmp(payload), img)
+    # and a BMP built BY HAND (not via encode_bmp), proving the parser
+    # handles the real DIB layout: bottom-up rows, BGR order, rows padded
+    # to 4 bytes (2px*3B = 6B → padded to 8B)
+    bottom_row = bytes([255, 0, 0]) + bytes([30, 20, 10]) + b"\x00\x00"  # BGR
+    top_row = bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"
+    raster = bottom_row + top_row  # bottom-up: last image row first
+    hand = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        + raster
+    )
+    np.testing.assert_array_equal(decode_bmp(hand), img)
+    # dispatch picks BMP by magic; feature is IDENTICAL to the PPM
+    # feature of the same pixels (container must not leak into features)
+    from emails_to_vector_db_spark.sources.multimodal import encode_ppm
+
+    np.testing.assert_array_equal(decode_image(hand), img)
+    np.testing.assert_array_equal(
+        image_feature(hand, dim=16), image_feature(encode_ppm(img), dim=16)
+    )
+    # non-BI_RGB forms are rejected loudly, not mis-decoded
+    bad = bytearray(hand)
+    struct.pack_into("<H", bad, 28, 8)  # bpp=8 (palette) unsupported
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
+
+
 def test_wav_decode_real_hand_computed():
     import numpy as np
 
