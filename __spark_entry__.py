@@ -51,6 +51,9 @@ _NEVER_SAMPLED_FIRST = (
     "context_assembly_per_source",
     "heavy_hitter_terms",
     "mmr_rerank",
+    "span_exact_dedup",
+    "unigram_perplexity_scores",
+    "leakage_safe_split",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

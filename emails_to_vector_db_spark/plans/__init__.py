@@ -18,6 +18,7 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     analytics,
     chunking,
     cleaning,
+    corpus,
     dedup,
     events,
     ingest,

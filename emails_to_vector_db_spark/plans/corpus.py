@@ -1,0 +1,331 @@
+"""Corpus-hygiene operators for LLM training pipelines: span-level exact
+dedup (C4-style), unigram-LM perplexity quality scoring (CCNet-style),
+and leakage-safe train/val/test splitting (near-dup clusters never
+straddle splits).
+
+The reference has no corpus-preparation surface at all (it embeds 1,000
+CSV rows verbatim, ``rag.py:40-50``); these are the operators a 100 TB
+pretraining-data pipeline runs between raw ingest and tokenization:
+
+- C4 (Raffel et al. 2020) removes any repeated multi-sentence span
+  corpus-wide, not just whole-document duplicates.
+- CCNet (Wenzek et al. 2020) scores documents by language-model
+  perplexity and keeps the low-perplexity (fluent) tail.
+- Eval-set leakage audits require near-duplicates to land in the SAME
+  split — hashing the raw doc id (dataset_split_assignment) quietly
+  puts a train copy of a test document across the boundary.
+
+All three are hash-checked against DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.plans.dedup import (
+    _DOCS_CHAIN_SQL,
+    _docs_with_chained_dups,
+)
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# C4-style span-level exact dedup
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8  # words per non-overlapping span
+_SPAN_TOP = 20
+
+_SPAN_ORACLE = f"""
+WITH docs AS ({_DOCS_CHAIN_SQL}),
+toks AS (
+    SELECT doc_id, {_TOKENS_SQL} AS w FROM docs
+),
+spans AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(0, CAST(ceil(len(w) / {_SPAN_W}.0) AS INT) - 1),
+               i -> md5(array_to_string(
+                   w[(i * {_SPAN_W} + 1):(i * {_SPAN_W} + {_SPAN_W})], ' '))
+           )) AS fp
+    FROM toks
+),
+counted AS (
+    SELECT doc_id, fp,
+           count(*) OVER (PARTITION BY fp) AS n_global
+    FROM spans
+),
+per_doc AS (
+    SELECT doc_id,
+           count(*) AS n_spans,
+           sum(CASE WHEN n_global >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+    FROM counted GROUP BY doc_id
+)
+SELECT doc_id, n_spans::BIGINT AS n_spans, n_dup_spans::BIGINT AS n_dup_spans
+FROM per_doc
+ORDER BY n_dup_spans DESC, doc_id ASC
+LIMIT {_SPAN_TOP}
+"""
+
+
+@register(
+    "span_exact_dedup",
+    oracle=_SPAN_ORACLE,
+    tags=("cleaning", "dedup", "c4", "span"),
+)
+def span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup: each document is cut into
+    non-overlapping 8-word spans, every span fingerprinted (md5), and a
+    span is duplicated if its fingerprint occurs anywhere else in the
+    corpus. Returns the 20 most span-duplicated documents (the planted
+    near-dup chains: all their spans except the mutated tail recur).
+
+    Plan: one narrow explode (``posexplode`` of the per-doc span-hash
+    array built by ``transform`` over a ``sequence`` — the text is
+    tokenized ONCE), a window count over fp (shuffle 1, the global span
+    census), per-doc re-aggregation (shuffle 2), TakeOrderedAndProject.
+    At 100 TB the fp shuffle carries 16-byte hashes + ids, never text —
+    this is the C4 dedup shape, linear in corpus size, no self-join."""
+    docs = _docs_with_chained_dups(spark, sf_dir)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_spans = F.greatest(
+        F.ceil(F.size(w) / F.lit(float(_SPAN_W))).cast("int"), F.lit(1)
+    )
+    span_fps = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i * _SPAN_W + 1, _SPAN_W))),
+    )
+    spans = docs.select("doc_id", F.explode(span_fps).alias("fp"))
+    counted = spans.withColumn(
+        "n_global", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+    per_doc = counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("n_global") >= 2).cast("long")).alias("n_dup_spans"),
+    )
+    return per_doc.orderBy(
+        F.col("n_dup_spans").desc(), F.col("doc_id").asc()
+    ).limit(_SPAN_TOP)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram-LM perplexity scoring
+# ---------------------------------------------------------------------------
+
+_PPL_TOP = 20
+
+_PPL_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+freq AS (
+    SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok
+),
+tot AS (
+    SELECT sum(n)::DOUBLE AS total FROM freq
+),
+scored AS (
+    SELECT t.doc_id, -ln(f.n::DOUBLE / tt.total) AS nll
+    FROM toks t JOIN freq f USING (tok) CROSS JOIN tot tt
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(nll), 6) AS avg_nll
+FROM scored GROUP BY doc_id
+ORDER BY avg_nll DESC, doc_id ASC
+LIMIT {_PPL_TOP}
+"""
+
+
+@register(
+    "unigram_perplexity_scores",
+    oracle=_PPL_ORACLE,
+    tags=("cleaning", "quality", "ccnet", "lm"),
+)
+def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring with a corpus-trained unigram LM:
+    p(tok) = corpus frequency, per-document score = mean negative log
+    likelihood (= log perplexity). Returns the 20 highest-perplexity
+    (least corpus-typical) documents — the filter tail a cleaning
+    pipeline would drop or down-sample.
+
+    Plan: token frequencies via one map-side-combinable groupBy (the
+    "training" pass); the vocabulary and its total are broadcast back
+    onto the token stream (vocab ≪ corpus — at 100 TB a few-million-row
+    term table is still a broadcast), so scoring adds NO shuffle beyond
+    the final per-doc aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").cast("double").alias("total"))
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "nll", -F.log(F.col("n").cast("double") / F.col("total"))
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+        .orderBy(F.col("avg_nll").desc(), F.col("doc_id").asc())
+        .limit(_PPL_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: near-dup clusters never straddle train/val/test
+# ---------------------------------------------------------------------------
+
+def _leakage_oracle() -> str:
+    """Recursive-CTE connected components over the SAME MinHash-LSH pair
+    family as near_dup_components, then split by the salted md5 bucket of
+    the CLUSTER REPRESENTATIVE (min doc_id), not the raw doc id."""
+    from emails_to_vector_db_spark.plans.dedup import _minhash_sql_sig
+
+    return f"""
+WITH RECURSIVE docs AS ({_DOCS_CHAIN_SQL}),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                    i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END) AS sh
+    FROM docs
+),
+m AS (
+    SELECT doc_id,
+           list_transform(sh, s -> md5(s)) AS m0,
+           list_transform(sh, s -> md5('1|' || s)) AS m1
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, {_minhash_sql_sig(2)} AS sig FROM m
+),
+bands AS (
+    SELECT doc_id, sig, b.band_idx,
+           md5(sig[b.band_idx * 2 + 1] || '|' || sig[b.band_idx * 2 + 2]) AS band_hash
+    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b FROM cand
+    WHERE list_sum(list_transform(generate_series(1, 8),
+            i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1.0 ELSE 0.0 END)) / 8.0
+          >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, label) AS (
+    SELECT id, id AS label FROM nodes
+    UNION
+    SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (
+    SELECT id, min(label)::BIGINT AS component FROM walk GROUP BY id
+),
+assigned AS (
+    SELECT d.doc_id, c.component,
+           coalesce(c.component, d.doc_id) AS rep
+    FROM docs d LEFT JOIN comp c ON c.id = d.doc_id
+),
+labeled AS (
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           clustered
+    FROM (
+        SELECT ('0x' || substr(md5('split:' || rep::VARCHAR), 1, 15))::BIGINT
+                   % 100 AS bucket,
+               CASE WHEN component IS NULL THEN 0 ELSE 1 END AS clustered
+        FROM assigned
+    )
+)
+SELECT split, count(*)::BIGINT AS n_docs, sum(clustered)::BIGINT AS n_clustered_docs
+FROM labeled GROUP BY split
+"""
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_leakage_oracle(),
+    tags=("cleaning", "split", "dedup", "components"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware dataset splitting: documents are assigned to
+    train/val/test by the salted md5 bucket of their NEAR-DUP CLUSTER
+    representative (connected-component min id), falling back to their
+    own id when unclustered — so a near-duplicate of a test document can
+    never land in train (the leakage dataset_split_assignment's raw-id
+    hash permits). Same 80/10/10 buckets and salt as that query; the
+    no-straddle invariant is asserted in tests/test_corpus_ops.py.
+
+    Plan: the LSH pair generation + component labeling reuse the
+    near_dup_components machinery (LSH-pruned edges, size-adaptive
+    closure); the split itself adds only a left join of docs to the
+    (tiny) component map plus one count aggregation."""
+    assigned = leakage_safe_assignments(spark, sf_dir)
+    return (
+        assigned.select(
+            "split",
+            F.col("component").isNotNull().cast("long").alias("clustered"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("clustered").alias("n_clustered_docs"),
+        )
+    )
+
+
+def leakage_safe_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level form of leakage_safe_split: (doc_id, component, split).
+    The no-straddle invariant (every component maps to exactly one
+    split) is asserted over this in tests/test_corpus_ops.py."""
+    from emails_to_vector_db_spark.operators.components import (
+        connected_components,
+    )
+    from emails_to_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_chained_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    assigned = docs.select("doc_id").join(
+        comp, F.col("doc_id") == F.col("id"), "left"
+    )
+    rep = F.coalesce(F.col("component"), F.col("doc_id"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), rep.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return assigned.select("doc_id", "component", split.alias("split"))

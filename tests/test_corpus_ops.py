@@ -1,0 +1,84 @@
+"""Corpus-hygiene operator invariants (plans/corpus.py): span dedup
+surfaces the planted duplicates, leakage-safe splitting never lets a
+near-dup cluster straddle splits, and perplexity scores are sane.
+Value-level correctness is covered by the DuckDB oracles in
+tests/test_oracle_parity.py; these pin the semantic claims."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.plans import REGISTRY
+from emails_to_vector_db_spark.plans.corpus import leakage_safe_assignments
+from tests.conftest import SF_ORACLE
+
+
+def test_span_dedup_surfaces_planted_chains(spark):
+    rows = REGISTRY["span_exact_dedup"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    # the planted chain docs (orig + 2 mutated copies) share every span
+    # except the mutated tail -> all top rows are heavily span-duplicated
+    assert all(r.n_dup_spans > 0 for r in rows)
+    assert all(r.n_dup_spans <= r.n_spans for r in rows)
+    # at least one of each chain role appears among the top-20
+    ids = {r.doc_id for r in rows}
+    assert any(i < 50 for i in ids), "an original planted doc should rank"
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    """THE invariant: every near-dup component lands in exactly one
+    split. The raw-id hash (dataset_split_assignment) does NOT guarantee
+    this — which is the reason this operator exists."""
+    assigned = leakage_safe_assignments(spark, SF_ORACLE)
+    straddle = (
+        assigned.where(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # and the raw-id hash DOES straddle on this corpus (the planted
+    # chains span ids 0..49 and their +offset copies), proving the
+    # cluster-representative hash changes behavior
+    raw_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    raw_split = (
+        F.when(raw_bucket < 80, F.lit("train"))
+        .when(raw_bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    raw_straddle = (
+        assigned.where(F.col("component").isNotNull())
+        .select("component", raw_split.alias("split"))
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert raw_straddle > 0, (
+        "fixture should demonstrate raw-id leakage; if this ever goes to "
+        "zero the planted corpus no longer exercises the operator"
+    )
+
+
+def test_unigram_perplexity_scores_sane(spark):
+    rows = REGISTRY["unigram_perplexity_scores"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    assert all(r.avg_nll > 0 for r in rows)  # -ln(p) of p<1 is positive
+    assert all(r.n_tokens > 0 for r in rows)
+    # scores are a ranking: descending by construction
+    nlls = [r.avg_nll for r in rows]
+    assert nlls == sorted(nlls, reverse=True)
