@@ -54,6 +54,7 @@ _NEVER_SAMPLED_FIRST = (
     "span_exact_dedup",
     "unigram_perplexity_scores",
     "leakage_safe_split",
+    "image_resize_stats",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

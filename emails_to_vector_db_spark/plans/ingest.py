@@ -197,6 +197,46 @@ def audio_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESIZE_ORACLE = f"""
+SELECT media_id, out_w, out_h,
+       round(mean_r, 6) + 0.0 AS mean_r,
+       round(mean_g, 6) + 0.0 AS mean_g,
+       round(mean_b, 6) + 0.0 AS mean_b,
+       checksum
+FROM read_parquet('{_FIXTURES["image_resize_ref"]}')
+"""
+
+
+@register(
+    "image_resize_stats",
+    oracle=_RESIZE_ORACLE,
+    tags=("multimodal", "image", "resize", "mapInPandas"),
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage of a multimodal ingest, driver-checked: PPM/BMP
+    payloads decode inside mapInPandas, numpy bilinear 4x4 thumbnail per
+    image, per-channel means + an exact integer pixel checksum. The
+    oracle reads the sequential (plain-loop) resize of the same payloads
+    from fixture parquet — a differential test of the distributed decode
+    → resize path. Images are independent: partitions freely at 100 TB,
+    zero shuffle."""
+    from emails_to_vector_db_spark.sources.multimodal import (
+        extract_image_thumbs,
+    )
+
+    media = spark.read.parquet(_FIXTURES["media_raw"])
+    thumbs = extract_image_thumbs(media)
+    return thumbs.select(
+        "media_id",
+        "out_w",
+        "out_h",
+        (F.round("mean_r", 6) + F.lit(0.0)).alias("mean_r"),
+        (F.round("mean_g", 6) + F.lit(0.0)).alias("mean_g"),
+        (F.round("mean_b", 6) + F.lit(0.0)).alias("mean_b"),
+        "checksum",
+    )
+
+
 _FORMATS_ORACLE = """
 SELECT event_type,
        count(*)::BIGINT AS n_events,

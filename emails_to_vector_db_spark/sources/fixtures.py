@@ -36,7 +36,8 @@ FEATURE_DIM = 16
 # writer is write-once per directory, so a new version gets a new dir and
 # stale files can never leak into the differential check.
 # v4: image rows alternate PPM / 24-bit BMP containers (decode dispatch).
-FIXTURE_VERSION = 4
+# v5: + image_resize_ref (sequential bilinear-thumbnail reference).
+FIXTURE_VERSION = 5
 
 
 def fixtures_dir() -> str:
@@ -57,6 +58,7 @@ def ensure_fixtures() -> dict[str, str]:
         "media_features_ref": os.path.join(d, "media_features_ref.parquet"),
         "video_frames_ref": os.path.join(d, "video_frames_ref.parquet"),
         "audio_spectral_ref": os.path.join(d, "audio_spectral_ref.parquet"),
+        "image_resize_ref": os.path.join(d, "image_resize_ref.parquet"),
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -175,5 +177,25 @@ def ensure_fixtures() -> dict[str, str]:
             }
         ),
         paths["audio_spectral_ref"],
+    )
+
+    from emails_to_vector_db_spark.sources.multimodal import image_thumb_stats
+
+    thumb_rows = [
+        image_thumb_stats(r[0], r[3]) for r in media_rows if r[1] == "image"
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array([t[0] for t in thumb_rows], pa.int64()),
+                "out_w": pa.array([t[1] for t in thumb_rows], pa.int32()),
+                "out_h": pa.array([t[2] for t in thumb_rows], pa.int32()),
+                "mean_r": pa.array([t[3] for t in thumb_rows], pa.float64()),
+                "mean_g": pa.array([t[4] for t in thumb_rows], pa.float64()),
+                "mean_b": pa.array([t[5] for t in thumb_rows], pa.float64()),
+                "checksum": pa.array([t[6] for t in thumb_rows], pa.int64()),
+            }
+        ),
+        paths["image_resize_ref"],
     )
     return paths

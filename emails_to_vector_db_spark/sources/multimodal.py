@@ -291,6 +291,71 @@ def decode_image(payload: bytes) -> "np.ndarray":
     )
 
 
+def resize_bilinear(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Deterministic bilinear resize (align_corners=False sampling, the
+    torchvision/PIL convention) in pure numpy float64 — no imaging lib.
+    Returns out_h x out_w x 3 float64; the SAME function runs in the
+    distributed mapInPandas lane and the sequential fixture builder, so
+    the differential check proves the Spark plumbing bit-for-bit."""
+    h, w, _ = img.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = img.astype(np.float64)
+    top = p[y0][:, x0] * (1.0 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1.0 - wx) + p[y1][:, x1] * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+_THUMB_HW = (4, 4)
+
+
+def image_thumb_stats(media_id: int, payload: bytes) -> tuple:
+    """decode (PPM/BMP dispatch) → bilinear 4x4 thumbnail → per-channel
+    means (6dp) + integer pixel checksum (rint → int64 sum — exact, no
+    float-hash concerns)."""
+    t = resize_bilinear(decode_image(payload), *_THUMB_HW)
+    means = [round(float(t[..., c].mean()), 6) for c in range(3)]
+    checksum = int(np.rint(t).astype(np.int64).sum())
+    return (media_id, _THUMB_HW[1], _THUMB_HW[0], *means, checksum)
+
+
+THUMB_SCHEMA = (
+    "media_id bigint, out_w int, out_h int, mean_r double, mean_g double,"
+    " mean_b double, checksum bigint"
+)
+
+
+def extract_image_thumbs(media: DataFrame) -> DataFrame:
+    """Distributed resize via mapInPandas over image payloads — the
+    resize stage of a multimodal ingest (decode → RESIZE → encode/embed).
+    Images are independent: partitions freely, shuffles nothing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                image_thumb_stats(int(mid), bytes(payload))
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+                if payload is not None
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "out_w", "out_h",
+                    "mean_r", "mean_g", "mean_b", "checksum",
+                ],
+            )
+
+    return media.where(F.col("modality") == "image").mapInPandas(
+        run, THUMB_SCHEMA
+    )
+
+
 def fake_feature(payload: bytes, dim: int = 16) -> np.ndarray:
     """Deterministic stand-in feature: byte-histogram folded to ``dim``
     buckets, L2-normalized. Exercises the same batch shapes as a real

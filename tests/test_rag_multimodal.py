@@ -166,6 +166,31 @@ def test_bmp_decode_real_hand_computed():
         decode_bmp(bytes(bad))
 
 
+def test_bilinear_resize_hand_computed():
+    import numpy as np
+
+    from emails_to_vector_db_spark.sources.multimodal import resize_bilinear
+
+    # constant image stays exactly constant at any size
+    const = np.full((3, 5, 3), 42, np.uint8)
+    np.testing.assert_array_equal(
+        resize_bilinear(const, 4, 4), np.full((4, 4, 3), 42.0)
+    )
+    # 2x downscale of a 2x2 checkerboard = the exact center sample:
+    # align_corners=False, out 1x1 samples src center (0.5, 0.5) ->
+    # equal weights on all four pixels -> mean
+    cb = np.array([[[0, 0, 0], [255, 255, 255]],
+                   [[255, 255, 255], [0, 0, 0]]], np.uint8)
+    np.testing.assert_allclose(
+        resize_bilinear(cb, 1, 1), np.full((1, 1, 3), 127.5)
+    )
+    # 1D gradient upscale: out 4 wide from src [0, 90] -> samples at
+    # src x = (i+0.5)/2 - 0.5 = -0.25, 0.25, 0.75, 1.25 (clamped)
+    grad = np.array([[[0, 0, 0], [90, 90, 90]]], np.uint8)
+    out = resize_bilinear(grad, 1, 4)[0, :, 0]
+    np.testing.assert_allclose(out, [0.0, 22.5, 67.5, 90.0])
+
+
 def test_wav_decode_real_hand_computed():
     import numpy as np
 
