@@ -75,6 +75,7 @@ LIMIT {_SPAN_TOP}
     "span_exact_dedup",
     oracle=_SPAN_ORACLE,
     tags=("cleaning", "dedup", "c4", "span"),
+    bench=True,
 )
 def span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style sub-document dedup: each document is cut into
@@ -83,9 +84,9 @@ def span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Returns the 20 most span-duplicated documents (the planted
     near-dup chains: all their spans except the mutated tail recur).
 
-    Plan: one narrow explode (``posexplode`` of the per-doc span-hash
-    array built by ``transform`` over a ``sequence`` — the text is
-    tokenized ONCE), a window count over fp (shuffle 1, the global span
+    Plan: one narrow explode of the per-doc span-hash array (built by
+    ``transform`` over a ``sequence`` — the text is tokenized ONCE), a
+    window count over fp (shuffle 1, the global span
     census), per-doc re-aggregation (shuffle 2), TakeOrderedAndProject.
     At 100 TB the fp shuffle carries 16-byte hashes + ids, never text —
     this is the C4 dedup shape, linear in corpus size, no self-join."""
@@ -142,6 +143,7 @@ LIMIT {_PPL_TOP}
     "unigram_perplexity_scores",
     oracle=_PPL_ORACLE,
     tags=("cleaning", "quality", "ccnet", "lm"),
+    bench=True,
 )
 def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring with a corpus-trained unigram LM:
@@ -150,23 +152,31 @@ def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (least corpus-typical) documents — the filter tail a cleaning
     pipeline would drop or down-sample.
 
-    Plan: token frequencies via one map-side-combinable groupBy (the
-    "training" pass); the vocabulary and its total are broadcast back
-    onto the token stream (vocab ≪ corpus — at 100 TB a few-million-row
-    term table is still a broadcast), so scoring adds NO shuffle beyond
-    the final per-doc aggregation."""
+    Plan (3 budgeted shuffles): token frequencies via one map-side-
+    combinable groupBy (the "training" pass), a single-partition window
+    over the VOCAB-sized freq table for the total, and the final per-doc
+    aggregation. The trained vocabulary broadcasts back onto the token
+    stream (vocab ≪ corpus — at 100 TB a few-million-row term table is
+    still a broadcast), so the scoring join itself shuffles nothing."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    total = freq.agg(F.sum("n").cast("double").alias("total"))
-    scored = (
-        toks.join(F.broadcast(freq), "tok")
-        .crossJoin(F.broadcast(total))
+    # The corpus is read exactly twice — once to train the LM (freq),
+    # once to score — the canonical two-pass shape. The vocabulary total
+    # rides a single-partition window over the TINY freq table (vocab
+    # rows), so the corpus-wide freq aggregation is not duplicated into
+    # a second exchange feeding a separate total subtree.
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
         .withColumn(
-            "nll", -F.log(F.col("n").cast("double") / F.col("total"))
+            "total",
+            F.sum("n").over(Window.partitionBy()).cast("double"),
         )
+    )
+    scored = toks.join(F.broadcast(freq), "tok").withColumn(
+        "nll", -F.log(F.col("n").cast("double") / F.col("total"))
     )
     return (
         scored.groupBy("doc_id")
