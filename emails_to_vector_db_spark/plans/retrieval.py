@@ -409,17 +409,22 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rag.py:77-90``). The greedy loop is unrolled into k plan stages;
     every stage operates on the ≤15-row candidate relation (broadcast-
     scale at any corpus size — the corpus-sized work is only the initial
-    top-N, a TakeOrderedAndProject). Rel/sim are rounded to 6dp before
-    every argmax so the DuckDB oracle's greedy decisions are bit-identical;
+    top-N, a TakeOrderedAndProject). The candidate top-N is collected
+    ONCE at the API edge (15 rows — the documented P8 boundary) and the
+    greedy stages run over the resulting LocalRelation: leaving them as
+    derivations of the corpus plan re-executes the full scan once per
+    plan branch, O(2^k) scans at 10× scale (measured 19s vs <1s,
+    docs/SCALE_NOTES.md). Rel/sim are rounded to 6dp before every
+    argmax so the DuckDB oracle's greedy decisions are bit-identical;
     equivalence with pipeline.rag.mmr_rerank is asserted in
-    tests/test_retrieval.py."""
+    tests/test_pipeline.py::test_mmr_registered_query_matches_driver_mmr."""
     emb = load_table(spark, sf_dir, "embeddings")
     probe = F.broadcast(
         emb.where(F.col("vec_id") == _PROBE_ID).select(
             F.col("embedding").alias("q")
         )
     )
-    cand = (
+    cand_plan = (
         emb.where(F.col("vec_id") != _PROBE_ID)
         .crossJoin(probe)
         .select(
@@ -430,35 +435,51 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
         .limit(_MMR_POOL)
     )
-    selected = (
-        cand.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
-        .limit(1)
-        .withColumn("sel_rank", F.lit(1))
-    )
-    pool = cand.join(selected.select("vec_id"), "vec_id", "left_anti")
-    for i in range(2, _MMR_K + 1):
-        ms = (
-            pool.alias("p")
-            .crossJoin(selected.select(F.col("v").alias("sv")))
-            .groupBy(F.col("p.vec_id").alias("vec_id"))
-            .agg(
-                F.max(F.round(cosine_similarity("p.v", "sv"), 6)).alias(
-                    "max_sim"
+    # One corpus scan total: 15 rows cross the API edge, exact doubles
+    # preserved. The greedy loop itself runs in plain Python over those
+    # 15 rows — expressing it as k unrolled DataFrame stages doubles the
+    # plan tree per stage (each pool/selected embeds every prior stage),
+    # and Catalyst spends ~20s ANALYZING the 2^k-subtree plan even on a
+    # LocalRelation. The arithmetic mirrors the oracle exactly:
+    # sequential-fold dot products in double (no numpy blocked
+    # summation), 6dp rounding before every argmax, (rel desc, vec_id
+    # asc) tiebreaks.
+    import math
+
+    rows = cand_plan.collect()
+
+    def seq_dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos6(a: list, b: list) -> float:
+        return round(
+            seq_dot(a, b) / (math.sqrt(seq_dot(a, a)) * math.sqrt(seq_dot(b, b))),
+            6,
+        )
+
+    pool = sorted(rows, key=lambda r: (-r["rel"], r["vec_id"]))
+    selected: list = []
+    out: list[tuple] = []
+    one_minus = 1.0 - _MMR_LAM  # same double literal as the oracle SQL
+    for rank in range(1, _MMR_K + 1):
+        if rank == 1:
+            best = pool[0]  # highest rel, vec_id tiebreak (pre-sorted)
+        else:
+            best, best_key = None, None
+            for c in pool:
+                max_sim = max(cos6(c["v"], s["v"]) for s in selected)
+                key = (
+                    -(_MMR_LAM * c["rel"] - one_minus * max_sim),
+                    c["vec_id"],
                 )
-            )
-        )
-        step = (
-            pool.join(ms, "vec_id")
-            .orderBy(
-                (
-                    F.lit(_MMR_LAM) * F.col("rel")
-                    - F.lit(1.0 - _MMR_LAM) * F.col("max_sim")
-                ).desc(),
-                F.col("vec_id").asc(),
-            )
-            .limit(1)
-            .select("vec_id", "v", "rel", F.lit(i).alias("sel_rank"))
-        )
-        selected = selected.unionByName(step)
-        pool = pool.join(step.select("vec_id"), "vec_id", "left_anti")
-    return selected.select("vec_id", "sel_rank", "rel")
+                if best_key is None or key < best_key:
+                    best, best_key = c, key
+        selected.append(best)
+        pool = [c for c in pool if c["vec_id"] != best["vec_id"]]
+        out.append((best["vec_id"], rank, best["rel"]))
+    return spark.createDataFrame(
+        out, "vec_id long, sel_rank int, rel double"
+    )

@@ -199,12 +199,14 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 
 def _embeddings_rows(sf_dir: str) -> int:
     """Corpus row count from parquet FOOTER metadata only — no data read,
-    no Spark job; this is what index sizing keys off at plan time."""
-    import pyarrow.parquet as pq
+    no Spark job; this is what index sizing keys off at plan time.
+    pyarrow.dataset handles both single-file fixtures and Spark-written
+    directory datasets (e.g. the .scale stress corpus)."""
+    import pyarrow.dataset as ds
 
-    return pq.ParquetFile(
-        f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    ).metadata.num_rows
+    return ds.dataset(
+        f"{sf_dir.rstrip('/')}/embeddings.parquet", format="parquet"
+    ).count_rows()
 
 
 def _ann_planes(n_rows: int) -> list[list[float]]:
@@ -350,8 +352,20 @@ def _ivf_centroids(k: int) -> list[list[float]]:
 
         tbl = pq.read_table(_IVF_SAMPLE, columns=["vec_id", "embedding"])
         d = tbl.sort_by("vec_id").to_pydict()  # stable sample order
+        # a quantizer cannot have more lists than training vectors; a
+        # self-tuned k beyond the sample means the sample (not k) is
+        # undersized — clamp loudly rather than let k-means degenerate
+        k_eff = min(k, len(d["embedding"]) // 4)
+        if k_eff < k:
+            import warnings
+
+            warnings.warn(
+                f"IVF k clamped {k}->{k_eff}: training sample has only "
+                f"{len(d['embedding'])} vectors; grow the sample for "
+                "corpora this large"
+            )
         cents = train_centroids_numpy(
-            d["embedding"], n_centroids=k, seed=_IVF_SEED
+            d["embedding"], n_centroids=k_eff, seed=_IVF_SEED
         )
         save_centroids(path, cents)
     return cents

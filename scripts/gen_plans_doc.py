@@ -101,6 +101,23 @@ SHOWCASE = [
         "max_by/min_by as a plain partial→final hash aggregate — one "
         "champion row per group per partition, no per-group sort.",
     ),
+    (
+        "span_exact_dedup",
+        "C4-style span dedup: span-hash arrays built in one projection, "
+        "global census as a window over fp (hashes only cross the "
+        "shuffle), per-doc re-agg, TakeOrderedAndProject.",
+    ),
+    (
+        "unigram_perplexity_scores",
+        "Two corpus passes (LM train agg + scoring); vocabulary + total "
+        "broadcast back onto the token stream — the scoring join "
+        "shuffles nothing.",
+    ),
+    (
+        "image_resize_stats",
+        "mapInPandas decode→bilinear-resize lane: ArrowEvalPython over "
+        "independent images, zero shuffle.",
+    ),
 ]
 
 

@@ -98,6 +98,10 @@ def main() -> None:
         "int8_quantized_knn",
         "hybrid_rrf_topk",
         "merge_upsert_customers",
+        "leakage_safe_split",
+        "mmr_rerank",
+        "ann_lsh_topk",
+        "unigram_perplexity_scores",
     ):
         bench[extra] = REGISTRY[extra]
     for name, spec in sorted(bench.items()):

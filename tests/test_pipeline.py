@@ -206,6 +206,55 @@ def test_mmr_rerank_edges():
     assert [c[0] for c in mmr_rerank(one, k=5)] == [7]
 
 
+def test_mmr_registered_query_matches_driver_mmr(spark):
+    """The registered mmr_rerank query (plans/retrieval.py — engine-
+    identical greedy over the collected top-15) must select the SAME
+    documents in the SAME order as the driver-side API
+    pipeline.rag.mmr_rerank given the same candidates and lambda."""
+    from pyspark.sql import functions as F
+
+    from emails_to_vector_db_spark.functions.vector import cosine_similarity
+    from emails_to_vector_db_spark.pipeline.rag import mmr_rerank
+    from emails_to_vector_db_spark.plans import REGISTRY
+    from emails_to_vector_db_spark.plans.retrieval import (
+        _MMR_LAM,
+        _MMR_POOL,
+        _PROBE_ID,
+    )
+    from emails_to_vector_db_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    got = [
+        r.vec_id
+        for r in REGISTRY["mmr_rerank"]
+        .fn(spark, SF_ORACLE)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    probe = F.broadcast(
+        emb.where(F.col("vec_id") == _PROBE_ID).select(
+            F.col("embedding").alias("q")
+        )
+    )
+    cands = [
+        (r.vec_id, r.rel, list(r.v))
+        for r in emb.where(F.col("vec_id") != _PROBE_ID)
+        .crossJoin(probe)
+        .select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            F.round(cosine_similarity("embedding", "q"), 6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_POOL)
+        .collect()
+    ]
+    want = [c[0] for c in mmr_rerank(cands, k=5, lam=_MMR_LAM)]
+    assert got == want
+
+
 def test_email_streaming_connector_matches_batch(spark):
     """The Spark 4 Python DataSource STREAMING reader: incremental
     message-id offsets over the same corpus must deliver exactly the
