@@ -174,3 +174,54 @@ def test_stratified_sample_rates(spark):
         observed = sampled.get(lang, 0) / totals[lang]
         # 100-bucket hash at n>=60 docs: allow generous binomial slack
         assert abs(observed - rate / 100.0) < 0.2, (lang, observed, rate)
+
+
+def test_resize_bilinear_properties():
+    """Property sweep for the numpy bilinear resize (no Spark): value
+    range containment, constant-image exactness, and mean preservation
+    within interpolation error across random shapes/scales."""
+    import numpy as np
+
+    from emails_to_vector_db_spark.sources.multimodal import resize_bilinear
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        h, w = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+        oh, ow = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = resize_bilinear(img, oh, ow)
+        assert out.shape == (oh, ow, 3)
+        # interpolation is a convex combination: output range within input
+        assert out.min() >= img.min() - 1e-9
+        assert out.max() <= img.max() + 1e-9
+        # upscaling by an integer factor keeps the global mean close
+        # (every source pixel contributes with near-uniform weight)
+        if oh == 2 * h and ow == 2 * w:
+            assert abs(out.mean() - img.astype(np.float64).mean()) < 16.0
+    # exactness: identity resize is the identity
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    np.testing.assert_allclose(
+        resize_bilinear(img, 5, 7), img.astype(np.float64)
+    )
+
+
+def test_span_fingerprint_partition_property(spark):
+    """Every token belongs to exactly one 8-word span, so the span count
+    is ceil(n_tokens/8) for every random document (the plan's
+    sequence/slice construction can neither drop nor double-count a
+    tail)."""
+    import math
+
+    rows = [(i, t) for i, t, _ in _docs(120, seed=9) if t]
+    df = spark.createDataFrame(rows, "id long, text string")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_spans = F.greatest(
+        F.ceil(F.size(w) / F.lit(8.0)).cast("int"), F.lit(1)
+    )
+    span_fps = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i * 8 + 1, 8))),
+    )
+    got = df.select("id", F.size(w).alias("n"), F.size(span_fps).alias("s")).collect()
+    for r in got:
+        assert r.s == max(1, math.ceil(r.n / 8.0))
