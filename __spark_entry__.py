@@ -55,6 +55,7 @@ _NEVER_SAMPLED_FIRST = (
     "unigram_perplexity_scores",
     "leakage_safe_split",
     "image_resize_stats",
+    "streaming_dedup_ingest",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

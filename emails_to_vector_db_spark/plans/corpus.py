@@ -1,7 +1,8 @@
 """Corpus-hygiene operators for LLM training pipelines: span-level exact
 dedup (C4-style), unigram-LM perplexity quality scoring (CCNet-style),
-and leakage-safe train/val/test splitting (near-dup clusters never
-straddle splits).
+leakage-safe train/val/test splitting (near-dup clusters never straddle
+splits), and streaming micro-batched dedup ingest into the idempotent
+store.
 
 The reference has no corpus-preparation surface at all (it embeds 1,000
 CSV rows verbatim, ``rag.py:40-50``); these are the operators a 100 TB
@@ -15,7 +16,9 @@ pretraining-data pipeline runs between raw ingest and tokenization:
   split — hashing the raw doc id (dataset_split_assignment) quietly
   puts a train copy of a test document across the boundary.
 
-All three are hash-checked against DuckDB oracles.
+All are hash-checked against DuckDB oracles — including the streaming
+ingest, whose deterministic micro-batch order lets a plain GROUP BY
+replay first-seen-wins.
 """
 
 from __future__ import annotations
@@ -85,11 +88,15 @@ def span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup chains: all their spans except the mutated tail recur).
 
     Plan: one narrow explode of the per-doc span-hash array (built by
-    ``transform`` over a ``sequence`` — the text is tokenized ONCE), a
-    window count over fp (shuffle 1, the global span
-    census), per-doc re-aggregation (shuffle 2), TakeOrderedAndProject.
-    At 100 TB the fp shuffle carries 16-byte hashes + ids, never text —
-    this is the C4 dedup shape, linear in corpus size, no self-join."""
+    ``transform`` over a ``sequence`` — the text is tokenized ONCE); the
+    global span census as a groupBy(fp) count joined back to the span
+    stream, NOT a window over fp: a window funnels every occurrence of a
+    hot span (boilerplate repeated millions of times at 100 TB) into one
+    task with no partial aggregation, while the groupBy census collapses
+    hot fingerprints map-side and the join is AQE-skew-splittable; then
+    per-doc re-aggregation and TakeOrderedAndProject. The fp shuffles
+    carry 16-byte hashes + ids, never text — the C4 dedup shape, linear
+    in corpus size, no self-join."""
     docs = _docs_with_chained_dups(spark, sf_dir)
     w = F.split(F.trim(F.col("text")), r"\s+")
     n_spans = F.greatest(
@@ -100,12 +107,21 @@ def span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.md5(F.concat_ws(" ", F.slice(w, i * _SPAN_W + 1, _SPAN_W))),
     )
     spans = docs.select("doc_id", F.explode(span_fps).alias("fp"))
-    counted = spans.withColumn(
-        "n_global", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-    )
-    per_doc = counted.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum((F.col("n_global") >= 2).cast("long")).alias("n_dup_spans"),
+    # consumed by both the census and the scoring join — without the
+    # persist the tokenize→span-hash lineage runs twice (rule 10,
+    # docs/SCALE_NOTES.md); the persisted payload is narrow (id + 32-char
+    # hash), the cacheable form rule 1 prescribes
+    from pyspark import StorageLevel
+
+    spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+    census = spans.groupBy("fp").agg(F.count(F.lit(1)).alias("n_global"))
+    per_doc = (
+        spans.join(census, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_global") >= 2).cast("long")).alias("n_dup_spans"),
+        )
     )
     return per_doc.orderBy(
         F.col("n_dup_spans").desc(), F.col("doc_id").asc()
@@ -339,3 +355,124 @@ def leakage_safe_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return assigned.select("doc_id", "component", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup ingest: micro-batched exact dedup into the idempotent store
+# ---------------------------------------------------------------------------
+
+_STREAM_DEDUP_VERSION = 1
+
+
+def _stream_dedup_landing(sf_dir: str) -> str:
+    """Land the exact-dup planted corpus (the exact_dedup_groups corpus)
+    as THREE parquet files in ascending doc_id order with increasing
+    mtimes — a deterministic micro-batch sequence for the file stream
+    source (which orders files by modification time, then path).
+    Write-once with the same source-mtime staleness guard as the format
+    copies."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emails_to_vector_db_spark.plans.dedup import _DUP_OFFSET, _N_PLANT
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        root, "spark-warehouse", f"stream_dedup_v{_STREAM_DEDUP_VERSION}", sf
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = [os.path.join(d, f"part{i}.parquet") for i in range(3)]
+    src_mtime = os.path.getmtime(src)
+    if all(
+        os.path.exists(p) and os.path.getmtime(p) >= src_mtime for p in parts
+    ):
+        return d
+    os.makedirs(d, exist_ok=True)
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
+    ids, texts = tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+    rows = sorted(zip(ids, texts)) + sorted(
+        (i + _DUP_OFFSET, t) for i, t in zip(ids, texts) if i < _N_PLANT
+    )
+    n = len(rows)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        chunk = rows[cuts[i] : cuts[i + 1]]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
+                    "text": pa.array([r[1] for r in chunk], pa.string()),
+                }
+            ),
+            parts[i],
+        )
+        os.utime(parts[i], (src_mtime + i + 1, src_mtime + i + 1))
+    return d
+
+
+def _stream_dedup_oracle() -> str:
+    from emails_to_vector_db_spark.plans.dedup import _DOCS_EXACT_SQL
+
+    return f"""
+WITH docs AS ({_DOCS_EXACT_SQL}),
+fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM docs
+)
+SELECT fp, min(doc_id)::BIGINT AS keep_id FROM fp GROUP BY fp
+"""
+
+
+@register(
+    "streaming_dedup_ingest",
+    oracle=_stream_dedup_oracle(),
+    tags=("streaming", "dedup", "ingest", "store"),
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus ingest with cross-batch exact dedup — the
+    production shape of training-data intake (and the streaming form of
+    the reference's ingest loop, which crashes on a duplicate id,
+    ``email_fetching.py:54``): documents arrive in micro-batches (file
+    stream, availableNow, one file per trigger), each batch fingerprints
+    its text, keeps the min doc_id per fingerprint WITHIN the batch, and
+    appends only fingerprints the store has never seen (EmbeddingStore's
+    anti-join idempotent append). First-seen-wins across batches +
+    doc_id-ordered arrival ⇒ the surviving id per fingerprint is the
+    global minimum, which the DuckDB oracle replays as a plain GROUP BY
+    — the whole streaming pipeline is hash-checked. At 100 TB the state
+    is the store itself (fp-keyed parquet), not executor memory, and
+    each micro-batch costs one fingerprint scan + one anti-join."""
+    import os
+    import shutil
+
+    from emails_to_vector_db_spark.functions import text as TX
+    from emails_to_vector_db_spark.pipeline.store import EmbeddingStore
+
+    landing = _stream_dedup_landing(sf_dir)
+    work = landing.rstrip("/") + "__run"
+    shutil.rmtree(work, ignore_errors=True)  # deterministic re-runs
+    store = EmbeddingStore(spark, os.path.join(work, "store"), id_col="fp")
+
+    def apply(batch: DataFrame, _batch_id: int) -> None:
+        kept = (
+            batch.withColumn("fp", TX.fingerprint("text"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("keep_id"))
+        )
+        store.append(kept)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return store.read().select("fp", "keep_id")

@@ -469,6 +469,54 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+QUARANTINE_SCHEMA = (
+    "media_id bigint, modality string, feature array<float>,"
+    " n_bytes bigint, error string"
+)
+
+
+def extract_features_quarantine(
+    media: DataFrame, *, dim: int = 16
+) -> DataFrame:
+    """Error-tolerant feature extraction: a corrupt or undecodable
+    payload yields (feature=NULL, error=<message>) instead of failing
+    the task — at 100 TB one truncated file must quarantine, not kill
+    the job (the same broken-row-flows-through discipline as the email
+    connector's corrupt-MIME lane). Good rows are bit-identical to
+    extract_features; callers split on ``error IS NULL``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for mid, m, p in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                if p is None:
+                    rows.append((int(mid), m, None, 0, "null payload"))
+                    continue
+                try:
+                    feat = media_feature(m, bytes(p), dim)
+                    rows.append((int(mid), m, feat, len(bytes(p)), None))
+                except Exception as ex:  # quarantine, never fail the task
+                    rows.append(
+                        (
+                            int(mid),
+                            m,
+                            None,
+                            len(bytes(p)),
+                            f"{type(ex).__name__}: {ex}"[:200],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "modality", "feature", "n_bytes", "error",
+                ],
+            )
+
+    return media.mapInPandas(run, QUARANTINE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Timestamp-level frame sampling plumbing: one output row per sampled
     timestamp, derived from metadata only — the payload is never touched,

@@ -74,6 +74,26 @@ def test_leakage_safe_split_no_straddle(spark):
     )
 
 
+def test_streaming_dedup_ingest_first_seen_wins(spark):
+    """Cross-batch semantics: the planted exact dups arrive in a LATER
+    micro-batch than their originals, so every surviving keep_id must be
+    an original (< _DUP_OFFSET) and each fingerprint appears exactly
+    once in the store."""
+    from emails_to_vector_db_spark.plans.dedup import _DUP_OFFSET, _N_PLANT
+
+    rows = REGISTRY["streaming_dedup_ingest"].fn(spark, SF_ORACLE).collect()
+    assert all(r.keep_id < _DUP_OFFSET for r in rows)
+    fps = [r.fp for r in rows]
+    assert len(fps) == len(set(fps))
+    # the dup copies (+_DUP_OFFSET ids) were all rejected by the store's
+    # anti-join: total kept = distinct original fingerprints
+    docs = (
+        REGISTRY["exact_dedup_groups"].fn(spark, SF_ORACLE).collect()
+    )  # dup groups exist on this corpus
+    assert len(docs) == _N_PLANT  # sanity: the corpus really has dups
+    assert len(rows) < 500 + _N_PLANT  # dups collapsed
+
+
 def test_unigram_perplexity_scores_sane(spark):
     rows = REGISTRY["unigram_perplexity_scores"].fn(spark, SF_ORACLE).collect()
     assert len(rows) == 20

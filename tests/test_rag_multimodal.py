@@ -166,6 +166,46 @@ def test_bmp_decode_real_hand_computed():
         decode_bmp(bytes(bad))
 
 
+def test_feature_quarantine_isolates_corrupt_payloads(spark):
+    """One truncated image, one bogus WAV, one NULL payload in a batch of
+    real media: the quarantine lane must emit error rows for exactly
+    those three and leave every good row's feature IDENTICAL to the
+    strict lane's output."""
+    from emails_to_vector_db_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        extract_features_quarantine,
+        synthetic_media_rows,
+    )
+
+    rows = synthetic_media_rows(12)
+    bad = [
+        (100, "image", "image/x-portable-pixmap", b"P6\n8 6\n255\n\x01\x02",
+         {"width": 8, "height": 6, "duration_ms": None, "sha256": "x"}),
+        (101, "audio", "audio/wav", b"RIFFgarbage",
+         {"width": None, "height": None, "duration_ms": 1, "sha256": "y"}),
+        (102, "image", "image/bmp", None,
+         {"width": 1, "height": 1, "duration_ms": None, "sha256": "z"}),
+    ]
+    media = spark.createDataFrame(rows + bad, MEDIA_SCHEMA)
+    out = extract_features_quarantine(media, dim=16).collect()
+    errs = {r.media_id: r.error for r in out if r.error is not None}
+    assert set(errs) == {100, 101, 102}
+    assert all(
+        r.feature is None for r in out if r.media_id in (100, 101, 102)
+    )
+    # good rows bit-identical to the strict lane
+    strict = {
+        r.media_id: r.feature
+        for r in extract_features(
+            spark.createDataFrame(rows, MEDIA_SCHEMA), dim=16
+        ).collect()
+    }
+    for r in out:
+        if r.error is None:
+            assert r.feature == strict[r.media_id]
+
+
 def test_bilinear_resize_hand_computed():
     import numpy as np
 
