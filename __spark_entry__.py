@@ -56,6 +56,7 @@ _NEVER_SAMPLED_FIRST = (
     "leakage_safe_split",
     "image_resize_stats",
     "streaming_dedup_ingest",
+    "source_mixing_weights",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -476,3 +476,110 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return store.read().select("fp", "keep_id")
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing: per-source reweighting toward a target token distribution
+# ---------------------------------------------------------------------------
+
+_MIX_BUCKETS = 10_000
+
+_MIX_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+    FROM documents
+),
+per_source AS (
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS src_tokens
+    FROM toks GROUP BY source
+),
+weighted AS (
+    SELECT source, n_docs, src_tokens,
+           least(1.0,
+                 (1.0 / count(*) OVER ())
+                 / (src_tokens::DOUBLE / sum(src_tokens) OVER ())) AS w
+    FROM per_source
+),
+sampled AS (
+    SELECT t.source,
+           CASE WHEN ('0x' || substr(md5('mix:' || t.doc_id::VARCHAR), 1, 15))::BIGINT
+                     % {_MIX_BUCKETS} < w.w * {_MIX_BUCKETS} THEN 1 ELSE 0 END AS keep
+    FROM toks t JOIN weighted w USING (source)
+)
+SELECT w.source, w.n_docs, w.src_tokens, round(w.w, 6) AS mix_weight,
+       sum(s.keep)::BIGINT AS n_sampled
+FROM weighted w JOIN sampled s ON s.source = w.source
+GROUP BY w.source, w.n_docs, w.src_tokens, w.w
+"""
+
+
+@register(
+    "source_mixing_weights",
+    oracle=_MIX_ORACLE,
+    tags=("cleaning", "mixing", "sampling"),
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing (the DoReMi/Pile recipe shape): compute each
+    source's share of corpus tokens, derive a capped down-sampling
+    weight toward a UNIFORM per-source token target, and apply it with
+    the same salted-md5 deterministic sampler as stratified_sample —
+    over-represented domains are thinned, under-represented ones kept
+    whole, reproducibly across runs and engines.
+
+    Plan: one token-count scan feeding a per-source aggregate (map-side
+    combinable); weights computed on the SOURCE-cardinality table
+    (windows over a handful of rows) and broadcast back onto the doc
+    stream; the sampling filter is a scan-time expression — the corpus
+    shuffles once (the per-source agg), never for the sampling itself."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    per_source = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("src_tokens"),
+    )
+    w_all = Window.partitionBy()
+    weighted = per_source.withColumn(
+        "w",
+        F.least(
+            F.lit(1.0),
+            (F.lit(1.0) / F.count(F.lit(1)).over(w_all))
+            / (
+                F.col("src_tokens").cast("double")
+                / F.sum("src_tokens").over(w_all)
+            ),
+        ),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _MIX_BUCKETS
+    )
+    sampled = toks.join(F.broadcast(weighted.select("source", "w")), "source")
+    keep = (bucket < F.col("w") * _MIX_BUCKETS).cast("long")
+    return (
+        sampled.select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(F.sum("keep").alias("n_sampled"))
+        .join(F.broadcast(weighted), "source")
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            F.round("w", 6).alias("mix_weight"),
+            "n_sampled",
+        )
+    )

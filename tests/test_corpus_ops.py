@@ -94,6 +94,26 @@ def test_streaming_dedup_ingest_first_seen_wins(spark):
     assert len(rows) < 500 + _N_PLANT  # dups collapsed
 
 
+def test_source_mixing_weights_semantics(spark):
+    """Mixing invariants: weights in (0, 1]; a source whose token share
+    exceeds the uniform target is down-weighted (< 1) and its sampled
+    count shrinks accordingly; under-target sources keep everything."""
+    rows = REGISTRY["source_mixing_weights"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    total = sum(r.src_tokens for r in rows)
+    target = 1.0 / len(rows)
+    for r in rows:
+        assert 0.0 < r.mix_weight <= 1.0
+        assert 0 <= r.n_sampled <= r.n_docs
+        share = r.src_tokens / total
+        if share > target * 1.05:
+            assert r.mix_weight < 1.0
+            # sampled fraction tracks the weight (hash sampler is uniform)
+            assert abs(r.n_sampled / r.n_docs - r.mix_weight) < 0.15
+        if share < target * 0.95:
+            assert r.mix_weight == 1.0 and r.n_sampled == r.n_docs
+
+
 def test_unigram_perplexity_scores_sane(spark):
     rows = REGISTRY["unigram_perplexity_scores"].fn(spark, SF_ORACLE).collect()
     assert len(rows) == 20
