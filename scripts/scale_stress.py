@@ -102,6 +102,7 @@ def main() -> None:
         "mmr_rerank",
         "ann_lsh_topk",
         "unigram_perplexity_scores",
+        "streaming_dedup_ingest",
     ):
         bench[extra] = REGISTRY[extra]
     for name, spec in sorted(bench.items()):
