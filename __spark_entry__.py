@@ -57,6 +57,7 @@ _NEVER_SAMPLED_FIRST = (
     "image_resize_stats",
     "streaming_dedup_ingest",
     "source_mixing_weights",
+    "cms_token_frequency",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -254,3 +254,127 @@ def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), F.col("bigram").asc())
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: mergeable frequency estimation, bound-checked in-query
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_TOP = 20
+
+_CMS_TOKENS = "unnest(regexp_split_to_array(trim(text), '\\s+'))"
+
+
+def _cms_oracle() -> str:
+    """The identical sketch in ANSI SQL: same md5-mod cell hashes, same
+    GROUP BY construction, same min-over-rows estimate."""
+    cell = (
+        "('0x' || substr(md5({j} || '|' || tok), 1, 15))::BIGINT"
+        f" % {_CMS_WIDTH}"
+    )
+    j_cells = ", ".join(
+        f"({j}, {cell.format(j=j)})" for j in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+    SELECT {_CMS_TOKENS} AS tok FROM documents
+),
+entries AS (
+    SELECT tok, j, cell
+    FROM toks, LATERAL (VALUES {j_cells}) AS v(j, cell)
+),
+cms AS (
+    SELECT j, cell, count(*)::BIGINT AS n FROM entries GROUP BY j, cell
+),
+true_counts AS (
+    SELECT tok, count(*)::BIGINT AS true_n FROM toks GROUP BY tok
+    ORDER BY true_n DESC, tok ASC LIMIT {_CMS_TOP}
+),
+est AS (
+    SELECT t.tok, t.true_n, min(c.n)::BIGINT AS cms_estimate
+    FROM true_counts t,
+         LATERAL (VALUES {j_cells}) AS v(j, cell)
+    JOIN cms c ON c.j = v.j AND c.cell = v.cell
+    GROUP BY t.tok, t.true_n
+)
+SELECT tok, true_n, cms_estimate,
+       (cms_estimate >= true_n) AS bound_ok
+FROM est
+"""
+
+
+@register(
+    "cms_token_frequency",
+    oracle=_cms_oracle(),
+    tags=("text", "sketch", "cms", "approx"),
+)
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) over the token
+    stream: depth 4 × width 256 counters, cell hashes = salted md5 mod
+    width (the repo's portable-hash convention), built as ONE map-side-
+    combinable groupBy whose output is at most depth×width = 1024 rows —
+    the mergeable frequency structure for streams/partitions where exact
+    per-key counts can't be kept. Estimates for the 20 most frequent
+    terms are emitted NEXT TO their exact counts with the one-sided CMS
+    guarantee (estimate ≥ truth) checked in-query as ``bound_ok`` — the
+    same approximation-with-audit pattern as the HLL and heavy-hitter
+    entries, so the sketch is hash-checked, not trusted.
+
+    Scale shape: the corpus shuffles only into the 1024-cell sketch and
+    the exact top-k census (both map-side combinable); the probe joins
+    are broadcast-scale (20×4 cells vs the 1024-row sketch)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+
+    def cell(j: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}|"), F.col("tok"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_WIDTH
+        )
+
+    j_cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"), cell(j).alias("cell")
+                )
+                for j in range(_CMS_DEPTH)
+            ]
+        )
+    )
+    cms = (
+        toks.select(j_cell.alias("e"))
+        .select("e.j", "e.cell")
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    true_counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("tok").asc())
+        .limit(_CMS_TOP)
+    )
+    probes = true_counts.select(
+        "tok", "true_n", j_cell.alias("e")
+    ).select("tok", "true_n", "e.j", "e.cell")
+    est = (
+        probes.join(F.broadcast(cms), ["j", "cell"])
+        .groupBy("tok", "true_n")
+        .agg(F.min("n").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok",
+        "true_n",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("true_n")).alias("bound_ok"),
+    )
