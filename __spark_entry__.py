@@ -58,6 +58,7 @@ _NEVER_SAMPLED_FIRST = (
     "streaming_dedup_ingest",
     "source_mixing_weights",
     "cms_token_frequency",
+    "streaming_cms_merge",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -378,3 +378,108 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") >= F.col("true_n")).alias("bound_ok"),
     )
+
+
+def _cms_stream_oracle() -> str:
+    """The whole-corpus sketch over the SAME planted corpus the stream
+    lands (plans/corpus.py::_stream_dedup_landing) — per-batch sketches
+    summed cell-wise must equal it EXACTLY (counter addition is
+    associative), so the merge is integer-hash-checked."""
+    from emails_to_vector_db_spark.plans.dedup import _DOCS_EXACT_SQL
+
+    cell = (
+        "('0x' || substr(md5({j} || '|' || tok), 1, 15))::BIGINT"
+        f" % {_CMS_WIDTH}"
+    )
+    j_cells = ", ".join(
+        f"({j}, {cell.format(j=j)})" for j in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH docs AS ({_DOCS_EXACT_SQL}),
+toks AS (
+    SELECT {_CMS_TOKENS} AS tok FROM docs
+),
+entries AS (
+    SELECT tok, j, cell
+    FROM toks, LATERAL (VALUES {j_cells}) AS v(j, cell)
+)
+SELECT j, cell, count(*)::BIGINT AS n
+FROM entries GROUP BY j, cell
+"""
+
+
+@register(
+    "streaming_cms_merge",
+    oracle=_cms_stream_oracle(),
+    tags=("streaming", "sketch", "cms"),
+)
+def streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY under streaming — the property CMS exists
+    for: each micro-batch (the same deterministic 3-file landing as
+    streaming_dedup_ingest) builds its own depth×width sketch, appended
+    to a parquet sketch store; the final cell-wise sum must equal the
+    whole-corpus sketch EXACTLY, and the DuckDB oracle rebuilds that
+    corpus sketch from scratch — an integer hash check of distributed +
+    temporal merge. At 100 TB this is how per-hour / per-partition
+    frequency sketches roll up without ever re-reading history: the
+    merged state is ≤ depth×width rows no matter the corpus."""
+    import os
+    import shutil
+
+    from emails_to_vector_db_spark.plans.corpus import _stream_dedup_landing
+
+    landing = _stream_dedup_landing(sf_dir)
+    work = landing.rstrip("/") + "__cms_run"
+    shutil.rmtree(work, ignore_errors=True)  # deterministic re-runs
+    sketch_dir = os.path.join(work, "sketch")
+
+    def cell(j: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}|"), F.col("tok"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_WIDTH
+        )
+
+    j_cell = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), cell(j).alias("cell"))
+                for j in range(_CMS_DEPTH)
+            ]
+        )
+    )
+
+    def apply(batch: DataFrame, _batch_id: int) -> None:
+        batch_cms = (
+            batch.select(
+                F.explode(
+                    F.split(F.trim(F.col("text")), r"\s+")
+                ).alias("tok")
+            )
+            .select(j_cell.alias("e"))
+            .select("e.j", "e.cell")
+            .groupBy("j", "cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        batch_cms.write.mode("append").parquet(sketch_dir)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("j", "cell")
+        .agg(F.sum("n").alias("n"))
+    )
