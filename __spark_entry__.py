@@ -59,6 +59,7 @@ _NEVER_SAMPLED_FIRST = (
     "source_mixing_weights",
     "cms_token_frequency",
     "streaming_cms_merge",
+    "weighted_reservoir_sample",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

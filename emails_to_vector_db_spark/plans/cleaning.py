@@ -591,3 +591,82 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (A-ES): probability proportional to weight
+# ---------------------------------------------------------------------------
+
+_WRES_K = 5
+_WRES_BUCKETS = 10_000
+
+_WRES_ORACLE = f"""
+WITH keyed AS (
+    SELECT source, doc_id, n_chars,
+           ln((('0x' || substr(md5('wres:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % {_WRES_BUCKETS} + 0.5) / {_WRES_BUCKETS}.0)
+           / n_chars AS k
+    FROM documents
+),
+ranked AS (
+    SELECT source, doc_id, n_chars, k,
+           row_number() OVER (
+               PARTITION BY source ORDER BY k DESC, doc_id ASC
+           ) AS rn
+    FROM keyed
+)
+SELECT source, doc_id, n_chars,
+       round(k * 1000, 6) AS sample_key
+FROM ranked WHERE rn <= {_WRES_K}
+"""
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=_WRES_ORACLE,
+    tags=("cleaning", "sampling", "weighted"),
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling via the A-ES key (Efraimidis &
+    Spirakis 2006): each document draws a deterministic uniform u from
+    the salted-md5 bucket and competes on ``ln(u)/w`` (equivalent to
+    u^(1/w)); the per-source top-k is then a sample where selection
+    probability is proportional to the weight (n_chars here — longer
+    documents sampled more often), the importance-sampling primitive
+    uniform reservoirs can't express. Fully deterministic, so the DuckDB
+    oracle replays key generation and ranking exactly.
+
+    Scale shape: key generation is a scan-time expression; one shuffle
+    on the stratum key and a window row_number truncates — identical
+    plan to per_group_reservoir, just a weighted key. Mergeable: the
+    top-k-by-key form makes partial reservoirs combinable (keep the k
+    largest keys from any union of partials)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wres:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _WRES_BUCKETS
+    )
+    u = (bucket + F.lit(0.5)) / F.lit(float(_WRES_BUCKETS))
+    k = F.log(u) / F.col("n_chars")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(F.col("k").desc(), F.col("doc_id").asc())
+    return (
+        d.select("source", "doc_id", "n_chars", k.alias("k"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _WRES_K)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.round(F.col("k") * 1000, 6).alias("sample_key"),
+        )
+    )
