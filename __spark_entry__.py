@@ -60,6 +60,8 @@ _NEVER_SAMPLED_FIRST = (
     "cms_token_frequency",
     "streaming_cms_merge",
     "weighted_reservoir_sample",
+    "semantic_dedup_prune",
+    "pq_ann_topk",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -57,11 +57,13 @@ def main() -> None:
     bench_specs = {n: s for n, s in REGISTRY.items() if s.bench}
     timings: dict[str, float] = {}
     for name, spec in sorted(bench_specs.items()):
-        # Best of two runs: the host shows heavy run-to-run noise, and the
-        # second run measures steady-state (codegen-warm) plan cost — the
-        # number that actually compares plan quality across rounds.
+        # Best of three runs: the host shows heavy run-to-run noise (the
+        # same plan has measured 1.3s and 8.7s minutes apart), and later
+        # runs measure steady-state (codegen/JIT-warm) plan cost — the
+        # number that actually compares plan quality across rounds. Two
+        # runs proved not enough: one noise window covers both.
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0

@@ -26,6 +26,7 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     reduction,
     relational,
     retrieval,
+    semantic,
     stats,
     textops,
     tpch_extra,

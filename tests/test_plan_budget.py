@@ -38,6 +38,8 @@ SHUFFLE_BUDGET = {
     "label_centroid_norm_pandas": 1,  # one grouped-map exchange on label
     "minhash_lsh_near_dups": 1,
     "near_dup_components": 0,  # union-find path: no distributed closure
+    "pq_ann_topk": 0,  # Arrow encode + literal-codebook ADC + TakeOrdered
+    "semantic_dedup_prune": 1,  # one cid exchange into the grouped-map lane
     "q10_returned_item_customers": 1,
     "q1_pricing_summary": 1,
     "q21_suppliers_kept_orders_waiting": 3,
