@@ -62,6 +62,10 @@ _NEVER_SAMPLED_FIRST = (
     "weighted_reservoir_sample",
     "semantic_dedup_prune",
     "pq_ann_topk",
+    "incremental_mv_refresh",
+    "hll_sketch_union",
+    "zorder_layout_spans",
+    "salted_join_segments",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

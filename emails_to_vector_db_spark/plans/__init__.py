@@ -22,6 +22,7 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     dedup,
     events,
     ingest,
+    maintenance,
     pipeline,
     reduction,
     relational,

@@ -1,0 +1,368 @@
+"""Warehouse-maintenance operators: incremental materialized-view
+refresh, mergeable HLL sketch stores, Z-order layout clustering, and
+skew-salted joins — the operations that keep a 100 TB warehouse fresh,
+countable, skippable, and balanced.
+
+The reference recomputes everything from scratch on every run (its
+ingest loop re-reads the whole CSV and re-embeds it, ``rag.py:40-50``);
+these queries express the delta-only / sketch-merge / layout algebra a
+production deployment uses instead. All four are hash-checked against
+DuckDB oracles computed the naive full-recompute way — the POINT of each
+check is that the incremental/approximate/salted path reproduces the
+direct answer exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table, table_path
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view refresh (delta-only aggregation maintenance)
+# ---------------------------------------------------------------------------
+
+_MV_VERSION = 1
+_MV_CUTOFF = "1997-01-01"
+
+_MV_ORACLE = f"""
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       max(epoch(o_orderdate))::BIGINT AS max_order_epoch,
+       round(sum(o_totalprice) / count(*), 6) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def _mv_path(sf_dir: str) -> str:
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        root, "spark-warehouse", f"mv_orders_by_priority_v{_MV_VERSION}", sf
+    )
+
+
+def _mv_partials(df: DataFrame) -> DataFrame:
+    """The decomposable partial-aggregate state the MV stores: count and
+    RAW sum (rounding only at serve time keeps the merge algebra exact),
+    max epoch. avg is derived sum/count after the merge — the standard
+    algebraic-view decomposition."""
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("sum_price"),
+        F.max(F.unix_timestamp("o_orderdate")).alias("max_order_epoch"),
+    )
+
+
+def _ensure_mv(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the base-period partial aggregates once per fixture
+    generation (source-mtime staleness guard, same pattern as the format
+    copies): the registered query then reads THIS parquet instead of
+    re-aggregating the base period."""
+    import os
+
+    path = _mv_path(sf_dir)
+    src = table_path(sf_dir, "orders")
+    marker = os.path.join(path, "_SOURCE_MTIME")
+    src_mtime = os.path.getmtime(src)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if float(f.read().strip()) >= src_mtime:
+                return path
+    base = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(_MV_CUTOFF).cast("timestamp")
+    )
+    _mv_partials(base).coalesce(1).write.mode("overwrite").parquet(path)
+    with open(marker, "w") as f:
+        f.write(str(src_mtime))
+    return path
+
+
+@register(
+    "incremental_mv_refresh",
+    oracle=_MV_ORACLE,
+    tags=("maintenance", "mv", "incremental"),
+    bench=True,
+)
+def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-priority order
+    stats for the base period (< {cutoff}) live in a MATERIALIZED partial-
+    aggregate table (count / raw sum / max — the decomposable state);
+    refresh scans ONLY the delta (>= {cutoff}, a pushed-down parquet
+    predicate), aggregates it to the same partial shape, and merges by
+    re-aggregating the union — count adds, sum adds, max maxes, avg is
+    re-derived from the merged sums. The DuckDB oracle recomputes over
+    the FULL table, proving delta-only refresh reproduces the direct
+    answer exactly.
+
+    At 100 TB this is THE freshness operator: refresh cost is
+    O(delta) + O(groups), never O(history). The same partial-state
+    algebra is what Spark's own partial aggregation does inside one
+    query; here it is persisted across queries (and it is exactly the
+    foreachBatch merge the streaming ingest performs per micro-batch)."""
+    mv = spark.read.parquet(_ensure_mv(spark, sf_dir))
+    delta = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(_MV_CUTOFF).cast("timestamp")
+    )
+    merged = (
+        mv.unionByName(_mv_partials(delta))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_price").alias("sum_price"),
+            F.max("max_order_epoch").alias("max_order_epoch"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round("sum_price", 2).alias("total_price"),
+        "max_order_epoch",
+        F.round(F.col("sum_price") / F.col("n_orders"), 6).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketch store: per-source sketches union to the global one
+# ---------------------------------------------------------------------------
+
+_HLL_LGK = 12
+
+_HLL_ORACLE = """
+WITH toks AS (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+)
+SELECT source,
+       count(DISTINCT tok)::BIGINT AS n_exact,
+       TRUE AS within_5pct,
+       TRUE AS union_consistent
+FROM toks GROUP BY source
+"""
+
+
+@register(
+    "hll_sketch_union",
+    oracle=_HLL_ORACLE,
+    tags=("maintenance", "sketch", "hll", "approx"),
+)
+def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketch store (Datasketches HLL via Spark's
+    ``hll_sketch_agg``/``hll_union_agg``): each source keeps its own
+    distinct-token sketch; the global estimate comes from UNIONING the
+    per-source sketches — never rescanning other sources. Two properties
+    are verified IN-QUERY and surfaced as result columns the oracle
+    expects TRUE (a violation flips the value hash): (1) every per-source
+    estimate is within 5% of its exact count, (2) the union of the
+    per-source sketches estimates EXACTLY what one direct global sketch
+    does (sketch-merge losslessness — the algebra a sketch warehouse
+    relies on). Exact per-source counts are hash-checked against DuckDB
+    directly.
+
+    At 100 TB: per-partition sketches merge map-side (a few KB each),
+    the union is O(sources), and refreshing one source touches one
+    sketch — the same partial-state story as incremental_mv_refresh,
+    with fixed-size state."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count_distinct("tok").alias("n_exact"),
+        F.hll_sketch_agg("tok", F.lit(_HLL_LGK)).alias("sk"),
+    )
+    merged = per_src.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est")
+    )
+    direct = toks.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok", F.lit(_HLL_LGK))).alias(
+            "direct_est"
+        )
+    )
+    consistency = F.broadcast(
+        merged.crossJoin(direct).select(
+            (F.col("union_est") == F.col("direct_est")).alias(
+                "union_consistent"
+            )
+        )
+    )
+    return (
+        per_src.withColumn(
+            "within_5pct",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk").cast("double")
+                    - F.col("n_exact")
+                )
+                / F.col("n_exact")
+                <= 0.05
+            ),
+        )
+        .crossJoin(consistency)
+        .select("source", "n_exact", "within_5pct", "union_consistent")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout clustering: interleaved-bit sort keys for data skipping
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # per dimension
+_Z_BUCKET_SHIFT = 10  # 2^16 z-values -> 64 layout buckets
+
+
+def _z_oracle() -> str:
+    x_bits = " + ".join(
+        f"(((xq >> {i}) & 1) << {2 * i})" for i in range(_Z_BITS)
+    )
+    y_bits = " + ".join(
+        f"(((yq >> {i}) & 1) << {2 * i + 1})" for i in range(_Z_BITS)
+    )
+    return f"""
+WITH pts AS (
+    SELECT o_custkey AS x, epoch(o_orderdate)::BIGINT // 86400 AS y
+    FROM orders
+),
+rng AS (
+    SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax
+    FROM pts
+),
+quant AS (
+    SELECT ((p.x - r.xmin) * 256) // (r.xmax - r.xmin + 1) AS xq,
+           ((p.y - r.ymin) * 256) // (r.ymax - r.ymin + 1) AS yq
+    FROM pts p CROSS JOIN rng r
+),
+zed AS (
+    SELECT xq, yq, ({x_bits}) + ({y_bits}) AS z FROM quant
+)
+SELECT (z >> {_Z_BUCKET_SHIFT})::BIGINT AS zbucket,
+       count(*)::BIGINT AS n_rows,
+       min(xq)::BIGINT AS min_xq, max(xq)::BIGINT AS max_xq,
+       min(yq)::BIGINT AS min_yq, max(yq)::BIGINT AS max_yq,
+       (max(xq) - min(xq) + max(yq) - min(yq))::BIGINT AS span
+FROM zed GROUP BY zbucket
+"""
+
+
+@register(
+    "zorder_layout_spans",
+    oracle=_z_oracle(),
+    tags=("maintenance", "layout", "zorder", "skipping"),
+)
+def zorder_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout clustering — the multi-dimensional sort
+    key behind Delta/Iceberg OPTIMIZE ZORDER: (custkey, order-day) are
+    quantized to 8 bits each and bit-interleaved; rows sharing a z-value
+    prefix (a layout bucket ≙ a target file) then cover a SMALL rectangle
+    in BOTH dimensions, so min/max footer stats prune files for 2-D box
+    predicates — a 1-D sort only ever prunes one dimension. The query
+    emits each bucket's per-dimension min/max envelope and total span
+    (the data-skipping effectiveness metric, asserted tight in
+    tests/test_maintenance_ops.py); everything is integer arithmetic, so
+    the oracle hash-matches bit-for-bit.
+
+    At 100 TB the write path is ``repartitionByRange(z)`` +
+    ``sortWithinPartitions(z)`` before the parquet write — one range
+    shuffle; this query is the audit that the resulting envelopes are
+    worth that shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_custkey").alias("x"),
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("y"),
+    )
+    rng = F.broadcast(
+        pts.agg(
+            F.min("x").alias("xmin"),
+            F.max("x").alias("xmax"),
+            F.min("y").alias("ymin"),
+            F.max("y").alias("ymax"),
+        )
+    )
+    quant = pts.crossJoin(rng).select(
+        F.expr("((x - xmin) * 256) div (xmax - xmin + 1)").alias("xq"),
+        F.expr("((y - ymin) * 256) div (ymax - ymin + 1)").alias("yq"),
+    )
+    z = None
+    for i in range(_Z_BITS):
+        xb = F.shiftleft(F.shiftright("xq", i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(
+            F.shiftright("yq", i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        z = xb + yb if z is None else z + xb + yb
+    zed = quant.withColumn("z", z)
+    return (
+        zed.groupBy(
+            F.shiftright("z", _Z_BUCKET_SHIFT).cast("long").alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xq").alias("min_xq"),
+            F.max("xq").alias("max_xq"),
+            F.min("yq").alias("min_yq"),
+            F.max("yq").alias("max_yq"),
+        )
+        .withColumn(
+            "span",
+            (
+                F.col("max_xq")
+                - F.col("min_xq")
+                + F.col("max_yq")
+                - F.col("min_yq")
+            ).cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join, oracle-checked (the operators/skew.py machinery was
+# previously pytest-only)
+# ---------------------------------------------------------------------------
+
+_SALT_N = 8
+
+_SALTED_ORACLE = """
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "salted_join_segments",
+    oracle=_SALTED_ORACLE,
+    tags=("maintenance", "skew", "join"),
+)
+def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted equi-join (operators/skew.py::salted_join) driven
+    through the full oracle gate: orders⋈customer on custkey with the big
+    side salted 8 ways and the small side replicated 8x, aggregated to
+    per-segment order counts and revenue. The oracle is the PLAIN join —
+    the check proves salting is semantics-preserving, which is the whole
+    contract of the technique. Use when one customer owns a pathological
+    share of orders: no single reducer sees more than ~1/8th of the hot
+    key, at the cost of an 8x replicated (still broadcast-sized) build
+    side."""
+    from emails_to_vector_db_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(
+        o, c, "custkey", n_salts=_SALT_N, big_unique_col="o_orderkey"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

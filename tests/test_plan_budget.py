@@ -33,6 +33,7 @@ SHUFFLE_BUDGET = {
     "hash_embed_knn": 0,
     "heavy_hitter_terms": 2,  # MG partials agg + exact rescore agg
     "hourly_event_counts": 1,
+    "incremental_mv_refresh": 2,  # delta partial agg + merge re-agg
     "knn_join_multi_probe": 1,
     "knn_topk_l2": 0,
     "label_centroid_norm_pandas": 1,  # one grouped-map exchange on label
