@@ -20,11 +20,6 @@ import pandas as pd  # noqa: F401  (resolves pandas_udf type hints)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from emails_to_vector_db_spark.functions.vector import (
-    dot,
-    squared_l2,
-    vector_lit,
-)
 from emails_to_vector_db_spark.plans.dedup import (
     _EMB_DUP_OFFSET,
     _EMB_N_PLANT,
@@ -348,35 +343,62 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed subspace order. Top-5 by (adist, vec_id); recall vs exact KNN
     is asserted in tests/test_semantic_ops.py.
 
-    Plan shape: encoding is a scan-time argmin over 4×8 literal
-    codewords; the ADC sum is 4 literal-indexed 16-dim folds — the whole
+    Plan shape — the textbook ADC two-step: the probe row (alone) is
+    expanded into a flat distance lookup table of 8×32
+    query-to-codeword distances, broadcast, and every corpus row's
+    asymmetric distance is then just 8 integer-indexed lookups
+    into that table — no per-row q slicing, no per-row folds. The whole
     search is one narrow scan ending in TakeOrderedAndProject: ZERO
-    shuffles, no Python. At 100 TB the codes (not the floats) are what a
-    production pipeline materializes — 16× smaller scan on every
-    subsequent search; here both steps are fused into one query so the
-    oracle can check end-to-end."""
+    shuffles, no Python past the encode lane. At 100 TB the codes (not
+    the floats) are what a production pipeline materializes — 16×
+    smaller scan on every subsequent search; here both steps are fused
+    into one query so the oracle can check end-to-end."""
     cbs = _pq_codebooks()
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     encoded = emb.select(
         "vec_id", pq_encode_udf(cbs)(v).alias("codes")
     )
-    # the probe keeps its raw full-precision vector (that is the point of
-    # ASYMMETRIC distance) — no encode pass on this branch
+    # The probe keeps its raw full-precision vector (that is the point
+    # of ASYMMETRIC distance) — no encode pass on this branch. The
+    # q-to-codeword distance table is computed HERE, once, on the single
+    # probe row: lut[s*K + c] = ||q_s - codebook[s][c]||². The heavy
+    # literal expression tree (all M×K codewords) evaluates against one
+    # row, then broadcasts as M*K doubles.
+    # The LUT expression holds all 8×32 codewords as literals (2048
+    # doubles). Built as ONE SQL string parsed JVM-side: constructing it
+    # through the Column API costs thousands of py4j round-trips (~1.7s
+    # of pure plan-build per call, measured); the parser takes ~10ms.
+    def _arr(vals) -> str:
+        return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
+
+    lut_parts = []
+    for s in range(_PQ_DIM // _PQ_DSUB):
+        cb_sql = "array(" + ", ".join(_arr(cw) for cw in cbs[s]) + ")"
+        q_s = f"slice(q, {s * _PQ_DSUB + 1}, {_PQ_DSUB})"
+        # identical op tree to functions/vector.squared_l2 (zip_with
+        # square-diff folded left-to-right from 0.0) so the doubles are
+        # bit-equal to the fold form the oracle mirrors
+        lut_parts.append(
+            f"transform({cb_sql}, cw -> aggregate("
+            f"zip_with({q_s}, cw, (x, y) -> (x - y) * (x - y)), "
+            f"cast(0.0 as double), (acc, vv) -> acc + vv))"
+        )
+    lut_sql = "concat(" + ", ".join(lut_parts) + ")"
     probe = F.broadcast(
-        emb.where(F.col("vec_id") == PROBE_ID).select(v.alias("q"))
+        emb.where(F.col("vec_id") == PROBE_ID)
+        .select(v.alias("q"))
+        .select(F.expr(lut_sql).alias("lut"))
     )
-    # ADC: distance from the query subvector to the chosen codeword,
-    # summed left-to-right in subspace order (matches the oracle's
-    # ordered-list fold exactly). Only _PQ_M small folds — the argmin
-    # over all codewords lives in the Arrow encode lane, not here.
+    # ADC: one table lookup per subspace, summed left-to-right in
+    # subspace order (matches the oracle's ordered-list fold exactly —
+    # each lut entry is the identical squared_l2 expression the fold
+    # form computed, so the doubles are bit-equal).
     withq = encoded.crossJoin(probe)
     adist = None
     for s in range(_PQ_M):
-        cb_lit = F.array(*[vector_lit(cw) for cw in cbs[s]])
-        d_s = squared_l2(
-            F.slice(F.col("q"), s * _PQ_DSUB + 1, _PQ_DSUB),
-            F.element_at(cb_lit, F.element_at("codes", s + 1) + 1),
+        d_s = F.element_at(
+            "lut", F.lit(s * _PQ_K) + F.element_at("codes", s + 1) + 1
         )
         adist = d_s if adist is None else adist + d_s
     return (
