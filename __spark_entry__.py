@@ -66,6 +66,7 @@ _NEVER_SAMPLED_FIRST = (
     "hll_sketch_union",
     "zorder_layout_spans",
     "salted_join_segments",
+    "bucketed_colocated_join",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

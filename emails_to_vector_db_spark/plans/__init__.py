@@ -16,6 +16,7 @@ from emails_to_vector_db_spark.plans.registry import (  # noqa: F401
 from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     advanced,
     analytics,
+    bucketed,
     chunking,
     cleaning,
     corpus,

@@ -245,5 +245,77 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
             "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
         )
         for k, v in old.items():
-            if v is not None:
+            if v is None:
+                # previously-unset keys must be UNSET, not left at the
+                # fixture-scale values — leaving threshold=0 set makes
+                # bloom injection fire in every later test's plans
+                spark.conf.unset(k)
+            else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_has_no_shuffle_before_join(spark):
+    """The bucketed layout's whole point: lineitem ⋈ orders on orderkey
+    plans as a SortMergeJoin over two Bucketed scans with ZERO shuffle
+    exchanges before the join (the only Exchange left is the final
+    aggregate), and each bucket is exactly one file."""
+    import glob as _glob
+    import os
+    import re
+
+    from emails_to_vector_db_spark.plans import REGISTRY
+    from emails_to_vector_db_spark.plans.bucketed import (
+        BUCKETS,
+        _bucket_root,
+    )
+    from tests.conftest import SF_ORACLE
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["bucketed_colocated_join"].fn(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    shuffles = len(
+        re.findall(r"Exchange (hash|range|SinglePartition)", plan)
+    )
+    assert shuffles == 1, f"expected only the agg exchange, got {shuffles}"
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert f"SelectedBucketsCount: {BUCKETS} out of {BUCKETS}" in plan
+    for tbl in ("lineitem", "orders"):
+        files = _glob.glob(
+            os.path.join(_bucket_root(SF_ORACLE, tbl), "*.parquet")
+        )
+        assert len(files) == BUCKETS, (
+            f"{tbl}: want one file per bucket, got {len(files)}"
+        )
+
+
+def test_bucketed_table_reregisters_without_rewrite(spark):
+    """A fresh catalog over current bucketed files replays DDL only: the
+    second ensure call must not touch the data files."""
+    import os
+
+    from emails_to_vector_db_spark.plans.bucketed import (
+        _bucket_root,
+        _table_name,
+        ensure_bucketed_table,
+    )
+    from tests.conftest import SF_ORACLE
+
+    name = ensure_bucketed_table(spark, SF_ORACLE, "orders", "o_orderkey")
+    root = _bucket_root(SF_ORACLE, "orders")
+    before = {
+        f: os.path.getmtime(os.path.join(root, f)) for f in os.listdir(root)
+    }
+    # simulate a fresh session's empty catalog
+    spark.sql(f"DROP TABLE IF EXISTS {_table_name(SF_ORACLE, 'orders')}")
+    name2 = ensure_bucketed_table(spark, SF_ORACLE, "orders", "o_orderkey")
+    assert name2 == name
+    after = {
+        f: os.path.getmtime(os.path.join(root, f)) for f in os.listdir(root)
+    }
+    assert before == after, "re-registration must be DDL-only"
+    assert spark.table(name).count() > 0
