@@ -67,6 +67,7 @@ _NEVER_SAMPLED_FIRST = (
     "zorder_layout_spans",
     "salted_join_segments",
     "bucketed_colocated_join",
+    "image_dhash_near_dups",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

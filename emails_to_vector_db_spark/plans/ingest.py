@@ -338,6 +338,102 @@ def events_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DHASH_BAND_BITS = 16
+_DHASH_N_BANDS = 4
+_DHASH_MAX_HAMMING = 10
+
+_DHASH_ORACLE = f"""
+WITH h AS (
+    SELECT media_id, dhash
+    FROM read_parquet('{_FIXTURES["image_dhash_ref"]}')
+),
+bands AS (
+    SELECT media_id, dhash, b.band_idx,
+           ((dhash >> ({_DHASH_BAND_BITS} * b.band_idx)) & 65535) AS band_val
+    FROM h, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+cand AS (
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           a.dhash AS da, b.dhash AS db
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, hamming FROM (
+    SELECT id_a, id_b, bit_count(xor(da, db))::BIGINT AS hamming FROM cand
+) WHERE hamming <= {_DHASH_MAX_HAMMING}
+"""
+
+
+@register(
+    "image_dhash_near_dups",
+    oracle=_DHASH_ORACLE,
+    tags=("multimodal", "image", "dedup", "dhash", "lsh"),
+)
+def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the image-space member of the
+    near-dup family (MinHash:text :: dHash:images): raw PPM/BMP payloads
+    decode in a mapInPandas lane to a 64-bit dHash (8×9 grayscale
+    gradient signs), then near-duplicate pairs come from the SAME banded
+    LSH shape as SimHash — 4×16-bit bands, bucket-local self-join,
+    Hamming ≤ 10 scored with one xor+bit_count. The fixture plants
+    brightness-shifted and 2×-upscaled copies (measured Hamming ≤ 5;
+    unrelated pairs ≥ 20); the oracle replays banding+Hamming in SQL
+    over the sequential dHash reference, so the distributed decode→hash
+    lane is differentially proven and the pair logic is hash-checked.
+
+    100 TB shape: pixels never shuffle — only 8-byte hashes move, banded
+    bucket join instead of all-pairs (pigeonhole: Hamming ≤ 3 always
+    collides in some band; the wider candidate net is recall-bounded by
+    the same banding both engines run). Reference has no media handling
+    at all (cf. rag.py:40-50)."""
+    from emails_to_vector_db_spark.sources.multimodal import (
+        extract_image_dhash,
+    )
+
+    images = spark.read.parquet(_FIXTURES["images_dhash_raw"])
+    hashes = extract_image_dhash(images)
+    banded = hashes.select(
+        "media_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(
+                        F.col("dhash"), _DHASH_BAND_BITS * b
+                    ).bitwiseAND(F.lit(65535))
+                    for b in range(_DHASH_N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    left = banded.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash").alias("da"),
+        "band_idx",
+        "band_val",
+    )
+    right = banded.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash").alias("db"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("da").bitwiseXOR(F.col("db"))).cast("long"),
+        )
+        .where(F.col("hamming") <= _DHASH_MAX_HAMMING)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 @register(
     "email_datasource_stream_stats",
     oracle=_EMAIL_ORACLE,  # same reference extraction — stream must agree

@@ -37,7 +37,9 @@ FEATURE_DIM = 16
 # stale files can never leak into the differential check.
 # v4: image rows alternate PPM / 24-bit BMP containers (decode dispatch).
 # v5: + image_resize_ref (sequential bilinear-thumbnail reference).
-FIXTURE_VERSION = 5
+# v6: + images_dhash_raw / image_dhash_ref (perceptual-hash dedup corpus
+#     with planted brightness/upscale near-duplicates).
+FIXTURE_VERSION = 6
 
 
 def fixtures_dir() -> str:
@@ -59,6 +61,8 @@ def ensure_fixtures() -> dict[str, str]:
         "video_frames_ref": os.path.join(d, "video_frames_ref.parquet"),
         "audio_spectral_ref": os.path.join(d, "audio_spectral_ref.parquet"),
         "image_resize_ref": os.path.join(d, "image_resize_ref.parquet"),
+        "images_dhash_raw": os.path.join(d, "images_dhash_raw.parquet"),
+        "image_dhash_ref": os.path.join(d, "image_dhash_ref.parquet"),
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -197,5 +201,38 @@ def ensure_fixtures() -> dict[str, str]:
             }
         ),
         paths["image_resize_ref"],
+    )
+
+    from emails_to_vector_db_spark.sources.multimodal import (
+        dhash64,
+        synthetic_dhash_image_rows,
+    )
+
+    dhash_rows = synthetic_dhash_image_rows()
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(
+                    [r[0] for r in dhash_rows], pa.int64()
+                ),
+                "payload": pa.array(
+                    [r[1] for r in dhash_rows], pa.binary()
+                ),
+            }
+        ),
+        paths["images_dhash_raw"],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(
+                    [r[0] for r in dhash_rows], pa.int64()
+                ),
+                "dhash": pa.array(
+                    [dhash64(r[1]) for r in dhash_rows], pa.int64()
+                ),
+            }
+        ),
+        paths["image_dhash_ref"],
     )
     return paths

@@ -271,6 +271,39 @@ def synthetic_media_rows(n: int = 24) -> list[tuple]:
     return rows
 
 
+def synthetic_dhash_image_rows(
+    n_base: int = 20, n_variants: int = 8
+) -> list[tuple[int, bytes]]:
+    """Deterministic image-dedup fixture: ``n_base`` independent random
+    images plus, for the first ``n_variants`` of them, TWO planted
+    near-duplicates each — a brightness-shifted copy (+10, clipped:
+    gradient signs survive except at saturation) at id base+1000 and a
+    2× bilinear-upscaled copy at id base+2000 (dHash is resolution-
+    invariant by construction). Containers alternate PPM/BMP so the
+    decode dispatch runs in the same lane. Pure numpy, seeded by id —
+    the same rows land in parquet for the oracle."""
+    rows: list[tuple[int, bytes]] = []
+
+    def enc(i: int, img: "np.ndarray") -> bytes:
+        return encode_ppm(img) if i % 2 == 0 else encode_bmp(img)
+
+    for i in range(n_base):
+        w, h = 12 + i % 7, 10 + i % 5
+        rng = np.random.default_rng(7000 + i)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, enc(i, img)))
+        if i < n_variants:
+            bright = np.clip(
+                img.astype(np.int16) + 10, 0, 255
+            ).astype(np.uint8)
+            rows.append((i + 1000, enc(i + 1, bright)))
+            up = np.clip(
+                np.rint(resize_bilinear(img, 2 * h, 2 * w)), 0, 255
+            ).astype(np.uint8)
+            rows.append((i + 2000, enc(i, up)))
+    return rows
+
+
 def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
     """synthetic_media_rows as a DataFrame."""
     return spark.createDataFrame(synthetic_media_rows(n), MEDIA_SCHEMA)
@@ -353,6 +386,51 @@ def extract_image_thumbs(media: DataFrame) -> DataFrame:
 
     return media.where(F.col("modality") == "image").mapInPandas(
         run, THUMB_SCHEMA
+    )
+
+
+def dhash64(payload: bytes) -> int:
+    """Perceptual difference hash (dHash, the standard 64-bit variant):
+    decode → bilinear-resize to 8 rows × 9 cols → ITU-R 601 grayscale →
+    one bit per horizontal neighbor pair (right > left), row-major with
+    the first comparison in the MSB. Returned as a SIGNED 64-bit int
+    (two's complement) so it round-trips parquet/Spark/DuckDB BIGINT
+    unchanged. Brightness/contrast shifts and rescaling barely move the
+    gradient signs, so near-duplicate images land within a small Hamming
+    distance — the image-space analogue of SimHash over text."""
+    g = resize_bilinear(decode_image(payload), 8, 9)
+    gray = 0.299 * g[..., 0] + 0.587 * g[..., 1] + 0.114 * g[..., 2]
+    bits = (gray[:, 1:] > gray[:, :-1]).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+DHASH_SCHEMA = "media_id bigint, dhash bigint"
+
+
+def extract_image_dhash(images: DataFrame) -> DataFrame:
+    """Distributed dHash via mapInPandas over raw image payloads
+    (PPM/BMP magic-byte dispatch). Per-image independent: partitions
+    freely, shuffles nothing — the 100 TB shape is hash-then-band, never
+    pixel-space comparison."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "dhash": [
+                        dhash64(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return images.select("media_id", "payload").mapInPandas(
+        run, DHASH_SCHEMA
     )
 
 

@@ -400,3 +400,41 @@ def test_arrow_lane_matches_pandas_lane(spark):
         for r in extract_features_arrow(media, dim=FEATURE_DIM).collect()
     }
     assert pd_rows == ar_rows
+
+
+def test_dhash_planted_variants_found(spark):
+    """Every planted brightness/upscale copy must pair with its base
+    (and transitively with its sibling) under the banded Hamming rule;
+    no unrelated pair sneaks in (fixture margin: planted <= 5 bits,
+    unrelated >= 20)."""
+    from emails_to_vector_db_spark.plans import REGISTRY
+
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["image_dhash_near_dups"].fn(spark, SF_SMOKE).collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    for base in range(8):
+        assert (base, base + 1000) in pairs, f"brightness copy of {base}"
+        assert (base, base + 2000) in pairs, f"upscale copy of {base}"
+    for a, b in pairs:
+        assert a % 1000 == b % 1000, f"false positive pair {(a, b)}"
+    assert all(r.hamming <= 10 for r in rows)
+
+
+def test_dhash_brightness_invariance_unit():
+    """dHash is defined by gradient SIGNS: a uniform brightness shift
+    below saturation must leave the hash bit-identical."""
+    import numpy as np
+
+    from emails_to_vector_db_spark.sources.multimodal import (
+        dhash64,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(424242)
+    img = rng.integers(20, 200, size=(10, 14, 3), dtype=np.uint8)
+    shifted = (img + 10).astype(np.uint8)  # no clipping in [20,200]+10
+    assert dhash64(encode_ppm(img)) == dhash64(encode_ppm(shifted))
+    # container must not matter: PPM and BMP of the same pixels agree
+    assert dhash64(encode_ppm(img)) == dhash64(encode_bmp(img))
