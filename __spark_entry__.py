@@ -68,6 +68,8 @@ _NEVER_SAMPLED_FIRST = (
     "salted_join_segments",
     "bucketed_colocated_join",
     "image_dhash_near_dups",
+    "dsir_importance_weights",
+    "bloom_prune_semijoin",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -670,3 +670,146 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("k") * 1000, 6).alias("sample_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling weights (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_ALPHA = 0.5  # add-alpha smoothing so unseen buckets stay finite
+_DSIR_SALT = "dsir:"
+_DSIR_TARGET_LANG = "en"
+_DSIR_TOP = 20
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5('{_DSIR_SALT}' || tok), 1, 15))::BIGINT
+               % {_DSIR_BUCKETS} AS bucket
+    FROM (SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS tok FROM documents)
+),
+tgt AS (
+    SELECT bucket, count(*)::DOUBLE AS ct FROM toks
+    WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket
+),
+raw AS (
+    SELECT bucket, count(*)::DOUBLE AS cr FROM toks GROUP BY bucket
+),
+ratios AS (
+    SELECT r.bucket,
+           ln(((coalesce(t.ct, 0) + {_DSIR_ALPHA})
+               / ((SELECT sum(ct) FROM tgt)
+                  + {_DSIR_ALPHA} * {_DSIR_BUCKETS}))
+              / ((r.cr + {_DSIR_ALPHA})
+                 / ((SELECT sum(cr) FROM raw)
+                    + {_DSIR_ALPHA} * {_DSIR_BUCKETS}))) AS log_ratio
+    FROM raw r LEFT JOIN tgt t USING (bucket)
+),
+perdoc AS (
+    SELECT k.doc_id, k.lang,
+           count(*)::BIGINT AS n_tokens,
+           sum(k.n_b * ratios.log_ratio) AS logw
+    FROM (
+        SELECT doc_id, lang, bucket, count(*)::DOUBLE AS n_b
+        FROM toks GROUP BY doc_id, lang, bucket
+    ) k JOIN ratios USING (bucket)
+    GROUP BY k.doc_id, k.lang
+)
+SELECT doc_id, lang,
+       (SELECT count(*)::BIGINT FROM toks t2 WHERE t2.doc_id = perdoc.doc_id)
+           AS n_tokens,
+       round(logw, 6) + 0.0 AS importance_logw
+FROM perdoc
+WHERE lang <> '{_DSIR_TARGET_LANG}'
+ORDER BY round(logw, 6) DESC, doc_id ASC
+LIMIT {_DSIR_TOP}
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_DSIR_ORACLE,
+    tags=("cleaning", "dsir", "importance-sampling", "training-data"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every raw document
+    by how target-like its hashed-unigram distribution is. Unigrams hash
+    into 64 buckets (salted md5 — the paper's hashed n-gram features);
+    the target (lang='{en}') and raw corpora each yield add-alpha
+    bucket probabilities; a document's importance log-weight is
+    sum_b n_b(doc) * ln(p_target(b) / p_raw(b)). The top-20 non-target
+    docs by weight are the ones importance resampling would pull into
+    the training mix first.
+
+    Plan shape at 100 TB: the token stream is scanned ONCE into per-
+    (doc, bucket) counts (map-side combinable); the two corpus bucket
+    histograms are 64-row aggregates; the log-ratio table is 64 rows and
+    BROADCAST onto the per-doc counts — the corpus itself shuffles only
+    doc-keyed count rows, never raw text. No Python, no driver loop;
+    the final top-20 is TakeOrderedAndProject. Reference has no notion
+    of data selection (it ingests its CSV wholesale, rag.py:40-50)."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(TX.tokens("text")).alias("tok"),
+    ).withColumn(
+        "bucket", TX.md5_long("tok", salt=_DSIR_SALT) % _DSIR_BUCKETS
+    )
+    # The ONLY pass over raw text: per-(doc, bucket) counts, map-side
+    # combinable, ≤64 rows per document. Persisted because histograms,
+    # totals AND the per-doc scoring all derive from it — without the
+    # persist each consumer would re-scan the corpus.
+    per_doc_bucket = (
+        toks.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tgt = (
+        per_doc_bucket.where(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.sum("n_b").alias("ct"))
+    )
+    raw = per_doc_bucket.groupBy("bucket").agg(
+        F.sum("n_b").alias("cr")
+    )
+    # corpus totals stay IN the plan (a 1-row broadcast cross join) —
+    # no driver-side .first() job at plan-build time
+    totals = F.broadcast(
+        tgt.agg(F.sum("ct").alias("t_total")).crossJoin(
+            raw.agg(F.sum("cr").alias("r_total"))
+        )
+    )
+    a = F.lit(_DSIR_ALPHA)
+    ab = F.lit(_DSIR_ALPHA * _DSIR_BUCKETS)
+    ratios = (
+        raw.join(F.broadcast(tgt), "bucket", "left")
+        .crossJoin(totals)
+        .select(
+            "bucket",
+            F.log(
+                ((F.coalesce(F.col("ct"), F.lit(0.0)) + a)
+                 / (F.col("t_total") + ab))
+                / ((F.col("cr") + a) / (F.col("r_total") + ab))
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        per_doc_bucket.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("n_b")).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("n_b") * F.col("log_ratio")), 6
+            ).alias("importance_logw"),
+        )
+    )
+    return (
+        scored.where(F.col("lang") != _DSIR_TARGET_LANG)
+        .orderBy(F.col("importance_logw").desc(), F.col("doc_id").asc())
+        .limit(_DSIR_TOP)
+    )

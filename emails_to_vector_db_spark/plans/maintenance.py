@@ -366,3 +366,156 @@ def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (explicit sketch, the shuffle-avoidance
+# companion to the AQE runtime bloom filter tested in
+# tests/test_warehouse_layout.py)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 16384
+_BLOOM_WORDS = _BLOOM_BITS // 32  # 32-bit words in BIGINT: no sign games
+_BLOOM_K = 3
+_BLOOM_PRICE = 400000.0
+
+_BLOOM_POS_SQL = [
+    f"(('0x' || substr(md5('bloom{s}:' || o_orderkey::VARCHAR), 1, 15))"
+    f"::BIGINT % {_BLOOM_BITS})"
+    for s in range(_BLOOM_K)
+]
+_BLOOM_PROBE_POS_SQL = [
+    p.replace("o_orderkey", "l_orderkey") for p in _BLOOM_POS_SQL
+]
+
+_BLOOM_ORACLE = f"""
+WITH build AS (
+    SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_PRICE}
+),
+bits AS (
+    SELECT DISTINCT pos FROM build,
+        (SELECT unnest([{", ".join(_BLOOM_POS_SQL)}]) AS pos) p
+),
+words AS (
+    SELECT pos // 32 AS word_idx,
+           bit_or(1::BIGINT << (pos % 32)) AS word
+    FROM bits GROUP BY pos // 32
+),
+probe AS (
+    SELECT l_orderkey, l_extendedprice, l_discount,
+           {", ".join(f"{p} AS pos{s}" for s, p in enumerate(_BLOOM_PROBE_POS_SQL))}
+    FROM lineitem
+),
+cand AS (
+    SELECT pr.l_orderkey, pr.l_extendedprice, pr.l_discount
+    FROM probe pr
+    {" ".join(
+        f"LEFT JOIN words w{s} ON w{s}.word_idx = pr.pos{s} // 32"
+        for s in range(_BLOOM_K)
+    )}
+    WHERE {" AND ".join(
+        f"((coalesce(w{s}.word, 0) >> (pr.pos{s} % 32)) & 1) = 1"
+        for s in range(_BLOOM_K)
+    )}
+)
+SELECT count(*)::BIGINT AS n_candidates,
+       (SELECT count(*)::BIGINT FROM cand
+        WHERE l_orderkey IN (SELECT o_orderkey FROM build)) AS n_verified,
+       (SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) FROM cand
+        WHERE l_orderkey IN (SELECT o_orderkey FROM build)) AS revenue
+FROM cand
+"""
+
+
+@register(
+    "bloom_prune_semijoin",
+    oracle=_BLOOM_ORACLE,
+    tags=("sketch", "bloom", "join-pruning"),
+)
+def bloom_prune_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter join pruning: the selective build side
+    (orders above a price threshold) is folded into a 16384-bit Bloom
+    filter — k=3 salted-md5 bit positions, 32-bit words packed into one
+    map<word_idx, word> row — broadcast, and the probe side (the full
+    lineitem stream) is pre-filtered by 3 pure per-row bit tests before
+    the exact semi-join removes the false positives. Emits candidate /
+    verified counts side by side, so the sketch's false-positive margin
+    is itself part of the hash-checked result.
+
+    100 TB shape: the sketch is ~2 KB regardless of corpus size and
+    replaces a shuffle of every non-matching probe row with a scan-local
+    filter — the manual form of what the AQE runtime bloom filter
+    injects (tests/test_warehouse_layout.py proves that path; this one
+    is engine-independent and lands in the oracle too). Build-side
+    distinct and the word fold are 128-row aggregates; nothing but
+    survivors reaches the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    build = od.where(F.col("o_totalprice") > _BLOOM_PRICE).select(
+        "o_orderkey"
+    )
+
+    def positions(key_col: str):
+        return [
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"bloom{s}:"),
+                            F.col(key_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_BITS
+            for s in range(_BLOOM_K)
+        ]
+
+    bits = (
+        build.select(
+            F.explode(F.array(*positions("o_orderkey"))).alias("pos")
+        )
+        .distinct()
+    )
+    words = bits.groupBy((F.col("pos") / 32).cast("long").alias("word_idx")).agg(
+        F.expr("bit_or(shiftleft(1L, cast(pos % 32 as int)))").alias("word")
+    )
+    sketch = F.broadcast(
+        words.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_idx", "word"))
+            ).alias("bloom")
+        )
+    )
+    probe = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        *[p.alias(f"pos{s}") for s, p in enumerate(positions("l_orderkey"))],
+    ).crossJoin(sketch)
+    passed = probe.where(
+        F.expr(
+            " AND ".join(
+                f"((coalesce(element_at(bloom, cast(pos{s} div 32 as bigint)), 0L)"
+                f" >> cast(pos{s} % 32 as int)) & 1) = 1"
+                for s in range(_BLOOM_K)
+            )
+        )
+    )
+    verified = passed.join(
+        F.broadcast(build),
+        passed.l_orderkey == build.o_orderkey,
+        "left_semi",
+    )
+    n_cand = passed.agg(F.count(F.lit(1)).alias("n_candidates"))
+    v = verified.agg(
+        F.count(F.lit(1)).alias("n_verified"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+    return n_cand.crossJoin(v)
