@@ -70,6 +70,8 @@ _NEVER_SAMPLED_FIRST = (
     "image_dhash_near_dups",
     "dsir_importance_weights",
     "bloom_prune_semijoin",
+    "bpe_merge_learning",
+    "bpe_segmentation_stats",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -31,6 +31,7 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     semantic,
     stats,
     textops,
+    tokenizer,
     tpch_extra,
     tpch_more,
     vector,

@@ -30,6 +30,11 @@ import os
 FIXTURE_EMAILS_N = 40
 FIXTURE_MEDIA_N = 48
 FEATURE_DIM = 16
+FIXTURE_BPE_MERGES = 12
+
+# The corpus the driver's DuckDB correctness gate runs at; fixture
+# references that depend on a corpus (BPE) are computed over it.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
 # Bump when fixture CONTENT changes (e.g. the media corpus format): the
@@ -39,7 +44,10 @@ FEATURE_DIM = 16
 # v5: + image_resize_ref (sequential bilinear-thumbnail reference).
 # v6: + images_dhash_raw / image_dhash_ref (perceptual-hash dedup corpus
 #     with planted brightness/upscale near-duplicates).
-FIXTURE_VERSION = 6
+# v7: image containers rotate PPM/BMP/PNG (real stdlib-zlib PNG codec);
+#     + bpe_merges_ref / bpe_segment_ref (sequential Sennrich-style BPE
+#     reference over the sf0.01 documents corpus).
+FIXTURE_VERSION = 7
 
 
 def fixtures_dir() -> str:
@@ -63,6 +71,8 @@ def ensure_fixtures() -> dict[str, str]:
         "image_resize_ref": os.path.join(d, "image_resize_ref.parquet"),
         "images_dhash_raw": os.path.join(d, "images_dhash_raw.parquet"),
         "image_dhash_ref": os.path.join(d, "image_dhash_ref.parquet"),
+        "bpe_merges_ref": os.path.join(d, "bpe_merges_ref.parquet"),
+        "bpe_segment_ref": os.path.join(d, "bpe_segment_ref.parquet"),
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -234,5 +244,65 @@ def ensure_fixtures() -> dict[str, str]:
             }
         ),
         paths["image_dhash_ref"],
+    )
+
+    # BPE reference: the SEQUENTIAL Sennrich-style trainer + segmenter
+    # (operators/bpe.py driver path — plain Counter/list loops, no
+    # Spark) over the driver's sf0.01 correctness corpus. The Spark-lane
+    # queries (plans/tokenizer.py) re-derive both results with
+    # per-iteration DataFrame aggregations and native array folds — a
+    # genuine differential, same merge table, disjoint execution code.
+    from collections import Counter
+
+    from emails_to_vector_db_spark.operators.bpe import (
+        learn_bpe_merges_driver,
+        pretokenize_words,
+        segment_word,
+    )
+
+    docs = pq.read_table(
+        os.path.join(ORACLE_SF_DIR, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).to_pydict()
+    hist = Counter(
+        w for t in docs["text"] for w in pretokenize_words(t)
+    )
+    merges = learn_bpe_merges_driver(sorted(hist.items()), FIXTURE_BPE_MERGES)
+    pq.write_table(
+        pa.table(
+            {
+                "merge_rank": pa.array([m[0] for m in merges], pa.int64()),
+                "left_sym": [m[1] for m in merges],
+                "right_sym": [m[2] for m in merges],
+                "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+            }
+        ),
+        paths["bpe_merges_ref"],
+    )
+    pairs = [(m[1], m[2]) for m in merges]
+    seg_rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = pretokenize_words(text)
+        segs = [segment_word(w, pairs) for w in words]
+        seg_rows.append(
+            (
+                int(doc_id),
+                len(words),
+                sum(len(s) for s in segs),
+                max((len(s) for s in segs), default=0),
+            )
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in seg_rows], pa.int64()),
+                "n_words": pa.array([r[1] for r in seg_rows], pa.int64()),
+                "n_tokens": pa.array([r[2] for r in seg_rows], pa.int64()),
+                "max_word_tokens": pa.array(
+                    [r[3] for r in seg_rows], pa.int64()
+                ),
+            }
+        ),
+        paths["bpe_segment_ref"],
     )
     return paths

@@ -9,14 +9,16 @@ PDFs in ``data/``); this is the north star's multimodal surface. Design:
   explicitly-chosen Arrow-batched stages;
 - decode / feature-extract / resize / frame-sample run via ``mapInPandas``
   (arrow batches of bytes → numpy), partition-parallel;
-- uncompressed formats are decoded for REAL with stdlib-only parsers
-  (binary PPM images via a numpy header parse, WAV PCM audio via the
-  ``wave`` module, raw video as concatenated PPM frames with a real
-  demuxer) feeding genuine per-pixel / per-sample / per-frame features;
-  compressed codecs (PNG/JPEG/MP4) stay STUBBED
-  (``NotImplementedError``) because no imaging/codec lib ships in this
-  container — the Spark-side plumbing (schema, batch shape,
-  partitioning, UDF signatures) is identical either way.
+- image/audio/video decode is REAL with stdlib-only parsers: binary PPM
+  and 24-bit BMP images, 8-bit truecolor PNG (full chunk walk + CRC
+  validation + zlib inflate + all five scanline filters — stdlib
+  ``zlib`` is the whole codec dependency), WAV PCM audio via the
+  ``wave`` module, and raw video as concatenated PPM frames with a real
+  demuxer — all feeding genuine per-pixel / per-sample / per-frame
+  features; only entropy-coded codecs (JPEG/MP4) stay STUBBED
+  (``NotImplementedError``) because their Huffman/DCT stages need an
+  imaging lib this container lacks — the Spark-side plumbing (schema,
+  batch shape, partitioning, UDF signatures) is identical either way.
 """
 
 from __future__ import annotations
@@ -145,6 +147,150 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     return out
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: "np.ndarray", filters: list[int] | None = None) -> bytes:
+    """HxWx3 uint8 RGB → PNG (8-bit truecolor, non-interlaced), stdlib
+    ``zlib`` only. By default each scanline y is written with filter
+    type ``y % 5``, so a single round-trip exercises every filter the
+    spec defines (None/Sub/Up/Average/Paeth) — the encoder doubles as
+    the decoder's adversarial test harness. Filtering operates on the
+    RAW bytes of the current and prior scanline per the PNG spec."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    prev = np.zeros(w * 3, dtype=np.int16)
+    raw = bytearray()
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int16)
+        ftype = (y % 5) if filters is None else filters[y]
+        left = np.concatenate([np.zeros(3, np.int16), line[:-3]])
+        upleft = np.concatenate([np.zeros(3, np.int16), prev[:-3]])
+        if ftype == 0:
+            out = line
+        elif ftype == 1:
+            out = line - left
+        elif ftype == 2:
+            out = line - prev
+        elif ftype == 3:
+            out = line - ((left + prev) // 2)
+        elif ftype == 4:
+            p = left + prev - upleft
+            pa_, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = line - pred
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        raw.append(ftype)
+        raw += (out % 256).astype(np.uint8).tobytes()
+        prev = line
+    idat = zlib.compress(bytes(raw), 6)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """REAL compressed-image decode, stdlib+numpy only: walk the chunk
+    stream (validating every chunk's CRC32), parse IHDR, inflate the
+    concatenated IDAT stream with ``zlib``, then undo the per-scanline
+    filters — Sub/Up/Average and the Paeth predictor — reconstructing
+    top-to-bottom. Supports the ubiquitous 8-bit truecolor (color type
+    2) non-interlaced form; anything else raises loudly rather than
+    mis-decoding."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit truecolor non-interlaced PNG supported"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:
+            cur = (line + prev) % 256
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth depend on the just-reconstructed left
+            # pixel: sequential in x (3 channels at a step), numpy per
+            # step — scanlines are short, and this runs inside the
+            # Arrow-batched decode lane, not per-row Python in a plan.
+            cur = np.empty(stride, np.int32)
+            zero3 = np.zeros(3, np.int32)
+            for x in range(0, stride, 3):
+                left = cur[x - 3 : x] if x else zero3
+                up = prev[x : x + 3]
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    upleft = prev[x - 3 : x] if x else zero3
+                    p = left + up - upleft
+                    pa_ = np.abs(p - left)
+                    pb = np.abs(p - up)
+                    pc = np.abs(p - upleft)
+                    pred = np.where(
+                        (pa_ <= pb) & (pa_ <= pc),
+                        left,
+                        np.where(pb <= pc, up, upleft),
+                    )
+                cur[x : x + 3] = (line[x : x + 3] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, 3)
+
+
 def encode_ppm_video(frames: list["np.ndarray"]) -> bytes:
     """Raw 'video' container: concatenated binary-PPM frames (each frame a
     self-describing P6 block). Uncompressed by construction, so the whole
@@ -226,15 +372,20 @@ def synthetic_media_rows(n: int = 24) -> list[tuple]:
             w, h = 8 + i % 5, 6 + i % 4
             rng = np.random.default_rng(1000 + i)
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            # alternate container formats: every other image row is BMP,
-            # so the distributed decode path exercises the magic-byte
-            # dispatch (and the DuckDB-checked feature fixture covers it)
-            if (i // 3) % 2 == 0:
+            # rotate container formats — PPM, BMP, PNG — so the
+            # distributed decode path exercises the full magic-byte
+            # dispatch (and the DuckDB-checked feature fixture covers
+            # all three, including PNG's filter/inflate reconstruction)
+            form = (i // 3) % 3
+            if form == 0:
                 payload = encode_ppm(img)
                 img_mime = "image/x-portable-pixmap"
-            else:
+            elif form == 1:
                 payload = encode_bmp(img)
                 img_mime = "image/bmp"
+            else:
+                payload = encode_png(img)
+                img_mime = "image/png"
             meta_wh, duration = (w, h), None
         elif modality == "audio":
             rate = 8000
@@ -279,13 +430,13 @@ def synthetic_dhash_image_rows(
     near-duplicates each — a brightness-shifted copy (+10, clipped:
     gradient signs survive except at saturation) at id base+1000 and a
     2× bilinear-upscaled copy at id base+2000 (dHash is resolution-
-    invariant by construction). Containers alternate PPM/BMP so the
+    invariant by construction). Containers rotate PPM/BMP/PNG so the
     decode dispatch runs in the same lane. Pure numpy, seeded by id —
     the same rows land in parquet for the oracle."""
     rows: list[tuple[int, bytes]] = []
 
     def enc(i: int, img: "np.ndarray") -> bytes:
-        return encode_ppm(img) if i % 2 == 0 else encode_bmp(img)
+        return (encode_ppm, encode_bmp, encode_png)[i % 3](img)
 
     for i in range(n_base):
         w, h = 12 + i % 7, 10 + i % 5
@@ -310,17 +461,22 @@ def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Image decode dispatch by magic bytes: binary PPM (P6) and 24-bit
-    BMP decode for REAL (stdlib+numpy); compressed codecs (PNG/JPEG)
-    remain STUBBED because no imaging lib ships in this container —
-    swap the fallthrough for PIL/cv2 in production."""
+    """Image decode dispatch by magic bytes: binary PPM (P6), 24-bit
+    BMP, and 8-bit truecolor PNG all decode for REAL (stdlib+numpy —
+    PNG's inflate comes from stdlib ``zlib``); only entropy-coded
+    codecs (JPEG) remain STUBBED because Huffman+DCT decode needs an
+    imaging lib this container lacks — swap the fallthrough for
+    PIL/cv2 in production."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image decode requires an imaging library (PIL/cv2); "
-        "PPM and 24-bit BMP decode for real via decode_ppm()/decode_bmp()"
+        "entropy-coded image decode (JPEG) requires an imaging library "
+        "(PIL/cv2); PPM, 24-bit BMP and 8-bit truecolor PNG decode for "
+        "real via decode_ppm()/decode_bmp()/decode_png()"
     )
 
 
