@@ -72,6 +72,8 @@ _NEVER_SAMPLED_FIRST = (
     "bloom_prune_semijoin",
     "bpe_merge_learning",
     "bpe_segmentation_stats",
+    "ann_lsh_recall_audit",
+    "ivf_recall_audit",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -600,3 +600,162 @@ def int8_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(K)
         .select("vec_id", "qdist")
     )
+
+
+def _exact_cosine_topk_cte() -> str:
+    """Exact cosine top-k per probe, SELF INCLUDED — the same result
+    contract as the ANN queries (their candidate sets keep the probe
+    row), so recall is measured set-vs-set under identical rules."""
+    return f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, embedding::DOUBLE[] AS q
+            FROM embeddings WHERE vec_id < {N_PROBES}
+        ),
+        scored AS (
+            SELECT p.probe_id, e.vec_id,
+                   1.0 - list_dot_product(e.embedding::DOUBLE[], p.q)
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(p.q, p.q))) AS dist
+            FROM embeddings e CROSS JOIN probes p
+        ),
+        ranked AS (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY probe_id ORDER BY dist ASC, vec_id ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT probe_id, vec_id FROM ranked WHERE rn <= {K}"""
+
+
+def _exact_l2_topk_cte() -> str:
+    return f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, embedding::DOUBLE[] AS q
+            FROM embeddings WHERE vec_id < {N_PROBES}
+        ),
+        ranked AS (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY list_distance(e.embedding::DOUBLE[], probes.q) ASC,
+                                e.vec_id ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN probes
+        )
+        SELECT probe_id, vec_id FROM ranked WHERE rn <= {K}"""
+
+
+def _recall_oracle(ann_sql: str, exact_cte: str) -> str:
+    return f"""
+WITH ann AS (
+    SELECT probe_id, vec_id FROM ({ann_sql})
+),
+exact AS (
+    SELECT probe_id, vec_id FROM ({exact_cte})
+),
+hits AS (
+    SELECT e.probe_id, count(*)::BIGINT AS hit_count
+    FROM exact e JOIN ann a
+      ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+    GROUP BY e.probe_id
+)
+SELECT probe_id, hit_count, round(hit_count / {K}.0, 6) AS recall_at_k
+FROM hits
+"""
+
+
+def _exact_topk_df(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        emb.where(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+    )
+    scored = emb.crossJoin(probes)
+    if metric == "cosine":
+        scored = scored.withColumn(
+            "dist", F.lit(1.0) - cosine_similarity("embedding", "probe_vec")
+        )
+    else:
+        scored = scored.withColumn(
+            "dist", l2_distance("embedding", "probe_vec")
+        )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("probe_id", "vec_id")
+    )
+
+
+def _recall_result(exact: DataFrame, ann: DataFrame) -> DataFrame:
+    hits = exact.join(ann, ["probe_id", "vec_id"]).groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("hit_count")
+    )
+    return hits.select(
+        "probe_id",
+        "hit_count",
+        F.round(F.col("hit_count") / F.lit(float(K)), 6).alias("recall_at_k"),
+    )
+
+
+@register(
+    "ann_lsh_recall_audit",
+    oracle=_recall_oracle(_ann_lsh_oracle(), _exact_cosine_topk_cte()),
+    tags=("vector", "ann", "lsh", "audit"),
+)
+def ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the hyperplane-LSH ANN join measured IN-ENGINE against
+    the exact cosine top-k — the quality metric a production vector store
+    reports next to its latency, here as an oracle-checked query (the
+    DuckDB side replays both the full LSH search with the same plane
+    literals and the exact ranking, then the same set intersection). The
+    pytest recall bars (tests/test_similarity.py) gate a threshold; this
+    row hash-pins the exact per-probe overlap, so any silent change to
+    bucketing, multiprobe, or tiebreaks shows up as a correctness diff,
+    not a perf footnote. Plan: both sides are broadcast-probe scans; the
+    only shuffles are the two per-probe top-k windows and the tiny hit
+    count."""
+    from emails_to_vector_db_spark.operators.similarity import ann_lsh_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    ann = ann_lsh_join(
+        probes,
+        emb,
+        k=K,
+        planes=_ann_planes(_embeddings_rows(sf_dir)),
+        metric="cosine",
+    ).select("probe_id", "vec_id")
+    return _recall_result(_exact_topk_df(spark, sf_dir, "cosine"), ann)
+
+
+@register(
+    "ivf_recall_audit",
+    oracle=_recall_oracle(_ivf_oracle(), _exact_l2_topk_cte()),
+    tags=("vector", "ann", "ivf", "audit"),
+)
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF (nprobe-limited) ANN join against the exact
+    L2 top-k, same construction as ann_lsh_recall_audit: the persisted
+    quantizer's real-world quality is a hash-checked engine result."""
+    from emails_to_vector_db_spark.operators.ivf import ivf_ann_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    ann = ivf_ann_join(
+        probes,
+        emb,
+        k=K,
+        centroids=_ivf_centroids(_ivf_k(_embeddings_rows(sf_dir))),
+        nprobe=_IVF_NPROBE,
+    ).select("probe_id", "vec_id")
+    return _recall_result(_exact_topk_df(spark, sf_dir, "l2"), ann)

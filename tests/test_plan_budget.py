@@ -24,6 +24,7 @@ SHUFFLE_BUDGET = {
     "asof_last_click_before_purchase": 1,
     "benchmark_decontamination": 2,
     "bm25_topk": 5,
+    "bpe_segmentation_stats": 3,  # occ agg + vocab distinct + per-doc agg
     "bucketed_colocated_join": 1,  # co-located SMJ: only the agg shuffles
     "doc_token_stats": 1,
     "embedding_jl_projection_pairs": 0,
