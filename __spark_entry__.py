@@ -74,6 +74,7 @@ _NEVER_SAMPLED_FIRST = (
     "bpe_segmentation_stats",
     "ann_lsh_recall_audit",
     "ivf_recall_audit",
+    "transaction_graph_pagerank",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

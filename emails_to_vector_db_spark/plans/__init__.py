@@ -22,6 +22,7 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     corpus,
     dedup,
     events,
+    graph,
     ingest,
     maintenance,
     pipeline,
