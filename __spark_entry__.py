@@ -75,6 +75,11 @@ _NEVER_SAMPLED_FIRST = (
     "ann_lsh_recall_audit",
     "ivf_recall_audit",
     "transaction_graph_pagerank",
+    "cosupply_triangle_count",
+    "logreg_quality_classifier",
+    "score_auc_eval",
+    "cohort_retention_matrix",
+    "orders_column_profile",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

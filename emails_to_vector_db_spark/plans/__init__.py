@@ -19,12 +19,14 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     bucketed,
     chunking,
     cleaning,
+    cohorts,
     corpus,
     dedup,
     events,
     graph,
     ingest,
     maintenance,
+    ml,
     pipeline,
     reduction,
     relational,

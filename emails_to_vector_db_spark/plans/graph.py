@@ -119,3 +119,116 @@ def transaction_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), F.col("node").asc())
         .limit(TOP_K)
     )
+
+
+_COSUPPLY_MIN_ORDERS = 30
+
+_TRIANGLE_ORACLE = f"""
+WITH edges AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    HAVING count(DISTINCT a.l_orderkey) >= {_COSUPPLY_MIN_ORDERS}
+),
+tri AS (
+    SELECT count(*)::BIGINT AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+deg AS (
+    SELECT node, count(*)::DOUBLE AS d FROM (
+        SELECT u AS node FROM edges
+        UNION ALL
+        SELECT v AS node FROM edges
+    ) GROUP BY node
+),
+wedges AS (
+    SELECT sum(d * (d - 1) / 2) AS n_wedges FROM deg
+),
+ecount AS (SELECT count(*)::BIGINT AS n_edges FROM edges)
+SELECT ecount.n_edges, tri.n_triangles,
+       round(3.0 * tri.n_triangles / wedges.n_wedges, 6) AS transitivity
+FROM ecount CROSS JOIN tri CROSS JOIN wedges
+"""
+
+
+@register(
+    "cosupply_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    tags=("graph", "triangles", "join"),
+)
+def cosupply_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global transitivity of the supplier co-supply
+    graph (an edge when two suppliers ship in >= {t} common orders) —
+    the other canonical multi-join graph pass beside PageRank, and the
+    classic benchmark for join-order/shuffle planning.
+
+    Plan shape: edges are ORIENTED u < v at extraction, so each
+    triangle is enumerated exactly once as (u<v<w) by the standard
+    wedge-close join — two self-joins over the (small, thresholded)
+    edge list, never over the corpus. The corpus-scale work is the one
+    lineitem self-join on orderkey (co-partitioned on the join key;
+    bucketed twins of this pattern in plans/bucketed.py pay that
+    shuffle at ingest). At web scale the orientation is by (degree,
+    id) instead of raw id, which bounds the wedge fan-out by the
+    arboricity — noted here because the fixture graph is small enough
+    not to need it. Transitivity = 3·triangles / wedges from exact
+    degree counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"),
+            F.col("b.l_suppkey").alias("v"),
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("n_orders"))
+        .where(F.col("n_orders") >= _COSUPPLY_MIN_ORDERS)
+        .select("u", "v")
+        .cache()
+        # ^ the thresholded edge list is tiny; cached so the two
+        #   wedge-close self-joins and the degree pass reuse it
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges")
+    )
+    ecount = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        ecount.crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            "n_edges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("transitivity"),
+        )
+    )

@@ -519,3 +519,128 @@ def bloom_prune_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
     )
     return n_cand.crossJoin(v)
+
+
+_PROFILE_NUM_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority")
+_PROFILE_TS_COLS = ("o_orderdate",)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM_COLS:
+        parts.append(
+            f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       round(min({c})::DOUBLE, 6) AS min_num,
+       round(max({c})::DOUBLE, 6) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders"""
+        )
+    for c in _PROFILE_STR_COLS:
+        parts.append(
+            f"""SELECT '{c}', count(*)::BIGINT, (count(*) - count({c}))::BIGINT,
+       count(DISTINCT {c})::BIGINT,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min({c}), max({c})
+FROM orders"""
+        )
+    for c in _PROFILE_TS_COLS:
+        parts.append(
+            f"""SELECT '{c}', count(*)::BIGINT, (count(*) - count({c}))::BIGINT,
+       count(DISTINCT {c})::BIGINT,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       strftime(min({c}), '%Y-%m-%d %H:%M:%S'),
+       strftime(max({c}), '%Y-%m-%d %H:%M:%S')
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "orders_column_profile",
+    oracle=_profile_oracle(),
+    tags=("maintenance", "profiling", "agg"),
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of the orders table — row count, null
+    count, exact distinct cardinality, and typed min/max per column (the
+    table-stats pass behind CBO statistics, data contracts, and ingest
+    monitoring; the reference has no profiling surface at all).
+
+    Plan shape: ONE pass over the table computes every metric — the
+    multi-column count(DISTINCT) block compiles to Catalyst's Expand
+    operator (one row per (row × column-group)), exactly how
+    `ANALYZE TABLE ... COMPUTE STATISTICS` plans it — then the wide
+    1-row aggregate is unpivoted driver-free via stack() into the long
+    (col_name, metrics...) form. Min/max land in typed lanes (num vs
+    str, timestamps as epoch seconds) so no engine-specific float→string
+    formatting can touch the hash. At 100 TB swap the exact distinct
+    for approx_count_distinct — same plan minus the Expand multiplier;
+    exact is kept here because the oracle checks it bit-for-bit.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in (
+        _PROFILE_NUM_COLS + _PROFILE_STR_COLS + _PROFILE_TS_COLS
+    ):
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    for c in _PROFILE_NUM_COLS:
+        aggs += [
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min_num"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max_num"),
+        ]
+    for c in _PROFILE_STR_COLS:
+        aggs += [
+            F.min(c).alias(f"{c}__min_str"),
+            F.max(c).alias(f"{c}__max_str"),
+        ]
+    for c in _PROFILE_TS_COLS:
+        aggs += [
+            F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(
+                f"{c}__min_str"
+            ),
+            F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(
+                f"{c}__max_str"
+            ),
+        ]
+    wide = orders.agg(*aggs)
+
+    def _lane(c: str, lane: str, typ: str):
+        name = f"{c}__{lane}"
+        if name in wide.columns:
+            return F.col(name)
+        return F.lit(None).cast(typ)
+
+    stack_args = []
+    for c in (
+        _PROFILE_NUM_COLS + _PROFILE_STR_COLS + _PROFILE_TS_COLS
+    ):
+        stack_args += [
+            F.lit(c),
+            F.col(f"{c}__nulls"),
+            F.col(f"{c}__distinct"),
+            _lane(c, "min_num", "double"),
+            _lane(c, "max_num", "double"),
+            _lane(c, "min_str", "string"),
+            _lane(c, "max_str", "string"),
+        ]
+    n_cols = len(
+        _PROFILE_NUM_COLS + _PROFILE_STR_COLS + _PROFILE_TS_COLS
+    )
+    return wide.select(
+        F.col("n_rows"),
+        F.stack(
+            F.lit(n_cols),
+            *stack_args,
+        ).alias(
+            "col_name", "n_nulls", "n_distinct",
+            "min_num", "max_num", "min_str", "max_str",
+        ),
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )

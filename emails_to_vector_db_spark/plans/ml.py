@@ -1,0 +1,261 @@
+"""In-engine model training / evaluation: a distributed logistic-
+regression quality classifier and a rank-based AUC evaluator.
+
+The reference outsources every learned component to external services
+(sentence-transformers encode ``rag.py:58-63``, LLM calls
+``rag.py:94-140``); a 100 TB curation pipeline also needs CHEAP learned
+filters trained *inside* the engine — the fastText-style quality
+classifier of CCNet/RefinedWeb-class pipelines. Full-batch gradient
+descent is exactly an aggregation loop: each step is one map-side-
+combinable pass computing a d+1-dimensional gradient, so the corpus
+never moves — only the tiny weight vector does (same shape as
+operators/pagerank.py and operators/kmeans.py: static data, moving
+vector).
+
+Determinism / oracle strategy: the weight vector is QUANTIZED (round
+6dp) at every iteration boundary on BOTH sides, so the oracle replays
+the identical trajectory — float-association noise in the gradient sums
+(~1e-13) sits far below the 1e-6 quantum and cannot drift the
+trajectory. The whole 3-step training run unrolls into chained 1-row
+CTEs, one per iteration (the PageRank construction, plans/graph.py),
+making TRAINING itself a hash-checked query, not a rows-only claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+N_ITERS = 3
+LR = 0.5
+_ROUND = 6  # weight quantum per iteration — the determinism contract
+
+# Feature spec shared verbatim (in semantics) by the Spark plan and the
+# DuckDB oracle: bias + 4 cheap quality signals, all scale-free or
+# corpus-size-independent so the same weights transfer across SFs.
+_N_FEATURES = 5  # bias, chars/1k, tokens/100, punct frac, digit frac
+
+
+def _sql_features() -> str:
+    return """
+    SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           1.0 AS x0,
+           n_chars / 1000.0 AS x1,
+           len(string_split(text, ' ')) / 100.0 AS x2,
+           length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+               / length(text)::DOUBLE AS x3,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / length(text)::DOUBLE AS x4
+    FROM documents"""
+
+
+def _spark_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text_len = F.length("text").cast("double")
+    return docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (F.size(F.split("text", " ", -1)) / 100.0).alias("x2"),
+        (
+            F.length(F.regexp_replace("text", r"[^.,!?;:]", "")) / text_len
+        ).alias("x3"),
+        (F.length(F.regexp_replace("text", r"[^0-9]", "")) / text_len).alias(
+            "x4"
+        ),
+    )
+
+
+def _logreg_oracle() -> str:
+    xs = [f"x{j}" for j in range(_N_FEATURES)]
+    prev = "w0_cte"
+    iters = []
+    for i in range(1, N_ITERS + 1):
+        margin = " + ".join(f"w.w{j} * f.{x}" for j, x in enumerate(xs))
+        grads = ",\n           ".join(
+            f"round(w.w{j} - {LR} * sum((1.0 / (1.0 + exp(-({margin}))) - f.y)"
+            f" * f.{x}) / count(*), {_ROUND}) AS w{j}"
+            for j, x in enumerate(xs)
+        )
+        iters.append(
+            f"""w{i} AS (
+    SELECT {grads}
+    FROM features f CROSS JOIN {prev} w
+    GROUP BY {', '.join(f'w.w{j}' for j in range(_N_FEATURES))}
+)"""
+        )
+        prev = f"w{i}"
+    iter_sql = ",\n".join(iters)
+    final_margin = " + ".join(f"w.w{j} * f.x{j}" for j in range(_N_FEATURES))
+    w_cols = ", ".join(f"w.w{j}" for j in range(_N_FEATURES))
+    return f"""
+WITH features AS ({_sql_features()}),
+w0_cte AS (SELECT {', '.join(f'0.0 AS w{j}' for j in range(_N_FEATURES))}),
+{iter_sql}
+SELECT {w_cols},
+       count(*)::BIGINT AS n_train,
+       round(avg(CASE WHEN (({final_margin}) > 0) = (f.y = 1.0)
+                      THEN 1.0 ELSE 0.0 END), 6) AS train_accuracy
+FROM features f CROSS JOIN {prev} w
+GROUP BY {w_cols}
+"""
+
+
+@register(
+    "logreg_quality_classifier",
+    oracle=_logreg_oracle(),
+    tags=("ml", "iterative", "classifier", "cleaning"),
+)
+def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch logistic regression (3 GD steps, lr=0.5) predicting
+    lang='en' from 4 cheap text-quality features — the in-engine learned
+    filter of a curation pipeline, trained WITHOUT the corpus ever
+    leaving the executors.
+
+    Plan: the feature projection is cached once; each iteration is one
+    aggregation producing the 5 gradient components (map-side combined,
+    5 doubles per partition cross the wire), cross-joined back as the
+    next 1-row weight vector — fully lazy, no driver-side sync, Catalyst
+    sees the whole unrolled trajectory. Weights are 6dp-quantized per
+    step so the DuckDB replay is exact. Returns the trained weights,
+    the training row count, and training accuracy at threshold 0.5.
+    """
+    feats = _spark_features(spark, sf_dir).cache()
+    xs = [f"x{j}" for j in range(_N_FEATURES)]
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(_N_FEATURES)]
+    )
+    for _ in range(N_ITERS):
+        joined = feats.crossJoin(F.broadcast(w))
+        margin = sum(
+            (F.col(f"w{j}") * F.col(x) for j, x in enumerate(xs)),
+            F.lit(0.0),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        w = joined.groupBy(*[f"w{j}" for j in range(_N_FEATURES)]).agg(
+            *[
+                F.sum((p - F.col("y")) * F.col(x)).alias(f"g{j}")
+                for j, x in enumerate(xs)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        ).select(
+            *[
+                F.round(
+                    F.col(f"w{j}") - LR * F.col(f"g{j}") / F.col("n"),
+                    _ROUND,
+                ).alias(f"w{j}")
+                for j in range(_N_FEATURES)
+            ]
+        )
+    scored = feats.crossJoin(F.broadcast(w))
+    final_margin = sum(
+        (F.col(f"w{j}") * F.col(x) for j, x in enumerate(xs)), F.lit(0.0)
+    )
+    correct = F.when(
+        (final_margin > 0) == (F.col("y") == 1.0), 1.0
+    ).otherwise(0.0)
+    return scored.groupBy(*[f"w{j}" for j in range(_N_FEATURES)]).agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.round(F.avg(correct), 6).alias("train_accuracy"),
+    )
+
+
+_AUC_ORACLE = """
+WITH scored AS (
+    SELECT 'n_chars' AS scorer, n_chars::DOUBLE AS score,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents
+    UNION ALL
+    SELECT 'n_tokens' AS scorer,
+           len(string_split(text, ' '))::DOUBLE AS score,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents
+),
+hist AS (
+    SELECT scorer, score,
+           count(*)::DOUBLE AS n, sum(y)::DOUBLE AS npos
+    FROM scored GROUP BY scorer, score
+),
+ranked AS (
+    SELECT scorer, score, n, npos,
+           coalesce(sum(n) OVER (
+               PARTITION BY scorer ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_less
+    FROM hist
+),
+agg AS (
+    SELECT scorer,
+           sum(npos * (cum_less + (n + 1) / 2.0)) AS pos_ranksum,
+           sum(npos) AS p, sum(n - npos) AS q
+    FROM ranked GROUP BY scorer
+)
+SELECT scorer,
+       p::BIGINT AS n_pos, q::BIGINT AS n_neg,
+       round((pos_ranksum - p * (p + 1) / 2.0) / (p * q), 6) AS auc
+FROM agg
+"""
+
+
+@register(
+    "score_auc_eval",
+    oracle=_AUC_ORACLE,
+    tags=("ml", "eval", "window"),
+)
+def score_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of two cheap document scorers against the lang='en'
+    label, via the tie-aware Mann-Whitney rank-sum identity — the
+    evaluation half of the in-engine classifier story (model quality as
+    a hash-checked query, like the ANN recall audits).
+
+    Plan: scores collapse to a per-(scorer, distinct-score) HISTOGRAM
+    first, so the global-order window (the classic AUC scalability
+    trap) runs over |distinct scores| rows, not corpus rows — average
+    ranks for ties come from the histogram counts exactly. Corpus-scale
+    work is one map-side-combinable groupBy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    scored = docs.select(
+        F.lit("n_chars").alias("scorer"),
+        F.col("n_chars").cast("double").alias("score"),
+        y.alias("y"),
+    ).unionAll(
+        docs.select(
+            F.lit("n_tokens").alias("scorer"),
+            F.size(F.split("text", " ", -1)).cast("double").alias("score"),
+            y.alias("y"),
+        )
+    )
+    hist = scored.groupBy("scorer", "score").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast("double").alias("npos"),
+    )
+    w = (
+        Window.partitionBy("scorer")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.withColumn(
+        "cum_less", F.coalesce(F.sum("n").over(w), F.lit(0.0))
+    )
+    agg = ranked.groupBy("scorer").agg(
+        F.sum(
+            F.col("npos") * (F.col("cum_less") + (F.col("n") + 1) / 2.0)
+        ).alias("pos_ranksum"),
+        F.sum("npos").alias("p"),
+        F.sum(F.col("n") - F.col("npos")).alias("q"),
+    )
+    return agg.select(
+        "scorer",
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("q").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("pos_ranksum") - F.col("p") * (F.col("p") + 1) / 2.0)
+            / (F.col("p") * F.col("q")),
+            6,
+        ).alias("auc"),
+    )

@@ -1,0 +1,143 @@
+"""Semantics of the in-engine ML / graph-analytics / profiling plans
+(plans/ml.py, plans/graph.py::cosupply_triangle_count,
+plans/cohorts.py, plans/maintenance.py::orders_column_profile).
+
+The registry rows are hash-checked against DuckDB by test_oracle_parity;
+these tests pin operator-level invariants that the oracle equality alone
+would not explain (GD actually descends, AUC hits its closed-form
+endpoints, the retention matrix is a valid probability surface)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from emails_to_vector_db_spark.plans import REGISTRY
+from tests.conftest import SF_ORACLE
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF_ORACLE).collect()
+
+
+def test_logreg_training_descends_logloss(spark):
+    """The trained weights must strictly reduce mean log-loss vs the
+    w=0 start (whose loss is exactly ln 2) — i.e. the unrolled GD
+    trajectory really is gradient descent, not just a deterministic
+    scramble."""
+    from emails_to_vector_db_spark.plans.ml import _spark_features
+
+    [w] = _rows(spark, "logreg_quality_classifier")
+    feats = _spark_features(spark, SF_ORACLE).collect()
+    loss = 0.0
+    for r in feats:
+        margin = sum(
+            w[f"w{j}"] * r[f"x{j}"] for j in range(5)
+        )
+        p = 1.0 / (1.0 + math.exp(-margin))
+        p = min(max(p, 1e-12), 1 - 1e-12)
+        loss += -(r["y"] * math.log(p) + (1 - r["y"]) * math.log(1 - p))
+    loss /= len(feats)
+    assert loss < math.log(2.0), f"GD failed to descend: {loss:.6f}"
+    assert w["n_train"] == len(feats)
+    assert 0.0 <= w["train_accuracy"] <= 1.0
+
+
+def test_auc_closed_form_endpoints(spark):
+    """Tie-aware rank-sum AUC on hand-built frames: a perfect separator
+    scores 1.0, a constant scorer scores exactly 0.5 (all ties →
+    average ranks), an inverted separator 0.0."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def auc(pairs):
+        df = spark.createDataFrame(pairs, ["score", "y"])
+        hist = df.groupBy("score").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("y").cast("double").alias("npos"),
+        )
+        w = (
+            Window.orderBy("score")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ranked = hist.withColumn(
+            "cum_less", F.coalesce(F.sum("n").over(w), F.lit(0.0))
+        )
+        [r] = ranked.agg(
+            F.sum(
+                F.col("npos") * (F.col("cum_less") + (F.col("n") + 1) / 2.0)
+            ).alias("rs"),
+            F.sum("npos").alias("p"),
+            F.sum(F.col("n") - F.col("npos")).alias("q"),
+        ).collect()
+        return (r["rs"] - r["p"] * (r["p"] + 1) / 2.0) / (r["p"] * r["q"])
+
+    perfect = [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)]
+    assert auc(perfect) == pytest.approx(1.0)
+    inverted = [(s, 1 - y) for s, y in perfect]
+    assert auc(inverted) == pytest.approx(0.0)
+    constant = [(7.0, 0), (7.0, 1), (7.0, 0), (7.0, 1)]
+    assert auc(constant) == pytest.approx(0.5)
+
+
+def test_auc_registry_rows_are_probabilities(spark):
+    rows = _rows(spark, "score_auc_eval")
+    assert {r["scorer"] for r in rows} == {"n_chars", "n_tokens"}
+    for r in rows:
+        assert 0.0 <= r["auc"] <= 1.0
+        assert r["n_pos"] > 0 and r["n_neg"] > 0
+
+
+def test_triangle_transitivity_bounds(spark):
+    [r] = _rows(spark, "cosupply_triangle_count")
+    assert r["n_edges"] > 0
+    assert r["n_triangles"] >= 0
+    # transitivity is a closed-wedge fraction
+    assert 0.0 <= r["transitivity"] <= 1.0
+    # each triangle closes 3 wedges, so 3·tri ≤ wedges is implied by
+    # transitivity ≤ 1; also no triangle without at least 3 edges
+    if r["n_triangles"] > 0:
+        assert r["n_edges"] >= 3
+
+
+def test_cohort_retention_is_valid_matrix(spark):
+    rows = _rows(spark, "cohort_retention_matrix")
+    by_cohort: dict[str, dict[int, tuple[int, float]]] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = (
+            r["active_users"],
+            r["retention_rate"],
+        )
+    for cohort, cells in by_cohort.items():
+        assert 0 in cells, f"{cohort}: missing offset-0 cell"
+        assert cells[0][1] == pytest.approx(1.0)  # week-0 retention ≡ 1
+        size0 = cells[0][0]
+        for off, (users, rate) in cells.items():
+            assert off >= 0
+            assert 0 < users <= size0
+            assert 0.0 < rate <= 1.0
+
+
+def test_column_profile_invariants(spark):
+    rows = {r["col_name"]: r for r in _rows(spark, "orders_column_profile")}
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority", "o_orderdate",
+    }
+    n = {r["n_rows"] for r in rows.values()}
+    assert len(n) == 1  # one table, one row count
+    n = n.pop()
+    pk = rows["o_orderkey"]
+    assert pk["n_nulls"] == 0 and pk["n_distinct"] == n  # key column
+    for r in rows.values():
+        assert 0 <= r["n_nulls"] <= n
+        assert 1 <= r["n_distinct"] <= n
+        # exactly one typed min/max lane populated
+        num_lane = r["min_num"] is not None
+        str_lane = r["min_str"] is not None
+        assert num_lane != str_lane
+        if num_lane:
+            assert r["min_num"] <= r["max_num"]
+        else:
+            assert r["min_str"] <= r["max_str"]
