@@ -80,6 +80,11 @@ _NEVER_SAMPLED_FIRST = (
     "score_auc_eval",
     "cohort_retention_matrix",
     "orders_column_profile",
+    "prefix_filter_jaccard_join",
+    "matryoshka_recall_audit",
+    "boolean_and_retrieval",
+    "time_weighted_avg_value",
+    "orders_equi_depth_histogram",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -32,6 +32,7 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     relational,
     retrieval,
     semantic,
+    setjoin,
     stats,
     textops,
     tokenizer,

@@ -303,3 +303,58 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("c_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+_TWA_ORACLE = """
+WITH seq AS (
+    SELECT user_id, value,
+           epoch_us(ts) AS t_us,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS t_next_us
+    FROM events
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_intervals,
+       round(sum(value * (t_next_us - t_us) / 1e6)
+             / sum((t_next_us - t_us) / 1e6), 6) AS time_weighted_avg
+FROM seq
+WHERE t_next_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register(
+    "time_weighted_avg_value",
+    oracle=_TWA_ORACLE,
+    tags=("events", "window", "timeseries"),
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted mean of the event value — each reading
+    weighted by how long it was current (piecewise-constant signal
+    integration, the monitoring/metering aggregate a plain avg gets
+    wrong when sampling is irregular).
+
+    Plan: one lead() window partitioned by user_id (the same exchange
+    every other per-user pass in this module uses), durations as exact
+    epoch-microsecond integers, then a map-side-combinable groupBy.
+    Only the Σ(v·dt)/Σdt ratio is emitted — dimensionally value-scale,
+    so 6dp rounding sits far above float-association noise in the big
+    raw sums.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id",
+        "value",
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("t_next_us"),
+    ).where(F.col("t_next_us").isNotNull())
+    dt_s = (F.col("t_next_us") - F.col("t_us")) / F.lit(1e6)
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum(F.col("value") * dt_s) / F.sum(dt_s), 6
+        ).alias("time_weighted_avg"),
+    )

@@ -483,3 +483,55 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "vec_id long, sel_rank int, rel double"
     )
+
+
+_AND_TERMS = ("vector", "merge", "window")
+
+_BOOLEAN_AND_ORACLE = f"""
+WITH postings AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, count(*)::BIGINT AS n_matched
+    FROM postings
+    WHERE term IN ({', '.join(f"'{t}'" for t in _AND_TERMS)})
+    GROUP BY doc_id
+    HAVING count(*) = {len(_AND_TERMS)}
+)
+SELECT h.doc_id, d.lang, d.n_chars
+FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+"""
+
+
+@register(
+    "boolean_and_retrieval",
+    oracle=_BOOLEAN_AND_ORACLE,
+    tags=("retrieval", "postings", "boolean"),
+)
+def boolean_and_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) boolean retrieval via posting-list
+    intersection: documents containing ALL query terms, computed as a
+    term-filtered postings groupBy whose count must equal the query
+    arity — the classic inverted-index intersection expressed as one
+    map-side-combinable aggregation (no self-join per term pair).
+
+    The postings build is the same explode that feeds BM25 above; the
+    IN-list prunes the postings stream to query terms BEFORE any
+    shuffle, so corpus-scale work is a filtered scan. Scale note: a
+    real index persists the postings table bucketed by term; this plan
+    is the query-time shape over it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokens("text"))).alias("term"),
+    )
+    hits = (
+        postings.where(F.col("term").isin(*_AND_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .where(F.col("n_matched") == len(_AND_TERMS))
+    )
+    return hits.join(docs, "doc_id").select("doc_id", "lang", "n_chars")

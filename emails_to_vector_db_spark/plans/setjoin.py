@@ -1,0 +1,107 @@
+"""Registered query for the exact prefix-filter set-similarity join
+(operators/setsim.py) over 3-gram shingle sets of the documents table,
+with the same planted near-copies the MinHash/SimHash queries use
+(plans/dedup.py:25-67) — so the three near-dup lanes are directly
+comparable: probabilistic (MinHash-LSH), sketch-banded (SimHash), and
+EXACT (prefix filter, this query).
+
+Shingles, not unigrams: this corpus has a tiny shared vocabulary, so
+unigram sets make half of all pairs "similar" (τ=0.6 keeps ~85k of
+150k pairs — meaningless); 3-gram shingle sets are discriminative (81
+pairs at the same τ), which is exactly why real near-dup pipelines
+shingle before any set-similarity machinery.
+
+Oracle: the RESULT CONTRACT is "every pair with shingle-Jaccard ≥ τ",
+which the oracle computes directly by the brute shared-shingle pair
+join — deliberately a different algorithm than the Spark side's prefix
+filter, so the hash match doubles as a zero-miss proof of the prefix
+theorem on this corpus (the differential-testing stance of the ANN
+recall audits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.functions import text as TX
+from emails_to_vector_db_spark.operators.setsim import (
+    prefix_filter_jaccard_join,
+)
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+_TAU = 0.6
+_DUP_OFFSET = 100_000  # same planting convention as plans/dedup.py
+_N_PLANT = 50
+
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+_SETSIM_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_DUP_OFFSET} AS doc_id, text || ' zzduptoken' AS text
+    FROM documents WHERE doc_id < {_N_PLANT}
+),
+toks AS (
+    SELECT doc_id, unnest(
+        list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+            ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                 i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END)
+    ) AS token
+    FROM docs
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+    FROM toks a JOIN toks b
+      ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       (sa.sz + sb.sz - i.inter)::BIGINT AS union_sz,
+       round(i.inter / (sa.sz + sb.sz - i.inter)::DOUBLE, 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter / (sa.sz + sb.sz - i.inter)::DOUBLE >= {_TAU}
+"""
+
+
+@register(
+    "prefix_filter_jaccard_join",
+    oracle=_SETSIM_ORACLE,
+    tags=("dedup", "setsim", "join", "exact"),
+)
+def prefix_filter_jaccard_join_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT all-pairs shingle-Jaccard ≥ 0.6 via prefix filtering —
+    recall 1 by the AllPairs prefix theorem, never all-pairs in the
+    plan. The candidate join buckets on rarest-first prefix shingles
+    (a near-unique shingle routs its docs into a near-empty bucket);
+    the oracle recomputes the answer by brute shared-shingle counting,
+    so a hash match PROVES zero missed pairs on this corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text").unionByName(
+        d.where(F.col("doc_id") < _N_PLANT).select(
+            (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzduptoken")).alias("text"),
+        )
+    )
+    doc_tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.shingles(TX.tokens("text"), n=3))
+        ).alias("token"),
+    )
+    res = prefix_filter_jaccard_join(doc_tokens, tau=_TAU)
+    return res.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "union_sz",
+        F.round("jaccard", 6).alias("jaccard"),
+    )

@@ -7,7 +7,7 @@ and interpolated percentiles agree with DuckDB to 6dp after rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.functions import text as TX
@@ -482,4 +482,56 @@ def streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(sketch_dir)
         .groupBy("j", "cell")
         .agg(F.sum("n").alias("n"))
+    )
+
+
+_EQUI_DEPTH_BUCKETS = 8
+
+_EQUI_DEPTH_ORACLE = f"""
+WITH bucketed AS (
+    SELECT o_totalprice,
+           ntile({_EQUI_DEPTH_BUCKETS}) OVER (
+               ORDER BY o_totalprice, o_orderkey
+           ) AS bucket
+    FROM orders
+)
+SELECT bucket,
+       count(*)::BIGINT AS n_rows,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM bucketed GROUP BY bucket
+"""
+
+
+@register(
+    "orders_equi_depth_histogram",
+    oracle=_EQUI_DEPTH_ORACLE,
+    tags=("stats", "histogram", "window"),
+)
+def orders_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals (equal row count per bucket,
+    data-dependent boundaries) — the CBO statistics shape, complementing
+    the fixed-width event_value_histogram: selectivity estimation needs
+    equal-mass buckets, not equal-width ones.
+
+    ntile over a total order (o_orderkey tiebreak makes bucket
+    assignment deterministic at the boundaries). The global-order window
+    is the documented scale ceiling: at 100 TB the same result contract
+    comes from approx_percentile boundaries + a bucketing join, trading
+    exactness for a sort-free plan; exact ntile is kept here because the
+    oracle checks boundary placement bit-for-bit.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice",
+            F.ntile(_EQUI_DEPTH_BUCKETS).over(w).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
     )

@@ -759,3 +759,77 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_IVF_NPROBE,
     ).select("probe_id", "vec_id")
     return _recall_result(_exact_topk_df(spark, sf_dir, "l2"), ann)
+
+
+_MRL_DIMS = 16  # truncated prefix dimensionality (of 64)
+
+
+def _mrl_topk_cte() -> str:
+    """Exact cosine top-k per probe computed on the FIRST {d} dimensions
+    only — the Matryoshka (MRL) truncation candidate stage."""
+    return f"""
+        WITH tr AS (
+            SELECT vec_id, (embedding::DOUBLE[])[1:{_MRL_DIMS}] AS v
+            FROM embeddings
+        ),
+        probes AS (
+            SELECT vec_id AS probe_id, v AS q
+            FROM tr WHERE vec_id < {N_PROBES}
+        ),
+        scored AS (
+            SELECT p.probe_id, t.vec_id,
+                   1.0 - list_dot_product(t.v, p.q)
+                         / (sqrt(list_dot_product(t.v, t.v))
+                            * sqrt(list_dot_product(p.q, p.q))) AS dist
+            FROM tr t CROSS JOIN probes p
+        ),
+        ranked AS (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY probe_id ORDER BY dist ASC, vec_id ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT probe_id, vec_id FROM ranked WHERE rn <= {K}"""
+
+
+@register(
+    "matryoshka_recall_audit",
+    oracle=_recall_oracle(_mrl_topk_cte(), _exact_cosine_topk_cte()),
+    tags=("vector", "ann", "matryoshka", "audit"),
+)
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of TRUNCATED-dimension exact search (first 16 of 64
+    dims — the Matryoshka-representation shortlist mode of modern
+    embedding stores: search cheap low-dim prefixes, rerank few) vs the
+    full-dimension exact cosine top-k, per probe, as a hash-checked
+    query like the LSH/IVF recall audits.
+
+    Plan: the truncation is a zero-copy F.slice on the scan — 4× less
+    arithmetic and memory bandwidth per comparison; both rankings are
+    broadcast-probe scans with per-probe window top-k, and the audit
+    join is K×K-sized per probe.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, _MRL_DIMS).alias(
+            "v"
+        ),
+    )
+    probes = F.broadcast(
+        emb.where(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"), F.col("v").alias("q")
+        )
+    )
+    scored = emb.crossJoin(probes).withColumn(
+        "dist", F.lit(1.0) - cosine_similarity("v", "q")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    truncated = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("probe_id", "vec_id")
+    )
+    return _recall_result(_exact_topk_df(spark, sf_dir, "cosine"), truncated)

@@ -141,3 +141,66 @@ def test_column_profile_invariants(spark):
             assert r["min_num"] <= r["max_num"]
         else:
             assert r["min_str"] <= r["max_str"]
+
+
+def test_equi_depth_buckets_are_balanced_and_ordered(spark):
+    rows = sorted(
+        _rows(spark, "orders_equi_depth_histogram"),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(1, 9))
+    counts = [r["n_rows"] for r in rows]
+    assert max(counts) - min(counts) <= 1  # equi-depth property
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev["hi"] <= nxt["lo"]  # non-overlapping ordered ranges
+        assert prev["lo"] <= prev["hi"]
+
+
+def test_time_weighted_avg_piecewise_constant_integral(spark):
+    """Hand-built signal: value 10 held for 30s then 20 held for 10s →
+    TWA = (10·30 + 20·10)/40 = 12.5; the final reading carries no
+    duration."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, t0, 10.0),
+        (1, 2, t0 + dt.timedelta(seconds=30), 20.0),
+        (1, 3, t0 + dt.timedelta(seconds=40), 999.0),  # no duration
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    seq = df.select(
+        "user_id", "value", t_us.alias("t"), F.lead(t_us).over(w).alias("tn")
+    ).where(F.col("tn").isNotNull())
+    d = (F.col("tn") - F.col("t")) / F.lit(1e6)
+    [r] = (
+        seq.groupBy("user_id")
+        .agg((F.sum(F.col("value") * d) / F.sum(d)).alias("twa"))
+        .collect()
+    )
+    assert r["twa"] == pytest.approx(12.5)
+
+
+def test_boolean_and_retrieval_docs_contain_all_terms(spark):
+    from emails_to_vector_db_spark.plans.retrieval import _AND_TERMS
+    from emails_to_vector_db_spark.sources.tables import load_table
+
+    hits = {r["doc_id"] for r in _rows(spark, "boolean_and_retrieval")}
+    assert hits, "AND query should match at sf0.01"
+    docs = load_table(spark, SF_ORACLE, "documents").collect()
+    for d in docs:
+        toks = set(d["text"].split())
+        expected = all(t in toks for t in _AND_TERMS)
+        assert (d["doc_id"] in hits) == expected, d["doc_id"]
+
+
+def test_matryoshka_recall_reasonable(spark):
+    rows = _rows(spark, "matryoshka_recall_audit")
+    assert rows, "every probe should appear"
+    for r in rows:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
