@@ -85,6 +85,11 @@ _NEVER_SAMPLED_FIRST = (
     "boolean_and_retrieval",
     "time_weighted_avg_value",
     "orders_equi_depth_histogram",
+    "ndcg_retrieval_eval",
+    "bigram_perplexity_scores",
+    "label_propagation_communities",
+    "event_type_value_chi2",
+    "join_key_skew_report",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -5,15 +5,14 @@ Not in the reference (its only event-shaped data is the IMAP fetch log,
 exactly the tables this engine serves: weekly signup cohorts × week
 offsets → retention matrix, the product-analytics staple.
 
-Scale shape: both building blocks key on ``user_id`` — the first-event
-aggregation and the distinct (user, week) activity set — so the single
-user_id exchange is reused across them (Catalyst sees the co-partitioned
-join and plans no second shuffle on the big side). The final matrix is
-|cohorts| × |offsets| rows — tiny — and the cohort-size divisor joins
-broadcast. At 100 TB the events scan dominates and happens twice (once
-per building block) or once if the deduped (user, week, first_week)
-intermediate is persisted; nothing corpus-scale is ever windowed or
-collected.
+Scale shape: ONE corpus-scale shuffle. The first-event timestamp and
+the distinct activity-week set are computed in the SAME user_id
+aggregation (min + collect_set over the truncated week — bounded by
+the timeline span, ~52 cells/user/year), so the events table is
+scanned once and exchanged once; the per-user week set then explodes
+into (cohort, offset) cells whose aggregation is |users×weeks|-scale,
+and the cohort-size divisor joins broadcast. Nothing corpus-scale is
+ever windowed or collected.
 
 Oracle: week boundaries via date_trunc('week') (Monday 00:00 in both
 Spark and DuckDB), offsets as exact integer day-diffs / 7, retention as
@@ -59,6 +58,7 @@ FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
     "cohort_retention_matrix",
     oracle=_RETENTION_ORACLE,
     tags=("analytics", "cohorts", "events"),
+    bench=True,
 )
 def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by the week of their first
@@ -67,18 +67,19 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every user appears in their own offset-0 cell by construction (the
     first event IS week-0 activity), so cohort_size is the offset-0
-    cell — no separate signup scan. Both aggregations shuffle on
-    user_id; the join is co-partitioned; the matrix itself is tiny.
+    cell — no separate signup scan. One user_id aggregation carries
+    both the first event and the activity-week set; everything after
+    it is users×weeks-scale.
     """
-    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    first_week = events.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("w0")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.date_trunc("week", F.col("ts")).alias("w")
     )
-    activity = events.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
-    ).distinct()
+    per_user = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("w0"),
+        F.collect_set("w").alias("weeks"),
+    )
     cells = (
-        activity.join(first_week, "user_id")
+        per_user.select("w0", F.explode("weeks").alias("w"))
         .groupBy(
             F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
             (F.datediff(F.col("w"), F.col("w0")) / 7)

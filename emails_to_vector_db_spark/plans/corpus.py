@@ -583,3 +583,127 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sampled",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram-LM perplexity (the KenLM-direction upgrade)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LAMBDA = 0.7  # interpolation weight on the bigram term
+_BIGRAM_TOP = 20
+
+_BIGRAM_PPL_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, {_TOKENS_SQL} AS T FROM documents
+),
+bg0 AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(T) - 1),
+                  i -> T[i] || chr(9) || T[i+1])) AS b
+    FROM docs WHERE len(T) >= 2
+),
+bg AS (
+    SELECT doc_id,
+           string_split(b, chr(9))[1] AS w1,
+           string_split(b, chr(9))[2] AS w2
+    FROM bg0
+),
+uni AS (
+    SELECT tok, count(*)::BIGINT AS n
+    FROM (SELECT unnest(T) AS tok FROM docs) GROUP BY tok
+),
+tot AS (SELECT sum(n)::DOUBLE AS total FROM uni),
+hist AS (SELECT w1, count(*)::BIGINT AS h FROM bg GROUP BY w1),
+bfreq AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2),
+scored AS (
+    SELECT g.doc_id,
+           -ln({_BIGRAM_LAMBDA} * f.c12 / h1.h
+               + {1 - _BIGRAM_LAMBDA} * u2.n / t.total) AS nll
+    FROM bg g
+    JOIN bfreq f ON f.w1 = g.w1 AND f.w2 = g.w2
+    JOIN hist h1 ON h1.w1 = g.w1
+    JOIN uni u2 ON u2.tok = g.w2
+    CROSS JOIN tot t
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(nll), 6) AS avg_nll
+FROM scored GROUP BY doc_id
+ORDER BY avg_nll DESC, doc_id ASC
+LIMIT {_BIGRAM_TOP}
+"""
+
+
+@register(
+    "bigram_perplexity_scores",
+    oracle=_BIGRAM_PPL_ORACLE,
+    tags=("cleaning", "quality", "lm", "bigram"),
+)
+def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality scoring — the KenLM-direction
+    upgrade of unigram_perplexity_scores above: p(w2|w1) =
+    λ·c(w1w2)/c(w1·) + (1-λ)·p_unigram(w2), per-doc mean NLL, top-20
+    least-typical documents. The history count c(w1·) counts w1 AS A
+    BIGRAM HISTORY (not raw occurrences), so the conditional properly
+    normalizes over the bigram table.
+
+    Plan: the corpus tokenizes once into an adjacency-preserving bigram
+    stream (a native transform over the token array — no window, no
+    posexplode self-join); "training" is two map-side-combinable
+    groupBys (bigram table + history margins); scoring broadcasts the
+    model tables back onto the stream. At 100 TB the bigram table
+    outgrows broadcast and the scoring join becomes a bucketed
+    shuffle-join on (w1, w2) — same plan minus the broadcast hints.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    T = F.split(F.trim(F.col("text")), r"\s+")
+    bg = (
+        d.select("doc_id", T.alias("T"))
+        .where(F.size("T") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("T") - 1),
+                    lambda i: F.struct(
+                        F.element_at("T", i).alias("w1"),
+                        F.element_at("T", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    toks = d.select(F.explode(T).alias("tok"))
+    uni = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "total", F.sum("n").over(Window.partitionBy()).cast("double")
+        )
+    )
+    hist = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("h"))
+    bfreq = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lam = F.lit(_BIGRAM_LAMBDA)
+    scored = (
+        bg.join(F.broadcast(bfreq), ["w1", "w2"])
+        .join(F.broadcast(hist), "w1")
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"), "n", "total")),
+            "w2",
+        )
+        .withColumn(
+            "nll",
+            -F.log(
+                lam * F.col("c12") / F.col("h")
+                + (F.lit(1.0) - lam) * F.col("n") / F.col("total")
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+        .orderBy(F.col("avg_nll").desc(), F.col("doc_id").asc())
+        .limit(_BIGRAM_TOP)
+    )

@@ -203,9 +203,9 @@ def cosupply_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
     tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        e1.join(F.broadcast(e2), F.col("e2.u") == F.col("e1.v"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("e3.u") == F.col("e1.u"))
             & (F.col("e3.v") == F.col("e2.v")),
         )
@@ -231,4 +231,117 @@ def cosupply_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
             ).alias("transitivity"),
         )
+    )
+
+
+_LPA_ITERS = 3
+_LPA_TOP = 20
+
+
+def _lpa_oracle() -> str:
+    iters = []
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        iters.append(
+            f"""n{i} AS (
+    SELECT e.dst AS node, l.label, count(*)::BIGINT AS c
+    FROM edges e JOIN {prev} l ON l.node = e.src
+    GROUP BY e.dst, l.label
+),
+r{i} AS (
+    SELECT node, label,
+           row_number() OVER (
+               PARTITION BY node ORDER BY c DESC, label ASC
+           ) AS rn
+    FROM n{i}
+),
+l{i} AS (SELECT node, label FROM r{i} WHERE rn = 1)"""
+        )
+        prev = f"l{i}"
+    iter_sql = ",\n".join(iters)
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+    SELECT src, dst FROM pairs
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{iter_sql}
+SELECT label AS community, count(*)::BIGINT AS size
+FROM {prev}
+GROUP BY label
+ORDER BY size DESC, community ASC
+LIMIT {_LPA_TOP}
+"""
+
+
+@register(
+    "label_propagation_communities",
+    oracle=_lpa_oracle(),
+    tags=("graph", "iterative", "lpa"),
+)
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    symmetrized customer–supplier graph: each round every node adopts
+    the MOST FREQUENT label among its neighbors (min-label tiebreak, so
+    every round is deterministic and the fixed-iteration unroll is
+    hash-checkable — the classic LPA randomness is exactly what an
+    oracle-checked engine can't ship). Complements PageRank (importance)
+    and near_dup_components (reachability): frequency-weighted
+    communities, not connected components.
+
+    Plan: same template as operators/pagerank.py — the edge list is the
+    static side; each of the 3 rounds ships only the |V|-row label
+    vector through a join + (node,label) count + per-node argmax
+    window. The window partitions by node (corpus-wide keys, but each
+    partition holds ≤ distinct-neighbor-labels rows).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .cache()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = edges.select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    ).distinct()
+    from pyspark.sql import Window
+
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("vnode"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("vnode").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("vnode").alias("node"), "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.col("size").desc(), F.col("community").asc())
+        .limit(_LPA_TOP)
     )

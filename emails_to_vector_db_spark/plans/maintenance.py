@@ -14,7 +14,7 @@ direct answer exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.plans.registry import register
@@ -643,4 +643,83 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "col_name", "n_rows", "n_nulls", "n_distinct",
         "min_num", "max_num", "min_str", "max_str",
+    )
+
+
+_SKEW_TOP_SHARE = 5
+
+_SKEW_ORACLE = f"""
+WITH keyed AS (
+    SELECT l_suppkey AS k, count(*)::DOUBLE AS c
+    FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+    SELECT c,
+           row_number() OVER (ORDER BY c ASC, k ASC) AS i,
+           count(*) OVER () AS nk,
+           sum(c) OVER () AS tot
+    FROM keyed
+)
+SELECT max(nk)::BIGINT AS n_keys,
+       round(max(CASE WHEN i = nk THEN c END) / max(tot), 6) AS max_share,
+       round(sum(CASE WHEN i > nk - {_SKEW_TOP_SHARE} THEN c ELSE 0 END)
+             / max(tot), 6) AS top{_SKEW_TOP_SHARE}_share,
+       round(2.0 * sum(i * c) / (max(nk) * max(tot))
+             - (max(nk) + 1.0) / max(nk), 6) AS gini
+FROM ranked
+"""
+
+
+@register(
+    "join_key_skew_report",
+    oracle=_SKEW_ORACLE,
+    tags=("maintenance", "skew", "diagnostics"),
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for lineitem.l_suppkey — the report
+    you run BEFORE deciding whether a join needs the salting machinery
+    in operators/skew.py: key count, heaviest-key share, top-5 share,
+    and the Gini coefficient of the key-frequency distribution (0 =
+    perfectly even partitions, →1 = one key owns the shuffle).
+
+    Plan: one corpus-scale key-count aggregation; everything after —
+    the ascending-frequency ranking and the Gini fold — runs over the
+    KEY table (|distinct keys| rows, a single-partition window at
+    fixture scale; at a billion keys the same report comes from a
+    sampled or sketched key histogram, which is also how AQE's skew
+    detector sees the world).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    w_rank = Window.orderBy(F.col("c").asc(), F.col("k").asc())
+    w_all = Window.partitionBy()
+    ranked = (
+        keyed.withColumn("i", F.row_number().over(w_rank))
+        .withColumn("nk", F.count(F.lit(1)).over(w_all))
+        .withColumn("tot", F.sum("c").over(w_all))
+    )
+    return ranked.agg(
+        F.max("nk").cast("long").alias("n_keys"),
+        F.round(
+            F.max(F.when(F.col("i") == F.col("nk"), F.col("c")))
+            / F.max("tot"),
+            6,
+        ).alias("max_share"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("i") > F.col("nk") - _SKEW_TOP_SHARE, F.col("c")
+                ).otherwise(0.0)
+            )
+            / F.max("tot"),
+            6,
+        ).alias(f"top{_SKEW_TOP_SHARE}_share"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("c"))
+            / (F.max("nk") * F.max("tot"))
+            - (F.max("nk") + 1.0) / F.max("nk"),
+            6,
+        ).alias("gini"),
     )

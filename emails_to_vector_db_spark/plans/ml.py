@@ -108,6 +108,7 @@ GROUP BY {w_cols}
     "logreg_quality_classifier",
     oracle=_logreg_oracle(),
     tags=("ml", "iterative", "classifier", "cleaning"),
+    bench=True,
 )
 def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-batch logistic regression (3 GD steps, lr=0.5) predicting

@@ -535,3 +535,112 @@ def boolean_and_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_matched") == len(_AND_TERMS))
     )
     return hits.join(docs, "doc_id").select("doc_id", "lang", "n_chars")
+
+
+_NDCG_K = 10
+
+_NDCG_ORACLE = f"""
+WITH q AS (
+    SELECT e.embedding::DOUBLE[] AS qv, d.source AS qsrc, d.lang AS qlang
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE e.vec_id = {_PROBE_ID}
+),
+scored AS (
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS sim,
+           CASE WHEN d.source = q.qsrc THEN 2
+                WHEN d.lang = q.qlang THEN 1 ELSE 0 END AS rel
+    FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id
+    CROSS JOIN q
+    WHERE e.vec_id <> {_PROBE_ID}
+),
+ranked AS (
+    SELECT rel, row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS pos
+    FROM scored
+),
+ideal AS (
+    SELECT rel, row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS pos
+    FROM scored
+),
+dcg AS (
+    SELECT sum((pow(2, rel) - 1) / log2(pos + 1)) AS dcg
+    FROM ranked WHERE pos <= {_NDCG_K}
+),
+idcg AS (
+    SELECT sum((pow(2, rel) - 1) / log2(pos + 1)) AS idcg
+    FROM ideal WHERE pos <= {_NDCG_K}
+)
+SELECT {_PROBE_ID}::BIGINT AS query_id,
+       round(dcg.dcg, 6) AS dcg_at_k,
+       round(idcg.idcg, 6) AS idcg_at_k,
+       round(dcg.dcg / idcg.idcg, 6) AS ndcg_at_k
+FROM dcg CROSS JOIN idcg
+"""
+
+
+@register(
+    "ndcg_retrieval_eval",
+    oracle=_NDCG_ORACLE,
+    tags=("retrieval", "eval", "ml"),
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the embedding-cosine ranking against a graded
+    relevance oracle (2 = same source as the query doc, 1 = same
+    language, 0 = neither) — the third leg of the in-engine evaluation
+    suite beside recall@k (ANN audits) and AUC (score_auc_eval):
+    RANKING quality with graded gains, hash-checked.
+
+    Plan: one broadcast of the 1-row query (vector + metadata), one
+    corpus scan scoring sim and relevance together, two window
+    rankings (real and ideal) that aggregate to scalars at k=10 — the
+    global windows run AFTER TakeOrdered-sized truncation is
+    impossible, so they are the documented scale ceiling; at 100 TB the
+    real ranking becomes top-k-first (TakeOrderedAndProject) and the
+    ideal ranking a relevance-histogram closed form.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    base = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "vec_id", "embedding", "source", "lang"
+    )
+    q = F.broadcast(
+        base.where(F.col("vec_id") == _PROBE_ID).select(
+            F.col("embedding").alias("qv"),
+            F.col("source").alias("qsrc"),
+            F.col("lang").alias("qlang"),
+        )
+    )
+    scored = (
+        base.where(F.col("vec_id") != _PROBE_ID)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            cosine_similarity("embedding", "qv").alias("sim"),
+            F.when(F.col("source") == F.col("qsrc"), 2)
+            .when(F.col("lang") == F.col("qlang"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("pos") + 1)
+    w_real = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    w_ideal = Window.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+    dcg = (
+        scored.withColumn("pos", F.row_number().over(w_real))
+        .where(F.col("pos") <= _NDCG_K)
+        .agg(F.sum(gain).alias("dcg"))
+    )
+    idcg = (
+        scored.withColumn("pos", F.row_number().over(w_ideal))
+        .where(F.col("pos") <= _NDCG_K)
+        .agg(F.sum(gain).alias("idcg"))
+    )
+    return dcg.crossJoin(idcg).select(
+        F.lit(_PROBE_ID).cast("long").alias("query_id"),
+        F.round("dcg", 6).alias("dcg_at_k"),
+        F.round("idcg", 6).alias("idcg_at_k"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.functions import text as TX
+from emails_to_vector_db_spark.operators.dedup import spread
 from emails_to_vector_db_spark.operators.setsim import (
     prefix_filter_jaccard_join,
 )
@@ -73,6 +74,7 @@ WHERE i.inter / (sa.sz + sb.sz - i.inter)::DOUBLE >= {_TAU}
     "prefix_filter_jaccard_join",
     oracle=_SETSIM_ORACLE,
     tags=("dedup", "setsim", "join", "exact"),
+    bench=True,
 )
 def prefix_filter_jaccard_join_q(
     spark: SparkSession, sf_dir: str
@@ -91,7 +93,10 @@ def prefix_filter_jaccard_join_q(
             F.concat(F.col("text"), F.lit(" zzduptoken")).alias("text"),
         )
     )
-    doc_tokens = docs.select(
+    # the shingle explode is CPU-bound: spread() buys full-width
+    # execution when the fixture parquet arrives as 1-2 splits
+    # (operators/dedup.py:36 — measured 2.7s → 0.4s at sf0.1)
+    doc_tokens = spread(docs).select(
         "doc_id",
         F.explode(
             F.array_distinct(TX.shingles(TX.tokens("text"), n=3))

@@ -535,3 +535,69 @@ def orders_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+_CHI2_VALUE_CUT = 50.0
+
+_CHI2_ORACLE = f"""
+WITH cells AS (
+    SELECT event_type,
+           CASE WHEN value > {_CHI2_VALUE_CUT} THEN 'hi' ELSE 'lo' END AS vb,
+           count(*)::DOUBLE AS o
+    FROM events GROUP BY 1, 2
+),
+margins AS (
+    SELECT c.event_type, c.vb, c.o,
+           sum(c.o) OVER (PARTITION BY c.event_type) AS row_tot,
+           sum(c.o) OVER (PARTITION BY c.vb) AS col_tot,
+           sum(c.o) OVER () AS n
+    FROM cells c
+)
+SELECT count(*)::BIGINT AS n_cells,
+       ((count(DISTINCT event_type) - 1)
+        * (count(DISTINCT vb) - 1))::BIGINT AS dof,
+       round(sum(pow(o - row_tot * col_tot / n, 2)
+                 / (row_tot * col_tot / n)), 6) AS chi2
+FROM margins
+"""
+
+
+@register(
+    "event_type_value_chi2",
+    oracle=_CHI2_ORACLE,
+    tags=("stats", "hypothesis", "agg"),
+)
+def event_type_value_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic of independence between event type
+    and a high/low value split — the hypothesis-test aggregate behind
+    drift monitors and A/B sanity checks, computed wholly in-engine
+    (the statistic + dof are emitted; the CDF lookup is a driver-side
+    concern by design).
+
+    Plan: one corpus-scale contingency aggregation (map-side
+    combinable, |types|×2 cells), then margins via windows over the
+    TINY cell table and a scalar fold — the corpus is touched once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.when(F.col("value") > _CHI2_VALUE_CUT, "hi")
+        .otherwise("lo")
+        .alias("vb"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    margins = (
+        cells.withColumn(
+            "row_tot", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("col_tot", F.sum("o").over(Window.partitionBy("vb")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return margins.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("vb") - 1)
+        ).alias("dof"),
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+    )

@@ -204,3 +204,42 @@ def test_matryoshka_recall_reasonable(spark):
     assert rows, "every probe should appear"
     for r in rows:
         assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+def test_ndcg_bounds_and_ideal_dominance(spark):
+    [r] = _rows(spark, "ndcg_retrieval_eval")
+    assert 0.0 < r["idcg_at_k"]
+    assert 0.0 <= r["dcg_at_k"] <= r["idcg_at_k"] + 1e-9
+    assert 0.0 <= r["ndcg_at_k"] <= 1.0
+
+
+def test_chi2_statistic_nonnegative(spark):
+    [r] = _rows(spark, "event_type_value_chi2")
+    assert r["chi2"] >= 0.0
+    assert r["dof"] == 4  # (5 event types - 1) × (2 buckets - 1)
+    assert r["n_cells"] == 10
+
+
+def test_skew_report_shares_and_gini(spark):
+    [r] = _rows(spark, "join_key_skew_report")
+    assert r["n_keys"] > 0
+    assert 0.0 < r["max_share"] <= r["top5_share"] <= 1.0
+    assert 0.0 <= r["gini"] < 1.0
+
+
+def test_label_propagation_partitions_all_nodes(spark):
+    rows = _rows(spark, "label_propagation_communities")
+    assert rows
+    # communities are disjoint label groups; sizes are positive and the
+    # list arrives largest-first
+    sizes = [r["size"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(s > 0 for s in sizes)
+
+
+def test_bigram_perplexity_exceeds_zero_and_is_finite(spark):
+    rows = _rows(spark, "bigram_perplexity_scores")
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_bigrams"] > 0
+        assert 0.0 < r["avg_nll"] < 50.0

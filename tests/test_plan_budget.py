@@ -22,6 +22,9 @@ from tests.conftest import SF_ORACLE
 # name -> max shuffle exchanges (hash/range/single-partition)
 SHUFFLE_BUDGET = {
     "asof_last_click_before_purchase": 1,
+    "cohort_retention_matrix": 4,  # one corpus agg + cells/sizes re-aggs
+    "logreg_quality_classifier": 4,  # 3 GD gradient aggs + final accuracy agg
+    "prefix_filter_jaccard_join": 15,  # df agg, vocab rank, prefix window, cand, verify (repeated subtrees counted)
     "benchmark_decontamination": 2,
     "bm25_topk": 5,
     "bpe_segmentation_stats": 3,  # occ agg + vocab distinct + per-doc agg
