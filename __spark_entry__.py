@@ -90,6 +90,8 @@ _NEVER_SAMPLED_FIRST = (
     "label_propagation_communities",
     "event_type_value_chi2",
     "join_key_skew_report",
+    "orders_equi_depth_approx",
+    "window_function_zoo",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -439,3 +439,76 @@ def order_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_exact95", 2).alias("exact_p95"),
         ok.alias("approx_within_5pct"),
     )
+
+
+_WZOO_MAX_CUST = 200
+
+_WZOO_ORACLE = f"""
+WITH o AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           date_diff('day', DATE '1990-01-01', o_orderdate::DATE) AS dnum
+    FROM orders WHERE o_custkey < {_WZOO_MAX_CUST}
+)
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS rn,
+       round(cume_dist() OVER w, 6) AS cd,
+       round(nth_value(o_totalprice, 2) OVER (
+           PARTITION BY o_custkey ORDER BY dnum, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ), 2) AS second_price,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY dnum
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ), 2) AS rolling_30d
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY dnum, o_orderkey)
+"""
+
+
+@register(
+    "window_function_zoo",
+    oracle=_WZOO_ORACLE,
+    tags=("window", "api-surface"),
+)
+def window_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-frame surface beyond rank/lag (SURVEY §2.6): cume_dist,
+    nth_value over an explicit unbounded ROWS frame, and a true
+    RANGE-interval frame (30-day rolling revenue keyed on a numeric
+    day index — Spark's rangeBetween needs a numeric order key, so the
+    date is projected to days-since-epoch identically on both sides;
+    ties inside a RANGE frame are whole-peer-group by definition, which
+    is why the rolling sum orders by dnum alone and stays
+    deterministic). One user_id-style exchange (o_custkey) serves all
+    three windows.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < _WZOO_MAX_CUST)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+            ).alias("dnum"),
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("dnum", "o_orderkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy("dnum")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.nth_value("o_totalprice", 2).over(w_full), 2).alias(
+            "second_price"
+        ),
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("rolling_30d"),
+    )

@@ -298,9 +298,16 @@ def label_propagation_communities(
 
     Plan: same template as operators/pagerank.py — the edge list is the
     static side; each of the 3 rounds ships only the |V|-row label
-    vector through a join + (node,label) count + per-node argmax
-    window. The window partitions by node (corpus-wide keys, but each
-    partition holds ≤ distinct-neighbor-labels rows).
+    vector through a join + (node,label) count + per-node argmax. The
+    argmax is min_by(label, (-count, label)) — a map-side-combinable
+    aggregation, NOT a row_number window: rule 16 (docs/SCALE_NOTES.md)
+    forbids windowing a corpus-cardinality key, and early LPA rounds
+    give hub nodes as many distinct neighbor labels as neighbors. The
+    oracle keeps the row_number spelling — same argmax, different
+    algorithm, so the hash match also cross-checks the rewrite. Cost
+    is honestly linear in |E| PER ROUND (the 10× stress corpus is a
+    dense 11.7M-edge bipartite graph: ~17s warm for 3 rounds, most of
+    it round 0 before label diversity collapses — see SCALE_NOTES).
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
@@ -323,21 +330,17 @@ def label_propagation_communities(
     labels = edges.select(
         F.col("src").alias("node"), F.col("src").alias("label")
     ).distinct()
-    from pyspark.sql import Window
-
     for _ in range(_LPA_ITERS):
         votes = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("vnode"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.partitionBy("vnode").orderBy(
-            F.col("c").desc(), F.col("label").asc()
-        )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("vnode").alias("node"), "label")
+        # argmax by (count desc, label asc) == min_by over (-count, label)
+        labels = votes.groupBy(F.col("vnode").alias("node")).agg(
+            F.min_by(
+                "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
+            ).alias("label")
         )
     return (
         labels.groupBy(F.col("label").alias("community"))

@@ -601,3 +601,68 @@ def event_type_value_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dof"),
         F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
     )
+
+
+_APPROX_DEPTH_TOL = 0.25  # per-bucket mass must be within ±25% of ideal
+
+_APPROX_DEPTH_ORACLE = f"""
+WITH n AS (SELECT count(*)::DOUBLE AS n FROM orders)
+SELECT b.bucket,
+       TRUE AS within_tolerance
+FROM (SELECT unnest(generate_series(1, {_EQUI_DEPTH_BUCKETS})) AS bucket) b
+CROSS JOIN n
+"""
+
+
+@register(
+    "orders_equi_depth_approx",
+    oracle=_APPROX_DEPTH_ORACLE,
+    tags=("stats", "histogram", "approx"),
+)
+def orders_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH twin of orders_equi_depth_histogram: bucket
+    boundaries from percentile_approx (one pass, mergeable sketch, NO
+    global sort), rows assigned by a broadcast boundary lookup, and the
+    equi-depth GUARANTEE — every bucket within ±25% of ideal mass —
+    verified IN-QUERY and emitted as a hash-bearing boolean the oracle
+    expects TRUE (the hll_sketch_union audit pattern: approximation
+    quality is part of the checked result, the approximate values
+    themselves are engine-specific by design).
+
+    At 100 TB this is THE histogram plan: the exact-ntile variant's
+    global sort disappears; cost is one sketch aggregation plus a
+    map-side bucket assignment.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    k = _EQUI_DEPTH_BUCKETS
+    probs = [i / k for i in range(1, k)]
+    bounds = F.broadcast(
+        orders.agg(
+            F.percentile_approx(
+                "o_totalprice", F.array(*[F.lit(p) for p in probs]), 10000
+            ).alias("bs")
+        )
+    )
+    # bucket = 1 + number of boundaries strictly below the value
+    bucket = F.lit(1) + F.aggregate(
+        F.col("bs"),
+        F.lit(0),
+        lambda acc, b: acc + (F.col("o_totalprice") > b).cast("int"),
+    )
+    counts = (
+        orders.crossJoin(bounds)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    n_total = orders.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ideal = F.col("n") / k
+    return (
+        counts.crossJoin(F.broadcast(n_total))
+        .select(
+            "bucket",
+            (
+                (F.col("n_rows") >= (1 - _APPROX_DEPTH_TOL) * ideal)
+                & (F.col("n_rows") <= (1 + _APPROX_DEPTH_TOL) * ideal)
+            ).alias("within_tolerance"),
+        )
+    )

@@ -103,6 +103,20 @@ def main() -> None:
         "ann_lsh_topk",
         "unigram_perplexity_scores",
         "streaming_dedup_ingest",
+        # round-3 session additions (ML / graph / eval / analytics lanes)
+        "score_auc_eval",
+        "cosupply_triangle_count",
+        "orders_column_profile",
+        "matryoshka_recall_audit",
+        "boolean_and_retrieval",
+        "time_weighted_avg_value",
+        "orders_equi_depth_histogram",
+        "ndcg_retrieval_eval",
+        "bigram_perplexity_scores",
+        "label_propagation_communities",
+        "event_type_value_chi2",
+        "join_key_skew_report",
+        "transaction_graph_pagerank",
     ):
         bench[extra] = REGISTRY[extra]
     for name, spec in sorted(bench.items()):

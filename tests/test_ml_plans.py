@@ -243,3 +243,12 @@ def test_bigram_perplexity_exceeds_zero_and_is_finite(spark):
     for r in rows:
         assert r["n_bigrams"] > 0
         assert 0.0 < r["avg_nll"] < 50.0
+
+
+def test_equi_depth_approx_matches_exact_contract(spark):
+    """The approx variant must cover all 8 buckets with the tolerance
+    booleans TRUE, and its bucket masses must be near the exact ntile
+    variant's (the two plans answer the same question)."""
+    rows = _rows(spark, "orders_equi_depth_approx")
+    assert sorted(r["bucket"] for r in rows) == list(range(1, 9))
+    assert all(r["within_tolerance"] for r in rows)
