@@ -41,6 +41,7 @@ _NEVER_SAMPLED_FIRST = (
     "ann_lsh_topk",
     "ivf_ann_topk",
     "int8_quantized_knn",
+    "mips_topk_augmented",
     "label_centroid_norm",
     "label_centroid_norm_pandas",
     "embedding_jl_projection_pairs",
@@ -92,6 +93,8 @@ _NEVER_SAMPLED_FIRST = (
     "join_key_skew_report",
     "orders_equi_depth_approx",
     "window_function_zoo",
+    "video_shot_boundaries",
+    "curation_pipeline_e2e",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -21,6 +21,7 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     cleaning,
     cohorts,
     corpus,
+    curation,
     dedup,
     events,
     graph,

@@ -15,7 +15,7 @@ seeds/ids (written once, idempotent, no Spark session involved).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.plans.registry import register
@@ -484,4 +484,71 @@ def email_datasource_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         "msg_id",
         F.length("text").alias("n_chars"),
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+
+
+_SHOT_THR = 5.0
+
+_SHOTS_ORACLE = f"""
+WITH f AS (
+    SELECT media_id, frame_idx, round(mean_px, 6) AS m
+    FROM read_parquet('{_FIXTURES["video_frames_ref"]}')
+),
+d AS (
+    SELECT media_id, m,
+           abs(m - lag(m) OVER (
+               PARTITION BY media_id ORDER BY frame_idx
+           )) AS diff
+    FROM f
+)
+SELECT media_id,
+       count(*)::BIGINT AS n_sampled_frames,
+       (1 + sum(CASE WHEN diff > {_SHOT_THR} THEN 1 ELSE 0 END))::BIGINT
+           AS n_shots,
+       round(max(diff), 6) AS max_frame_diff
+FROM d GROUP BY media_id
+"""
+
+
+@register(
+    "video_shot_boundaries",
+    oracle=_SHOTS_ORACLE,
+    tags=("multimodal", "video", "mapInPandas", "window"),
+)
+def video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the sampled video frame stream: a
+    cut is declared where consecutive sampled frames' mean-pixel values
+    jump by more than {thr} — the classic frame-difference detector,
+    here as REAL distributed demux+decode (mapInPandas, every 2nd
+    frame) feeding a per-video lag() window. The oracle replays the
+    boundary logic IN SQL over the sequential reference decode, so both
+    the decode values and the windowed detector are hash-checked.
+
+    Plan: frames fan out inside Arrow batches; the window partitions by
+    media_id (frames-per-video bounded by clip length — not a
+    corpus-cardinality window); per-video shot counts aggregate
+    map-side. Diffs compare 6dp-rounded means on both sides so the
+    threshold test sits on bit-identical inputs.
+    """
+    from emails_to_vector_db_spark.sources.multimodal import (
+        extract_video_frames,
+    )
+
+    media = spark.read.parquet(_FIXTURES["media_raw"])
+    frames = extract_video_frames(media, every_n=2).select(
+        "media_id", "frame_idx", F.round("mean_px", 6).alias("m")
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    d = frames.withColumn(
+        "diff", F.abs(F.col("m") - F.lag("m").over(w))
+    )
+    return d.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames"),
+        (
+            1
+            + F.sum(
+                F.when(F.col("diff") > _SHOT_THR, 1).otherwise(0)
+            )
+        ).cast("long").alias("n_shots"),
+        F.round(F.max("diff"), 6).alias("max_frame_diff"),
     )

@@ -833,3 +833,80 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "vec_id")
     )
     return _recall_result(_exact_topk_df(spark, sf_dir, "cosine"), truncated)
+
+
+_MIPS_ORACLE = f"""
+WITH probe AS (
+    SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = {PROBE_ID}
+)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], p.q), 6) AS dot
+FROM embeddings e CROSS JOIN probe p
+WHERE e.vec_id <> {PROBE_ID}
+ORDER BY list_dot_product(e.embedding::DOUBLE[], p.q) DESC, e.vec_id ASC
+LIMIT {K}
+"""
+
+
+@register(
+    "mips_topk_augmented",
+    oracle=_MIPS_ORACLE,
+    tags=("vector", "mips", "knn"),
+)
+def mips_topk_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-5 computed through the classic
+    NORM-AUGMENTATION reduction to L2 (Bachrach et al. / asymmetric
+    MIPS→NN transform): base vectors gain one dimension
+    sqrt(M² − ‖x‖²) where M = max corpus norm, the query appends 0, and
+    then L2²(x̂, q̂) = M² + ‖q‖² − 2·x·q — so ASCENDING L2 order IS
+    descending inner-product order and the exact same
+    TakeOrderedAndProject plan as the flagship KNN serves MIPS (and at
+    scale, the same L2 index: IVF/LSH search the augmented space
+    unchanged). The emitted dot product is recovered from the distance
+    as (M² + ‖q‖² − d²)/2; the oracle ranks by the DIRECT dot product —
+    a hash match proves the reduction end-to-end, tiebreaks included.
+
+    Plan: max-norm is a 1-row broadcast agg; augmentation is a pure
+    projection; the search is scan + TakeOrdered — no shuffle beyond
+    the tiny top-k merge.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    sq_norm = F.aggregate(
+        F.transform(emb_d, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    m2 = F.broadcast(
+        emb.agg(F.max(sq_norm).alias("m2"))
+    )
+    base = emb.where(F.col("vec_id") != PROBE_ID).crossJoin(m2).select(
+        "vec_id",
+        F.concat(
+            emb_d, F.array(F.sqrt(F.col("m2") - sq_norm))
+        ).alias("xa"),
+        "m2",
+    )
+    probe = F.broadcast(
+        emb.where(F.col("vec_id") == PROBE_ID).select(
+            F.concat(emb_d, F.array(F.lit(0.0))).alias("qa"),
+            sq_norm.alias("q2"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("xa", "qa", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        base.crossJoin(probe)
+        .withColumn("d2", d2)
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(K)
+        .select(
+            "vec_id",
+            F.round(
+                (F.col("m2") + F.col("q2") - F.col("d2")) / 2.0, 6
+            ).alias("dot"),
+        )
+    )

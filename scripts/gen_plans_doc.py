@@ -114,6 +114,29 @@ SHOWCASE = [
         "shuffles nothing.",
     ),
     (
+        "logreg_quality_classifier",
+        "In-engine GD training: 3 chained 1-row gradient aggregates "
+        "(map-side combined) over the cached feature projection; "
+        "weights broadcast back per step — no driver sync.",
+    ),
+    (
+        "prefix_filter_jaccard_join",
+        "Exact AllPairs set join: broadcast vocab dictionary, per-doc "
+        "rank-array fold, prefix-token equi-join candidates, one "
+        "array_intersect row per candidate — never all-pairs.",
+    ),
+    (
+        "cohort_retention_matrix",
+        "One corpus-scale user_id aggregation (min + bounded "
+        "collect_set); everything after is cells-scale; divisor joins "
+        "broadcast.",
+    ),
+    (
+        "score_auc_eval",
+        "Histogram-first AUC: the global-order window runs over "
+        "distinct scores, never corpus rows.",
+    ),
+    (
         "image_resize_stats",
         "mapInPandas decode→bilinear-resize lane: ArrowEvalPython over "
         "independent images, zero shuffle.",
