@@ -95,6 +95,8 @@ _NEVER_SAMPLED_FIRST = (
     "window_function_zoo",
     "video_shot_boundaries",
     "curation_pipeline_e2e",
+    "image_codec_stats",
+    "order_value_ks_test",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

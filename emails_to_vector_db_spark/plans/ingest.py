@@ -552,3 +552,51 @@ def video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_shots"),
         F.round(F.max("diff"), 6).alias("max_frame_diff"),
     )
+
+
+_CODEC_ORACLE = f"""
+SELECT r.mime,
+       count(*)::BIGINT AS n_images,
+       round(avg(f.feature[3]), 6) AS avg_mean_r,
+       round(avg(f.n_bytes), 6) AS avg_bytes
+FROM read_parquet('{_FIXTURES["media_raw"]}') r
+JOIN read_parquet('{_FIXTURES["media_features_ref"]}') f
+  ON f.media_id = r.media_id
+WHERE r.modality = 'image'
+GROUP BY r.mime
+"""
+
+
+@register(
+    "image_codec_stats",
+    oracle=_CODEC_ORACLE,
+    tags=("multimodal", "codec", "mapInPandas"),
+)
+def image_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-CODEC image statistics — one row per container format (PPM,
+    BMP, PNG, JPEG), proving every decoder in the magic-byte dispatch
+    (including the baseline-JPEG Huffman/IDCT path, sources/jpeg.py)
+    produces hash-identical features through the distributed
+    mapInPandas lane vs the sequential reference decode. feature[3] is
+    the mean-red slot, so the checked value depends on actual decoded
+    PIXELS, not container metadata.
+    """
+    from emails_to_vector_db_spark.sources.fixtures import FEATURE_DIM
+    from emails_to_vector_db_spark.sources.multimodal import extract_features
+
+    media = spark.read.parquet(_FIXTURES["media_raw"])
+    feats = extract_features(media, dim=FEATURE_DIM).where(
+        F.col("modality") == "image"
+    )
+    mimes = media.select("media_id", "mime")
+    return (
+        feats.join(mimes, "media_id")
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg(F.element_at("feature", 3)), 6).alias(
+                "avg_mean_r"
+            ),
+            F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+        )
+    )

@@ -666,3 +666,81 @@ def orders_equi_depth_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tolerance"),
         )
     )
+
+
+_KS_GROUP_A = "1-URGENT"
+_KS_GROUP_B = "5-LOW"
+
+_KS_ORACLE = f"""
+WITH vals AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN o_orderpriority = '{_KS_GROUP_A}' THEN 1 ELSE 0 END AS a
+    FROM orders
+    WHERE o_orderpriority IN ('{_KS_GROUP_A}', '{_KS_GROUP_B}')
+),
+hist AS (
+    SELECT v, sum(a)::DOUBLE AS na, sum(1 - a)::DOUBLE AS nb
+    FROM vals GROUP BY v
+),
+tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM hist),
+ecdf AS (
+    SELECT sum(na) OVER (ORDER BY v) / t.ta AS fa,
+           sum(nb) OVER (ORDER BY v) / t.tb AS fb
+    FROM hist CROSS JOIN tot t
+)
+SELECT (SELECT ta FROM tot)::BIGINT AS n_a,
+       (SELECT tb FROM tot)::BIGINT AS n_b,
+       round(max(abs(fa - fb)), 6) AS ks_statistic
+FROM ecdf
+"""
+
+
+@register(
+    "order_value_ks_test",
+    oracle=_KS_ORACLE,
+    tags=("stats", "hypothesis", "drift"),
+)
+def order_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic (sup |ECDF_A − ECDF_B|)
+    comparing order-value distributions between urgent and low-priority
+    orders — the NUMERIC drift detector beside the categorical
+    chi-square above (the pair a data-quality monitor runs per
+    ingest batch).
+
+    Plan: values collapse to a per-distinct-value histogram first (one
+    map-side-combinable groupBy), so the ECDF window runs over
+    |distinct values| rows — the same histogram-first discipline as
+    the AUC query; the final sup is a scalar fold.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin(_KS_GROUP_A, _KS_GROUP_B)
+    )
+    vals = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == _KS_GROUP_A, 1)
+        .otherwise(0)
+        .alias("a"),
+    )
+    hist = vals.groupBy("v").agg(
+        F.sum("a").cast("double").alias("na"),
+        F.sum(1 - F.col("a")).cast("double").alias("nb"),
+    )
+    tot = F.broadcast(
+        hist.agg(
+            F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+        )
+    )
+    w = Window.orderBy("v")
+    ecdf = hist.crossJoin(tot).select(
+        "ta",
+        "tb",
+        (F.sum("na").over(w) / F.col("ta")).alias("fa"),
+        (F.sum("nb").over(w) / F.col("tb")).alias("fb"),
+    )
+    return ecdf.agg(
+        F.max("ta").cast("long").alias("n_a"),
+        F.max("tb").cast("long").alias("n_b"),
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias(
+            "ks_statistic"
+        ),
+    )

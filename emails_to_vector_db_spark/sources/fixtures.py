@@ -47,7 +47,9 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"
 # v7: image containers rotate PPM/BMP/PNG (real stdlib-zlib PNG codec);
 #     + bpe_merges_ref / bpe_segment_ref (sequential Sennrich-style BPE
 #     reference over the sf0.01 documents corpus).
-FIXTURE_VERSION = 7
+# v8: image containers rotate PPM/BMP/PNG/JPEG (real stdlib baseline
+#     4:4:4 JPEG codec, sources/jpeg.py).
+FIXTURE_VERSION = 8
 
 
 def fixtures_dir() -> str:

@@ -15,10 +15,11 @@ PDFs in ``data/``); this is the north star's multimodal surface. Design:
   ``zlib`` is the whole codec dependency), WAV PCM audio via the
   ``wave`` module, and raw video as concatenated PPM frames with a real
   demuxer — all feeding genuine per-pixel / per-sample / per-frame
-  features; only entropy-coded codecs (JPEG/MP4) stay STUBBED
-  (``NotImplementedError``) because their Huffman/DCT stages need an
-  imaging lib this container lacks — the Spark-side plumbing (schema,
-  batch shape, partitioning, UDF signatures) is identical either way.
+  features — including baseline 4:4:4 JPEG, whose marker walk, DHT
+  Huffman rebuild, dequantize/IDCT and YCbCr→RGB live in
+  ``sources/jpeg.py`` (stdlib + numpy; the last codec gap closed).
+  Only container formats needing full AV stacks (MP4-class) stay out
+  of scope — the dispatch raises loudly for unknown magics.
 """
 
 from __future__ import annotations
@@ -372,20 +373,30 @@ def synthetic_media_rows(n: int = 24) -> list[tuple]:
             w, h = 8 + i % 5, 6 + i % 4
             rng = np.random.default_rng(1000 + i)
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            # rotate container formats — PPM, BMP, PNG — so the
+            # rotate container formats — PPM, BMP, PNG, JPEG — so the
             # distributed decode path exercises the full magic-byte
             # dispatch (and the DuckDB-checked feature fixture covers
             # all three, including PNG's filter/inflate reconstruction)
-            form = (i // 3) % 3
+            form = (i // 3) % 4
             if form == 0:
                 payload = encode_ppm(img)
                 img_mime = "image/x-portable-pixmap"
             elif form == 1:
                 payload = encode_bmp(img)
                 img_mime = "image/bmp"
-            else:
+            elif form == 2:
                 payload = encode_png(img)
                 img_mime = "image/png"
+            else:
+                from emails_to_vector_db_spark.sources.jpeg import (
+                    encode_jpeg,
+                )
+
+                # lossy is fine for the differential check: reference
+                # and distributed lanes decode the SAME payload with
+                # the SAME decoder, so features agree exactly
+                payload = encode_jpeg(img)
+                img_mime = "image/jpeg"
             meta_wh, duration = (w, h), None
         elif modality == "audio":
             rate = 8000
@@ -462,21 +473,24 @@ def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """Image decode dispatch by magic bytes: binary PPM (P6), 24-bit
-    BMP, and 8-bit truecolor PNG all decode for REAL (stdlib+numpy —
-    PNG's inflate comes from stdlib ``zlib``); only entropy-coded
-    codecs (JPEG) remain STUBBED because Huffman+DCT decode needs an
-    imaging lib this container lacks — swap the fallthrough for
-    PIL/cv2 in production."""
+    BMP, 8-bit truecolor PNG (stdlib ``zlib`` inflate), and baseline
+    4:4:4 JPEG (sources/jpeg.py — real marker/DHT/Huffman/IDCT decode,
+    no imaging lib) all decode for REAL. Unknown containers raise
+    loudly rather than mis-decoding."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from emails_to_vector_db_spark.sources.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "entropy-coded image decode (JPEG) requires an imaging library "
-        "(PIL/cv2); PPM, 24-bit BMP and 8-bit truecolor PNG decode for "
-        "real via decode_ppm()/decode_bmp()/decode_png()"
+        "unknown image container; PPM, 24-bit BMP, 8-bit truecolor PNG "
+        "and baseline 4:4:4 JPEG decode for real via decode_ppm()/"
+        "decode_bmp()/decode_png()/jpeg.decode_jpeg()"
     )
 
 

@@ -85,9 +85,13 @@ def test_multimodal_features(spark):
     assert all(r.n_bytes > 0 for r in rows)
 
 
-def test_decode_stub_raises():
-    # JPEG (entropy-coded) is the remaining stub; PNG decodes for real now
+def test_decode_unknown_container_raises():
+    # every shipped codec (PPM/BMP/PNG/JPEG) decodes for real now; an
+    # unknown magic must fail loudly, and a JPEG-magic byte stream with
+    # garbage markers must fail as a ValueError, never mis-decode
     with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a....")
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0....JFIF....")
 
 
