@@ -97,6 +97,10 @@ _NEVER_SAMPLED_FIRST = (
     "curation_pipeline_e2e",
     "image_codec_stats",
     "order_value_ks_test",
+    "label_centroid_norm_arrow",
+    "table_diff_audit",
+    "logreg_calibration_curve",
+    "streaming_ivf_index_ingest",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

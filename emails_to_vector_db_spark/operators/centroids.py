@@ -39,3 +39,43 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", "embedding", "label").groupBy("label").applyInPandas(
         _centroid_of_group, schema=OUT_SCHEMA
     )
+
+
+def label_centroids_arrow(emb: DataFrame) -> DataFrame:
+    """The SAME per-label centroid as label_centroids, through Spark 4's
+    grouped ``applyInArrow`` — the zero-pandas lane: each group arrives
+    as a ``pyarrow.Table``, the vector column is flattened straight out
+    of the Arrow FixedSizeList/List buffer into one numpy matrix, and
+    the result goes back as an Arrow table. No pandas object boxing on
+    either side, which is the right call when the payload is numeric
+    arrays (pandas would materialize a python list per row).
+
+    Rows sort by vec_id before the fold, so the float sum order — and
+    the DuckDB oracle hash — matches the applyInPandas twin exactly.
+    """
+    import pyarrow as pa
+
+    def _centroid_of_group_arrow(tbl: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(tbl["vec_id"])
+        tbl = tbl.take(idx)
+        col = tbl["embedding"].combine_chunks()
+        # list<float> -> (n, dim) float64 matrix via the flat values buffer
+        n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(n, -1)
+        label = int(tbl["label"][0].as_py())
+        return pa.table(
+            {
+                "label": pa.array([label], pa.int32()),
+                "centroid": pa.array(
+                    [mat.mean(axis=0).tolist()], pa.list_(pa.float64())
+                ),
+                "n_vectors": pa.array([n], pa.int64()),
+            }
+        )
+
+    return (
+        emb.select("vec_id", "embedding", "label")
+        .groupBy("label")
+        .applyInArrow(_centroid_of_group_arrow, schema=OUT_SCHEMA)
+    )

@@ -723,3 +723,121 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+_DIFF_UPD = 20  # custkey < 20 get an acctbal update in "v2"
+_DIFF_DEL_LO, _DIFF_DEL_HI = 20, 30  # removed in v2
+_DIFF_INS = 10  # custkey < 10 duplicated at +offset as inserts
+_DIFF_OFFSET = 500_000
+
+_DIFF_ORACLE = f"""
+WITH base AS (
+    SELECT c_custkey AS k,
+           md5(c_name || '|' || c_nationkey || '|' || round(c_acctbal, 2))
+               AS payload
+    FROM customer
+),
+v2_rows AS (
+    SELECT c_custkey AS k, c_name,
+           c_nationkey,
+           c_acctbal + CASE WHEN c_custkey < {_DIFF_UPD} THEN 100.0
+                            ELSE 0.0 END AS c_acctbal
+    FROM customer
+    WHERE c_custkey < {_DIFF_DEL_LO} OR c_custkey >= {_DIFF_DEL_HI}
+    UNION ALL
+    SELECT c_custkey + {_DIFF_OFFSET}, c_name, c_nationkey, c_acctbal
+    FROM customer WHERE c_custkey < {_DIFF_INS}
+),
+v2 AS (
+    SELECT k,
+           md5(c_name || '|' || c_nationkey || '|' || round(c_acctbal, 2))
+               AS payload
+    FROM v2_rows
+),
+joined AS (
+    SELECT base.k AS bk, v2.k AS nk,
+           base.payload AS bp, v2.payload AS np
+    FROM base FULL OUTER JOIN v2 ON base.k = v2.k
+)
+SELECT CASE WHEN bk IS NULL THEN 'insert'
+            WHEN nk IS NULL THEN 'delete'
+            WHEN bp <> np THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       count(*)::BIGINT AS n_rows,
+       min(coalesce(bk, nk))::BIGINT AS min_key,
+       max(coalesce(bk, nk))::BIGINT AS max_key
+FROM joined
+GROUP BY 1
+"""
+
+
+@register(
+    "table_diff_audit",
+    oracle=_DIFF_ORACLE,
+    tags=("maintenance", "reconciliation", "cdc"),
+)
+def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version table reconciliation: full-outer join two
+    snapshots on the key, classify every row insert / delete / update /
+    unchanged by comparing a canonical payload hash, report per-class
+    counts and key ranges — the diff a CDC pipeline or replica
+    anti-entropy job runs (the pairwise complement of
+    events_table_fingerprint's single-table digest). The v2 snapshot
+    plants all three change classes so every branch is exercised.
+
+    Plan: both sides reduce to (key, 16-byte hash) AT THE SCAN (payload
+    columns never survive the projection), so the full-outer join
+    shuffles two narrow relations co-partitioned on the key; the
+    classification is a post-join expression and the report is a
+    4-group aggregate. At 100 TB both sides bucket by key at ingest
+    and the join is exchange-free (plans/bucketed.py).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+
+    def payload(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("c_custkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("c_name"),
+                    F.col("c_nationkey"),
+                    F.round("c_acctbal", 2),
+                )
+            ).alias("payload"),
+        )
+
+    base = payload(cust)
+    v2_rows = cust.where(
+        (F.col("c_custkey") < _DIFF_DEL_LO)
+        | (F.col("c_custkey") >= _DIFF_DEL_HI)
+    ).withColumn(
+        "c_acctbal",
+        F.col("c_acctbal")
+        + F.when(F.col("c_custkey") < _DIFF_UPD, 100.0).otherwise(0.0),
+    ).unionByName(
+        cust.where(F.col("c_custkey") < _DIFF_INS).withColumn(
+            "c_custkey", F.col("c_custkey") + _DIFF_OFFSET
+        ),
+        allowMissingColumns=False,
+    )
+    v2 = payload(v2_rows)
+    joined = base.alias("b").join(
+        v2.alias("n"), F.col("b.k") == F.col("n.k"), "full_outer"
+    )
+    change = (
+        F.when(F.col("b.k").isNull(), "insert")
+        .when(F.col("n.k").isNull(), "delete")
+        .when(F.col("b.payload") != F.col("n.payload"), "update")
+        .otherwise("unchanged")
+    )
+    key = F.coalesce(F.col("b.k"), F.col("n.k"))
+    return (
+        joined.select(change.alias("change_type"), key.alias("k"))
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+    )

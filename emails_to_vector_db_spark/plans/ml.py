@@ -69,7 +69,11 @@ def _spark_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logreg_oracle() -> str:
+def _training_ctes() -> tuple[str, str]:
+    """(WITH-prefix SQL containing features + the unrolled GD
+    trajectory, name of the final weight CTE) — shared by the training
+    query and the calibration query so both replay the identical
+    trajectory."""
     xs = [f"x{j}" for j in range(_N_FEATURES)]
     prev = "w0_cte"
     iters = []
@@ -89,12 +93,18 @@ def _logreg_oracle() -> str:
         )
         prev = f"w{i}"
     iter_sql = ",\n".join(iters)
-    final_margin = " + ".join(f"w.w{j} * f.x{j}" for j in range(_N_FEATURES))
-    w_cols = ", ".join(f"w.w{j}" for j in range(_N_FEATURES))
-    return f"""
+    prefix = f"""
 WITH features AS ({_sql_features()}),
 w0_cte AS (SELECT {', '.join(f'0.0 AS w{j}' for j in range(_N_FEATURES))}),
-{iter_sql}
+{iter_sql}"""
+    return prefix, prev
+
+
+def _logreg_oracle() -> str:
+    prefix, prev = _training_ctes()
+    final_margin = " + ".join(f"w.w{j} * f.x{j}" for j in range(_N_FEATURES))
+    w_cols = ", ".join(f"w.w{j}" for j in range(_N_FEATURES))
+    return f"""{prefix}
 SELECT {w_cols},
        count(*)::BIGINT AS n_train,
        round(avg(CASE WHEN (({final_margin}) > 0) = (f.y = 1.0)
@@ -259,4 +269,89 @@ def score_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("p") * F.col("q")),
             6,
         ).alias("auc"),
+    )
+
+
+def _calibration_oracle() -> str:
+    prefix, prev = _training_ctes()
+    margin = " + ".join(f"w.w{j} * f.x{j}" for j in range(_N_FEATURES))
+    return f"""{prefix},
+scored AS (
+    SELECT f.y, 1.0 / (1.0 + exp(-({margin}))) AS p
+    FROM features f CROSS JOIN {prev} w
+)
+SELECT least(floor(p * 10), 9)::INT AS bucket,
+       count(*)::BIGINT AS n_docs,
+       round(avg(p), 6) AS avg_predicted,
+       round(avg(y), 6) AS frac_positive
+FROM scored
+GROUP BY 1
+"""
+
+
+def _trained_weights_df(spark: SparkSession, sf_dir: str, feats: DataFrame):
+    """The lazy 1-row weight DataFrame after the unrolled GD loop —
+    shared by the training query and the calibration query."""
+    xs = [f"x{j}" for j in range(_N_FEATURES)]
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(_N_FEATURES)]
+    )
+    for _ in range(N_ITERS):
+        joined = feats.crossJoin(F.broadcast(w))
+        margin = sum(
+            (F.col(f"w{j}") * F.col(x) for j, x in enumerate(xs)),
+            F.lit(0.0),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        w = joined.groupBy(*[f"w{j}" for j in range(_N_FEATURES)]).agg(
+            *[
+                F.sum((p - F.col("y")) * F.col(x)).alias(f"g{j}")
+                for j, x in enumerate(xs)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        ).select(
+            *[
+                F.round(
+                    F.col(f"w{j}") - LR * F.col(f"g{j}") / F.col("n"),
+                    _ROUND,
+                ).alias(f"w{j}")
+                for j in range(_N_FEATURES)
+            ]
+        )
+    return w
+
+
+@register(
+    "logreg_calibration_curve",
+    oracle=_calibration_oracle(),
+    tags=("ml", "eval", "calibration"),
+)
+def logreg_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the in-engine classifier: predicted
+    probabilities from the SAME 3-step GD trajectory as
+    logreg_quality_classifier, bucketed into fixed-width probability
+    deciles, each bucket reporting mean predicted p vs the empirical
+    positive rate — the calibration check that completes the eval
+    suite (AUC ranks, nDCG grades, this measures probability honesty).
+
+    Plan: fixed-width buckets mean NO window and no sort anywhere —
+    scoring is a broadcast of the 5-double weight row onto the cached
+    feature projection, and the curve is one 10-group map-side
+    aggregate. Fully scale-free.
+    """
+    feats = _spark_features(spark, sf_dir).cache()
+    w = _trained_weights_df(spark, sf_dir, feats)
+    xs = [f"x{j}" for j in range(_N_FEATURES)]
+    margin = sum(
+        (F.col(f"w{j}") * F.col(x) for j, x in enumerate(xs)), F.lit(0.0)
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        F.col("y"), p.alias("p")
+    )
+    bucket = F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int")
+    return scored.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("p"), 6).alias("avg_predicted"),
+        F.round(F.avg("y"), 6).alias("frac_positive"),
     )

@@ -910,3 +910,178 @@ def mips_topk_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dot"),
         )
     )
+
+
+@register(
+    "label_centroid_norm_arrow",
+    oracle=_CENTROID_ORACLE,
+    tags=("vector", "agg", "applyInArrow"),
+)
+def label_centroid_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third implementation of the SAME centroid aggregation, through
+    Spark 4's grouped ``applyInArrow`` (operators/centroids.py::
+    label_centroids_arrow) — the zero-pandas Arrow lane: group payloads
+    flatten straight from Arrow list buffers into one BLAS reduction.
+    Checked against the SAME DuckDB oracle as the relational-explode
+    and applyInPandas forms, so all three lanes are proven
+    value-identical — the API-matrix completeness claim as a hash, not
+    a sentence."""
+    from emails_to_vector_db_spark.operators.centroids import (
+        label_centroids_arrow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids_arrow(emb)
+    sq = F.aggregate(
+        F.transform("centroid", lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return cents.select("label", F.round(sq, 6).alias("centroid_sq_norm"))
+
+
+_STREAM_IVF_VERSION = 1
+
+
+def _stream_ivf_landing(sf_dir: str) -> str:
+    """Land the embeddings corpus as THREE parquet files in ascending
+    vec_id order with increasing mtimes — a deterministic micro-batch
+    sequence for the file-stream source (same construction as the
+    streaming-dedup landing, plans/corpus.py)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        root, "spark-warehouse", f"stream_ivf_v{_STREAM_IVF_VERSION}", sf
+    )
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    parts = [os.path.join(d, f"part{i}.parquet") for i in range(3)]
+    src_mtime = os.path.getmtime(src)
+    if all(
+        os.path.exists(p) and os.path.getmtime(p) >= src_mtime for p in parts
+    ):
+        return d
+    os.makedirs(d, exist_ok=True)
+    tbl = pq.read_table(src, columns=["vec_id", "embedding"])
+    rows = sorted(
+        zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+    )
+    n = len(rows)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        chunk = rows[cuts[i] : cuts[i + 1]]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in chunk], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in chunk], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            parts[i],
+        )
+        os.utime(parts[i], (src_mtime + i, src_mtime + i))
+    return d
+
+
+def _stream_ivf_oracle() -> str:
+    """Per-list occupancy of the streamed index — batching-invariant, so
+    the oracle just replays the rank-based assignment with the same
+    persisted centroid literals over the whole corpus."""
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)))
+    values = ", ".join(f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents))
+    return f"""
+WITH cents AS (
+    SELECT * FROM (VALUES {values}) AS t(cid, c)
+),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.c) ASC,
+                            c.cid ASC
+               ) AS rnk
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rnk = 1
+)
+SELECT cid,
+       count(*)::BIGINT AS n_vectors,
+       min(vec_id)::BIGINT AS min_vec,
+       sum(vec_id)::BIGINT AS vec_checksum
+FROM assign GROUP BY cid
+"""
+
+
+@register(
+    "streaming_ivf_index_ingest",
+    oracle=_stream_ivf_oracle(),
+    tags=("streaming", "vector", "ivf", "index"),
+)
+def streaming_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector-index MAINTENANCE: embeddings arrive in
+    micro-batches (file stream, one file per trigger); each batch is
+    assigned to its nearest persisted-quantizer centroid with the same
+    JVM-side argmin expression the IVF search uses (operators/ivf.py —
+    centroid literals broadcast in the plan, no Python boundary) and
+    appended to the inverted-index store, partitioned by list id. The
+    returned per-list occupancy (+ id checksum) is batching-invariant,
+    so the DuckDB oracle replays the assignment over the whole corpus
+    in one pass — the streaming path is hash-checked against the batch
+    semantics it must preserve.
+
+    At 100 TB this is how a vector store stays fresh: index cost per
+    micro-batch is one scan-time assignment + a partitioned append;
+    the quantizer is the same persisted artifact the search queries
+    load, so reads and writes can never disagree about bucketing.
+    """
+    import os
+    import shutil
+
+    from emails_to_vector_db_spark.operators.ivf import assign_centroid
+
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf_dir)))
+    landing = _stream_ivf_landing(sf_dir)
+    work = landing.rstrip("/") + "__run"
+    shutil.rmtree(work, ignore_errors=True)  # deterministic re-runs
+    index_dir = os.path.join(work, "ivf_store")
+
+    def apply(batch: DataFrame, _batch_id: int) -> None:
+        assigned = batch.select(
+            "vec_id",
+            assign_centroid(
+                F.col("embedding").cast("array<double>"), cents
+            ).alias("cid"),
+        )
+        assigned.write.mode("append").partitionBy("cid").parquet(index_dir)
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(index_dir)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec"),
+            F.sum("vec_id").alias("vec_checksum"),
+        )
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            "n_vectors",
+            "min_vec",
+            "vec_checksum",
+        )
+    )

@@ -252,3 +252,19 @@ def test_equi_depth_approx_matches_exact_contract(spark):
     rows = _rows(spark, "orders_equi_depth_approx")
     assert sorted(r["bucket"] for r in rows) == list(range(1, 9))
     assert all(r["within_tolerance"] for r in rows)
+
+
+def test_calibration_curve_masses_and_bounds(spark):
+    rows = _rows(spark, "logreg_calibration_curve")
+    [train] = _rows(spark, "logreg_quality_classifier")
+    assert sum(r["n_docs"] for r in rows) == train["n_train"]
+    for r in rows:
+        assert 0 <= r["bucket"] <= 9
+        assert 0.0 <= r["avg_predicted"] <= 1.0
+        assert 0.0 <= r["frac_positive"] <= 1.0
+        # predicted mass must sit inside its decile (least() caps 1.0
+        # into bucket 9)
+        lo, hi = r["bucket"] / 10, (r["bucket"] + 1) / 10
+        assert lo - 1e-9 <= r["avg_predicted"] <= (
+            hi + 1e-9 if r["bucket"] < 9 else 1.0 + 1e-9
+        )
