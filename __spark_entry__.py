@@ -101,6 +101,9 @@ _NEVER_SAMPLED_FIRST = (
     "table_diff_audit",
     "logreg_calibration_curve",
     "streaming_ivf_index_ingest",
+    "scd2_user_value_history",
+    "event_sequence_transitions",
+    "order_revenue_proration",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

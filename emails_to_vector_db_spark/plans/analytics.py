@@ -515,3 +515,103 @@ def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.last("c_custkey").over(w2).alias("richest_in_segment"),
         F.nth_value("c_custkey", 2).over(w2).alias("runner_up_poorest"),
     )
+
+
+_PRORATE_ORACLE = """
+WITH alloc AS (
+    SELECT l.l_returnflag,
+           o.o_totalprice
+             * l.l_extendedprice
+             / sum(l.l_extendedprice) OVER (PARTITION BY l.l_orderkey)
+               AS allocated
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+per_mode AS (
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n_items,
+           sum(allocated) AS alloc_sum
+    FROM alloc GROUP BY l_returnflag
+),
+conservation AS (
+    SELECT abs(sum(alloc_sum)
+               - (SELECT sum(o_totalprice) FROM orders o
+                  WHERE EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey))
+           ) < 0.01 AS conserved
+    FROM per_mode
+)
+SELECT p.l_returnflag, p.n_items,
+       round(p.alloc_sum, 2) AS allocated_revenue,
+       round(p.alloc_sum / sum(p.alloc_sum) OVER (), 6) AS share_of_total,
+       c.conserved
+FROM per_mode p CROSS JOIN conservation c
+"""
+
+
+@register(
+    "order_revenue_proration",
+    oracle=_PRORATE_ORACLE,
+    tags=("analytics", "allocation", "window"),
+)
+def order_revenue_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted allocation (ratio-to-report): each order's headline
+    total prorated across its line items by extended-price share, then
+    rolled up by return flag — the finance/attribution workhorse join
+    shape. CONSERVATION is verified in-query and emitted as a
+    hash-bearing boolean the oracle expects TRUE: the allocation must
+    redistribute exactly the order totals, never invent or lose money
+    (the HLL-audit pattern for an exactness property).
+
+    Plan: the ratio window partitions by l_orderkey — a
+    corpus-cardinality key but a BOUNDED group (≤7 lines/order), which
+    is the case rule 16 permits: no hot key can exist. One orderkey
+    exchange serves the join and the window; the rollup is map-side
+    combinable.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("l_orderkey")
+    alloc = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .withColumn(
+            "allocated",
+            F.col("o_totalprice")
+            * F.col("l_extendedprice")
+            / F.sum("l_extendedprice").over(w),
+        )
+    )
+    per_mode = alloc.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("allocated").alias("alloc_sum"),
+    )
+    orders_with_lines = orders.join(
+        li.select("l_orderkey").distinct(),
+        orders["o_orderkey"] == F.col("l_orderkey"),
+        "left_semi",
+    ).agg(F.sum("o_totalprice").alias("order_total"))
+    conservation = F.broadcast(
+        per_mode.agg(F.sum("alloc_sum").alias("t"))
+        .crossJoin(F.broadcast(orders_with_lines))
+        .select(
+            (F.abs(F.col("t") - F.col("order_total")) < 0.01).alias(
+                "conserved"
+            )
+        )
+    )
+    w_all = Window.partitionBy()
+    return (
+        per_mode.crossJoin(conservation)
+        .select(
+            "l_returnflag",
+            "n_items",
+            F.round("alloc_sum", 2).alias("allocated_revenue"),
+            F.round(
+                F.col("alloc_sum") / F.sum("alloc_sum").over(w_all), 6
+            ).alias("share_of_total"),
+            "conserved",
+        )
+    )

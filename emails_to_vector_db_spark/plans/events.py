@@ -358,3 +358,112 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value") * dt_s) / F.sum(dt_s), 6
         ).alias("time_weighted_avg"),
     )
+
+
+_SCD2_MAX_USERS = 40
+
+_SCD2_ORACLE = f"""
+WITH hist AS (
+    SELECT user_id, event_id, value,
+           epoch_us(ts) AS vf,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS vt
+    FROM events WHERE user_id < {_SCD2_MAX_USERS}
+)
+SELECT user_id, event_id,
+       round(value, 6) AS value,
+       vf AS valid_from_us,
+       coalesce(vt, 253402300800000000) AS valid_to_us,
+       CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS is_current
+FROM hist
+"""
+
+
+@register(
+    "scd2_user_value_history",
+    oracle=_SCD2_ORACLE,
+    tags=("events", "scd2", "window", "warehouse"),
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: the per-user value
+    change log becomes a validity-interval table — each reading valid
+    [its own timestamp, next reading's timestamp), the open current row
+    capped at the conventional year-9999 sentinel with is_current
+    flagged. This is THE dimension-maintenance shape a warehouse layers
+    over CDC feeds (the batch complement of merge_upsert_customers'
+    current-state view and the time-travel reads).
+
+    Plan: one lead() window on the same per-user exchange every other
+    pass in this module rides; intervals are exact epoch-microsecond
+    integers so the hash needs no float tolerance.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") < _SCD2_MAX_USERS
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    vt = F.lead(t_us).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        t_us.alias("valid_from_us"),
+        F.coalesce(vt, F.lit(253402300800000000)).alias("valid_to_us"),
+        F.when(vt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+_SEQ_TOP = 15
+
+_SEQ_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+)
+SELECT event_type || ' -> ' || next_type AS transition,
+       count(*)::BIGINT AS n_transitions,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1
+ORDER BY n_transitions DESC, transition ASC
+LIMIT {_SEQ_TOP}
+"""
+
+
+@register(
+    "event_sequence_transitions",
+    oracle=_SEQ_ORACLE,
+    tags=("events", "sequence", "window"),
+)
+def event_sequence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, first order: counts of consecutive
+    event-type transitions per user (the Markov transition table behind
+    next-action prediction and funnel discovery — the generalization of
+    the fixed 3-step funnel query).
+
+    Plan: one lead() window on the user_id exchange, then a map-side-
+    combinable groupBy over |types|² keys. Higher-order patterns chain
+    more lead()s on the SAME window — no extra shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(" -> ", "event_type", "next_type").alias("transition")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_transitions").desc(), F.col("transition").asc())
+        .limit(_SEQ_TOP)
+    )

@@ -117,6 +117,22 @@ def main() -> None:
         "event_type_value_chi2",
         "join_key_skew_report",
         "transaction_graph_pagerank",
+        "window_function_zoo",
+        "video_shot_boundaries",
+        "curation_pipeline_e2e",
+        "mips_topk_augmented",
+        "order_value_ks_test",
+        "image_codec_stats",
+        "label_centroid_norm_arrow",
+        "table_diff_audit",
+        "logreg_calibration_curve",
+        "streaming_ivf_index_ingest",
+        "scd2_user_value_history",
+        "event_sequence_transitions",
+        "order_revenue_proration",
+        "orders_equi_depth_approx",
+        "bigram_perplexity_scores",
+        "label_propagation_communities",
     ):
         bench[extra] = REGISTRY[extra]
     for name, spec in sorted(bench.items()):

@@ -268,3 +268,35 @@ def test_calibration_curve_masses_and_bounds(spark):
         assert lo - 1e-9 <= r["avg_predicted"] <= (
             hi + 1e-9 if r["bucket"] < 9 else 1.0 + 1e-9
         )
+
+
+def test_scd2_intervals_partition_time(spark):
+    rows = _rows(spark, "scd2_user_value_history")
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from_us"])
+        # exactly one open current row, at the end
+        assert [r["is_current"] for r in ivs].count(1) == 1
+        assert ivs[-1]["is_current"] == 1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]  # gapless
+            assert a["valid_from_us"] < a["valid_to_us"]  # non-empty
+
+
+def test_proration_conserves_money_and_shares_sum_to_one(spark):
+    rows = _rows(spark, "order_revenue_proration")
+    assert all(r["conserved"] for r in rows)
+    assert sum(r["share_of_total"] for r in rows) == pytest.approx(
+        1.0, abs=1e-4
+    )
+
+
+def test_event_transitions_cover_type_pairs(spark):
+    rows = _rows(spark, "event_sequence_transitions")
+    assert rows
+    for r in rows:
+        src, dst = r["transition"].split(" -> ")
+        assert src and dst
+        assert 0 < r["n_users"] <= r["n_transitions"]
