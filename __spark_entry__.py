@@ -104,6 +104,8 @@ _NEVER_SAMPLED_FIRST = (
     "scd2_user_value_history",
     "event_sequence_transitions",
     "order_revenue_proration",
+    "textrank_keywords",
+    "softmax_lang_classifier",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -142,19 +142,52 @@ def _dist_to(vec_col: Column, centroid: list[float]) -> Column:
     return distance("sqeuclidean", vec_col, vector_lit(centroid))
 
 
+def _centroid_entries(
+    vec_col: Column, centroids: list[list[float]]
+) -> Column:
+    """(dist, cid) structs for every centroid as ONE runtime
+    ``transform`` over a single nested array literal — NOT one unrolled
+    distance expression per centroid: per-centroid unrolling is fine at
+    k=16 but the analysis/codegen cost grows with k (measured: the
+    streaming index ingest at the 10× corpus self-tunes to k≈125 and
+    spent ~45s of its 47s in per-micro-batch plan compilation of 125
+    separate higher-order aggregates; this shape compiles one loop).
+    The argmin tiebreak — struct-compare (dist, cid) — is unchanged, so
+    every oracle hash is preserved. (Also NOT a when-chain fold, which
+    references the running best twice per step: exponential tree.)
+
+    The nested literal goes through ONE parsed F.expr string, not
+    F.lit(nested python list): the py4j element-wise conversion of a
+    125×64 literal measured 5.6s per construction (and foreachBatch
+    would pay it per micro-batch); the SQL parser takes milliseconds."""
+    lit_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+    cents = F.expr(lit_sql)
+    return F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec_col, c, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.alias("cid"),
+        ),
+    )
+
+
 def assign_centroid(vec_col: Column, centroids: list[list[float]]) -> Column:
     """argmin centroid id as a pure column expression (no UDF): min over
-    (dist, id) structs. (NOT a when-chain fold — a chained
-    ``when(better, d).otherwise(best)`` references the running best twice
-    per step, doubling the expression tree each iteration: exponential
-    plan size by n_centroids=16.)"""
-    entries = F.array(
-        *[
-            F.struct(_dist_to(vec_col, c).alias("d"), F.lit(i).alias("cid"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return F.array_min(entries).getField("cid")
+    (dist, id) structs."""
+    return F.array_min(_centroid_entries(vec_col, centroids)).getField("cid")
 
 
 def nearest_centroids(
@@ -162,16 +195,11 @@ def nearest_centroids(
 ) -> Column:
     """The ``nprobe`` nearest centroid ids, as an array (for probe-side
     multibucket search): sort (dist, id) structs, take the prefix."""
-    entries = F.array(
-        *[
-            F.struct(
-                _dist_to(vec_col, c).alias("d"), F.lit(i).alias("cid")
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
     return F.transform(
-        F.slice(F.array_sort(entries), 1, nprobe), lambda s: s.getField("cid")
+        F.slice(
+            F.array_sort(_centroid_entries(vec_col, centroids)), 1, nprobe
+        ),
+        lambda s: s.getField("cid"),
     )
 
 
@@ -217,4 +245,49 @@ def ivf_ann_join(
         cand.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .select(probe_id, base_id, dist_col)
+    )
+
+
+def assign_centroids_arrow(
+    df: "DataFrame", centroids: list[list[float]], vec_col: str = "embedding"
+):
+    """Vectorized centroid assignment through the Arrow lane:
+    ``mapInPandas`` computes all pairwise squared-L2 distances as one
+    BLAS expansion (‖x‖² + ‖c‖² − 2 X·Cᵀ) and takes the row argmin
+    (numpy argmin returns the FIRST minimal index — the same smallest-
+    cid tiebreak as the (dist, cid) struct-min of assign_centroid).
+
+    This is the INDEX-MAINTENANCE lane: the expression form above stays
+    a pure scan projection (pushdown-friendly, right for query-time
+    assignment at small k), but higher-order folds are interpreted per
+    element — at the 10× corpus' self-tuned k≈125 one micro-batch spent
+    ~6s in boxed fold arithmetic that BLAS does in milliseconds.
+    Returns (vec_id, cid int).
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ) if len(pdf) else np.zeros((0, C.shape[1]))
+            if len(pdf):
+                d = (
+                    (X * X).sum(axis=1)[:, None]
+                    + c_sq[None, :]
+                    - 2.0 * (X @ C.T)
+                )
+                cid = d.argmin(axis=1).astype("int32")
+            else:
+                cid = np.zeros(0, dtype="int32")
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "cid": cid}
+            )
+
+    return df.select("vec_id", vec_col).mapInPandas(
+        assign, schema="vec_id bigint, cid int"
     )

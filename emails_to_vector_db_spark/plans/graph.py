@@ -31,7 +31,11 @@ DAMPING = 0.85
 TOP_K = 20
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_oracle_over(pairs_sql: str, top_k: int, rank_alias: str) -> str:
+    """Unrolled power-iteration PageRank oracle over ANY undirected
+    pair source: `pairs_sql` must yield distinct (src, dst) pairs;
+    symmetrization, degrees, and the per-iteration join-agg replay the
+    operators/pagerank.py semantics exactly."""
     iters = []
     prev = "r0"
     for i in range(1, N_ITERS + 1):
@@ -52,10 +56,7 @@ def _pagerank_oracle() -> str:
         prev = f"r{i}"
     iter_sql = ",\n".join(iters)
     return f"""
-WITH pairs AS (
-    SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
-    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-),
+WITH pairs AS ({pairs_sql}),
 edges AS (
     SELECT src, dst FROM pairs
     UNION ALL
@@ -66,11 +67,21 @@ nv AS (SELECT count(*)::DOUBLE AS n FROM nodes),
 deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
 r0 AS (SELECT node, 1.0 / nv.n AS pr FROM nodes CROSS JOIN nv),
 {iter_sql}
-SELECT node, round(pr, 6) AS pagerank
+SELECT node, round(pr, 6) AS {rank_alias}
 FROM {prev}
 ORDER BY round(pr, 6) DESC, node ASC
-LIMIT {TOP_K}
+LIMIT {top_k}
 """
+
+
+_TXN_PAIRS_SQL = """
+    SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _pagerank_oracle() -> str:
+    return _pagerank_oracle_over(_TXN_PAIRS_SQL, TOP_K, "pagerank")
 
 
 @register(
@@ -347,4 +358,89 @@ def label_propagation_communities(
         .agg(F.count(F.lit(1)).alias("size"))
         .orderBy(F.col("size").desc(), F.col("community").asc())
         .limit(_LPA_TOP)
+    )
+
+
+_TEXTRANK_TOP = 20
+_TEXTRANK_MAX_DOC = 100  # bounded sub-corpus keeps the oracle tractable
+
+_TEXTRANK_PAIRS_SQL = f"""
+    SELECT DISTINCT least(w1, w2) AS src, greatest(w1, w2) AS dst
+    FROM (
+        SELECT string_split(b, chr(9))[1] AS w1,
+               string_split(b, chr(9))[2] AS w2
+        FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, len(T) - 1),
+                i -> T[i] || chr(9) || T[i+1]
+            )) AS b
+            FROM (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS T
+                FROM documents WHERE doc_id < {_TEXTRANK_MAX_DOC}
+            ) WHERE len(T) >= 2
+        )
+    ) WHERE w1 <> w2
+"""
+
+
+@register(
+    "textrank_keywords",
+    oracle=_pagerank_oracle_over(
+        _TEXTRANK_PAIRS_SQL, _TEXTRANK_TOP, "textrank"
+    ),
+    tags=("graph", "text", "pagerank", "keywords"),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the word
+    CO-OCCURRENCE graph (an undirected edge per distinct adjacent-token
+    pair, window 2 — Mihalcea & Tarau's construction) — the classic
+    unsupervised keyword/keyphrase scorer for corpus summarization,
+    sharing operators/pagerank.py with the transaction-graph query so
+    ONE iterative engine serves both the warehouse and the text lane.
+    The oracle is the same unrolled power iteration over the same pair
+    source, hash-checking graph construction AND iteration together.
+
+    Plan: the co-occurrence extraction is the bigram transform from the
+    LM queries (native array ops) + distinct — one shuffle on the pair;
+    iterations then move only the vocabulary-sized rank vector.
+    """
+    from emails_to_vector_db_spark.operators.pagerank import pagerank
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _TEXTRANK_MAX_DOC
+    )
+    T = F.split(F.trim(F.col("text")), r"\s+")
+    bg = (
+        d.select(T.alias("T"))
+        .where(F.size("T") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("T") - 1),
+                    lambda i: F.struct(
+                        F.element_at("T", i).alias("w1"),
+                        F.element_at("T", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .where(F.col("w1") != F.col("w2"))
+    )
+    pairs = (
+        bg.select(
+            F.least("w1", "w2").alias("src"),
+            F.greatest("w1", "w2").alias("dst"),
+        )
+        .distinct()
+        .cache()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iters=N_ITERS, damping=DAMPING)
+    return (
+        ranks.select("node", F.round("pr", 6).alias("textrank"))
+        .orderBy(F.col("textrank").desc(), F.col("node").asc())
+        .limit(_TEXTRANK_TOP)
     )

@@ -355,3 +355,193 @@ def logreg_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("p"), 6).alias("avg_predicted"),
         F.round(F.avg("y"), 6).alias("frac_positive"),
     )
+
+
+_CLASSES = ("de", "en", "es", "fr", "zh")  # sorted; index = class id
+
+
+def _softmax_oracle() -> str:
+    """Unrolled 3-step softmax-regression GD over the same quantized-
+    trajectory construction as the binary classifier: 25 weights
+    (5 classes × 5 features) carried through chained 1-row CTEs."""
+    nc, nf = len(_CLASSES), _N_FEATURES
+    wcols = [f"w_{c}_{j}" for c in range(nc) for j in range(nf)]
+
+    def margins(w: str) -> list[str]:
+        return [
+            " + ".join(f"{w}.w_{c}_{j} * f.x{j}" for j in range(nf))
+            for c in range(nc)
+        ]
+
+    prev = "w0_cte"
+    iters = []
+    for i in range(1, N_ITERS + 1):
+        ms = margins("w")
+        z = " + ".join(f"exp({m})" for m in ms)
+        grads = ",\n           ".join(
+            f"round(w.w_{c}_{j} - {LR} * sum((exp({ms[c]}) / ({z})"
+            f" - (CASE WHEN f.lang = '{_CLASSES[c]}' THEN 1.0 ELSE 0.0 END))"
+            f" * f.x{j}) / count(*), {_ROUND}) AS w_{c}_{j}"
+            for c in range(nc)
+            for j in range(nf)
+        )
+        iters.append(
+            f"""w{i} AS (
+    SELECT {grads}
+    FROM features f CROSS JOIN {prev} w
+    GROUP BY {', '.join('w.' + wc for wc in wcols)}
+)"""
+        )
+        prev = f"w{i}"
+    iter_sql = ",\n".join(iters)
+    ms = margins("w")
+    per_class = []
+    for c in range(nc):
+        # winner = first class attaining the max margin
+        cond = " AND ".join(
+            [f"({ms[c]}) > ({ms[o]})" for o in range(c)]
+            + [f"({ms[c]}) >= ({ms[o]})" for o in range(nc) if o > c]
+        )
+        wsel = ", ".join(f"w.w_{c}_{j} AS w{j}" for j in range(nf))
+        per_class.append(
+            f"""SELECT '{_CLASSES[c]}' AS lang_class, {wsel},
+       sum(CASE WHEN f.lang = '{_CLASSES[c]}' THEN 1 ELSE 0 END)::BIGINT
+           AS n_class,
+       round(sum(CASE WHEN f.lang = '{_CLASSES[c]}' AND ({cond})
+                      THEN 1.0 ELSE 0.0 END)
+             / sum(CASE WHEN f.lang = '{_CLASSES[c]}' THEN 1.0
+                        ELSE 0.0 END), 6) AS class_recall
+FROM features f CROSS JOIN {prev} w
+GROUP BY {', '.join('w.w_' + str(c) + '_' + str(j) for j in range(nf))}"""
+        )
+    union = "\nUNION ALL\n".join(per_class)
+    return f"""
+WITH features AS ({_sql_features_with_lang()}),
+w0_cte AS (SELECT {', '.join('0.0 AS ' + wc for wc in wcols)}),
+{iter_sql}
+{union}
+"""
+
+
+def _sql_features_with_lang() -> str:
+    return _sql_features().replace(
+        "SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,",
+        "SELECT lang, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,",
+    )
+
+
+@register(
+    "softmax_lang_classifier",
+    oracle=_softmax_oracle(),
+    tags=("ml", "iterative", "classifier", "multiclass"),
+)
+def softmax_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTICLASS softmax regression (5 languages, 3 GD steps) trained
+    in-engine — the logistic classifier generalized: 25 weights move as
+    one 1-row vector through the same lazy quantized trajectory, each
+    step one aggregation of 25 map-side-combined gradient sums. Output
+    is one row per class: its weight vector, support, and recall under
+    the argmax decision rule (first class attaining the max margin —
+    struct-max over (margin, -class) on the Spark side, explicit
+    inequality chains in the oracle: same winner, two spellings, so
+    the hash cross-checks the decision rule too).
+    """
+    nc, nf = len(_CLASSES), _N_FEATURES
+    # same features as _spark_features, plus lang (the multiclass label)
+    text_len = F.length("text").cast("double")
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.lit(1.0).alias("x0"),
+            (F.col("n_chars") / 1000.0).alias("x1"),
+            (F.size(F.split("text", " ", -1)) / 100.0).alias("x2"),
+            (
+                F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
+                / text_len
+            ).alias("x3"),
+            (
+                F.length(F.regexp_replace("text", r"[^0-9]", "")) / text_len
+            ).alias("x4"),
+        )
+        .cache()
+    )
+    wnames = [f"w_{c}_{j}" for c in range(nc) for j in range(nf)]
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(n) for n in wnames]
+    )
+
+    def margin(c: int):
+        return sum(
+            (F.col(f"w_{c}_{j}") * F.col(f"x{j}") for j in range(nf)),
+            F.lit(0.0),
+        )
+
+    for _ in range(N_ITERS):
+        joined = feats.crossJoin(F.broadcast(w))
+        exps = [F.exp(margin(c)) for c in range(nc)]
+        z = sum(exps[1:], exps[0])
+        y = [
+            F.when(F.col("lang") == _CLASSES[c], 1.0).otherwise(0.0)
+            for c in range(nc)
+        ]
+        w = joined.groupBy(*wnames).agg(
+            *[
+                F.sum((exps[c] / z - y[c]) * F.col(f"x{j}")).alias(
+                    f"g_{c}_{j}"
+                )
+                for c in range(nc)
+                for j in range(nf)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        ).select(
+            *[
+                F.round(
+                    F.col(f"w_{c}_{j}")
+                    - LR * F.col(f"g_{c}_{j}") / F.col("n"),
+                    _ROUND,
+                ).alias(f"w_{c}_{j}")
+                for c in range(nc)
+                for j in range(nf)
+            ]
+        )
+    scored = feats.crossJoin(F.broadcast(w))
+    pred = (
+        -F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        margin(c).alias("m"), F.lit(-c).alias("nc")
+                    )
+                    for c in range(nc)
+                ]
+            )
+        ).getField("nc")
+    ).cast("int")
+    aggs = []
+    for c in range(nc):
+        is_c = (F.col("lang") == _CLASSES[c]).cast("double")
+        aggs += [
+            F.sum(is_c).alias(f"n_{c}"),
+            F.sum(is_c * (pred == c).cast("double")).alias(f"hit_{c}"),
+        ]
+    wide = scored.groupBy(*wnames).agg(*aggs)
+    per_class = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(_CLASSES[c]).alias("lang_class"),
+                    *[
+                        F.col(f"w_{c}_{j}").alias(f"w{j}")
+                        for j in range(nf)
+                    ],
+                    F.col(f"n_{c}").cast("long").alias("n_class"),
+                    F.round(F.col(f"hit_{c}") / F.col(f"n_{c}"), 6).alias(
+                        "class_recall"
+                    ),
+                )
+                for c in range(nc)
+            ]
+        )
+    ).alias("r")
+    return wide.select(per_class).select("r.*")

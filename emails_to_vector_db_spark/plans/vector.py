@@ -1043,7 +1043,9 @@ def streaming_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from emails_to_vector_db_spark.operators.ivf import assign_centroid
+    from emails_to_vector_db_spark.operators.ivf import (
+        assign_centroids_arrow,
+    )
 
     cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf_dir)))
     landing = _stream_ivf_landing(sf_dir)
@@ -1052,12 +1054,10 @@ def streaming_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = os.path.join(work, "ivf_store")
 
     def apply(batch: DataFrame, _batch_id: int) -> None:
-        assigned = batch.select(
-            "vec_id",
-            assign_centroid(
-                F.col("embedding").cast("array<double>"), cents
-            ).alias("cid"),
-        )
+        # maintenance uses the BLAS Arrow lane: at self-tuned k the
+        # per-element fold arithmetic of the expression form dominates
+        # micro-batch latency (operators/ivf.py::assign_centroids_arrow)
+        assigned = assign_centroids_arrow(batch, cents)
         assigned.write.mode("append").partitionBy("cid").parquet(index_dir)
 
     q = (

@@ -300,3 +300,16 @@ def test_event_transitions_cover_type_pairs(spark):
         src, dst = r["transition"].split(" -> ")
         assert src and dst
         assert 0 < r["n_users"] <= r["n_transitions"]
+
+
+def test_softmax_classifier_per_class_rows(spark):
+    rows = {r["lang_class"]: r for r in _rows(spark, "softmax_lang_classifier")}
+    assert set(rows) == {"de", "en", "es", "fr", "zh"}
+    total = sum(r["n_class"] for r in rows.values())
+    assert total > 0
+    for r in rows.values():
+        assert 0.0 <= r["class_recall"] <= 1.0
+        assert r["n_class"] > 0
+    # weights must differ across classes (training actually moved them)
+    vecs = {c: tuple(r[f"w{j}"] for j in range(5)) for c, r in rows.items()}
+    assert len(set(vecs.values())) == len(vecs)
