@@ -106,6 +106,8 @@ _NEVER_SAMPLED_FIRST = (
     "order_revenue_proration",
     "textrank_keywords",
     "softmax_lang_classifier",
+    "winsorized_order_stats",
+    "k_anonymity_audit",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -744,3 +744,118 @@ def order_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_statistic"
         ),
     )
+
+
+_WINSOR_ORACLE = """
+WITH bounds AS (
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.05) AS lo,
+           quantile_cont(o_totalprice, 0.95) AS hi
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(avg(o.o_totalprice), 2) AS raw_mean,
+       round(avg(least(greatest(o.o_totalprice, b.lo), b.hi)), 2)
+           AS winsorized_mean,
+       round(avg(CASE WHEN o.o_totalprice BETWEEN b.lo AND b.hi
+                      THEN o.o_totalprice END), 2) AS trimmed_mean
+FROM orders o JOIN bounds b ON b.o_orderpriority = o.o_orderpriority
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "winsorized_order_stats",
+    oracle=_WINSOR_ORACLE,
+    tags=("stats", "robust", "agg"),
+)
+def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimates per order priority: the raw mean beside
+    its 5/95 winsorized form (tails clamped to the percentile fence)
+    and the trimmed form (tails dropped) — the outlier-resistant
+    aggregates a metrics layer publishes when heavy tails make plain
+    averages lie.
+
+    Plan: exact interpolated percentile fences from one grouped agg
+    (the order_value_percentiles machinery), broadcast back onto the
+    scan — two passes over orders, zero windows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    j = orders.join(F.broadcast(bounds), "o_orderpriority")
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    inside = F.col("o_totalprice").between(F.col("lo"), F.col("hi"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("raw_mean"),
+        F.round(F.avg(clamped), 2).alias("winsorized_mean"),
+        F.round(
+            F.avg(F.when(inside, F.col("o_totalprice"))), 2
+        ).alias("trimmed_mean"),
+    )
+
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+WITH quasi AS (
+    SELECT c_nationkey,
+           c_mktsegment,
+           (floor(c_acctbal / 1000))::INT AS acctbal_band,
+           count(*)::BIGINT AS group_size
+    FROM customer
+    GROUP BY 1, 2, 3
+)
+SELECT count(*)::BIGINT AS n_groups,
+       min(group_size)::BIGINT AS min_group_size,
+       sum(CASE WHEN group_size < {_KANON_K} THEN 1 ELSE 0 END)::BIGINT
+           AS n_violating_groups,
+       sum(CASE WHEN group_size < {_KANON_K} THEN group_size ELSE 0 END)::BIGINT
+           AS n_reidentifiable_rows,
+       round(sum(CASE WHEN group_size < {_KANON_K} THEN group_size
+                      ELSE 0 END)
+             / sum(group_size)::DOUBLE, 6) AS reidentifiable_fraction
+FROM quasi
+"""
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=_KANON_ORACLE,
+    tags=("privacy", "audit", "agg"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table's quasi-identifier
+    tuple (nation, market segment, banded account balance): how many
+    equivalence classes fall below k={k}, and what fraction of rows
+    they expose — the privacy-release gate that pairs with the PII
+    redaction operator (redaction removes direct identifiers; THIS
+    measures re-identification risk from the indirect ones).
+
+    Plan: one map-side-combinable groupBy over the quasi-identifier
+    tuple, then a scalar fold over the (tiny) group-size table. The
+    banding expression is the generalization knob a release pipeline
+    widens until this query reports zero violations.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    quasi = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("acctbal_band"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    viol = F.when(F.col("group_size") < _KANON_K, F.col("group_size")).otherwise(0)
+    return quasi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_size").alias("min_group_size"),
+        F.sum((F.col("group_size") < _KANON_K).cast("long")).alias(
+            "n_violating_groups"
+        ),
+        F.sum(viol).alias("n_reidentifiable_rows"),
+        F.round(
+            F.sum(viol) / F.sum("group_size").cast("double"), 6
+        ).alias("reidentifiable_fraction"),
+    )

@@ -121,3 +121,37 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_assignment_lanes_agree(spark):
+    """The expression lane (assign_centroid: struct-min fold) and the
+    maintenance lane (assign_centroids_arrow: BLAS expansion + numpy
+    argmin) must give identical bucket assignments — including the
+    smallest-cid tiebreak — on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from emails_to_vector_db_spark.operators.ivf import (
+        assign_centroid,
+        assign_centroids_arrow,
+        train_centroids_numpy,
+    )
+    from emails_to_vector_db_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    sample = [r["embedding"] for r in emb.limit(200).collect()]
+    cents = train_centroids_numpy(sample, n_centroids=16, seed=7)
+    expr = {
+        r["vec_id"]: r["cid"]
+        for r in emb.select(
+            "vec_id",
+            assign_centroid(
+                F.col("embedding").cast("array<double>"), cents
+            ).alias("cid"),
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["cid"]
+        for r in assign_centroids_arrow(emb, cents).collect()
+    }
+    assert expr == arrow
