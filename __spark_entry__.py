@@ -108,6 +108,7 @@ _NEVER_SAMPLED_FIRST = (
     "softmax_lang_classifier",
     "winsorized_order_stats",
     "k_anonymity_audit",
+    "percolator_stored_queries",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

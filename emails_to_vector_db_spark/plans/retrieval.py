@@ -644,3 +644,104 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg_at_k"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
     )
+
+
+# stored alert queries: (query_id, conjunctive terms) — the literal
+# "subscription" table a percolator matches every incoming doc against
+_STORED_QUERIES = (
+    (1, ("vector", "merge")),
+    (2, ("window", "spark", "join")),
+    (3, ("zzduptoken",)),  # never matches the base corpus
+    (4, ("customer", "table")),
+)
+
+_PERCOLATOR_ORACLE = f"""
+WITH queries(query_id, term) AS (
+    VALUES {", ".join(f"({qid}, '{t}')" for qid, terms in _STORED_QUERIES for t in terms)}
+),
+qsize AS (
+    SELECT query_id, count(*)::BIGINT AS n_terms FROM queries GROUP BY 1
+),
+postings AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+),
+hits AS (
+    SELECT q.query_id, p.doc_id, count(*)::BIGINT AS matched
+    FROM queries q JOIN postings p ON p.term = q.term
+    GROUP BY 1, 2
+)
+SELECT s.query_id,
+       coalesce(sum(CASE WHEN h.matched = s.n_terms THEN 1 ELSE 0 END), 0)::BIGINT
+           AS n_matching_docs,
+       coalesce(min(CASE WHEN h.matched = s.n_terms THEN h.doc_id END), -1)::BIGINT
+           AS first_doc
+FROM qsize s LEFT JOIN hits h ON h.query_id = s.query_id
+GROUP BY s.query_id
+"""
+
+
+@register(
+    "percolator_stored_queries",
+    oracle=_PERCOLATOR_ORACLE,
+    tags=("retrieval", "percolator", "alerting"),
+)
+def percolator_stored_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVERSE retrieval (the percolator / alerting shape): a stored
+    table of conjunctive term queries is matched against every document
+    — which subscriptions fire, on how many docs. The inversion of
+    boolean_and_retrieval: there the query is one and docs are many;
+    here the corpus streams past a standing query set. A query with no
+    possible match (planted) proves the LEFT-join zero lane.
+
+    Plan: the query table broadcasts onto the postings stream (it IS
+    tiny — that's the percolator premise); matching is one (query, doc)
+    count aggregation compared against the query's arity. Per incoming
+    micro-batch at 100 TB this costs a filtered scan + one
+    map-side-combined groupBy — no per-query rescans.
+    """
+    rows = [
+        (qid, t) for qid, terms in _STORED_QUERIES for t in terms
+    ]
+    queries = spark.createDataFrame(rows, "query_id int, term string")
+    qsize = queries.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_terms")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokens("text"))).alias("term"),
+    )
+    hits = (
+        postings.join(F.broadcast(queries), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    return (
+        qsize.join(hits, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("matched") == F.col("n_terms"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_matching_docs"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("matched") == F.col("n_terms"),
+                        F.col("doc_id"),
+                    )
+                ),
+                F.lit(-1),
+            )
+            .cast("long")
+            .alias("first_doc"),
+        )
+    )

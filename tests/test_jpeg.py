@@ -98,3 +98,25 @@ def test_truncated_stream_rejected():
 def test_not_a_jpeg_rejected():
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"P6 1 1 255 abc")
+
+
+def test_property_smooth_images_bounded_error():
+    """Property sweep: random low-frequency images (flat base + ramp)
+    across sizes/phases round-trip within the quantization bound."""
+    rng = np.random.default_rng(99)
+    for trial in range(12):
+        h = int(rng.integers(4, 30))
+        w = int(rng.integers(4, 30))
+        base = rng.integers(30, 220, size=3)
+        slope = rng.uniform(-2.0, 2.0, size=3)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(
+            base[None, None, :] + slope[None, None, :] * (xx + yy)[..., None],
+            0,
+            255,
+        ).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert out.shape == img.shape
+        assert int(err.max()) <= 24, (trial, h, w, int(err.max()))
+        assert float(err.mean()) <= 6.0
