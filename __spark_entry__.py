@@ -109,6 +109,8 @@ _NEVER_SAMPLED_FIRST = (
     "winsorized_order_stats",
     "k_anonymity_audit",
     "percolator_stored_queries",
+    "audio_resample_stats",
+    "forecast_walkforward_backtest",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

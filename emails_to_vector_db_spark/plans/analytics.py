@@ -615,3 +615,109 @@ def order_revenue_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conserved",
         )
     )
+
+
+_BACKTEST_CUTOFFS = (
+    "1995-01-01", "1996-01-01", "1996-07-01", "1997-01-01", "1997-07-01",
+)
+
+_BACKTEST_ORACLE = f"""
+WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS d,
+           date_diff('day', DATE '1990-01-01', o_orderdate::DATE) AS dnum,
+           count(*)::DOUBLE AS y
+    FROM orders GROUP BY 1, 2
+),
+cutoffs AS (
+    SELECT unnest(['{"', '".join(_BACKTEST_CUTOFFS)}']) AS cutoff
+),
+cut AS (
+    SELECT cutoff,
+           date_diff('day', DATE '1990-01-01', cutoff::DATE) AS cut_dnum
+    FROM cutoffs
+),
+fits AS (
+    SELECT c.cutoff, c.cut_dnum,
+           count(*)::BIGINT AS n_train_days,
+           regr_slope(d.y, d.dnum) AS slope,
+           regr_intercept(d.y, d.dnum) AS icept
+    FROM cut c JOIN daily d ON d.dnum < c.cut_dnum
+    GROUP BY c.cutoff, c.cut_dnum
+)
+SELECT f.cutoff,
+       f.n_train_days,
+       round(f.icept + f.slope * f.cut_dnum, 6) AS predicted,
+       coalesce(a.y, 0)::BIGINT AS actual,
+       round(abs(f.icept + f.slope * f.cut_dnum - coalesce(a.y, 0)), 6)
+           AS abs_error
+FROM fits f LEFT JOIN daily a ON a.dnum = f.cut_dnum
+"""
+
+
+@register(
+    "forecast_walkforward_backtest",
+    oracle=_BACKTEST_ORACLE,
+    tags=("analytics", "forecast", "backtest", "ml"),
+)
+def forecast_walkforward_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Walk-forward backtest of a linear daily-volume forecaster: at
+    each of five frozen cutoff dates, fit trend = regr_slope/intercept
+    on ALL history strictly before the cutoff, predict the cutoff day's
+    order count, and report the absolute error — the time-series
+    cross-validation loop (train on past, test on next) that keeps a
+    forecasting layer honest, expressed entirely as aggregates.
+
+    Plan: one daily-rollup pass over orders; each fold is then a
+    range-joined aggregation over the TINY daily table (5 folds × ~2k
+    day rows), so adding folds costs nothing corpus-scale. regr_*
+    moment aggregates are map-side combinable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1990-01-01").cast("date"),
+            ).alias("dnum")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .cache()
+    )
+    cuts = spark.createDataFrame(
+        [(c,) for c in _BACKTEST_CUTOFFS], "cutoff string"
+    ).select(
+        "cutoff",
+        F.datediff(
+            F.col("cutoff").cast("date"), F.lit("1990-01-01").cast("date")
+        ).alias("cut_dnum"),
+    )
+    fits = (
+        F.broadcast(cuts)
+        .join(daily, daily["dnum"] < cuts["cut_dnum"])
+        .groupBy("cutoff", "cut_dnum")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_days"),
+            F.regr_slope("y", "dnum").alias("slope"),
+            F.regr_intercept("y", "dnum").alias("icept"),
+        )
+    )
+    pred = F.col("icept") + F.col("slope") * F.col("cut_dnum")
+    actual = daily.select(
+        F.col("dnum").alias("a_dnum"), F.col("y").alias("actual_y")
+    )
+    return (
+        fits.join(actual, fits["cut_dnum"] == actual["a_dnum"], "left")
+        .select(
+            "cutoff",
+            "n_train_days",
+            F.round(pred, 6).alias("predicted"),
+            F.coalesce(F.col("actual_y"), F.lit(0.0))
+            .cast("long")
+            .alias("actual"),
+            F.round(
+                F.abs(pred - F.coalesce(F.col("actual_y"), F.lit(0.0))), 6
+            ).alias("abs_error"),
+        )
+    )

@@ -600,3 +600,43 @@ def image_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
         )
     )
+
+
+_RESAMPLE_ORACLE = f"""
+SELECT media_id, in_rate, out_rate, n_in, n_out,
+       round(mean_abs, 6) + 0.0 AS mean_abs,
+       checksum
+FROM read_parquet('{_FIXTURES["audio_resample_ref"]}')
+"""
+
+
+@register(
+    "audio_resample_stats",
+    oracle=_RESAMPLE_ORACLE,
+    tags=("multimodal", "audio", "resample", "mapInPandas"),
+)
+def audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sample-rate-normalization stage of an audio ingest,
+    driver-checked: WAV payloads decode inside mapInPandas and
+    linear-resample 8 kHz → 4 kHz (edge-clamped interpolation, int16
+    requantization — the audio twin of the bilinear thumbnail lane),
+    emitting lengths, 6dp mean |amplitude| and an EXACT integer
+    checksum of the resampled stream. The oracle reads the sequential
+    resample of the same payloads from fixture parquet — a
+    differential test of the distributed decode → resample path.
+    Clips are independent: partitions freely, zero shuffle."""
+    from emails_to_vector_db_spark.sources.multimodal import (
+        extract_audio_resample,
+    )
+
+    media = spark.read.parquet(_FIXTURES["media_raw"])
+    res = extract_audio_resample(media)
+    return res.select(
+        "media_id",
+        "in_rate",
+        "out_rate",
+        "n_in",
+        "n_out",
+        (F.round("mean_abs", 6) + F.lit(0.0)).alias("mean_abs"),
+        "checksum",
+    )

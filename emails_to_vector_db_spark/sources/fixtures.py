@@ -49,7 +49,9 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"
 #     reference over the sf0.01 documents corpus).
 # v8: image containers rotate PPM/BMP/PNG/JPEG (real stdlib baseline
 #     4:4:4 JPEG codec, sources/jpeg.py).
-FIXTURE_VERSION = 8
+# v9: + audio_resample_ref (sequential linear-resample reference — the
+#     audio twin of the bilinear thumbnail lane).
+FIXTURE_VERSION = 9
 
 
 def fixtures_dir() -> str:
@@ -71,6 +73,7 @@ def ensure_fixtures() -> dict[str, str]:
         "video_frames_ref": os.path.join(d, "video_frames_ref.parquet"),
         "audio_spectral_ref": os.path.join(d, "audio_spectral_ref.parquet"),
         "image_resize_ref": os.path.join(d, "image_resize_ref.parquet"),
+        "audio_resample_ref": os.path.join(d, "audio_resample_ref.parquet"),
         "images_dhash_raw": os.path.join(d, "images_dhash_raw.parquet"),
         "image_dhash_ref": os.path.join(d, "image_dhash_ref.parquet"),
         "bpe_merges_ref": os.path.join(d, "bpe_merges_ref.parquet"),
@@ -213,6 +216,28 @@ def ensure_fixtures() -> dict[str, str]:
             }
         ),
         paths["image_resize_ref"],
+    )
+
+    from emails_to_vector_db_spark.sources.multimodal import (
+        audio_resample_stats,
+    )
+
+    res_rows = [
+        audio_resample_stats(r[0], r[3]) for r in media_rows if r[1] == "audio"
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array([t[0] for t in res_rows], pa.int64()),
+                "in_rate": pa.array([t[1] for t in res_rows], pa.int32()),
+                "out_rate": pa.array([t[2] for t in res_rows], pa.int32()),
+                "n_in": pa.array([t[3] for t in res_rows], pa.int64()),
+                "n_out": pa.array([t[4] for t in res_rows], pa.int64()),
+                "mean_abs": pa.array([t[5] for t in res_rows], pa.float64()),
+                "checksum": pa.array([t[6] for t in res_rows], pa.int64()),
+            }
+        ),
+        paths["audio_resample_ref"],
     )
 
     from emails_to_vector_db_spark.sources.multimodal import (

@@ -934,3 +934,70 @@ def extract_features_arrow(
             )
 
     return media.mapInArrow(run, FEATURE_SCHEMA)
+
+
+_RESAMPLE_RATE = 4000  # Hz — the downsample target of the audio lane
+
+
+def resample_linear(
+    samples: "np.ndarray", in_rate: int, out_rate: int
+) -> "np.ndarray":
+    """Deterministic linear-interpolation resample (the audio twin of
+    resize_bilinear): output sample i reads input position
+    i·in_rate/out_rate, linearly interpolated between the two
+    neighboring input samples (edge-clamped), quantized back to int16
+    by rint — so downstream checksums are exact integers."""
+    x = np.asarray(samples, dtype=np.float64)
+    n_out = int(len(x) * out_rate // in_rate)
+    pos = np.arange(n_out) * (in_rate / out_rate)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, len(x) - 1)
+    frac = pos - i0
+    y = (1.0 - frac) * x[i0] + frac * x[i1]
+    return np.rint(y).astype(np.int16)
+
+
+def audio_resample_stats(
+    media_id: int, payload: bytes, out_rate: int = _RESAMPLE_RATE
+) -> tuple:
+    """decode WAV → linear resample → (rates, lengths, 6dp mean |amp|,
+    exact integer checksum of the resampled int16 stream)."""
+    samples, rate = decode_wav_pcm(payload)
+    y = resample_linear(samples, rate, out_rate)
+    mean_abs = round(float(np.abs(y.astype(np.float64)).mean()), 6)
+    checksum = int(y.astype(np.int64).sum())
+    return (media_id, rate, out_rate, len(samples), len(y), mean_abs, checksum)
+
+
+RESAMPLE_SCHEMA = (
+    "media_id bigint, in_rate int, out_rate int, n_in bigint,"
+    " n_out bigint, mean_abs double, checksum bigint"
+)
+
+
+def extract_audio_resample(
+    media: DataFrame, out_rate: int = _RESAMPLE_RATE
+) -> DataFrame:
+    """Distributed resample via mapInPandas over audio payloads — the
+    sample-rate-normalization stage of an audio ingest (decode →
+    RESAMPLE → feature/embed), mirroring extract_image_thumbs. Clips
+    are independent: partitions freely, shuffles nothing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                audio_resample_stats(int(mid), bytes(payload), out_rate)
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+                if payload is not None
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "in_rate", "out_rate",
+                    "n_in", "n_out", "mean_abs", "checksum",
+                ],
+            )
+
+    return media.where(F.col("modality") == "audio").mapInPandas(
+        run, RESAMPLE_SCHEMA
+    )

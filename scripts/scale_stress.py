@@ -133,6 +133,13 @@ def main() -> None:
         "orders_equi_depth_approx",
         "bigram_perplexity_scores",
         "label_propagation_communities",
+        "textrank_keywords",
+        "softmax_lang_classifier",
+        "winsorized_order_stats",
+        "k_anonymity_audit",
+        "percolator_stored_queries",
+        "audio_resample_stats",
+        "forecast_walkforward_backtest",
     ):
         bench[extra] = REGISTRY[extra]
     for name, spec in sorted(bench.items()):

@@ -59,3 +59,22 @@ def test_orc_copy_row_identical_to_parquet(spark):
     )
     assert orc.exceptAll(par).count() == 0
     assert par.exceptAll(orc).count() == 0
+
+
+def test_resample_linear_hand_computed():
+    """Linear resample ground truth: halving the rate of a ramp keeps
+    every other sample exactly; identity rate is a no-op; length floors."""
+    import numpy as np
+
+    from emails_to_vector_db_spark.sources.multimodal import resample_linear
+
+    ramp = np.arange(0, 1000, 10, dtype=np.int16)  # 100 samples
+    half = resample_linear(ramp, 8000, 4000)
+    np.testing.assert_array_equal(half, ramp[::2])
+    same = resample_linear(ramp, 8000, 8000)
+    np.testing.assert_array_equal(same, ramp)
+    third = resample_linear(ramp, 9000, 3000)
+    assert len(third) == len(ramp) // 3
+    # interpolated midpoints on an upsample are exact averages
+    up = resample_linear(np.array([0, 10], dtype=np.int16), 1, 2)
+    np.testing.assert_array_equal(up, np.array([0, 5, 10, 10], dtype=np.int16))
