@@ -87,6 +87,7 @@ GROUP BY split, lang
     "curation_pipeline_e2e",
     oracle=_PIPELINE_ORACLE,
     tags=("cleaning", "pipeline", "dedup", "e2e"),
+    bench=True,
 )
 def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five curation stages composed into one lazy plan: (1) PII

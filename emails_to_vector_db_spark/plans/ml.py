@@ -434,6 +434,7 @@ def _sql_features_with_lang() -> str:
     "softmax_lang_classifier",
     oracle=_softmax_oracle(),
     tags=("ml", "iterative", "classifier", "multiclass"),
+    bench=True,
 )
 def softmax_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTICLASS softmax regression (5 languages, 3 GD steps) trained
@@ -467,57 +468,56 @@ def softmax_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     wnames = [f"w_{c}_{j}" for c in range(nc) for j in range(nf)]
-    w = spark.range(1).select(
-        *[F.lit(0.0).alias(n) for n in wnames]
+    w = spark.range(1).selectExpr(
+        *[f"0.0D AS {n}" for n in wnames]
     )
-
-    def margin(c: int):
-        return sum(
-            (F.col(f"w_{c}_{j}") * F.col(f"x{j}") for j in range(nf)),
-            F.lit(0.0),
-        )
-
+    # expressions arrive as PARSED SQL strings, not composed Column
+    # objects: the 25-weight trajectory built via pyspark operators
+    # spent 4.0s in py4j call chatter before any job ran (rule 18,
+    # docs/SCALE_NOTES.md — same lesson as the IVF literal); F.expr
+    # parses each in microseconds. The per-row softmax is projected
+    # ONCE per iteration (e_c, zz) so the 25 gradient sums reference
+    # shared columns instead of re-deriving 5 exps each.
+    m_sql = [
+        " + ".join(f"w_{c}_{j} * x{j}" for j in range(nf))
+        for c in range(nc)
+    ]
     for _ in range(N_ITERS):
         joined = feats.crossJoin(F.broadcast(w))
-        exps = [F.exp(margin(c)) for c in range(nc)]
-        z = sum(exps[1:], exps[0])
-        y = [
-            F.when(F.col("lang") == _CLASSES[c], 1.0).otherwise(0.0)
-            for c in range(nc)
-        ]
-        w = joined.groupBy(*wnames).agg(
-            *[
-                F.sum((exps[c] / z - y[c]) * F.col(f"x{j}")).alias(
-                    f"g_{c}_{j}"
-                )
-                for c in range(nc)
-                for j in range(nf)
-            ],
-            F.count(F.lit(1)).alias("n"),
-        ).select(
-            *[
-                F.round(
-                    F.col(f"w_{c}_{j}")
-                    - LR * F.col(f"g_{c}_{j}") / F.col("n"),
-                    _ROUND,
-                ).alias(f"w_{c}_{j}")
-                for c in range(nc)
-                for j in range(nf)
-            ]
+        proj = joined.selectExpr(
+            "*", *[f"exp({m_sql[c]}) AS e_{c}" for c in range(nc)]
+        ).selectExpr(
+            "*",
+            "(" + " + ".join(f"e_{c}" for c in range(nc)) + ") AS zz",
         )
-    scored = feats.crossJoin(F.broadcast(w))
-    pred = (
-        -F.array_max(
-            F.array(
+        w = (
+            proj.groupBy(*wnames)
+            .agg(
                 *[
-                    F.struct(
-                        margin(c).alias("m"), F.lit(-c).alias("nc")
-                    )
+                    F.expr(
+                        f"sum((e_{c} / zz - (CASE WHEN lang = "
+                        f"'{_CLASSES[c]}' THEN 1.0 ELSE 0.0 END))"
+                        f" * x{j})"
+                    ).alias(f"g_{c}_{j}")
                     for c in range(nc)
+                    for j in range(nf)
+                ],
+                F.expr("count(*)").alias("n"),
+            )
+            .selectExpr(
+                *[
+                    f"round(w_{c}_{j} - {LR} * g_{c}_{j} / n, {_ROUND})"
+                    f" AS w_{c}_{j}"
+                    for c in range(nc)
+                    for j in range(nf)
                 ]
             )
-        ).getField("nc")
-    ).cast("int")
+        )
+    scored = feats.crossJoin(F.broadcast(w))
+    entries = ", ".join(
+        f"struct({m_sql[c]} AS m, {-c} AS nci)" for c in range(nc)
+    )
+    pred = F.expr(f"-array_max(array({entries})).nci").cast("int")
     aggs = []
     for c in range(nc):
         is_c = (F.col("lang") == _CLASSES[c]).cast("double")

@@ -852,6 +852,7 @@ LIMIT {K}
     "mips_topk_augmented",
     oracle=_MIPS_ORACLE,
     tags=("vector", "mips", "knn"),
+    bench=True,
 )
 def mips_topk_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum-inner-product top-5 computed through the classic

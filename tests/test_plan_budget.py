@@ -23,6 +23,9 @@ from tests.conftest import SF_ORACLE
 SHUFFLE_BUDGET = {
     "asof_last_click_before_purchase": 1,
     "cohort_retention_matrix": 4,  # one corpus agg + cells/sizes re-aggs
+    "curation_pipeline_e2e": 2,  # dedup groupBy + final stats agg only
+    "mips_topk_augmented": 1,  # max-norm 1-row agg; search is TakeOrdered
+    "softmax_lang_classifier": 4,  # 3 gradient aggs + final per-class agg
     "logreg_quality_classifier": 4,  # 3 GD gradient aggs + final accuracy agg
     "prefix_filter_jaccard_join": 15,  # df agg, vocab rank, prefix window, cand, verify (repeated subtrees counted)
     "benchmark_decontamination": 2,
