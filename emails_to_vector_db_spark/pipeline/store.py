@@ -67,13 +67,55 @@ class EmbeddingStore:
         except Exception:
             return False
 
+    def _tombstone_dir(self) -> str:
+        return os.path.join(self.path, "_tombstones")
+
+    def _tombstones(self) -> DataFrame | None:
+        d = self._tombstone_dir()
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return None
+        return self.spark.read.parquet(d)
+
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self._data_dir())
+        df = self.spark.read.parquet(self._data_dir())
+        ts = self._tombstones()
+        if ts is not None:
+            # logical deletion: tombstoned ids are filtered at read time
+            # (and physically dropped by the next compact())
+            df = df.join(ts, self.id_col, "left_anti")
+        return df
+
+    def delete(self, ids: list) -> int:
+        """Tombstone-delete by id: ids land in a (tiny) tombstone table
+        that every read anti-joins — O(|ids|) write, no store rewrite —
+        and the next ``compact()`` applies them physically and clears
+        the table. The crash story needs no new machinery: tombstones
+        are only swept AFTER the compaction pointer flip, and filtering
+        already-absent ids is a no-op, so a crash at any point leaves
+        deletes in force."""
+        df = self.spark.createDataFrame(
+            [(i,) for i in ids], f"{self.id_col} {'string' if ids and isinstance(ids[0], str) else 'long'}"
+        )
+        df.write.mode("append").parquet(self._tombstone_dir())
+        return len(ids)
 
     def append(self, batch: DataFrame, dedup: bool = True) -> int:
         """Append (id, content, embedding) rows; with dedup=True, rows whose
         id already exists are dropped first (left_anti) — the idempotence
         the reference lacks. Returns rows written."""
+        ts = self._tombstones()
+        if ts is not None:
+            # a tombstone would silently swallow a re-appended id (the
+            # anti-join below checks the LIVE view, which excludes it);
+            # fail loudly instead — compact() first to re-use the id
+            n_dead = batch.join(ts, self.id_col, "left_semi").count()
+            if n_dead:
+                raise ValueError(
+                    f"append contains {n_dead} tombstoned id(s); run "
+                    "compact() to apply deletions before re-using ids"
+                )
         if dedup and self.exists():
             existing = self.read().select(self.id_col)
             batch = batch.join(existing, self.id_col, "left_anti")
@@ -137,6 +179,10 @@ class EmbeddingStore:
                 and entry[1:].isdigit()
                 and os.path.isdir(full)
             ):
+                shutil.rmtree(full)
+            elif entry == "_tombstones" and os.path.isdir(full):
+                # the new live version was written from the filtered
+                # view, so these tombstones are applied — clear them
                 shutil.rmtree(full)
             elif os.path.isfile(full):
                 os.remove(full)

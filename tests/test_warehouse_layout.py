@@ -319,3 +319,50 @@ def test_bucketed_table_reregisters_without_rewrite(spark):
     }
     assert before == after, "re-registration must be DDL-only"
     assert spark.table(name).count() > 0
+
+
+def test_store_tombstone_delete_lifecycle(spark, tmp_path):
+    """Deletion lifecycle: tombstones filter reads and searches
+    immediately; re-using a deleted id fails loudly until compaction
+    applies the deletes physically and clears the tombstone table."""
+    import os
+
+    import pytest as _pytest
+
+    from emails_to_vector_db_spark.pipeline.store import EmbeddingStore
+
+    store = EmbeddingStore(spark, str(tmp_path / "del_store"))
+    rows = [
+        (1, "red mug", [1.0, 0.0]),
+        (2, "blue mug", [0.0, 1.0]),
+        (3, "green kettle", [1.0, 1.0]),
+    ]
+    batch = spark.createDataFrame(
+        rows, "id long, content string, embedding array<double>"
+    )
+    assert store.append(batch) == 3
+
+    store.delete([2])
+    live = {r["id"] for r in store.read().collect()}
+    assert live == {1, 3}
+    # search must never surface a deleted row
+    hits = {r["id"] for r in store.search([0.0, 1.0], k=3).collect()}
+    assert 2 not in hits and hits == {1, 3}
+
+    # re-using the tombstoned id before compaction is a loud error
+    again = spark.createDataFrame(
+        [(2, "blue mug v2", [0.5, 0.5])],
+        "id long, content string, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="tombstoned"):
+        store.append(again)
+
+    # compaction applies deletes physically and clears tombstones
+    store.compact(target_partitions=1)
+    assert not os.path.isdir(str(tmp_path / "del_store" / "_tombstones"))
+    raw = spark.read.parquet(store._data_dir())
+    assert {r["id"] for r in raw.collect()} == {1, 3}
+
+    # the id is reusable now
+    assert store.append(again) == 1
+    assert {r["id"] for r in store.read().collect()} == {1, 2, 3}
