@@ -111,6 +111,7 @@ _NEVER_SAMPLED_FIRST = (
     "percolator_stored_queries",
     "audio_resample_stats",
     "forecast_walkforward_backtest",
+    "dbscan_embedding_clusters",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

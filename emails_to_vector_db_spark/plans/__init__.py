@@ -19,6 +19,7 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     bucketed,
     chunking,
     cleaning,
+    clustering,
     cohorts,
     corpus,
     curation,

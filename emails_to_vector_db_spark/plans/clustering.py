@@ -1,0 +1,287 @@
+"""Density clustering: deterministic approximate DBSCAN over the
+embedding corpus — the density-semantics member of the clustering
+family (k-means partitions everything, connected components follows
+reachability, SemDeDup prunes; DBSCAN distinguishes CORE / BORDER /
+NOISE and leaves outliers unclustered, which is exactly what an
+embedding-curation pass wants).
+
+"Deterministic approximate": neighborhoods come from the SAME seeded
+sign-LSH + Hamming-1 multiprobe + exact-cosine-verify pipeline as
+embedding_near_dups_lsh_global (plans/dedup.py) — never all-pairs —
+and the DuckDB oracle replays that identical pipeline plus a recursive
+min-label closure, so the whole algorithm (candidate generation,
+core/border/noise classification, cluster formation) is hash-checked.
+
+Fixture geometry (module-level, seeded): the base corpus contributes
+noise; colinear ×2/×0.5 plants give 20 all-core trios; and a literal
+5-vector SIMPLEX fixture — four cores spread inside the eps ball plus
+one point within eps of exactly ONE core — exercises the border lane,
+which colinear plants cannot (scalar multiples are symmetric: any
+colinear point neighbors the whole trio). The simplex angles are
+rotated so every in-cluster pair survives Hamming-1 multiprobe under
+the fixed planes (checked in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.plans.dedup import _emb_planes
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+_EPS_COS = 0.99  # neighbor iff cosine >= eps
+_MIN_PTS = 3  # core iff |N_eps(p)| >= 3 counting p itself
+_TRIO_N = 20
+_OFF1, _OFF2 = 100_000, 200_000
+_SIMPLEX_BASE_ID = 900_001
+
+
+def _simplex_vectors() -> list[list[float]]:
+    """The literal border fixture: unit-plane arc at angles
+    δ + [0, .05, .10, .07] (cores) and δ − .12 (border), δ = −1.5 chosen
+    so all in-cluster pairs share an LSH bucket under the fixed seeded
+    planes. Deterministic: seeded gaussian basis, 6dp rounding."""
+    g = np.random.default_rng(777)
+    a = g.standard_normal(64)
+    e1 = a / np.linalg.norm(a)
+    b = g.standard_normal(64)
+    b = b - (b @ e1) * e1
+    e2 = b / np.linalg.norm(b)
+    delta = -1.5
+    thetas = [delta + t for t in (0.0, 0.05, 0.10, 0.07, -0.12)]
+    return [
+        np.round((np.cos(t) * e1 + np.sin(t) * e2) * 10, 6).tolist()
+        for t in thetas
+    ]
+
+
+def _dbscan_oracle() -> str:
+    planes = _emb_planes(n_planes=10)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}::DOUBLE[]) > 0 "
+        f"THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {2**i})" for i in range(len(planes))]
+    )
+    simplex_values = ", ".join(
+        f"({_SIMPLEX_BASE_ID + i}, {v}::DOUBLE[])"
+        for i, v in enumerate(_simplex_vectors())
+    )
+    return f"""
+WITH RECURSIVE base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_OFF1}, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+    FROM embeddings WHERE vec_id < {_TRIO_N}
+    UNION ALL
+    SELECT vec_id + {_OFF2}, list_transform(embedding::DOUBLE[], x -> x * 0.5)
+    FROM embeddings WHERE vec_id < {_TRIO_N}
+    UNION ALL
+    SELECT * FROM (VALUES {simplex_values}) AS s(vec_id, v)
+),
+bucketed AS (
+    SELECT vec_id, v, ({bits})::BIGINT AS bucket FROM base
+),
+probes AS (
+    SELECT vec_id, v, unnest([{probes}]) AS probe_bucket FROM bucketed
+),
+pairs AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM probes a JOIN bucketed b
+      ON a.probe_bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {_EPS_COS}
+),
+nbr AS (
+    SELECT id_a AS id, id_b AS nb FROM pairs
+    UNION ALL
+    SELECT id_b AS id, id_a AS nb FROM pairs
+),
+deg AS (SELECT id, count(*)::BIGINT AS d FROM nbr GROUP BY id),
+core AS (SELECT id FROM deg WHERE d >= {_MIN_PTS - 1}),
+core_edges AS (
+    SELECT n.id AS src, n.nb AS dst FROM nbr n
+    JOIN core c1 ON c1.id = n.id
+    JOIN core c2 ON c2.id = n.nb
+),
+walk(id, label) AS (
+    SELECT id, id AS label FROM core
+    UNION
+    SELECT e.dst AS id, w.label FROM walk w JOIN core_edges e ON e.src = w.id
+),
+core_lab AS (SELECT id, min(label) AS cluster FROM walk GROUP BY id),
+border AS (
+    SELECT n.id, min(cl.cluster) AS cluster
+    FROM nbr n
+    JOIN core_lab cl ON cl.id = n.nb
+    WHERE n.id NOT IN (SELECT id FROM core)
+    GROUP BY n.id
+),
+all_ids AS (SELECT vec_id AS id FROM base),
+labeled AS (
+    SELECT id, cluster, 'core' AS role FROM core_lab
+    UNION ALL
+    SELECT id, cluster, 'border' AS role FROM border
+    UNION ALL
+    SELECT a.id, -1 AS cluster, 'noise' AS role
+    FROM all_ids a
+    WHERE a.id NOT IN (SELECT id FROM core_lab)
+      AND a.id NOT IN (SELECT id FROM border)
+)
+SELECT cluster::BIGINT AS cluster_id,
+       sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END)::BIGINT AS n_core,
+       sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END)::BIGINT AS n_border,
+       count(*)::BIGINT AS n_points
+FROM labeled
+GROUP BY cluster
+"""
+
+
+@register(
+    "dbscan_embedding_clusters",
+    oracle=_dbscan_oracle(),
+    tags=("clustering", "dbscan", "vector", "lsh"),
+)
+def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate DBSCAN (eps = cosine 0.99, minPts = 3) over the
+    planted embedding corpus: LSH-pruned eps-neighbor pairs → degree
+    counts → core flags → connected components over core-core edges
+    (operators/components.py) → border points adopt the minimum
+    adjacent core cluster → everything else is noise (cluster −1).
+    Returns per-cluster core/border/point counts plus the noise row.
+
+    Plan shape at 100 TB: the neighbor stage is the bucketed LSH join
+    (never all-pairs); degrees and the final report are
+    map-side-combinable aggregates; the component pass runs on the
+    LSH-pruned CORE subgraph only. The 5-vector literal simplex is the
+    border-lane fixture — see module docstring.
+    """
+    from pyspark import StorageLevel
+
+    from emails_to_vector_db_spark.functions.vector import dot, l2_norm
+    from emails_to_vector_db_spark.operators.components import (
+        connected_components,
+    )
+    from emails_to_vector_db_spark.operators.similarity import lsh_bucket
+
+    planes = _emb_planes(n_planes=10)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    simplex = spark.createDataFrame(
+        [
+            (_SIMPLEX_BASE_ID + i, v)
+            for i, v in enumerate(_simplex_vectors())
+        ],
+        "vec_id long, v array<double>",
+    )
+    base = (
+        emb.select("vec_id", emb_d.alias("v"))
+        .unionByName(
+            emb.where(F.col("vec_id") < _TRIO_N).select(
+                (F.col("vec_id") + _OFF1).alias("vec_id"),
+                F.transform(emb_d, lambda x: x * 2.0).alias("v"),
+            )
+        )
+        .unionByName(
+            emb.where(F.col("vec_id") < _TRIO_N).select(
+                (F.col("vec_id") + _OFF2).alias("vec_id"),
+                F.transform(emb_d, lambda x: x * 0.5).alias("v"),
+            )
+        )
+        .unionByName(simplex)
+        .withColumn("bucket", lsh_bucket(F.col("v"), planes).cast("long"))
+        .withColumn("norm", l2_norm(F.col("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(2**i))
+            for i in range(len(planes))
+        ],
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
+        F.explode(probe_buckets).alias("probe_bucket"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
+        F.col("bucket").alias("probe_bucket"),
+    )
+    pairs = (
+        a.join(b, "probe_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            dot("va", "vb") / (F.col("norm_a") * F.col("norm_b"))
+            >= _EPS_COS
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nbr = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nb")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
+    )
+    deg = nbr.groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+    core = deg.where(F.col("d") >= _MIN_PTS - 1).select("id")
+    core_edges = (
+        nbr.join(core.withColumnRenamed("id", "cid"), nbr["id"] == F.col("cid"))
+        .drop("cid")
+        .join(
+            core.withColumnRenamed("id", "nid"), nbr["nb"] == F.col("nid")
+        )
+        .select(F.col("id").alias("src"), F.col("nb").alias("dst"))
+    )
+    core_lab = connected_components(core_edges).select(
+        "id", F.col("component").alias("cluster")
+    )
+    # isolated cores cannot exist (core ⇒ degree ≥ 2 ⇒ it has core
+    # neighbors only if they are cores too — but a core's neighbors may
+    # all be non-core; such a core still forms its own cluster)
+    core_lab = core.join(core_lab, "id", "left").select(
+        "id", F.coalesce("cluster", F.col("id")).alias("cluster")
+    )
+    border = (
+        nbr.join(core_lab.withColumnRenamed("id", "nb"), "nb")
+        .join(core, "id", "left_anti")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    labeled = (
+        core_lab.select("id", "cluster", F.lit("core").alias("role"))
+        .unionByName(
+            border.select("id", "cluster", F.lit("border").alias("role"))
+        )
+    )
+    noise = (
+        base.select("vec_id")
+        .join(labeled.select(F.col("id").alias("vec_id")), "vec_id", "left_anti")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.lit(-1).cast("long").alias("cluster"),
+            F.lit("noise").alias("role"),
+        )
+    )
+    return (
+        labeled.unionByName(noise)
+        .groupBy(F.col("cluster").alias("cluster_id"))
+        .agg(
+            F.sum((F.col("role") == "core").cast("long")).alias("n_core"),
+            F.sum((F.col("role") == "border").cast("long")).alias(
+                "n_border"
+            ),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )

@@ -313,3 +313,26 @@ def test_softmax_classifier_per_class_rows(spark):
     # weights must differ across classes (training actually moved them)
     vecs = {c: tuple(r[f"w{j}"] for j in range(5)) for c, r in rows.items()}
     assert len(set(vecs.values())) == len(vecs)
+
+
+def test_dbscan_roles_match_planted_geometry(spark):
+    """Planted structure: 20 colinear trios (all core), one simplex
+    cluster of 4 cores + 1 border, everything else noise."""
+    rows = _rows(spark, "dbscan_embedding_clusters")
+    noise = [r for r in rows if r["cluster_id"] == -1]
+    clusters = [r for r in rows if r["cluster_id"] != -1]
+    assert len(noise) == 1 and noise[0]["n_core"] == 0
+    assert noise[0]["n_border"] == 0
+    trios = [r for r in clusters if r["n_points"] == 3]
+    assert len(trios) == 20
+    assert all(r["n_core"] == 3 and r["n_border"] == 0 for r in trios)
+    simplex = [r for r in clusters if r["n_points"] == 5]
+    assert len(simplex) == 1
+    assert simplex[0]["n_core"] == 4 and simplex[0]["n_border"] == 1
+    # accounting: every corpus row is classified exactly once
+    from emails_to_vector_db_spark.plans.clustering import _TRIO_N
+    from emails_to_vector_db_spark.sources.tables import load_table
+
+    n_base = load_table(spark, SF_ORACLE, "embeddings").count()
+    total = sum(r["n_points"] for r in rows)
+    assert total == n_base + 2 * _TRIO_N + 5
