@@ -140,6 +140,7 @@ def main() -> None:
         "percolator_stored_queries",
         "audio_resample_stats",
         "forecast_walkforward_backtest",
+        "dbscan_embedding_clusters",
     ):
         bench[extra] = REGISTRY[extra]
     for name, spec in sorted(bench.items()):
