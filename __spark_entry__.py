@@ -112,6 +112,8 @@ _NEVER_SAMPLED_FIRST = (
     "audio_resample_stats",
     "forecast_walkforward_backtest",
     "dbscan_embedding_clusters",
+    "exact_quota_stratified_sample",
+    "source_curation_health",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -813,3 +813,66 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("importance_logw").desc(), F.col("doc_id").asc())
         .limit(_DSIR_TOP)
     )
+
+
+_QUOTA_PER_LANG = 30
+_QUOTA_SALT = "quota-v1"
+
+_QUOTA_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5('{_QUOTA_SALT}|' || doc_id), 1, 15))::BIGINT,
+                        doc_id
+           ) AS rn
+    FROM documents
+),
+sampled AS (SELECT doc_id, lang FROM keyed WHERE rn <= {_QUOTA_PER_LANG})
+SELECT lang,
+       count(*)::BIGINT AS n_sampled,
+       min(doc_id)::BIGINT AS min_doc,
+       sum(doc_id)::BIGINT AS doc_checksum
+FROM sampled GROUP BY lang
+"""
+
+
+@register(
+    "exact_quota_stratified_sample",
+    oracle=_QUOTA_ORACLE,
+    tags=("cleaning", "sampling", "window"),
+)
+def exact_quota_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT-count stratified sampling: exactly {n} documents per
+    language, chosen by ranking each stratum on a salted-md5 key (a
+    deterministic uniform permutation) and cutting at the quota — the
+    complement of the RATE-based stratified_sample above, for when the
+    contract is a count, not a probability (eval-set construction,
+    per-language budget caps). Deterministic: same salt ⇒ same sample,
+    and unlike rate-sampling the output size never drifts with corpus
+    growth — only membership does.
+
+    Plan: one row_number window per stratum (lang-partitioned — small
+    bounded key space here; at corpus-cardinality strata the same
+    contract comes from a per-stratum rank threshold computed off a
+    quantile of the hash key, avoiding full-stratum sorts). Emitted as
+    per-stratum counts + id checksum so the whole membership is
+    hash-pinned without returning every row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = TX.md5_long(
+        F.concat(F.lit(f"{_QUOTA_SALT}|"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    sampled = (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _QUOTA_PER_LANG)
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_doc"),
+        F.sum("doc_id").alias("doc_checksum"),
+    )

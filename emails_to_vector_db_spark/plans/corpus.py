@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from emails_to_vector_db_spark.functions import text as TX
 from emails_to_vector_db_spark.plans.dedup import (
     _DOCS_CHAIN_SQL,
     _docs_with_chained_dups,
@@ -706,4 +707,104 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("avg_nll").desc(), F.col("doc_id").asc())
         .limit(_BIGRAM_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source curation health rollup (the "dataset card" table)
+# ---------------------------------------------------------------------------
+
+_HEALTH_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok),
+tot AS (SELECT sum(n)::DOUBLE AS total FROM freq),
+doc_nll AS (
+    SELECT t.doc_id, t.source, avg(-ln(f.n / tt.total)) AS nll
+    FROM toks t JOIN freq f USING (tok) CROSS JOIN tot tt
+    GROUP BY t.doc_id, t.source
+),
+doc_stats AS (
+    SELECT doc_id, source, lang,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           len({_TOKENS_SQL}) AS n_tok,
+           length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+               / length(text)::DOUBLE AS punct_frac
+    FROM documents
+)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT d.lang)::BIGINT AS n_langs,
+       round(1.0 - count(DISTINCT d.fp) / count(*)::DOUBLE, 6) AS dup_rate,
+       round(avg(d.n_tok), 6) AS avg_tokens,
+       round(avg(d.punct_frac), 6) AS avg_punct_frac,
+       round(avg(p.nll), 6) AS avg_unigram_nll
+FROM doc_stats d JOIN doc_nll p ON p.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@register(
+    "source_curation_health",
+    oracle=_HEALTH_ORACLE,
+    tags=("cleaning", "reporting", "dataset-card"),
+)
+def source_curation_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATASET CARD: one row per source combining the
+    curation signals the individual operators compute — volume,
+    language diversity, exact-duplicate rate (1 − distinct
+    fingerprints / docs), token-length and punctuation-noise means,
+    and corpus-typicality (mean unigram NLL) — the health table a data
+    team reviews before admitting a source into a training mix.
+
+    Plan: the per-doc signal pass is pure row expressions + the
+    LM-scoring broadcast join of unigram_perplexity_scores; the rollup
+    is one groupBy over |sources| keys. Two corpus passes total (LM
+    train + score-and-roll), same as the perplexity query alone —
+    integration adds no extra scans.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "total", F.sum("n").over(Window.partitionBy()).cast("double")
+        )
+    )
+    doc_nll = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(F.avg(-F.log(F.col("n") / F.col("total"))).alias("nll"))
+    )
+    text_len = F.length("text").cast("double")
+    doc_stats = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        TX.fingerprint("text").alias("fp"),
+        F.size(TX.tokens("text")).alias("n_tok"),
+        (
+            F.length(F.regexp_replace("text", r"[^.,!?;:]", "")) / text_len
+        ).alias("punct_frac"),
+    )
+    return (
+        doc_stats.join(doc_nll, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(
+                1.0 - F.countDistinct("fp") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+            F.round(F.avg("punct_frac"), 6).alias("avg_punct_frac"),
+            F.round(F.avg("nll"), 6).alias("avg_unigram_nll"),
+        )
     )
