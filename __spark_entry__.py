@@ -114,6 +114,8 @@ _NEVER_SAMPLED_FIRST = (
     "dbscan_embedding_clusters",
     "exact_quota_stratified_sample",
     "source_curation_health",
+    "market_basket_part_pairs",
+    "bpe_fertility_by_lang",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -721,3 +721,92 @@ def forecast_walkforward_backtest(
             ).alias("abs_error"),
         )
     )
+
+
+_BASKET_MIN_SUPPORT = 3
+
+_BASKET_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+n AS (SELECT count(DISTINCT basket)::DOUBLE AS n_baskets FROM items),
+item_supp AS (
+    SELECT item, count(*)::BIGINT AS supp FROM items GROUP BY item
+),
+pair_supp AS (
+    SELECT a.item AS p1, b.item AS p2, count(*)::BIGINT AS support
+    FROM items a JOIN items b
+      ON a.basket = b.basket AND a.item < b.item
+    GROUP BY 1, 2
+    HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+)
+SELECT p.p1, p.p2, p.support,
+       round(p.support * n.n_baskets / (s1.supp * s2.supp), 6) AS lift
+FROM pair_supp p
+JOIN item_supp s1 ON s1.item = p.p1
+JOIN item_supp s2 ON s2.item = p.p2
+CROSS JOIN n
+"""
+
+
+@register(
+    "market_basket_part_pairs",
+    oracle=_BASKET_ORACLE,
+    tags=("analytics", "association", "basket"),
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs co-ordered in ≥ {s}
+    baskets, with LIFT (observed co-support over the independence
+    expectation) — the A-priori first pass and the classic
+    recommendation signal, over order baskets instead of supplier
+    co-occurrence (cosupply_triangle_count's graph).
+
+    Plan: baskets distinct once; the pair space comes from the
+    basket-keyed self-join (co-partitioned on the join key — bounded
+    per-basket fan-out, ≤ C(7,2) pairs per TPC-H order); the support
+    HAVING prunes before the two broadcast margin joins. At 100 TB the
+    frequent-item prefilter (drop items below min-support before
+    pairing) is the standard A-priori pruning — unnecessary at fixture
+    scale but the same plan shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_baskets = items.agg(
+        F.countDistinct("basket").cast("double").alias("n_baskets")
+    )
+    item_supp = items.groupBy("item").agg(F.count(F.lit(1)).alias("supp"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pair_supp = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("p1"), F.col("b.item").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    s1 = item_supp.select(
+        F.col("item").alias("p1"), F.col("supp").alias("supp1")
+    )
+    s2 = item_supp.select(
+        F.col("item").alias("p2"), F.col("supp").alias("supp2")
+    )
+    return (
+        pair_supp.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.round(
+                F.col("support") * F.col("n_baskets")
+                / (F.col("supp1") * F.col("supp2")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -126,6 +126,13 @@ def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied by the fixture writer — a genuinely different execution of
     the same merge table.
     """
+    return _per_doc_bpe_stats(spark, sf_dir)
+
+
+def _per_doc_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_tokens, max_word_tokens) via the
+    distinct-vocabulary fold pipeline — shared by the per-doc query
+    above and the per-language fertility rollup below."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
@@ -155,4 +162,51 @@ def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.coalesce(F.col("tok_len"), F.lit(0)))
         .cast("long")
         .alias("max_word_tokens"),
+    )
+
+
+_FERTILITY_ORACLE = f"""
+SELECT d.lang,
+       count(*)::BIGINT AS n_docs,
+       sum(r.n_words)::BIGINT AS total_words,
+       sum(r.n_tokens)::BIGINT AS total_tokens,
+       round(sum(r.n_tokens) / sum(r.n_words)::DOUBLE, 6) AS fertility,
+       max(r.max_word_tokens)::BIGINT AS worst_word_tokens
+FROM read_parquet('{_FIXTURES["bpe_segment_ref"]}') r
+JOIN documents d ON d.doc_id = r.doc_id
+GROUP BY d.lang
+"""
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle=_FERTILITY_ORACLE,
+    tags=("tokenizer", "bpe", "eval"),
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language (BPE tokens per word) — the
+    standard multilingual-tokenizer evaluation metric: a vocabulary
+    trained on a mixed corpus compresses majority languages better,
+    and this table quantifies exactly how much worse the tail pays
+    (the basis of vocabulary-size and data-mixing decisions).
+
+    Spark side re-runs the LIVE distinct-vocabulary fold segmentation
+    (shared with bpe_segmentation_stats) and rolls up per language;
+    the oracle aggregates the sequential reference segmentation —
+    so the differential check covers inference AND rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per_doc = _per_doc_bpe_stats(spark, sf_dir)
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens") / F.sum("n_words").cast("double"), 6
+            ).alias("fertility"),
+            F.max("max_word_tokens").alias("worst_word_tokens"),
+        )
     )
