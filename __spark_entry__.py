@@ -116,6 +116,8 @@ _NEVER_SAMPLED_FIRST = (
     "source_curation_health",
     "market_basket_part_pairs",
     "bpe_fertility_by_lang",
+    "user_lifetime_survival",
+    "rfm_customer_segments",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

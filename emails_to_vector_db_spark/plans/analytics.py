@@ -810,3 +810,135 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_SURVIVAL_DAYS = (1, 3, 7, 14, 21, 28)
+
+_SURVIVAL_ORACLE = f"""
+WITH life AS (
+    SELECT user_id,
+           date_diff('day', min(ts)::DATE, max(ts)::DATE) AS lifetime_days
+    FROM events GROUP BY user_id
+),
+n AS (SELECT count(*)::DOUBLE AS n_users FROM life)
+SELECT t.day AS day_threshold,
+       sum(CASE WHEN l.lifetime_days >= t.day THEN 1 ELSE 0 END)::BIGINT
+           AS n_surviving,
+       round(sum(CASE WHEN l.lifetime_days >= t.day THEN 1 ELSE 0 END)
+             / n.n_users, 6) AS survival_rate
+FROM life l
+CROSS JOIN (SELECT unnest([{", ".join(map(str, _SURVIVAL_DAYS))}]) AS day) t
+CROSS JOIN n
+GROUP BY t.day, n.n_users
+"""
+
+
+@register(
+    "user_lifetime_survival",
+    oracle=_SURVIVAL_ORACLE,
+    tags=("analytics", "survival", "events"),
+)
+def user_lifetime_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement survival curve: S(t) = share of users whose observed
+    lifetime (last − first event, days) reaches each threshold — the
+    retention complement of the weekly cohort matrix, as the monotone
+    curve a growth team actually plots.
+
+    Plan: one user_id aggregation (min+max ts), then a 6-threshold
+    cross join over the tiny per-user lifetime table. Nothing
+    corpus-scale after the first agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts")).cast("date"), F.min(F.col("ts")).cast("date")
+        ).alias("lifetime_days")
+    )
+    n_users = life.agg(
+        F.count(F.lit(1)).cast("double").alias("n_users")
+    )
+    days = spark.createDataFrame(
+        [(d,) for d in _SURVIVAL_DAYS], "day int"
+    )
+    surv = F.sum(
+        (F.col("lifetime_days") >= F.col("day")).cast("long")
+    )
+    return (
+        life.crossJoin(F.broadcast(days))
+        .crossJoin(F.broadcast(n_users))
+        .groupBy(F.col("day").alias("day_threshold"), "n_users")
+        .agg(
+            surv.alias("n_surviving"),
+        )
+        .select(
+            "day_threshold",
+            "n_surviving",
+            F.round(F.col("n_surviving") / F.col("n_users"), 6).alias(
+                "survival_rate"
+            ),
+        )
+    )
+
+
+_RFM_REF_DATE = "1998-12-31"
+
+_RFM_ORACLE = f"""
+WITH cust AS (
+    SELECT o_custkey,
+           date_diff('day', max(o_orderdate)::DATE, DATE '{_RFM_REF_DATE}')
+               AS recency_days,
+           count(*)::BIGINT AS frequency,
+           sum(o_totalprice) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+coded AS (
+    SELECT o_custkey,
+           ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+           ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+           ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+    FROM cust
+)
+SELECT r * 100 + f * 10 + m AS rfm_code,
+       count(*)::BIGINT AS n_customers
+FROM coded GROUP BY 1
+"""
+
+
+@register(
+    "rfm_customer_segments",
+    oracle=_RFM_ORACLE,
+    tags=("analytics", "rfm", "window"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the CRM classic): each customer coded by
+    recency / frequency / monetary quartile (1 = best on every axis:
+    most recent, most frequent, highest spend), reported as segment
+    sizes — the 64-cell base layer of lifecycle marketing.
+
+    Plan: one customer aggregation, then three exact ntile windows
+    over the customer table with deterministic id tiebreaks (same
+    global-sort caveat and approx-boundary scale path as
+    orders_equi_depth_histogram).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(_RFM_REF_DATE).cast("date"),
+            F.max(F.col("o_orderdate")).cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    coded = cust.select(
+        (
+            F.ntile(4).over(r_w) * 100
+            + F.ntile(4).over(f_w) * 10
+            + F.ntile(4).over(m_w)
+        ).alias("rfm_code")
+    )
+    return coded.groupBy("rfm_code").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
