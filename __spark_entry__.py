@@ -118,6 +118,7 @@ _NEVER_SAMPLED_FIRST = (
     "bpe_fertility_by_lang",
     "user_lifetime_survival",
     "rfm_customer_segments",
+    "funnel_conversion_latency",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -467,3 +467,70 @@ def event_sequence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_transitions").desc(), F.col("transition").asc())
         .limit(_SEQ_TOP)
     )
+
+
+_LATENCY_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type, ts,
+           max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_us
+    FROM events
+),
+conv AS (
+    SELECT (epoch_us(ts) - last_click_us) / 1e6 AS latency_s
+    FROM seq
+    WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+)
+SELECT count(*)::BIGINT AS n_conversions,
+       round(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(latency_s, 0.9), 6) AS p90_s,
+       round(avg(latency_s), 6) AS mean_s
+FROM conv
+"""
+
+
+@register(
+    "funnel_conversion_latency",
+    oracle=_LATENCY_ORACLE,
+    tags=("events", "funnel", "latency", "window"),
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion LATENCY: for every purchase preceded by a click, the
+    time since that user's most recent prior click — p50/p90/mean —
+    the speed companion to event_funnel_conversion's rates (funnels
+    tell you IF users convert; this tells you how long the decision
+    takes, which gates attribution-window choices).
+
+    Plan: the same single per-user ordered window as the as-of join
+    (a running max over click timestamps, ROWS-to-1-PRECEDING so a
+    purchase can't attribute to itself), then exact interpolated
+    percentiles over the small conversion set.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t_us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "event_type",
+        t_us.alias("t_us"),
+        F.max(
+            F.when(F.col("event_type") == "click", t_us)
+        ).over(w).alias("last_click_us"),
+    )
+    conv = seq.where(
+        (F.col("event_type") == "purchase")
+        & F.col("last_click_us").isNotNull()
+    ).select(
+        ((F.col("t_us") - F.col("last_click_us")) / 1e6).alias("latency_s")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.percentile("latency_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("latency_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.round(F.avg("latency_s"), 6).alias("mean_s"),
+    )
