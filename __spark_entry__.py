@@ -119,6 +119,7 @@ _NEVER_SAMPLED_FIRST = (
     "user_lifetime_survival",
     "rfm_customer_segments",
     "funnel_conversion_latency",
+    "supplier_concentration_hhi",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

@@ -942,3 +942,65 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.groupBy("rfm_code").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+WITH rev AS (
+    SELECT s.s_nationkey AS nation, l.l_suppkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT nation, sum(r) AS t, count(*)::BIGINT AS n_suppliers,
+           max(r) AS max_r
+    FROM rev GROUP BY nation
+)
+SELECT t.nation, t.n_suppliers,
+       round(sum(pow(v.r / t.t, 2)), 6) AS hhi,
+       round(max(t.max_r) / max(t.t), 6) AS top_share
+FROM rev v JOIN tot t ON t.nation = v.nation
+GROUP BY t.nation, t.n_suppliers
+""",
+    tags=("analytics", "concentration", "agg"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market concentration per nation: the Herfindahl–Hirschman index
+    (Σ share²) of supplier revenue plus the top-supplier share — the
+    economics metric behind single-source-risk dashboards (HHI → 1/n
+    means even competition, → 1 means monopoly).
+
+    Plan: one fact join + supplier-level revenue aggregation, then
+    nation-level margins joined back — all map-side combinable, the
+    squared-share fold runs over |suppliers| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("r")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("r").alias("t"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.max("r").alias("max_r"),
+    )
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation", "n_suppliers")
+        .agg(
+            F.round(F.sum(F.pow(F.col("r") / F.col("t"), 2)), 6).alias(
+                "hhi"
+            ),
+            F.round(F.max("max_r") / F.max("t"), 6).alias("top_share"),
+        )
+    )
