@@ -120,6 +120,8 @@ _NEVER_SAMPLED_FIRST = (
     "rfm_customer_segments",
     "funnel_conversion_latency",
     "supplier_concentration_hhi",
+    "embedding_drift_monitor",
+    "attribution_model_comparison",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
     "q6_forecast_revenue",

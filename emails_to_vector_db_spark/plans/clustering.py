@@ -285,3 +285,94 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_points"),
         )
     )
+
+
+_DRIFT_SPLIT_ID = 250  # first/second "deployment window" halves
+
+_DRIFT_ORACLE = f"""
+WITH halves AS (
+    SELECT label,
+           CASE WHEN vec_id < {_DRIFT_SPLIT_ID} THEN 'a' ELSE 'b' END AS h,
+           embedding::DOUBLE[] AS v
+    FROM embeddings
+),
+per_dim AS (
+    SELECT label, h, i, avg(v[i]) AS c
+    FROM halves, generate_series(1, 64) AS gs(i)
+    GROUP BY label, h, i
+),
+cents AS (
+    SELECT a.label,
+           sum(a.c * b.c) AS dot_ab,
+           sum(a.c * a.c) AS sq_a,
+           sum(b.c * b.c) AS sq_b
+    FROM per_dim a JOIN per_dim b
+      ON a.label = b.label AND a.i = b.i AND a.h = 'a' AND b.h = 'b'
+    GROUP BY a.label
+)
+SELECT label,
+       round(dot_ab / (sqrt(sq_a) * sqrt(sq_b)), 6) AS centroid_cosine,
+       round(sqrt(sq_b) / sqrt(sq_a), 6) AS norm_ratio
+FROM cents
+"""
+
+
+@register(
+    "embedding_drift_monitor",
+    oracle=_DRIFT_ORACLE,
+    tags=("vector", "drift", "monitoring"),
+)
+def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space drift: per label, the cosine between the centroid
+    of the first corpus half and the second (plus the norm ratio) —
+    the vector-lane member of the drift-monitor family (KS = numeric
+    distributions, chi-square = categorical mixes, this = embedding
+    geometry; a model/encoder change shows up here before retrieval
+    quality visibly degrades).
+
+    Plan: one (label, half) centroid aggregation via the grouped-map
+    BLAS lane (operators/centroids.py — the applyInPandas form, Arrow
+    batch per group), then the cosine fold over |labels| rows. The
+    DuckDB oracle computes the same centroids by per-dimension
+    averaging — a different decomposition of the same mean, exact
+    under 6dp rounding.
+    """
+    from emails_to_vector_db_spark.operators.centroids import (
+        label_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = F.when(F.col("vec_id") < _DRIFT_SPLIT_ID, "a").otherwise("b")
+    # reuse the grouped-map centroid operator by folding the half into
+    # a composite label, then splitting it back out
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        (F.col("label") * 2 + (half == "b").cast("int")).alias("label"),
+    )
+    cents = label_centroids(tagged).select(
+        (F.col("label") / 2).cast("int").alias("label"),
+        (F.col("label") % 2 == 1).alias("is_b"),
+        "centroid",
+    )
+    a = cents.where(~F.col("is_b")).select(
+        "label", F.col("centroid").alias("ca")
+    )
+    b = cents.where(F.col("is_b")).select(
+        "label", F.col("centroid").alias("cb")
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return a.join(b, "label").select(
+        "label",
+        F.round(dot_ab / (F.sqrt(sq("ca")) * F.sqrt(sq("cb"))), 6).alias(
+            "centroid_cosine"
+        ),
+        F.round(F.sqrt(sq("cb")) / F.sqrt(sq("ca")), 6).alias("norm_ratio"),
+    )

@@ -534,3 +534,125 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("latency_s", F.lit(0.9)), 6).alias("p90_s"),
         F.round(F.avg("latency_s"), 6).alias("mean_s"),
     )
+
+
+_ATTR_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_id, event_type, value, ts,
+           epoch_us(ts) AS t_us
+    FROM events
+),
+purchases AS (
+    SELECT user_id, event_id AS p_id, value AS p_value, t_us AS p_us
+    FROM seq WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, event_id AS c_id, t_us AS c_us
+    FROM seq WHERE event_type = 'click'
+),
+touch AS (
+    SELECT p.p_id, p.p_value, c.c_id, c.c_us,
+           row_number() OVER (PARTITION BY p.p_id ORDER BY c.c_us ASC,
+                              c.c_id ASC) AS rn_first,
+           row_number() OVER (PARTITION BY p.p_id ORDER BY c.c_us DESC,
+                              c.c_id DESC) AS rn_last,
+           count(*) OVER (PARTITION BY p.p_id) AS n_touch
+    FROM purchases p JOIN clicks c
+      ON c.user_id = p.user_id AND c.c_us < p.p_us
+),
+attributed AS (
+    SELECT 'first_touch' AS model,
+           sum(CASE WHEN rn_first = 1 THEN p_value ELSE 0 END) AS credit,
+           count(DISTINCT p_id)::BIGINT AS n_purchases
+    FROM touch
+    UNION ALL
+    SELECT 'last_touch',
+           sum(CASE WHEN rn_last = 1 THEN p_value ELSE 0 END),
+           count(DISTINCT p_id)::BIGINT
+    FROM touch
+    UNION ALL
+    SELECT 'linear', sum(p_value / n_touch), count(DISTINCT p_id)::BIGINT
+    FROM touch
+)
+SELECT model, n_purchases, round(credit, 6) AS attributed_value
+FROM attributed
+"""
+
+
+@register(
+    "attribution_model_comparison",
+    oracle=_ATTR_ORACLE,
+    tags=("events", "attribution", "window"),
+)
+def attribution_model_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Marketing attribution, three models side by side: each purchase's
+    value credited to its preceding clicks under FIRST-touch,
+    LAST-touch, and LINEAR (equal-split) rules — same touchpoint set,
+    three credit assignments, so the totals differ only by model (all
+    three sum to the same value over fully-credited purchases, a
+    property the identical n_purchases column exposes).
+
+    Plan: one purchase×prior-click join per user (co-partitioned on
+    user_id; prior-click fan-in bounded by per-user activity), two
+    rankings + one count over the per-purchase touch window, then a
+    three-branch rollup of the SAME touch table — no rescans per model.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+        t_us.alias("p_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_id"),
+        t_us.alias("c_us"),
+    )
+    touch = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_us") < F.col("p_us")),
+    )
+    w_first = Window.partitionBy("p_id").orderBy(
+        F.col("c_us").asc(), F.col("c_id").asc()
+    )
+    w_last = Window.partitionBy("p_id").orderBy(
+        F.col("c_us").desc(), F.col("c_id").desc()
+    )
+    w_all = Window.partitionBy("p_id")
+    t = (
+        touch.withColumn("rn_first", F.row_number().over(w_first))
+        .withColumn("rn_last", F.row_number().over(w_last))
+        .withColumn("n_touch", F.count(F.lit(1)).over(w_all))
+    )
+    from pyspark import StorageLevel
+
+    t = t.persist(StorageLevel.MEMORY_AND_DISK)
+    first = t.agg(
+        F.lit("first_touch").alias("model"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.round(
+            F.sum(F.when(F.col("rn_first") == 1, F.col("p_value")).otherwise(0.0)),
+            6,
+        ).alias("attributed_value"),
+    ).select("model", "n_purchases", "attributed_value")
+    last = t.agg(
+        F.lit("last_touch").alias("model"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.round(
+            F.sum(F.when(F.col("rn_last") == 1, F.col("p_value")).otherwise(0.0)),
+            6,
+        ).alias("attributed_value"),
+    ).select("model", "n_purchases", "attributed_value")
+    linear = t.agg(
+        F.lit("linear").alias("model"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.round(F.sum(F.col("p_value") / F.col("n_touch")), 6).alias(
+            "attributed_value"
+        ),
+    ).select("model", "n_purchases", "attributed_value")
+    return first.unionByName(last).unionByName(linear)
