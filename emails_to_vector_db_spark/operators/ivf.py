@@ -19,6 +19,8 @@ The second ANN strategy next to random-hyperplane LSH
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -160,6 +162,17 @@ def _centroid_entries(
     F.lit(nested python list): the py4j element-wise conversion of a
     125×64 literal measured 5.6s per construction (and foreachBatch
     would pay it per micro-batch); the SQL parser takes milliseconds."""
+    for c in centroids:
+        for x in c:
+            if not math.isfinite(x):
+                # repr(nan/inf) -> "nanD"/"infD" fails SQL parsing at
+                # plan build time with an opaque error; a non-finite
+                # centroid means a degenerate/empty k-means cluster
+                # upstream — name it.
+                raise ValueError(
+                    "non-finite centroid component (degenerate k-means "
+                    f"cluster upstream): {x!r} in centroid {c!r}"
+                )
     lit_sql = (
         "array("
         + ",".join(

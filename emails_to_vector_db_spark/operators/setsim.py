@@ -19,8 +19,10 @@ prefixes were disjoint, every shared token would sit in both suffixes,
 but x's suffix has only ceil(τ·|x|) - 1 < τ·|x| elements.
 
 Spark shape at 100 TB: token DF counts are one map-side-combinable agg;
-the global token ranking is a window over the VOCABULARY (not the
-corpus); each document folds into ONE row carrying its sorted rank
+the global token ranking is a DISTRIBUTED two-pass row_number over the
+vocabulary (operators/ranking.py — range partition → local rank →
+offset join; no single-partition window stage even at 10⁹ distinct
+shingles); each document folds into ONE row carrying its sorted rank
 array (set size is bounded by the tokenizer, not the corpus), so the
 prefix is an array slice — no per-doc window — and VERIFICATION is a
 native array_intersect per candidate pair (one row per candidate, never
@@ -34,8 +36,12 @@ symmetric length filter min ≥ τ·max applied before the distinct.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.operators.ranking import (
+    distributed_row_number,
+)
 
 
 def prefix_filter_jaccard_join(
@@ -53,14 +59,15 @@ def prefix_filter_jaccard_join(
     )
     # ^ the (usually expensive) tokenize/shingle lineage feeds both the
     #   dictionary build and the docset fold — run it once
-    # global token order: rarest-first document frequency
-    rank_w = Window.orderBy(F.col("df").asc(), F.col("token").asc())
-    ordered = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("rank", F.row_number().over(rank_w))
-        .select("token", "rank")
-    )
+    # global token order: rarest-first document frequency. The rank is
+    # a DISTRIBUTED two-pass row_number (range partition → local rank →
+    # offset join, operators/ranking.py) — a plain
+    # Window.orderBy(df, token) would move the whole vocabulary to one
+    # partition, a real straggler at web-corpus shingle cardinality.
+    ordered = distributed_row_number(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("df")),
+        [F.col("df").asc(), F.col("token").asc()],
+    ).select("token", "rank")
     # vocabulary-sized map side: broadcast the rank dictionary so the
     # corpus-scale postings stream is never shuffled for the dictionary
     # lookup (at web scale with an over-RAM vocab this becomes a

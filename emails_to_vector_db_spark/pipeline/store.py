@@ -95,9 +95,19 @@ class EmbeddingStore:
         are only swept AFTER the compaction pointer flip, and filtering
         already-absent ids is a no-op, so a crash at any point leaves
         deletes in force."""
+        if not ids:
+            return 0
+        # the tombstone schema must match the LIVE id column type —
+        # inferring it from ids[0] lets an int list against a
+        # string-keyed store write a long-typed tombstone whose
+        # anti-join silently casts (or breaks parquet schema merge
+        # against an earlier string-typed tombstone file)
+        id_type = dict(self.spark.read.parquet(self._data_dir()).dtypes)[
+            self.id_col
+        ]
         df = self.spark.createDataFrame(
-            [(i,) for i in ids], f"{self.id_col} {'string' if ids and isinstance(ids[0], str) else 'long'}"
-        )
+            [(str(i),) for i in ids], f"{self.id_col} string"
+        ).select(F.col(self.id_col).cast(id_type))
         df.write.mode("append").parquet(self._tombstone_dir())
         return len(ids)
 

@@ -23,7 +23,8 @@ replay first-seen-wins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.functions import text as TX
@@ -33,6 +34,48 @@ from emails_to_vector_db_spark.plans.dedup import (
 )
 from emails_to_vector_db_spark.plans.registry import register
 from emails_to_vector_db_spark.sources.tables import load_table
+
+
+# LM model tables broadcast while they fit in executor/driver RAM;
+# above this row count the scoring join falls back to a plain shuffle
+# join (a 10⁸-10⁹-row web-scale vocab/bigram table cannot broadcast).
+# ~5M rows of (token, count, total) ≈ low hundreds of MB — inside the
+# broadcast comfort zone, far under it in practice.
+_MODEL_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def _scoring_join(
+    stream: DataFrame,
+    model: DataFrame,
+    on,
+    max_broadcast_rows: int | None = None,
+) -> DataFrame:
+    """Join a trained model table (vocab/bigram frequencies) onto the
+    corpus token stream — the over-RAM-vocabulary cutover the round-3
+    code documented but didn't implement.
+
+    The learn_bpe_merges size-cutover pattern (operators/bpe.py:235):
+    persist the model (vocab-sized, spillable), count it — the one
+    corpus training pass runs anyway; its result simply lands in cache
+    for the scoring join to reuse — and join broadcast-hinted under the
+    cutover, as a plain shuffle join beyond it. The broadcast path
+    never shuffles the corpus-scale token stream AT ALL (the
+    alternative — dropping the hint and letting AQE's measured-size
+    cutover decide — still shuffle-WRITES the whole probe side before
+    converting, which at 100 TB is the dominant cost). Both physical
+    paths are hash-equivalence-tested, cutover forced, in
+    tests/test_corpus_ops.py.
+    """
+    limit = (
+        _MODEL_BROADCAST_MAX_ROWS
+        if max_broadcast_rows is None
+        else max_broadcast_rows
+    )
+    model = model.persist(StorageLevel.MEMORY_AND_DISK)
+    if model.count() <= limit:
+        return stream.join(F.broadcast(model), on)
+    return stream.join(model, on)
+
 
 _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -170,29 +213,31 @@ def unigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline would drop or down-sample.
 
     Plan (3 budgeted shuffles): token frequencies via one map-side-
-    combinable groupBy (the "training" pass), a single-partition window
-    over the VOCAB-sized freq table for the total, and the final per-doc
-    aggregation. The trained vocabulary broadcasts back onto the token
-    stream (vocab ≪ corpus — at 100 TB a few-million-row term table is
-    still a broadcast), so the scoring join itself shuffles nothing."""
+    combinable groupBy (the "training" pass, exchange-reused for the
+    broadcast 1-row vocabulary total — no single-partition window
+    stage), and the final per-doc aggregation. The trained vocabulary
+    broadcasts back onto the token stream while vocab fits in RAM;
+    above the cutover (_scoring_join) the scoring join falls back to a
+    plain shuffle join — same hashes, no broadcast OOM."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
     # The corpus is read exactly twice — once to train the LM (freq),
     # once to score — the canonical two-pass shape. The vocabulary total
-    # rides a single-partition window over the TINY freq table (vocab
-    # rows), so the corpus-wide freq aggregation is not duplicated into
-    # a second exchange feeding a separate total subtree.
-    freq = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "total",
-            F.sum("n").over(Window.partitionBy()).cast("double"),
+    # is a broadcast 1-row aggregate cross-joined back on, NOT a global
+    # window: Window.partitionBy() moves the whole vocab to ONE
+    # partition, which at web scale (10⁸-10⁹ distinct tokens) is a real
+    # straggler. The freq groupBy appears twice in the plan but its
+    # exchange is reused (spark.sql.exchangeReuseEnabled), so the
+    # corpus-wide aggregation still runs once.
+    freq_base = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    freq = freq_base.crossJoin(
+        F.broadcast(
+            freq_base.agg(F.sum("n").cast("double").alias("total"))
         )
     )
-    scored = toks.join(F.broadcast(freq), "tok").withColumn(
+    scored = _scoring_join(toks, freq, "tok").withColumn(
         "nll", -F.log(F.col("n").cast("double") / F.col("total"))
     )
     return (
@@ -531,8 +576,9 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole, reproducibly across runs and engines.
 
     Plan: one token-count scan feeding a per-source aggregate (map-side
-    combinable); weights computed on the SOURCE-cardinality table
-    (windows over a handful of rows) and broadcast back onto the doc
+    combinable); weights computed on the SOURCE-cardinality table (a
+    broadcast 1-row totals cross-join — no global-window stage at all,
+    even a tiny one) and broadcast back onto the doc
     stream; the sampling filter is a scan-time expression — the corpus
     shuffles once (the per-source agg), never for the sampling itself."""
     d = load_table(spark, sf_dir, "documents")
@@ -545,17 +591,24 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("src_tokens"),
     )
-    w_all = Window.partitionBy()
-    weighted = per_source.withColumn(
-        "w",
-        F.least(
-            F.lit(1.0),
-            (F.lit(1.0) / F.count(F.lit(1)).over(w_all))
-            / (
-                F.col("src_tokens").cast("double")
-                / F.sum("src_tokens").over(w_all)
+    totals = per_source.agg(
+        F.count(F.lit(1)).alias("__n_sources"),
+        F.sum("src_tokens").alias("__tot_tokens"),
+    )
+    weighted = (
+        per_source.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "w",
+            F.least(
+                F.lit(1.0),
+                (F.lit(1.0) / F.col("__n_sources"))
+                / (
+                    F.col("src_tokens").cast("double")
+                    / F.col("__tot_tokens")
+                ),
             ),
-        ),
+        )
+        .drop("__n_sources", "__tot_tokens")
     )
     bucket = (
         F.conv(
@@ -649,10 +702,11 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the corpus tokenizes once into an adjacency-preserving bigram
     stream (a native transform over the token array — no window, no
     posexplode self-join); "training" is two map-side-combinable
-    groupBys (bigram table + history margins); scoring broadcasts the
-    model tables back onto the stream. At 100 TB the bigram table
-    outgrows broadcast and the scoring join becomes a bucketed
-    shuffle-join on (w1, w2) — same plan minus the broadcast hints.
+    groupBys (bigram table + history margins); the scoring joins go
+    through _scoring_join — broadcast while the model tables fit the
+    row-count cutover, plain shuffle join at the 100 TB bigram-table
+    scale where broadcast would OOM. The vocabulary total is a
+    broadcast 1-row aggregate, not a global window.
     """
     d = load_table(spark, sf_dir, "documents")
     T = F.split(F.trim(F.col("text")), r"\s+")
@@ -674,30 +728,27 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p.w1", "p.w2")
     )
     toks = d.select(F.explode(T).alias("tok"))
-    uni = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "total", F.sum("n").over(Window.partitionBy()).cast("double")
-        )
+    uni_base = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    uni = uni_base.crossJoin(
+        F.broadcast(uni_base.agg(F.sum("n").cast("double").alias("total")))
     )
     hist = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("h"))
     bfreq = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     lam = F.lit(_BIGRAM_LAMBDA)
-    scored = (
-        bg.join(F.broadcast(bfreq), ["w1", "w2"])
-        .join(F.broadcast(hist), "w1")
-        .join(
-            F.broadcast(uni.select(F.col("tok").alias("w2"), "n", "total")),
-            "w2",
-        )
-        .withColumn(
-            "nll",
-            -F.log(
-                lam * F.col("c12") / F.col("h")
-                + (F.lit(1.0) - lam) * F.col("n") / F.col("total")
-            ),
-        )
+    scored = _scoring_join(
+        _scoring_join(
+            _scoring_join(bg, bfreq, ["w1", "w2"]),
+            hist,
+            "w1",
+        ),
+        uni.select(F.col("tok").alias("w2"), "n", "total"),
+        "w2",
+    ).withColumn(
+        "nll",
+        -F.log(
+            lam * F.col("c12") / F.col("h")
+            + (F.lit(1.0) - lam) * F.col("n") / F.col("total")
+        ),
     )
     return (
         scored.groupBy("doc_id")
@@ -770,15 +821,14 @@ def source_curation_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
     )
-    freq = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "total", F.sum("n").over(Window.partitionBy()).cast("double")
+    freq_base = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    freq = freq_base.crossJoin(
+        F.broadcast(
+            freq_base.agg(F.sum("n").cast("double").alias("total"))
         )
     )
     doc_nll = (
-        toks.join(F.broadcast(freq), "tok")
+        _scoring_join(toks.select("doc_id", "tok"), freq, "tok")
         .groupBy("doc_id")
         .agg(F.avg(-F.log(F.col("n") / F.col("total"))).alias("nll"))
     )

@@ -131,8 +131,6 @@ def main() -> None:
         "event_sequence_transitions",
         "order_revenue_proration",
         "orders_equi_depth_approx",
-        "bigram_perplexity_scores",
-        "label_propagation_communities",
         "textrank_keywords",
         "softmax_lang_classifier",
         "winsorized_order_stats",

@@ -122,3 +122,55 @@ def test_unigram_perplexity_scores_sane(spark):
     # scores are a ranking: descending by construction
     nlls = [r.avg_nll for r in rows]
     assert nlls == sorted(nlls, reverse=True)
+
+
+def test_scoring_join_cutover_paths_hash_identical(spark, monkeypatch):
+    """The over-RAM-vocab cutover (_scoring_join): forcing the shuffle
+    path (cutover=0) must give results identical to the broadcast path
+    for every LM-scoring query — same plan semantics, different
+    physical join."""
+    import emails_to_vector_db_spark.plans.corpus as corpus
+
+    def run(name):
+        spark.catalog.clearCache()
+        rows = REGISTRY[name].fn(spark, SF_ORACLE).collect()
+        return sorted(tuple(r) for r in rows)
+
+    names = [
+        "unigram_perplexity_scores",
+        "bigram_perplexity_scores",
+        "source_curation_health",
+    ]
+    broadcast_side = {n: run(n) for n in names}
+    monkeypatch.setattr(corpus, "_MODEL_BROADCAST_MAX_ROWS", 0)
+    shuffle_side = {n: run(n) for n in names}
+    spark.catalog.clearCache()
+    assert broadcast_side == shuffle_side
+
+
+def test_scoring_join_physical_strategy_follows_cutover(spark, monkeypatch):
+    """Under the cutover the scoring join is a broadcast hash join (the
+    corpus stream never shuffles for it); above it, no broadcast of the
+    model table is attempted."""
+    import emails_to_vector_db_spark.plans.corpus as corpus
+
+    def plan(name):
+        spark.catalog.clearCache()
+        df = REGISTRY[name].fn(spark, SF_ORACLE)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan("unigram_perplexity_scores")
+    # above the cutover the hint is dropped; with the planner's own
+    # auto-broadcast disabled (at real scale its size estimate does
+    # this), the scoring join must degrade to a shuffle join, not
+    # attempt a forced broadcast
+    monkeypatch.setattr(corpus, "_MODEL_BROADCAST_MAX_ROWS", 0)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        forced = plan("unigram_perplexity_scores")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    spark.catalog.clearCache()
+    assert "BroadcastHashJoin" not in forced
+    assert "SortMergeJoin" in forced or "ShuffledHashJoin" in forced

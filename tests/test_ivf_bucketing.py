@@ -155,3 +155,18 @@ def test_assignment_lanes_agree(spark):
         for r in assign_centroids_arrow(emb, cents).collect()
     }
     assert expr == arrow
+
+
+def test_non_finite_centroid_raises_clear_error(spark):
+    """A NaN/Inf centroid component (degenerate k-means cluster) must
+    raise a named ValueError at expression build, not an opaque SQL
+    parse failure on 'nanD'."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from emails_to_vector_db_spark.operators.ivf import assign_centroid
+
+    with pytest.raises(ValueError, match="non-finite centroid"):
+        assign_centroid(
+            F.col("embedding"), [[0.0, 1.0], [float("nan"), 2.0]]
+        )

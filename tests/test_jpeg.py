@@ -100,6 +100,31 @@ def test_not_a_jpeg_rejected():
         decode_jpeg(b"P6 1 1 255 abc")
 
 
+def test_truncated_after_ff_rejected_as_truncation():
+    """An entropy stream whose LAST byte is 0xFF must raise the
+    truncation ValueError, not IndexError on the destuffing
+    lookahead."""
+    from emails_to_vector_db_spark.sources.jpeg import _BitReader
+
+    br = _BitReader(b"\x12\xff", 0)
+    br.bits(8)  # consumes 0x12
+    with pytest.raises(ValueError, match="truncated"):
+        br.bits(8)  # 0xFF with no lookahead byte
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker; a conformant foreign encoder using them must still parse."""
+    img = _gradient(8, 8)
+    enc = encode_jpeg(img)
+    # inject fill bytes before the SOF0 marker: FF C0 -> FF FF FF C0
+    i = enc.find(b"\xff\xc0")
+    padded = enc[:i] + b"\xff\xff" + enc[i:]
+    out = decode_jpeg(padded)
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out, decode_jpeg(enc))
+
+
 def test_property_smooth_images_bounded_error():
     """Property sweep: random low-frequency images (flat base + ramp)
     across sizes/phases round-trip within the quantization bound."""

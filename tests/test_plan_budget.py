@@ -65,9 +65,47 @@ SHUFFLE_BUDGET = {
 }
 
 
+def _depth(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
 def _count_shuffles(df) -> int:
+    """Shuffle exchanges the plan EXECUTES, from the plan string.
+
+    Two print artifacts must not inflate the count: a materialized
+    InMemoryRelation prints both its AQE '== Final Plan ==' and the
+    pre-AQE '== Initial Plan ==' (only the final one ran — skip the
+    initial section), and the SAME cached relation is re-printed in
+    full under every InMemoryTableScan that reads it (its build ran
+    once — count the first print only)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
+    total = 0
+    seen_ids: set[str] = set()
+    skip_below: int | None = None
+    for line in plan.splitlines():
+        d = _depth(line)
+        name = line[d:]
+        if skip_below is not None:
+            # initial-plan bodies print at the marker's own depth (no
+            # "+- " prefix on the root line), hence >=
+            if d >= skip_below:
+                continue
+            skip_below = None
+        if name.startswith("== Initial Plan =="):
+            skip_below = d
+            continue
+        m = re.match(r"Exchange (hash|range|SinglePartition)", name)
+        if m:
+            pid = re.search(r"\[plan_id=(\d+)\]", name)
+            if pid:
+                if pid.group(1) in seen_ids:
+                    continue
+                seen_ids.add(pid.group(1))
+            total += 1
+    return total
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))

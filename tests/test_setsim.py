@@ -70,3 +70,55 @@ def test_prefix_filter_rejects_bad_tau(spark):
         prefix_filter_jaccard_join(df, tau=0.0)
     with pytest.raises(ValueError):
         prefix_filter_jaccard_join(df, tau=1.5)
+
+
+def test_distributed_row_number_matches_global_window(spark):
+    """distributed_row_number == row_number().over(Window.orderBy(...))
+    exactly, for a multi-partition input with heavy ties on the first
+    order column (the rarest-first df ranking shape)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_row_number,
+    )
+
+    rows = [(f"tok{i:04d}", (i * 7) % 13) for i in range(500)]
+    df = spark.createDataFrame(rows, "token string, df int").repartition(8)
+    order = [F.col("df").asc(), F.col("token").asc()]
+    expected = {
+        (r["token"], r["rank"])
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    got = {
+        (r["token"], r["rank"])
+        for r in distributed_row_number(df, order).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_distributed_row_number_no_single_partition_window(spark):
+    """The distributed rank plan must not contain an unpartitioned
+    Window (the single-partition straggler it exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_row_number,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    ranked = distributed_row_number(df, [F.col("k").asc(), F.col("id").asc()])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    # every Window in the plan must carry a partition spec: the
+    # unpartitioned form prints "Window [...], [order...]" with an
+    # empty partition list "], [" directly after the function list —
+    # ours prints partitionBy __pid
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "__pid" in line, f"unpartitioned window: {line}"

@@ -366,3 +366,26 @@ def test_store_tombstone_delete_lifecycle(spark, tmp_path):
     # the id is reusable now
     assert store.append(again) == 1
     assert {r["id"] for r in store.read().collect()} == {1, 2, 3}
+
+
+def test_store_delete_typed_from_live_schema(spark, tmp_path):
+    """delete() derives the tombstone id type from the store's LIVE
+    schema, not from ids[0] — an int list against a string-keyed store
+    must still anti-join correctly, and delete([]) is a no-op."""
+    from emails_to_vector_db_spark.pipeline.store import EmbeddingStore
+
+    store = EmbeddingStore(spark, str(tmp_path / "typed_store"))
+    batch = spark.createDataFrame(
+        [("1", "a", [1.0]), ("2", "b", [0.0])],
+        "id string, content string, embedding array<double>",
+    )
+    store.append(batch)
+
+    assert store.delete([]) == 0  # no tombstone file written
+    assert {r["id"] for r in store.read().collect()} == {"1", "2"}
+
+    # int ids against a string-keyed store: cast to the live type
+    store.delete([2])
+    ts = spark.read.parquet(str(tmp_path / "typed_store" / "_tombstones"))
+    assert dict(ts.dtypes)["id"] == "string"
+    assert {r["id"] for r in store.read().collect()} == {"1"}
