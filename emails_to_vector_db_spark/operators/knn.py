@@ -80,3 +80,77 @@ def knn_join(
         .where(F.col("rn") <= k)
         .drop("rn", probe_vec)
     )
+
+
+# Above this probe count the exact broadcast plan stops being the right
+# shape: the pair space is |base|·|probes| rows into the per-probe
+# window shuffle, and the probe broadcast itself grows past comfort
+# (10⁴ probes × 64 doubles ≈ 5 MB — fine; 10⁶ probes ≈ 500 MB — not).
+MAX_BROADCAST_PROBES = 10_000
+
+
+def knn_join_adaptive(
+    probes: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    *,
+    max_broadcast_probes: int = MAX_BROADCAST_PROBES,
+    n_probes: int | None = None,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    base_id: str = "vec_id",
+    base_vec: str = "embedding",
+    metric: str = "l2",
+    dist_col: str = "distance",
+) -> DataFrame:
+    """KNN join with a PROBE-COUNT cutover — the named plan for "KNN
+    join with 10⁶ probes".
+
+    Under ``max_broadcast_probes`` this is the exact broadcast plan
+    (knn_join above: probes broadcast, map-side distances, per-probe
+    window top-k — the right shape while |base|·|probes| pairs fit a
+    shuffle). Beyond it, the exact pair space is the scale killer, so
+    the join routes through the IVF index (operators/ivf.py
+    ``ivf_ann_join``: both sides bucketed by centroid list, candidates
+    only within shared lists) — APPROXIMATE unless ``nprobe`` covers
+    every centroid, which is exactly how the equivalence test pins the
+    cutover's correctness on the fixture. Probe counting is one job
+    over the PROBE table (the small side by definition — counting 10⁶
+    probe rows is trivial next to the join it sizes); pass ``n_probes``
+    when the caller already knows it.
+
+    Both branches return the same (probe_id, base_id, dist_col) shape.
+    """
+    from emails_to_vector_db_spark.operators.ivf import ivf_ann_join
+
+    if n_probes is None:
+        n_probes = probes.count()
+    if n_probes <= max_broadcast_probes:
+        return knn_join(
+            probes,
+            base,
+            k,
+            probe_id=probe_id,
+            probe_vec=probe_vec,
+            base_id=base_id,
+            base_vec=base_vec,
+            metric=metric,
+            dist_col=dist_col,
+        ).select(probe_id, base_id, dist_col)
+    return ivf_ann_join(
+        probes,
+        base,
+        k,
+        centroids=centroids,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        probe_id=probe_id,
+        probe_vec=probe_vec,
+        base_id=base_id,
+        base_vec=base_vec,
+        metric=metric,
+        dist_col=dist_col,
+    )

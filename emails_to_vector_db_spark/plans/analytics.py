@@ -944,6 +944,117 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RFM_APPROX_TOL = 0.25  # per-quartile mass within ±25% of n/4
+
+_RFM_APPROX_ORACLE = """
+SELECT a.axis, q.quartile, TRUE AS within_tolerance
+FROM (SELECT unnest(['f', 'm', 'r']) AS axis) a
+CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS quartile) q
+"""
+
+
+@register(
+    "rfm_customer_segments_approx",
+    oracle=_RFM_APPROX_ORACLE,
+    tags=("analytics", "rfm", "approx"),
+)
+def rfm_customer_segments_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE-PATH twin of rfm_customer_segments: quartile fences
+    from percentile_approx (one mergeable-sketch pass, NO global ntile
+    sort), each customer coded by a broadcast fence lookup, and the
+    quartile-balance GUARANTEE — every (axis, quartile) cell within
+    ±25% of n/4 — verified IN-QUERY and emitted as a hash-bearing
+    boolean the oracle expects TRUE (the orders_equi_depth_approx
+    pattern: approximation quality is part of the checked result, the
+    approximate fences themselves are engine-specific by design).
+
+    Ties are broken exactly as the exact form's ntile does — by
+    o_custkey — via a composite sort value (axis value plus a
+    custkey-scaled epsilon), so heavily-tied axes (frequency is small
+    integers) still quarter cleanly. At 100 TB this is THE RFM plan:
+    three global sorts become one sketch aggregation plus a map-side
+    code assignment.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(_RFM_REF_DATE).cast("date"),
+            F.max(F.col("o_orderdate")).cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    # ascending composites; quartile 1 = best on every axis (most
+    # recent / most frequent / highest spend), matching the exact form
+    tie = F.col("o_custkey").cast("double") / F.lit(1e9)
+    vals = cust.select(
+        (F.col("recency_days").cast("double") + tie).alias("vr"),
+        (-F.col("frequency").cast("double") + tie).alias("vf"),
+        (-F.col("monetary") + tie).alias("vm"),
+    )
+    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    fences = F.broadcast(
+        vals.agg(
+            F.percentile_approx("vr", probs, 10000).alias("br"),
+            F.percentile_approx("vf", probs, 10000).alias("bf"),
+            F.percentile_approx("vm", probs, 10000).alias("bm"),
+        )
+    )
+
+    def quartile(v: str, b: str):
+        return F.lit(1) + F.aggregate(
+            F.col(b),
+            F.lit(0),
+            lambda acc, fence: acc + (F.col(v) > fence).cast("int"),
+        )
+
+    stacked = (
+        vals.crossJoin(fences)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("r").alias("axis"),
+                        quartile("vr", "br").alias("quartile"),
+                    ),
+                    F.struct(
+                        F.lit("f").alias("axis"),
+                        quartile("vf", "bf").alias("quartile"),
+                    ),
+                    F.struct(
+                        F.lit("m").alias("axis"),
+                        quartile("vm", "bm").alias("quartile"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.axis", "s.quartile")
+    )
+    sizes = stacked.groupBy("axis", "quartile").agg(
+        F.count(F.lit(1)).alias("n_cell")
+    )
+    n_total = cust.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    cells = spark.createDataFrame(
+        [(a, q) for a in ("f", "m", "r") for q in (1, 2, 3, 4)],
+        "axis string, quartile int",
+    )
+    ideal = F.col("n") / 4
+    return (
+        cells.join(sizes, ["axis", "quartile"], "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "axis",
+            F.col("quartile").cast("long").alias("quartile"),
+            (
+                (F.coalesce("n_cell", F.lit(0)) >= (1 - _RFM_APPROX_TOL) * ideal)
+                & (F.coalesce("n_cell", F.lit(0)) <= (1 + _RFM_APPROX_TOL) * ideal)
+            ).alias("within_tolerance"),
+        )
+    )
+
+
 @register(
     "supplier_concentration_hhi",
     oracle="""

@@ -82,7 +82,12 @@ FROM m
 """
 
 
-@register("doc_quality_scores", oracle=_QUALITY_ORACLE, tags=("text", "quality"))
+@register(
+    "doc_quality_scores",
+    oracle=_QUALITY_ORACLE,
+    tags=("text", "quality"),
+    bench=True,
+)
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scoring: length / stopword-ratio / punctuation
     components (the composite formula of functions.text.quality_score)."""
@@ -137,7 +142,12 @@ FROM pred GROUP BY 1, 2
 """
 
 
-@register("lang_id_confusion", oracle=_LANGID_ORACLE, tags=("text", "langid"))
+@register(
+    "lang_id_confusion",
+    oracle=_LANGID_ORACLE,
+    tags=("text", "langid"),
+    bench=True,
+)
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language-ID heuristic, reported as a confusion matrix
     against the fixture's lang column. Deterministic tiebreak: en>fr>es>de,

@@ -32,7 +32,9 @@ SHUFFLE_BUDGET = {
     "bm25_topk": 5,
     "bpe_segmentation_stats": 3,  # occ agg + vocab distinct + per-doc agg
     "bucketed_colocated_join": 1,  # co-located SMJ: only the agg shuffles
+    "doc_quality_scores": 0,  # pure scan projection, no shuffle at all
     "doc_token_stats": 1,
+    "lang_id_confusion": 1,  # one (lang, predicted) cell agg
     "embedding_jl_projection_pairs": 0,
     "embedding_near_dups_lsh": 0,
     "embedding_pca_topvar": 1,  # projected-corpus moment agg

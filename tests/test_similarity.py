@@ -195,3 +195,46 @@ def test_int8_quantization_recall(spark):
     exact = {r.vec_id for r in knn_topk_l2(spark, SF_SMOKE).collect()}
     assert PROBE_ID not in quant
     assert len(quant & exact) >= 4
+
+
+def test_knn_join_adaptive_cutover_picks_ivf_and_stays_exact(spark):
+    """The probe-count cutover: under the limit the adaptive join IS
+    the exact broadcast plan; forcing the cutover (limit=0) routes
+    through IVF — and with nprobe covering every centroid the IVF
+    candidates are the whole base, so results must be hash-identical
+    to the exact path on the fixture."""
+    from emails_to_vector_db_spark.operators.knn import knn_join_adaptive
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    probes = _probes_from_base(emb, 6)
+
+    def rows(df):
+        return sorted(
+            (r["probe_id"], r["vec_id"], round(r["distance"], 9))
+            for r in df.collect()
+        )
+
+    exact = rows(knn_join_adaptive(probes, emb, k=3))
+    forced = knn_join_adaptive(
+        probes, emb, k=3, max_broadcast_probes=0, n_centroids=4, nprobe=4
+    )
+    # the forced plan must actually be the IVF path: centroid-list
+    # bucketing appears as the _cid equi-join in the plan
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "_cid" in plan
+    assert rows(forced) == exact
+
+
+def test_knn_join_adaptive_accepts_known_probe_count(spark):
+    """n_probes passed by the caller skips the counting job and still
+    drives the cutover decision."""
+    from emails_to_vector_db_spark.operators.knn import knn_join_adaptive
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    probes = _probes_from_base(emb, 4)
+    res = knn_join_adaptive(probes, emb, k=2, n_probes=4)
+    assert res.count() == 8
