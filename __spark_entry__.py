@@ -104,6 +104,9 @@ _NEVER_SAMPLED_FIRST = (
     "q21_suppliers_kept_orders_waiting",
     "q2_min_cost_supplier",
     "q11_important_stock",
+    # round-4 additions (no prior round could have sampled them)
+    "rfm_customer_segments_approx",
+    "knn_join_probe_cutover",
 )
 
 

@@ -97,7 +97,7 @@ def knn_join_adaptive(
     max_broadcast_probes: int = MAX_BROADCAST_PROBES,
     n_probes: int | None = None,
     centroids: list[list[float]] | None = None,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 2,
     probe_id: str = "probe_id",
     probe_vec: str = "probe_vec",
@@ -124,7 +124,10 @@ def knn_join_adaptive(
 
     Both branches return the same (probe_id, base_id, dist_col) shape.
     """
-    from emails_to_vector_db_spark.operators.ivf import ivf_ann_join
+    from emails_to_vector_db_spark.operators.ivf import (
+        ivf_ann_join,
+        n_centroids_for,
+    )
 
     if n_probes is None:
         n_probes = probes.count()
@@ -140,6 +143,16 @@ def knn_join_adaptive(
             metric=metric,
             dist_col=dist_col,
         ).select(probe_id, base_id, dist_col)
+    if n_centroids is None and centroids is None:
+        # self-tune the list count from the base size (a count job is a
+        # plain scan, trivial next to the join it sizes) — a fixed list
+        # count re-creates the linear-growth bug one scale-up later
+        # (docs/SCALE_NOTES.md rule 14): at 20k base vectors, 16 lists
+        # means ~1250-vector rerank lists; n_centroids_for keeps
+        # expected list length ~128 at any corpus size
+        n_centroids = n_centroids_for(base.count())
+    elif n_centroids is None:
+        n_centroids = 16
     return ivf_ann_join(
         probes,
         base,

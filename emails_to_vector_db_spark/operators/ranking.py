@@ -56,6 +56,12 @@ def distributed_row_number(
     DataFrame reads a persisted intermediate; callers that need cache
     hygiene can ``spark.catalog.clearCache()`` after consuming it.
     """
+    # pin the input: repartitionByRange runs a SEPARATE boundary-
+    # sampling job over its child before the exchange — uncached, that
+    # re-executes the caller's whole upstream pipeline (measured +4s on
+    # the sf1 shingle dictionary); cached, the sample reads this narrow
+    # table
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions

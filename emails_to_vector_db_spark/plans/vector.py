@@ -193,6 +193,61 @@ def knn_join_multi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUTOVER_ORACLE = f"""
+WITH probes AS (
+    SELECT vec_id AS probe_id, embedding::DOUBLE[] AS q
+    FROM embeddings WHERE vec_id < {N_PROBES}
+),
+scored AS (
+    SELECT p.probe_id, e.vec_id,
+           list_distance(e.embedding::DOUBLE[], p.q) AS dist,
+           row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], p.q) ASC,
+                        e.vec_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN probes p
+)
+SELECT probe_id, vec_id, round(dist, 6) AS distance
+FROM scored WHERE rn <= {K}
+"""
+
+
+@register(
+    "knn_join_probe_cutover",
+    oracle=_CUTOVER_ORACLE,
+    tags=("vector", "knn", "ivf", "J3"),
+)
+def knn_join_probe_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-PROBE-SET plan for the KNN join, driver-checkable: the
+    probe-count cutover (operators/knn.py::knn_join_adaptive) forced
+    onto its IVF route (max_broadcast_probes=0), with nprobe covering
+    every centroid so candidates are the whole base and the result is
+    EXACT — the same brute-force oracle as knn_join_multi_probe
+    (self-matches included here: the generic join keeps them, rank 1 at
+    distance 0). At 10⁶ probes this is the plan that runs: both sides
+    bucketed by centroid list, candidates only within shared lists,
+    never the |base|·|probes| pair space."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    from emails_to_vector_db_spark.operators.knn import knn_join_adaptive
+
+    return knn_join_adaptive(
+        probes,
+        emb,
+        K,
+        max_broadcast_probes=0,
+        n_probes=N_PROBES,
+        n_centroids=8,
+        nprobe=8,
+    ).select("probe_id", "vec_id", F.round("distance", 6).alias("distance"))
+
+
 _ANN_TARGET_BUCKET = 64
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 

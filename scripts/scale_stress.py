@@ -72,16 +72,43 @@ def build(spark, copies: int) -> None:
 
 
 def main() -> None:
+    global DST
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument(
+        "--dst",
+        default=DST,
+        help="fixture output dir (e.g. .scale/sf10 with --copies 100)",
+    )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated registry names to run instead of the "
+        "bench+extras sweep (e.g. the 16 recorded r01 queries)",
+    )
     args = ap.parse_args()
+    DST = args.dst
 
     spark = get_spark(app_name="scale-stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if not args.skip_build:
         t0 = time.perf_counter()
         build(spark, args.copies)
         print(f"build: {time.perf_counter() - t0:.1f}s")
+
+    if args.queries:
+        bench = {n: REGISTRY[n] for n in args.queries.split(",")}
+        for name, spec in bench.items():
+            t0 = time.perf_counter()
+            try:
+                spec.fn(spark, DST).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                print(f"{name}: {time.perf_counter() - t0:.2f}s")
+            except Exception as e:  # noqa: BLE001 — report and continue
+                print(f"{name}: ERROR {str(e)[:200]}")
+        spark.stop()
+        return
 
     bench = {n: s for n, s in REGISTRY.items() if s.bench}
     # plus the heavy non-bench operators worth stressing
@@ -139,6 +166,9 @@ def main() -> None:
         "audio_resample_stats",
         "forecast_walkforward_backtest",
         "dbscan_embedding_clusters",
+        # round-4 session additions
+        "rfm_customer_segments_approx",
+        "knn_join_probe_cutover",
     ):
         bench[extra] = REGISTRY[extra]
     for name, spec in sorted(bench.items()):
