@@ -107,6 +107,12 @@ _NEVER_SAMPLED_FIRST = (
     # round-4 additions (no prior round could have sampled them)
     "rfm_customer_segments_approx",
     "knn_join_probe_cutover",
+    "hard_negative_mining",
+    "alpha_mixing_weights",
+    "ngram_novelty_scores",
+    "psi_value_drift",
+    "bytes_per_token_by_source",
+    "containment_near_supersets",
 )
 
 

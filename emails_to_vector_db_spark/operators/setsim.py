@@ -44,16 +44,9 @@ from emails_to_vector_db_spark.operators.ranking import (
 )
 
 
-def prefix_filter_jaccard_join(
-    doc_tokens: DataFrame, tau: float
-) -> DataFrame:
-    """All (doc_a < doc_b) pairs with exact Jaccard(token sets) ≥ tau.
-
-    ``doc_tokens``: (doc_id, token) DISTINCT rows. Returns
-    (doc_a, doc_b, inter, union_sz, jaccard) with jaccard unrounded.
-    """
-    if not 0.0 < tau <= 1.0:
-        raise ValueError(f"tau must be in (0, 1], got {tau}")
+def _ranked_docsets(doc_tokens: DataFrame) -> DataFrame:
+    """(doc_id, rs sorted-rank-array, sz) under the rarest-first global
+    token order — the shared substrate of both prefix-filter joins."""
     toks = doc_tokens.select("doc_id", "token").persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -74,7 +67,7 @@ def prefix_filter_jaccard_join(
     # bucketed join on token instead); then fold each document into one
     # row holding its SORTED rank array — by construction sorted ranks
     # are sorted by rarity, so the prefix is a plain array slice.
-    docsets = (
+    return (
         toks.join(F.broadcast(ordered), "token")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("rank")).alias("rs"))
@@ -83,6 +76,19 @@ def prefix_filter_jaccard_join(
         # ^ consumed 3× (prefix build + both verification sides); one
         #   narrow row per document
     )
+
+
+def prefix_filter_jaccard_join(
+    doc_tokens: DataFrame, tau: float
+) -> DataFrame:
+    """All (doc_a < doc_b) pairs with exact Jaccard(token sets) ≥ tau.
+
+    ``doc_tokens``: (doc_id, token) DISTINCT rows. Returns
+    (doc_a, doc_b, inter, union_sz, jaccard) with jaccard unrounded.
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    docsets = _ranked_docsets(doc_tokens)
     plen = F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
     prefix = docsets.select(
         "doc_id", "sz", F.explode(F.slice("rs", F.lit(1), plen)).alias("rank")
@@ -124,4 +130,74 @@ def prefix_filter_jaccard_join(
         .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
         .where(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+    )
+
+
+def prefix_filter_containment_join(
+    doc_tokens: DataFrame, tau: float
+) -> DataFrame:
+    """All (doc_a < doc_b) pairs with exact overlap coefficient
+    |A∩B| / min(|A|, |B|) ≥ tau — the CONTAINMENT analogue of the
+    Jaccard join above, catching near-supersets (quotation, inclusion,
+    boilerplate wrapping) that Jaccard misses because a huge union
+    drowns the shared core.
+
+    The prefix theorem adapts: with x the SMALLER set, C ≥ τ forces
+    |x∩y| ≥ τ·|x|, so the first |x| − ceil(τ·|x|) + 1 rarest tokens of
+    x must hit y SOMEWHERE — the prefix comes from the smaller side but
+    joins against the FULL postings of the larger side (no symmetric
+    length filter exists for containment: a tiny set inside a huge one
+    is exactly the match sought). Scale shape: prefixes are
+    rarest-first, so the full-postings join keys on rare tokens whose
+    posting lists are short — the candidate space is bounded by rare-
+    token co-occurrence, never |docs|².
+
+    ``doc_tokens``: (doc_id, token) DISTINCT rows. Returns
+    (doc_a, doc_b, inter, min_sz, containment) with containment
+    unrounded.
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    docsets = _ranked_docsets(doc_tokens)
+    plen = F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
+    prefix = docsets.select(
+        "doc_id", "sz", F.explode(F.slice("rs", F.lit(1), plen)).alias("rank")
+    )
+    full = docsets.select(
+        "doc_id", "sz", F.explode("rs").alias("rank")
+    )
+    p = prefix.alias("p")  # the smaller side supplies the prefix
+    q = full.alias("q")
+    cand = (
+        p.join(q, F.col("p.rank") == F.col("q.rank"))
+        .where(F.col("p.doc_id") != F.col("q.doc_id"))
+        .where(F.col("p.sz") <= F.col("q.sz"))
+        .select(
+            F.least("p.doc_id", "q.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "q.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("rs").alias("rs_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("rs").alias("rs_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("rs_a", "rs_b")).cast("long")
+        )
+        .withColumn("min_sz", F.least("sz_a", "sz_b").cast("long"))
+    )
+    return (
+        verified.withColumn(
+            "containment", F.col("inter") / F.col("min_sz")
+        )
+        .where(F.col("containment") >= tau)
+        .select("doc_a", "doc_b", "inter", "min_sz", "containment")
     )

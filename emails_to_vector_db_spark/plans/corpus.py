@@ -858,3 +858,165 @@ def source_curation_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nll"), 6).alias("avg_unigram_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixing weights (the mT5/multilingual alpha recipe)
+# ---------------------------------------------------------------------------
+
+_ALPHA = 0.3  # mT5's language-sampling exponent
+
+_ALPHA_MIX_ORACLE = f"""
+WITH per_source AS (
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+               AS src_tokens
+    FROM documents GROUP BY source
+),
+with_p AS (
+    SELECT source, n_docs, src_tokens,
+           src_tokens::DOUBLE / sum(src_tokens) OVER () AS p
+    FROM per_source
+),
+shares AS (
+    SELECT source, n_docs, src_tokens, p,
+           pow(p, {_ALPHA}) / sum(pow(p, {_ALPHA})) OVER () AS q
+    FROM with_p
+)
+SELECT source, n_docs, src_tokens,
+       round(p, 6) AS raw_share,
+       round(q, 6) AS alpha_share,
+       round(q / p, 6) AS boost
+FROM shares
+"""
+
+
+@register(
+    "alpha_mixing_weights",
+    oracle=_ALPHA_MIX_ORACLE,
+    tags=("cleaning", "mixing", "sampling"),
+)
+def alpha_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the mT5 alpha-sampling recipe,
+    alpha=0.3): each source's sampling share q_i ∝ p_i^alpha, flattening
+    the raw token distribution so long-tail sources are up-weighted
+    without drowning the head — the OTHER standard mixing policy beside
+    source_mixing_weights' uniform-target capping, reported with the
+    per-source boost factor q/p a data team reads off before a run.
+
+    Plan: one token-count scan into a per-source aggregate; the two
+    normalizations are broadcast 1-row aggregates over the
+    SOURCE-cardinality table (no global window, same discipline as
+    source_mixing_weights)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias(
+            "src_tokens"
+        ),
+    )
+    tot = per_source.agg(
+        F.sum("src_tokens").cast("double").alias("__tot")
+    )
+    with_p = per_source.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("src_tokens") / F.col("__tot")
+    )
+    qsum = with_p.agg(F.sum(F.pow("p", F.lit(_ALPHA))).alias("__qsum"))
+    return (
+        with_p.crossJoin(F.broadcast(qsum))
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            F.round("p", 6).alias("raw_share"),
+            F.round(
+                F.pow("p", F.lit(_ALPHA)) / F.col("__qsum"), 6
+            ).alias("alpha_share"),
+            F.round(
+                (F.pow("p", F.lit(_ALPHA)) / F.col("__qsum")) / F.col("p"), 6
+            ).alias("boost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty / memorization-risk scoring
+# ---------------------------------------------------------------------------
+
+_NOVELTY_TOP = 20
+_NOVELTY_SHINGLE_SQL = """
+list_distinct(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 3
+    THEN []::VARCHAR[]
+    ELSE list_transform(
+        generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+        i -> array_to_string(
+            (regexp_split_to_array(trim(text), '\\s+'))[i:i+2], ' '))
+    END)
+"""
+
+_NOVELTY_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, unnest({_NOVELTY_SHINGLE_SQL}) AS s FROM documents
+),
+census AS (
+    SELECT s, count(DISTINCT doc_id)::BIGINT AS df FROM sh GROUP BY s
+),
+scored AS (
+    SELECT sh.doc_id,
+           count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN c.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+    FROM sh JOIN census c USING (s)
+    GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       round(n_novel / n_shingles::DOUBLE, 6) AS novelty
+FROM scored
+ORDER BY novelty ASC, doc_id ASC
+LIMIT {_NOVELTY_TOP}
+"""
+
+
+@register(
+    "ngram_novelty_scores",
+    oracle=_NOVELTY_ORACLE,
+    tags=("cleaning", "memorization", "dedup"),
+)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk scoring: each document's novelty = the share
+    of its distinct 3-gram shingles that appear in NO other document;
+    the 20 LEAST-novel documents surface the boilerplate/quotation
+    tail a curation pass reviews for memorization risk (near-zero
+    novelty = the document is assembled from text that exists
+    elsewhere in the corpus).
+
+    Plan: one distinct (doc, shingle) explode feeding a
+    map-side-combinable shingle census, scored back through
+    _scoring_join (broadcast under the vocab cutover, shuffle join
+    beyond — the shingle table is the thing that outgrows RAM at
+    100 TB), then a per-doc aggregate. Same two-pass LM-scoring shape
+    as unigram_perplexity_scores."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.shingles(TX.tokens("text"), n=3))
+        ).alias("s"),
+    )
+    census = sh.groupBy("s").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        _scoring_join(sh, census, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") / F.col("n_shingles").cast("double"), 6),
+        )
+        .orderBy(F.col("novelty").asc(), F.col("doc_id").asc())
+        .limit(_NOVELTY_TOP)
+    )

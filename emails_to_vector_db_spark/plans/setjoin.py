@@ -110,3 +110,85 @@ def prefix_filter_jaccard_join_q(
         "union_sz",
         F.round("jaccard", 6).alias("jaccard"),
     )
+
+
+_CONTAIN_TAU = 0.9
+
+_CONTAIN_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_DUP_OFFSET} AS doc_id, text || ' zzduptoken' AS text
+    FROM documents WHERE doc_id < {_N_PLANT}
+),
+toks AS (
+    SELECT doc_id, unnest(
+        list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+            ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                 i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END)
+    ) AS token
+    FROM docs
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+    FROM toks a JOIN toks b
+      ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       least(sa.sz, sb.sz) AS min_sz,
+       round(i.inter / least(sa.sz, sb.sz)::DOUBLE, 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter / least(sa.sz, sb.sz)::DOUBLE >= {_CONTAIN_TAU}
+"""
+
+
+@register(
+    "containment_near_supersets",
+    oracle=_CONTAIN_ORACLE,
+    tags=("dedup", "setsim", "join", "containment", "exact"),
+)
+def containment_near_supersets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT near-superset detection: all pairs whose shingle OVERLAP
+    COEFFICIENT |A∩B| / min(|A|,|B|) ≥ 0.9 — the containment lane
+    beside the Jaccard join (the planted dup chains are literal
+    supersets: original + ' zzduptoken' ⇒ containment 1.0 even where
+    the union-diluted Jaccard dips). Quotation and boilerplate-wrapped
+    inclusion is what this catches at corpus scale and Jaccard
+    structurally cannot.
+
+    Recall 1 by the adapted prefix theorem (smaller side's rarest
+    prefix must hit the larger side's postings —
+    operators/setsim.py::prefix_filter_containment_join); the
+    brute-force oracle makes a hash match a zero-miss proof on this
+    corpus."""
+    from emails_to_vector_db_spark.operators.setsim import (
+        prefix_filter_containment_join,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text").unionByName(
+        d.where(F.col("doc_id") < _N_PLANT).select(
+            (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzduptoken")).alias("text"),
+        )
+    )
+    doc_tokens = spread(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.shingles(TX.tokens("text"), n=3))
+        ).alias("token"),
+    )
+    res = prefix_filter_containment_join(doc_tokens, tau=_CONTAIN_TAU)
+    return res.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "min_sz",
+        F.round("containment", 6).alias("containment"),
+    )

@@ -859,3 +859,105 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(viol) / F.sum("group_size").cast("double"), 6
         ).alias("reidentifiable_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (PSI) — distribution drift between periods
+# ---------------------------------------------------------------------------
+
+_PSI_BIN_W = 50.0
+_PSI_BINS = 10
+
+_PSI_ORACLE = f"""
+WITH ev AS (
+    SELECT epoch_us(ts) AS us, value FROM events
+),
+mid AS (
+    SELECT CAST(floor((min(us) + max(us)) / 2.0) AS BIGINT) AS mid FROM ev
+),
+binned AS (
+    SELECT least({_PSI_BINS - 1},
+                 greatest(0, CAST(floor(value / {_PSI_BIN_W}) AS INT))) AS bin,
+           CASE WHEN e.us <= m.mid THEN 1 ELSE 0 END AS in_a
+    FROM ev e CROSS JOIN mid m
+),
+cells AS (
+    SELECT b.bin,
+           coalesce(sum(x.in_a), 0)::BIGINT AS n_a,
+           coalesce(sum(1 - x.in_a), 0)::BIGINT AS n_b
+    FROM (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin) b
+    LEFT JOIN binned x ON x.bin = b.bin
+    GROUP BY b.bin
+),
+tot AS (SELECT sum(n_a)::DOUBLE AS ta, sum(n_b)::DOUBLE AS tb FROM cells)
+SELECT c.bin, c.n_a, c.n_b,
+       round(((c.n_b + 1) / (t.tb + {_PSI_BINS})
+              - (c.n_a + 1) / (t.ta + {_PSI_BINS}))
+             * ln(((c.n_b + 1) / (t.tb + {_PSI_BINS}))
+                  / ((c.n_a + 1) / (t.ta + {_PSI_BINS}))), 6)
+           AS psi_contrib
+FROM cells c CROSS JOIN tot t
+"""
+
+
+@register(
+    "psi_value_drift",
+    oracle=_PSI_ORACLE,
+    tags=("stats", "drift", "monitoring"),
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the event-value distribution
+    between the first and second half of the observation window — the
+    standard production drift monitor beside the KS test above
+    (PSI < 0.1 stable, > 0.25 action). Per-bin contributions are
+    emitted (their sum IS the PSI), add-one smoothed so empty bins
+    stay defined.
+
+    Plan: one corpus-scale (side, bin) contingency aggregation
+    (map-side combinable, 20 cells), the period midpoint and totals as
+    broadcast 1-row aggregates — the corpus is scanned twice (midpoint
+    + binning), never shuffled beyond the 20-cell agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"), "value"
+    )
+    mid = ev.agg(
+        F.floor((F.min("us") + F.max("us")) / 2.0).cast("long").alias("mid")
+    )
+    bin_col = F.least(
+        F.lit(_PSI_BINS - 1),
+        F.greatest(
+            F.lit(0), F.floor(F.col("value") / _PSI_BIN_W).cast("int")
+        ),
+    )
+    binned = ev.crossJoin(F.broadcast(mid)).select(
+        bin_col.alias("bin"),
+        (F.col("us") <= F.col("mid")).cast("int").alias("in_a"),
+    )
+    bins = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    cells = (
+        bins.join(
+            binned.groupBy("bin").agg(
+                F.sum("in_a").alias("n_a"),
+                F.sum(1 - F.col("in_a")).alias("n_b"),
+            ),
+            "bin",
+            "left",
+        )
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_a").cast("double").alias("ta"),
+        F.sum("n_b").cast("double").alias("tb"),
+    )
+    pa = (F.col("n_a") + 1) / (F.col("ta") + _PSI_BINS)
+    pb = (F.col("n_b") + 1) / (F.col("tb") + _PSI_BINS)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_contrib"),
+    )

@@ -318,3 +318,52 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(terms, k=20, capacity=256).select(
         F.col("item").alias("term"), "freq"
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-economics audit: bytes per token by (source, lang)
+# ---------------------------------------------------------------------------
+
+_BPT_ORACLE = """
+SELECT source, lang,
+       count(*)::BIGINT AS n_docs,
+       sum(strlen(text))::BIGINT AS total_bytes,
+       sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+           AS total_tokens,
+       round(sum(strlen(text))
+             / sum(len(regexp_split_to_array(trim(text), '\\s+')))::DOUBLE,
+             6) AS bytes_per_token
+FROM documents
+GROUP BY source, lang
+"""
+
+
+@register(
+    "bytes_per_token_by_source",
+    oracle=_BPT_ORACLE,
+    tags=("text", "tokenizer", "audit"),
+)
+def bytes_per_token_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer economics per (source, lang): bytes of raw text per
+    whitespace token — the compression-ratio table a training budget is
+    priced from (a source whose bytes/token is 2× the corpus mean costs
+    2× the storage and bandwidth per training token; per-language BPE
+    fertility lives in bpe_fertility_by_lang, this is its raw-byte
+    counterpart).
+
+    Plan: pure scan projections into one map-side-combinable
+    (source, lang) aggregate — zero joins, one shuffle of cell rows."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("total_bytes"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(
+            F.sum(F.octet_length("text"))
+            / F.sum(n_tok).cast("double"),
+            6,
+        ).alias("bytes_per_token"),
+    )

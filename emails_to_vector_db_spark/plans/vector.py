@@ -193,6 +193,69 @@ def knn_join_multi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HARDNEG_ORACLE = f"""
+WITH probes AS (
+    SELECT vec_id AS probe_id, label AS probe_label,
+           embedding::DOUBLE[] AS q
+    FROM embeddings WHERE vec_id < {N_PROBES}
+),
+scored AS (
+    SELECT p.probe_id, e.vec_id,
+           list_distance(e.embedding::DOUBLE[], p.q) AS dist,
+           row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], p.q) ASC,
+                        e.vec_id ASC
+           ) AS rn
+    FROM embeddings e JOIN probes p ON e.label <> p.probe_label
+)
+SELECT probe_id, vec_id, round(dist, 6) AS distance
+FROM scored WHERE rn <= {K}
+"""
+
+
+@register(
+    "hard_negative_mining",
+    oracle=_HARDNEG_ORACLE,
+    tags=("vector", "knn", "contrastive", "training-data"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each probe, the k
+    NEAREST vectors with a DIFFERENT label — the standard mining step
+    for embedding-model training data (closest wrong-class examples
+    make the strongest negatives). The label inequality is the join
+    predicate itself, so candidates are pruned before any distance is
+    computed.
+
+    Plan: probes broadcast (queries are small by definition), label
+    filter + distance map-side, one per-probe window top-k — the exact
+    knn_join shape with a theta predicate; at 100 TB the same
+    IVF-routed cutover as knn_join_adaptive applies (filter labels
+    after list intersection)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    pairs = (
+        emb.select("vec_id", "label", "embedding")
+        .join(
+            F.broadcast(probes),
+            F.col("label") != F.col("probe_label"),
+        )
+        .withColumn("dist", l2_distance("embedding", "probe_vec"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("probe_id", "vec_id", F.round("dist", 6).alias("distance"))
+    )
+
+
 _CUTOVER_ORACLE = f"""
 WITH probes AS (
     SELECT vec_id AS probe_id, embedding::DOUBLE[] AS q

@@ -122,3 +122,56 @@ def test_distributed_row_number_no_single_partition_window(spark):
     for line in plan.splitlines():
         if "Window " in line:
             assert "__pid" in line, f"unpartitioned window: {line}"
+
+
+def _brute_contain(docs: dict[int, set[str]], tau: float) -> dict:
+    out = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        inter = len(docs[a] & docs[b])
+        m = min(len(docs[a]), len(docs[b]))
+        if m and inter / m >= tau:
+            out[(a, b)] = (inter, m)
+    return out
+
+
+def _spark_contain(spark, docs: dict[int, set[str]], tau: float) -> dict:
+    from emails_to_vector_db_spark.operators.setsim import (
+        prefix_filter_containment_join,
+    )
+
+    rows = [(d, t) for d, toks in docs.items() for t in toks]
+    df = spark.createDataFrame(rows, ["doc_id", "token"])
+    res = prefix_filter_containment_join(df, tau=tau).collect()
+    return {(r["doc_a"], r["doc_b"]): (r["inter"], r["min_sz"]) for r in res}
+
+
+@pytest.mark.parametrize("tau", [0.5, 0.8, 0.9, 1.0])
+def test_containment_matches_brute_force_random(spark, tau):
+    rng = random.Random(77)
+    vocab = [f"t{i}" for i in range(60)]
+    docs = {}
+    for d in range(40):
+        docs[d] = set(rng.sample(vocab, rng.randint(3, 18)))
+    # adversarial plants: strict subset (tiny inside huge — the pair
+    # Jaccard misses), exact duplicate, and equal-size near-overlap
+    docs[100] = set(list(docs[0])[:3])
+    docs[101] = set(docs[1])
+    docs[102] = set(list(docs[2])[:-1]) | {"zzx"} if len(docs[2]) > 3 else docs[2]
+    assert _spark_contain(spark, docs, tau) == _brute_contain(docs, tau)
+
+
+def test_containment_subset_found_where_jaccard_misses(spark):
+    # 3-token subset of a 30-token doc: containment 1.0, Jaccard 0.1
+    big = {f"w{i}" for i in range(30)}
+    docs = {1: big, 2: set(list(big)[:3])}
+    assert _spark_contain(spark, docs, 0.9) == {(1, 2): (3, 3)}
+    assert _spark_pairs(spark, docs, 0.9) == {}
+
+
+def test_containment_boundary_inclusive(spark):
+    # inter=2, min=|{a,b}|=2 at tau=1.0 -> kept; removing one shared
+    # token drops it below
+    docs = {1: {"a", "b", "c", "d"}, 2: {"a", "b"}}
+    assert _spark_contain(spark, docs, 1.0) == {(1, 2): (2, 2)}
+    docs2 = {1: {"a", "x", "c", "d"}, 2: {"a", "b"}}
+    assert _spark_contain(spark, docs2, 1.0) == {}
