@@ -113,6 +113,7 @@ _NEVER_SAMPLED_FIRST = (
     "psi_value_drift",
     "bytes_per_token_by_source",
     "containment_near_supersets",
+    "ivfadc_ann_topk",
 )
 
 

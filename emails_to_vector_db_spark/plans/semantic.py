@@ -437,3 +437,200 @@ def pq_encode_udf(cbs: list[list[list[float]]]):
         return pd.Series(list(codes))
 
     return encode
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: IVF routing + PQ asymmetric-distance rerank (FAISS IVF,PQ shape)
+# ---------------------------------------------------------------------------
+
+
+def _pq_lut_sql(cbs: list[list[list[float]]]) -> str:
+    """The q-to-codeword distance lookup table as ONE parsed SQL string
+    (rule 18 — the Column-API construction costs thousands of py4j
+    round-trips): lut[s*K + c] = ||q_s − codebook[s][c]||², with the
+    identical zip_with/aggregate op tree as functions/vector.squared_l2
+    so the doubles are bit-equal to the oracle's fold."""
+
+    def _arr(vals) -> str:
+        return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
+
+    parts = []
+    for s in range(_PQ_DIM // _PQ_DSUB):
+        cb_sql = "array(" + ", ".join(_arr(cw) for cw in cbs[s]) + ")"
+        q_s = f"slice(q, {s * _PQ_DSUB + 1}, {_PQ_DSUB})"
+        parts.append(
+            f"transform({cb_sql}, cw -> aggregate("
+            f"zip_with({q_s}, cw, (x, y) -> (x - y) * (x - y)), "
+            f"cast(0.0 as double), (acc, vv) -> acc + vv))"
+        )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _adc_sum() -> "F.Column":
+    """Asymmetric distance: one lut lookup per subspace, summed
+    left-to-right in subspace order (bit-equal to the oracle's
+    ordered-list fold)."""
+    adist = None
+    for s in range(_PQ_M):
+        d_s = F.element_at(
+            "lut", F.lit(s * _PQ_K) + F.element_at("codes", s + 1) + 1
+        )
+        adist = d_s if adist is None else adist + d_s
+    return adist
+
+
+def _ivfadc_oracle() -> str:
+    from emails_to_vector_db_spark.plans.vector import (
+        _embeddings_rows,
+        _ivf_centroids,
+        _ivf_k,
+        _IVF_NPROBE,
+        _ORACLE_SF_DIR as _VEC_ORACLE_SF,
+    )
+
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_VEC_ORACLE_SF)))
+    cent_values = ", ".join(
+        f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    cbs = _pq_codebooks()
+    cb_values = ", ".join(
+        f"({s}, {c}, {cw}::DOUBLE[])"
+        for s, cb in enumerate(cbs)
+        for c, cw in enumerate(cb)
+    )
+    sqd = (
+        f"list_sum(list_transform(generate_series(1, {_PQ_DSUB}), "
+        f"i -> (b.v[cb.sub_idx * {_PQ_DSUB} + i] - cb.cvec[i]) "
+        f"* (b.v[cb.sub_idx * {_PQ_DSUB} + i] - cb.cvec[i])))"
+    )
+    qd = (
+        f"list_sum(list_transform(generate_series(1, {_PQ_DSUB}), "
+        f"i -> (p.q[e.sub_idx * {_PQ_DSUB} + i] - cb.cvec[i]) "
+        f"* (p.q[e.sub_idx * {_PQ_DSUB} + i] - cb.cvec[i])))"
+    )
+    return f"""
+WITH cents AS (
+    SELECT * FROM (VALUES {cent_values}) AS t(cid, c)
+),
+cb AS (
+    SELECT * FROM (VALUES {cb_values}) AS t(sub_idx, code, cvec)
+),
+base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+base_assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_distance(b.v, c.c) ASC, c.cid ASC
+               ) AS rnk
+        FROM base b CROSS JOIN cents c
+    ) WHERE rnk = 1
+),
+probe_lists AS (
+    SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (
+                   ORDER BY list_distance(b.v, c.c) ASC, c.cid ASC
+               ) AS rnk
+        FROM base b CROSS JOIN cents c
+        WHERE b.vec_id = {PROBE_ID}
+    ) WHERE rnk <= {_IVF_NPROBE}
+),
+enc AS (
+    SELECT vec_id, sub_idx, code FROM (
+        SELECT b.vec_id, cb.sub_idx, cb.code,
+               row_number() OVER (
+                   PARTITION BY b.vec_id, cb.sub_idx
+                   ORDER BY {sqd} ASC, cb.code ASC
+               ) AS rnk
+        FROM base b CROSS JOIN cb
+    ) WHERE rnk = 1
+),
+probe AS (
+    SELECT v AS q FROM base WHERE vec_id = {PROBE_ID}
+),
+contrib AS (
+    SELECT e.vec_id, e.sub_idx, {qd} AS d
+    FROM enc e
+    JOIN base_assign ba ON ba.vec_id = e.vec_id
+    JOIN cb ON cb.sub_idx = e.sub_idx AND cb.code = e.code
+    CROSS JOIN probe p
+    WHERE ba.cid IN (SELECT cid FROM probe_lists)
+),
+scored AS (
+    SELECT vec_id, list_sum(list(d ORDER BY sub_idx)) AS adist
+    FROM contrib GROUP BY vec_id
+)
+SELECT vec_id, round(adist, 6) + 0.0 AS adistance
+FROM scored WHERE vec_id <> {PROBE_ID}
+ORDER BY adist ASC, vec_id ASC
+LIMIT {K}
+"""
+
+
+@register(
+    "ivfadc_ann_topk",
+    oracle=_ivfadc_oracle(),
+    tags=("vector", "ann", "ivf", "pq", "quantization"),
+)
+def ivfadc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the canonical large-scale ANN index (Jegou et al. 2011;
+    FAISS ``IVF{n},PQ{m}`` with by_residual=false): the IVF coarse
+    quantizer routes the probe to its nprobe nearest inverted lists,
+    and candidates inside those lists are ranked by PQ asymmetric
+    distance (full-precision query vs 40-bit codes) — compression AND
+    pruning composed, both index artifacts persisted and replayed as
+    literals in the DuckDB oracle, so the end-to-end approximate
+    pipeline is hash-checked.
+
+    Plan: the base row's list id is a scan-time expression
+    (assign_centroid literals), its codes one Arrow encode lane; the
+    probe row alone carries the broadcast 8×32 distance LUT plus its
+    probed-list array, so candidate filtering (array_contains) and the
+    8-lookup ADC sum are all map-side — ZERO shuffles, one
+    TakeOrderedAndProject. At 100 TB this is the search plan: scan the
+    16×-smaller code table, touch only nprobe/nlists of it."""
+    from emails_to_vector_db_spark.operators.ivf import (
+        assign_centroid,
+        nearest_centroids,
+    )
+    from emails_to_vector_db_spark.plans.vector import (
+        _embeddings_rows,
+        _ivf_centroids,
+        _ivf_k,
+        _IVF_NPROBE,
+    )
+
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf_dir)))
+    cbs = _pq_codebooks()
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select(
+        "vec_id",
+        assign_centroid(v, cents).alias("cid"),
+        pq_encode_udf(cbs)(v).alias("codes"),
+    )
+    probe = F.broadcast(
+        emb.where(F.col("vec_id") == PROBE_ID)
+        .select(v.alias("q"))
+        .select(
+            F.expr(_pq_lut_sql(cbs)).alias("lut"),
+            nearest_centroids(F.col("q"), cents, _IVF_NPROBE).alias(
+                "probed"
+            ),
+        )
+    )
+    return (
+        base.crossJoin(probe)
+        .where(F.array_contains("probed", F.col("cid")))
+        .where(F.col("vec_id") != PROBE_ID)
+        .withColumn("adist", _adc_sum())
+        .orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+        .limit(K)
+        .select(
+            "vec_id",
+            (F.round("adist", 6) + F.lit(0.0)).alias("adistance"),
+        )
+    )

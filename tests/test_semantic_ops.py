@@ -141,3 +141,73 @@ def test_semantic_cluster_count_self_tunes():
 @pytest.mark.parametrize("name", ["semantic_dedup_prune", "pq_ann_topk"])
 def test_new_queries_registered_with_oracles(name):
     assert REGISTRY[name].oracle
+
+
+def test_ivfadc_subset_of_pq_ordering(spark):
+    """IVFADC = the PQ ADC ordering restricted to the probed IVF lists:
+    every returned id must carry the same adistance the full-space PQ
+    search assigns it, and dropping the IVF filter (nprobe = all lists)
+    must reproduce pq_ann_topk's top-5 exactly."""
+    res = REGISTRY["ivfadc_ann_topk"].fn(spark, SF_ORACLE).collect()
+    assert len(res) == 5
+    ivfadc = {r.vec_id: r.adistance for r in res}
+
+    pq_full = {
+        r.vec_id: r.adistance
+        for r in REGISTRY["pq_ann_topk"].fn(spark, SF_ORACLE).collect()
+    }
+    # shared ids agree on the ADC value bit-for-bit (same codebooks,
+    # same LUT construction)
+    for vid, d in ivfadc.items():
+        if vid in pq_full:
+            assert d == pq_full[vid]
+
+    # with every list probed, IVFADC degenerates to IndexPQ
+    from emails_to_vector_db_spark.operators.ivf import (
+        assign_centroid,
+        nearest_centroids,
+    )
+    from emails_to_vector_db_spark.plans.semantic import (
+        _adc_sum,
+        _pq_lut_sql,
+        pq_encode_udf,
+    )
+    from emails_to_vector_db_spark.plans.vector import (
+        PROBE_ID,
+        _embeddings_rows,
+        _ivf_centroids,
+        _ivf_k,
+    )
+    from emails_to_vector_db_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(SF_ORACLE)))
+    cbs = _pq_codebooks()
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select(
+        "vec_id",
+        assign_centroid(v, cents).alias("cid"),
+        pq_encode_udf(cbs)(v).alias("codes"),
+    )
+    probe = F.broadcast(
+        emb.where(F.col("vec_id") == PROBE_ID)
+        .select(v.alias("q"))
+        .select(
+            F.expr(_pq_lut_sql(cbs)).alias("lut"),
+            nearest_centroids(F.col("q"), cents, len(cents)).alias(
+                "probed"
+            ),
+        )
+    )
+    all_lists = (
+        base.crossJoin(probe)
+        .where(F.array_contains("probed", F.col("cid")))
+        .where(F.col("vec_id") != PROBE_ID)
+        .withColumn("adist", _adc_sum())
+        .orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", (F.round("adist", 6) + F.lit(0.0)).alias("a"))
+        .collect()
+    )
+    assert {r.vec_id: r.a for r in all_lists} == pq_full
