@@ -114,6 +114,7 @@ _NEVER_SAMPLED_FIRST = (
     "bytes_per_token_by_source",
     "containment_near_supersets",
     "ivfadc_ann_topk",
+    "adaboost_stumps",
 )
 
 

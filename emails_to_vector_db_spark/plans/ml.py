@@ -545,3 +545,184 @@ def softmax_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("r")
     return wide.select(per_class).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# AdaBoost decision stumps — the ensemble-tree lane beside the GD classifiers
+# ---------------------------------------------------------------------------
+
+_ADA_ROUNDS = 3
+_ADA_FEATURES = (1, 2, 3, 4)  # embedding dims (1-based, both engines)
+_ADA_THRESHOLDS = (-0.4, -0.2, 0.0, 0.2, 0.4)
+_ADA_EPS = 1e-12
+
+
+def _ada_candidates() -> list[tuple[int, int, float, float]]:
+    """(cand_id, feature_idx, threshold, polarity) — the fixed literal
+    stump grid, identical in the Spark plan and the DuckDB oracle."""
+    out = []
+    cid = 0
+    for f in _ADA_FEATURES:
+        for thr in _ADA_THRESHOLDS:
+            for pol in (1.0, -1.0):
+                out.append((cid, f, thr, pol))
+                cid += 1
+    return out
+
+
+def _ada_oracle() -> str:
+    cand_values = ", ".join(
+        f"({cid}, {f}, {thr}::DOUBLE, {pol}::DOUBLE)"
+        for cid, f, thr, pol in _ada_candidates()
+    )
+
+    def h(alias: str) -> str:
+        return (
+            f"{alias}.pol * (CASE WHEN b.v[{alias}.f] > {alias}.thr "
+            "THEN 1.0 ELSE -1.0 END)"
+        )
+
+    def round_cte(t: int, weight_sql: str) -> str:
+        return f"""
+r{t}err AS (
+    SELECT c.cand_id, c.f, c.thr, c.pol,
+           round(sum(({weight_sql})
+                     * (CASE WHEN c.pol * (CASE WHEN b.v[c.f] > c.thr
+                                           THEN 1.0 ELSE -1.0 END) * b.y < 0
+                        THEN 1.0 ELSE 0.0 END))
+                 / sum({weight_sql}), 6) AS err
+    FROM base b CROSS JOIN cands c
+    {"CROSS JOIN r1 CROSS JOIN r2" if t == 3 else ("CROSS JOIN r1" if t == 2 else "")}
+    GROUP BY 1, 2, 3, 4
+),
+r{t} AS (
+    SELECT cand_id, f, thr, pol, err,
+           round(0.5 * ln((1 - err + {_ADA_EPS}) / (err + {_ADA_EPS})), 6)
+               AS alpha
+    FROM r{t}err ORDER BY err ASC, cand_id ASC LIMIT 1
+)"""
+
+    w1 = "1.0"
+    w2 = f"exp(-b.y * r1.alpha * ({h('r1')}))"
+    w3 = (
+        f"exp(-b.y * (r1.alpha * ({h('r1')}) + r2.alpha * ({h('r2')})))"
+    )
+    return f"""
+WITH cands AS (
+    SELECT * FROM (VALUES {cand_values}) AS t(cand_id, f, thr, pol)
+),
+base AS (
+    SELECT embedding::DOUBLE[] AS v,
+           CASE WHEN label = 0 THEN 1.0 ELSE -1.0 END AS y
+    FROM embeddings
+),{round_cte(1, w1)},{round_cte(2, w2)},{round_cte(3, w3)}
+SELECT 1::BIGINT AS round, f::BIGINT AS feature_idx, thr AS threshold,
+       pol AS polarity, alpha, err AS weighted_error FROM r1
+UNION ALL
+SELECT 2, f, thr, pol, alpha, err FROM r2
+UNION ALL
+SELECT 3, f, thr, pol, alpha, err FROM r3
+"""
+
+
+@register(
+    "adaboost_stumps",
+    oracle=_ada_oracle(),
+    tags=("ml", "boosting", "iterative"),
+)
+def adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost over decision stumps (3 rounds, 40-candidate grid:
+    4 embedding dims × 5 thresholds × 2 polarities; target label=0 vs
+    rest) — the ensemble-tree member of the in-engine ML lane beside
+    the GD classifiers, with the TRAINING TRAJECTORY itself
+    hash-checked: each round's chosen (feature, threshold, polarity),
+    its weighted error, and its vote weight alpha, errors and alphas
+    6dp-quantized per round (the logreg determinism contract) so the
+    DuckDB replay is exact.
+
+    Plan (the logreg shape, no driver sync): each round is ONE corpus
+    aggregation — the candidate grid broadcast-cross-joins the cached
+    feature rows, so all 40 weighted errors ride one map-side-combined
+    pass; the argmin is a min_by over the 40-row error table; the
+    chosen stump cross-joins back as a 1-row model that the next
+    round's weight expression exp(-y·Σ alpha·h) references. Rounds
+    unroll lazily — Catalyst sees the whole trajectory; per-round
+    shuffle traffic is 40 candidate cells, never rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.when(F.col("label") == 0, 1.0).otherwise(-1.0).alias("y"),
+    ).cache()
+    cands = F.broadcast(
+        spark.createDataFrame(
+            _ada_candidates(), "cand_id int, f int, thr double, pol double"
+        )
+    )
+
+    def h(f_col, thr_col, pol_col):
+        return pol_col * F.when(
+            F.element_at("v", f_col) > thr_col, 1.0
+        ).otherwise(-1.0)
+
+    # model: 1-row DataFrame growing (f_t, thr_t, pol_t, alpha_t, err_t)
+    model = spark.range(1).select(F.lit(0).alias("__m"))
+    chosen_cols: list[str] = []
+    for t in range(1, _ADA_ROUNDS + 1):
+        joined = base.crossJoin(F.broadcast(model)).crossJoin(cands)
+        margin = F.lit(0.0)
+        for s in range(1, t):
+            margin = margin + F.col(f"alpha_{s}") * h(
+                F.col(f"f_{s}"), F.col(f"thr_{s}"), F.col(f"pol_{s}")
+            )
+        wgt = F.exp(-F.col("y") * margin)
+        mismatch = (
+            h(F.col("f"), F.col("thr"), F.col("pol")) * F.col("y") < 0
+        ).cast("double")
+        group_keys = ["__m"] + chosen_cols
+        errs = (
+            joined.groupBy(*group_keys, "cand_id", "f", "thr", "pol")
+            .agg(
+                F.round(
+                    F.sum(wgt * mismatch) / F.sum(wgt), _ROUND
+                ).alias("err")
+            )
+        )
+        pick = F.min_by(
+            F.struct("f", "thr", "pol", "err"),
+            F.struct("err", "cand_id"),
+        ).alias("pick")
+        model = (
+            errs.groupBy(*group_keys)
+            .agg(pick)
+            .select(
+                *group_keys,
+                F.col("pick.f").alias(f"f_{t}"),
+                F.col("pick.thr").alias(f"thr_{t}"),
+                F.col("pick.pol").alias(f"pol_{t}"),
+                F.col("pick.err").alias(f"err_{t}"),
+                F.round(
+                    0.5
+                    * F.log(
+                        (1 - F.col("pick.err") + _ADA_EPS)
+                        / (F.col("pick.err") + _ADA_EPS)
+                    ),
+                    _ROUND,
+                ).alias(f"alpha_{t}"),
+            )
+        )
+        chosen_cols += [f"f_{t}", f"thr_{t}", f"pol_{t}", f"err_{t}",
+                        f"alpha_{t}"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("long").alias("round"),
+                F.col(f"f_{t}").cast("long").alias("feature_idx"),
+                F.col(f"thr_{t}").alias("threshold"),
+                F.col(f"pol_{t}").alias("polarity"),
+                F.col(f"alpha_{t}").alias("alpha"),
+                F.col(f"err_{t}").alias("weighted_error"),
+            )
+            for t in range(1, _ADA_ROUNDS + 1)
+        ]
+    )
+    return model.select(F.explode(rows).alias("r")).select("r.*")

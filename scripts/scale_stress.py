@@ -169,6 +169,14 @@ def main() -> None:
         # round-4 session additions
         "rfm_customer_segments_approx",
         "knn_join_probe_cutover",
+        "hard_negative_mining",
+        "alpha_mixing_weights",
+        "ngram_novelty_scores",
+        "psi_value_drift",
+        "bytes_per_token_by_source",
+        "containment_near_supersets",
+        "ivfadc_ann_topk",
+        "adaboost_stumps",
     ):
         bench[extra] = REGISTRY[extra]
     for name, spec in sorted(bench.items()):
