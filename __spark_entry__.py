@@ -115,6 +115,7 @@ _NEVER_SAMPLED_FIRST = (
     "containment_near_supersets",
     "ivfadc_ann_topk",
     "adaboost_stumps",
+    "winnowing_fingerprint_pairs",
 )
 
 

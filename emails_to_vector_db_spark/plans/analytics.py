@@ -957,6 +957,7 @@ CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS quartile) q
     "rfm_customer_segments_approx",
     oracle=_RFM_APPROX_ORACLE,
     tags=("analytics", "rfm", "approx"),
+    bench=True,
 )
 def rfm_customer_segments_approx(
     spark: SparkSession, sf_dir: str
@@ -977,7 +978,12 @@ def rfm_customer_segments_approx(
     three global sorts become one sketch aggregation plus a map-side
     code assignment.
     """
+    from pyspark import StorageLevel
+
     orders = load_table(spark, sf_dir, "orders")
+    # per-customer rows (≪ orders), consumed by the fence training agg,
+    # the coding pass, and the n_total agg — persisted so the orders
+    # scan + customer aggregation run once (rule 10)
     cust = orders.groupBy("o_custkey").agg(
         F.datediff(
             F.lit(_RFM_REF_DATE).cast("date"),
@@ -985,7 +991,7 @@ def rfm_customer_segments_approx(
         ).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # ascending composites; quartile 1 = best on every axis (most
     # recent / most frequent / highest spend), matching the exact form
     tie = F.col("o_custkey").cast("double") / F.lit(1e9)

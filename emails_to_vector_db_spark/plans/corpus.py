@@ -896,6 +896,7 @@ FROM shares
     "alpha_mixing_weights",
     oracle=_ALPHA_MIX_ORACLE,
     tags=("cleaning", "mixing", "sampling"),
+    bench=True,
 )
 def alpha_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing (the mT5 alpha-sampling recipe,
@@ -910,12 +911,15 @@ def alpha_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     SOURCE-cardinality table (no global window, same discipline as
     source_mixing_weights)."""
     d = load_table(spark, sf_dir, "documents")
+    # |sources| rows, consumed by three branches (totals, q-normalizer,
+    # final projection) — persisted so the corpus token-count scan runs
+    # ONCE, not once per branch (rule 10)
     per_source = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias(
             "src_tokens"
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = per_source.agg(
         F.sum("src_tokens").cast("double").alias("__tot")
     )
@@ -981,6 +985,7 @@ LIMIT {_NOVELTY_TOP}
     "ngram_novelty_scores",
     oracle=_NOVELTY_ORACLE,
     tags=("cleaning", "memorization", "dedup"),
+    bench=True,
 )
 def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memorization-risk scoring: each document's novelty = the share
@@ -1029,4 +1034,110 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("novelty").asc(), F.col("doc_id").asc())
         .limit(_NOVELTY_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS): guaranteed-detection document fingerprints
+# ---------------------------------------------------------------------------
+
+_WIN_K = 4  # tokens per k-gram
+_WIN_W = 5  # window of consecutive k-gram hashes per selected fingerprint
+_WIN_MIN_SHARED = 2
+_WIN_TOP = 20
+
+_WIN_KG_SQL = f"""
+list_transform(
+    generate_series(1, len({_TOKENS_SQL}) - {_WIN_K - 1}),
+    i -> md5(array_to_string(({_TOKENS_SQL})[i:i + {_WIN_K - 1}], ' ')))
+"""
+
+_WIN_ORACLE = f"""
+WITH docs AS ({_DOCS_CHAIN_SQL}),
+kg AS (
+    SELECT doc_id, {_WIN_KG_SQL} AS kg FROM docs
+    WHERE len({_TOKENS_SQL}) >= {_WIN_K}
+),
+sel AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, len(kg) - {_WIN_W - 1}),
+               j -> list_min(kg[j:j + {_WIN_W - 1}])))) AS fp
+    FROM kg WHERE len(kg) >= {_WIN_W}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::BIGINT AS shared_fps
+FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_WIN_MIN_SHARED}
+ORDER BY shared_fps DESC, doc_a ASC, doc_b ASC
+LIMIT {_WIN_TOP}
+"""
+
+
+@register(
+    "winnowing_fingerprint_pairs",
+    oracle=_WIN_ORACLE,
+    tags=("dedup", "fingerprint", "winnowing", "moss"),
+    bench=True,
+)
+def winnowing_fingerprint_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS scheme): hash every 4-token k-gram, slide a 5-hash window,
+    select each window's minimum; the selected set is a tiny sketch
+    with the GUARANTEE that any shared run of ≥ w+k−1 tokens yields at
+    least one shared fingerprint. Reported: the 20 document pairs
+    sharing the most fingerprints (the planted dup chains surface with
+    near-total overlap) — the copy-detection primitive between
+    span-exact dedup (fixed spans, no guarantee across offsets) and
+    MinHash (whole-doc similarity, no locality).
+
+    Plan: the k-gram hashing and window-minimum selection are pure
+    array expressions inside the scan (zero shuffle until fingerprints
+    exist — and the selected density is ~2/(w+1) of the k-gram count,
+    so the exploded stream is ~3× SMALLER than the token stream); the
+    pair join keys on selected fingerprints only. At 100 TB the
+    fingerprint census inherits the rule-13 contract: pair LISTING for
+    audits, cluster labeling for the dedup pass itself."""
+    from emails_to_vector_db_spark.operators.dedup import spread
+
+    # the k-gram md5 + window-minimum expressions are interpreted
+    # higher-order folds (rule 19) and the fixture arrives as 1-3
+    # splits — spread() buys full-width CPU (rule 4): 11s → 4.3s warm
+    # at sf0.1; if this becomes a hot path the named next step is the
+    # Arrow lane (hashlib md5 + numpy sliding-min per batch)
+    docs = spread(_docs_with_chained_dups(spark, sf_dir))
+    T = F.split(F.trim(F.col("text")), r"\s+")
+    kg = F.transform(
+        F.sequence(F.lit(1), F.size(T) - (_WIN_K - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(T, i, _WIN_K))),
+    )
+    sel_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("kg") - (_WIN_W - 1)),
+            lambda j: F.array_min(F.slice("kg", j, _WIN_W)),
+        )
+    )
+    sel = (
+        docs.where(F.size(T) >= _WIN_K)
+        .select("doc_id", kg.alias("kg"))
+        .where(F.size("kg") >= _WIN_W)
+        .select("doc_id", F.explode(sel_expr).alias("fp"))
+    )
+    a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = sel.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= _WIN_MIN_SHARED)
+        .orderBy(
+            F.col("shared_fps").desc(),
+            F.col("doc_a").asc(),
+            F.col("doc_b").asc(),
+        )
+        .limit(_WIN_TOP)
     )

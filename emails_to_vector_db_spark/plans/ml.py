@@ -629,6 +629,7 @@ SELECT 3, f, thr, pol, alpha, err FROM r3
     "adaboost_stumps",
     oracle=_ada_oracle(),
     tags=("ml", "boosting", "iterative"),
+    bench=True,
 )
 def adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AdaBoost over decision stumps (3 rounds, 40-candidate grid:

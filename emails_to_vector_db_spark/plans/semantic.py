@@ -574,6 +574,7 @@ LIMIT {K}
     "ivfadc_ann_topk",
     oracle=_ivfadc_oracle(),
     tags=("vector", "ann", "ivf", "pq", "quantization"),
+    bench=True,
 )
 def ivfadc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the canonical large-scale ANN index (Jegou et al. 2011;

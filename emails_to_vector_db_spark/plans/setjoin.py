@@ -150,6 +150,7 @@ WHERE i.inter / least(sa.sz, sb.sz)::DOUBLE >= {_CONTAIN_TAU}
     "containment_near_supersets",
     oracle=_CONTAIN_ORACLE,
     tags=("dedup", "setsim", "join", "containment", "exact"),
+    bench=True,
 )
 def containment_near_supersets(
     spark: SparkSession, sf_dir: str

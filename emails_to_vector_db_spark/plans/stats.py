@@ -904,6 +904,7 @@ FROM cells c CROSS JOIN tot t
     "psi_value_drift",
     oracle=_PSI_ORACLE,
     tags=("stats", "drift", "monitoring"),
+    bench=True,
 )
 def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population stability index of the event-value distribution
@@ -934,6 +935,10 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("us") <= F.col("mid")).cast("int").alias("in_a"),
     )
     bins = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    from pyspark import StorageLevel
+
+    # 10 rows, consumed by the totals agg AND the final projection —
+    # persisted so the corpus binning scan runs once (rule 10)
     cells = (
         bins.join(
             binned.groupBy("bin").agg(
@@ -948,6 +953,7 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_a", F.lit(0)).alias("n_a"),
             F.coalesce("n_b", F.lit(0)).alias("n_b"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = cells.agg(
         F.sum("n_a").cast("double").alias("ta"),

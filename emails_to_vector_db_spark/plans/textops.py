@@ -342,6 +342,7 @@ GROUP BY source, lang
     "bytes_per_token_by_source",
     oracle=_BPT_ORACLE,
     tags=("text", "tokenizer", "audit"),
+    bench=True,
 )
 def bytes_per_token_by_source(
     spark: SparkSession, sf_dir: str

@@ -218,6 +218,7 @@ FROM scored WHERE rn <= {K}
     "hard_negative_mining",
     oracle=_HARDNEG_ORACLE,
     tags=("vector", "knn", "contrastive", "training-data"),
+    bench=True,
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training hard negatives: for each probe, the k
@@ -280,6 +281,7 @@ FROM scored WHERE rn <= {K}
     "knn_join_probe_cutover",
     oracle=_CUTOVER_ORACLE,
     tags=("vector", "knn", "ivf", "J3"),
+    bench=True,
 )
 def knn_join_probe_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LARGE-PROBE-SET plan for the KNN join, driver-checkable: the

@@ -177,6 +177,7 @@ def main() -> None:
         "containment_near_supersets",
         "ivfadc_ann_topk",
         "adaboost_stumps",
+        "winnowing_fingerprint_pairs",
     ):
         bench[extra] = REGISTRY[extra]
     for name, spec in sorted(bench.items()):

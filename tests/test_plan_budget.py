@@ -21,7 +21,18 @@ from tests.conftest import SF_ORACLE
 
 # name -> max shuffle exchanges (hash/range/single-partition)
 SHUFFLE_BUDGET = {
+    "adaboost_stumps": 6,  # 3 rounds x (40-cell err agg + 1-row argmin)
+    "alpha_mixing_weights": 4,  # per-source agg + 3 tiny-table re-aggs
     "asof_last_click_before_purchase": 1,
+    "bytes_per_token_by_source": 1,
+    "containment_near_supersets": 13,  # the prefix-filter family shape
+    "hard_negative_mining": 1,  # probe broadcast + per-probe window
+    "ivfadc_ann_topk": 0,  # scan-time cid + codes, broadcast LUT, TakeOrdered
+    "knn_join_probe_cutover": 1,  # IVF route: one per-probe window exchange
+    "ngram_novelty_scores": 2,  # shingle census + per-doc agg
+    "psi_value_drift": 3,  # 20-cell contingency agg + 2 tiny re-aggs
+    "rfm_customer_segments_approx": 4,  # cust agg + sketch + coding cells
+    "winnowing_fingerprint_pairs": 1,  # fp pair-join + pair agg
     "cohort_retention_matrix": 4,  # one corpus agg + cells/sizes re-aggs
     "curation_pipeline_e2e": 2,  # dedup groupBy + final stats agg only
     "mips_topk_augmented": 1,  # max-norm 1-row agg; search is TakeOrdered
