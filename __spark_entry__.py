@@ -116,6 +116,7 @@ _NEVER_SAMPLED_FIRST = (
     "ivfadc_ann_topk",
     "adaboost_stumps",
     "winnowing_fingerprint_pairs",
+    "streaming_psi_monitor",
 )
 
 

@@ -967,3 +967,189 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming PSI drift monitor: per-micro-batch drift vs a fixed reference
+# ---------------------------------------------------------------------------
+
+_STREAM_PSI_VERSION = 1
+
+
+def _stream_events_landing(sf_dir: str) -> str:
+    """Land events as THREE parquet files in ascending event_id order
+    with increasing mtimes — the deterministic micro-batch sequence the
+    file stream source replays (mtime then path ordering; the
+    _stream_dedup_landing convention). Only (event_id, value) is
+    landed, so the monitor is untouched by the events-timestamp
+    normalization concern."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        root, "spark-warehouse", f"stream_psi_v{_STREAM_PSI_VERSION}", sf
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    parts = [os.path.join(d, f"part{i}.parquet") for i in range(3)]
+    src_mtime = os.path.getmtime(src)
+    if all(
+        os.path.exists(p) and os.path.getmtime(p) >= src_mtime for p in parts
+    ):
+        return d
+    os.makedirs(d, exist_ok=True)
+    tbl = pq.read_table(src, columns=["event_id", "value"])
+    rows = sorted(zip(tbl["event_id"].to_pylist(), tbl["value"].to_pylist()))
+    n = len(rows)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        chunk = rows[cuts[i] : cuts[i + 1]]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in chunk], pa.int64()),
+                    "value": pa.array([r[1] for r in chunk], pa.float64()),
+                }
+            ),
+            parts[i],
+        )
+        os.utime(parts[i], (src_mtime + i + 1, src_mtime + i + 1))
+    return d
+
+
+_STREAM_PSI_ORACLE = f"""
+WITH n AS (SELECT count(*)::BIGINT AS n FROM events),
+batched AS (
+    SELECT least({_PSI_BINS - 1}, greatest(0,
+               CAST(floor(value / {_PSI_BIN_W}) AS INT))) AS bin,
+           CASE WHEN rn <= n.n // 3 THEN 0
+                WHEN rn <= (2 * n.n) // 3 THEN 1
+                ELSE 2 END AS batch_id
+    FROM (
+        SELECT value, row_number() OVER (ORDER BY event_id) AS rn
+        FROM events
+    ) CROSS JOIN n
+),
+cells AS (
+    SELECT g.batch_id, b.bin, coalesce(x.c, 0)::BIGINT AS c
+    FROM (SELECT unnest(generate_series(0, 2)) AS batch_id) g
+    CROSS JOIN (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin) b
+    LEFT JOIN (
+        SELECT batch_id, bin, count(*) AS c FROM batched GROUP BY 1, 2
+    ) x ON x.batch_id = g.batch_id AND x.bin = b.bin
+),
+tot AS (SELECT batch_id, sum(c)::DOUBLE AS t FROM cells GROUP BY batch_id),
+ref AS (
+    SELECT c.bin, (c.c + 1) / (t.t + {_PSI_BINS}) AS pa
+    FROM cells c JOIN tot t ON t.batch_id = c.batch_id
+    WHERE c.batch_id = 0
+)
+SELECT c.batch_id::BIGINT AS batch_id,
+       max(t.t)::BIGINT AS n_events,
+       round(sum(((c.c + 1) / (t.t + {_PSI_BINS}) - r.pa)
+                 * ln(((c.c + 1) / (t.t + {_PSI_BINS})) / r.pa)), 6) AS psi
+FROM cells c
+JOIN tot t ON t.batch_id = c.batch_id
+JOIN ref r ON r.bin = c.bin
+WHERE c.batch_id > 0
+GROUP BY c.batch_id
+"""
+
+
+@register(
+    "streaming_psi_monitor",
+    oracle=_STREAM_PSI_ORACLE,
+    tags=("streaming", "stats", "drift", "monitoring"),
+)
+def streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production drift monitoring as a STREAM: events arrive in
+    micro-batches (file stream, availableNow, one file per trigger —
+    the deterministic landing convention of streaming_dedup_ingest);
+    batch 0's value histogram becomes the FIXED reference
+    distribution, and every later batch's PSI against it is the
+    per-batch drift signal an ingest pipeline alerts on. The appended
+    state is ≤ batches × bins rows — sketch-sized, never event-sized —
+    and the deterministic batch sequence lets the DuckDB oracle replay
+    the whole monitor as a GROUP BY, so the streaming pipeline is
+    hash-checked, not rows-only (the streaming_cms_merge discipline
+    applied to the drift family)."""
+    import os
+    import shutil
+
+    landing = _stream_events_landing(sf_dir)
+    work = landing.rstrip("/") + "__psi_run"
+    shutil.rmtree(work, ignore_errors=True)  # deterministic re-runs
+    hist_dir = os.path.join(work, "hist")
+
+    bin_col = F.least(
+        F.lit(_PSI_BINS - 1),
+        F.greatest(
+            F.lit(0), F.floor(F.col("value") / _PSI_BIN_W).cast("int")
+        ),
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.select(bin_col.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit(batch_id).alias("batch_id"), "bin", "c")
+            .write.mode("append")
+            .parquet(hist_dir)
+        )
+
+    q = (
+        spark.readStream.schema("event_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    hist = spark.read.parquet(hist_dir)
+    grid = spark.range(3).select(
+        F.col("id").cast("int").alias("batch_id")
+    ).crossJoin(
+        spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    )
+    cells = (
+        grid.join(hist, ["batch_id", "bin"], "left")
+        .select(
+            "batch_id", "bin", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    tot = cells.groupBy("batch_id").agg(
+        F.sum("c").cast("double").alias("t")
+    )
+    wt = cells.join(tot, "batch_id").withColumn(
+        "p", (F.col("c") + 1) / (F.col("t") + _PSI_BINS)
+    )
+    ref = wt.where(F.col("batch_id") == 0).select(
+        "bin", F.col("p").alias("pa")
+    )
+    return (
+        wt.where(F.col("batch_id") > 0)
+        .join(F.broadcast(ref), "bin")
+        .groupBy("batch_id")
+        .agg(
+            F.max("t").cast("long").alias("n_events"),
+            F.round(
+                F.sum(
+                    (F.col("p") - F.col("pa"))
+                    * F.log(F.col("p") / F.col("pa"))
+                ),
+                6,
+            ).alias("psi"),
+        )
+        .select(
+            F.col("batch_id").cast("long").alias("batch_id"),
+            "n_events",
+            "psi",
+        )
+    )
