@@ -117,6 +117,11 @@ _NEVER_SAMPLED_FIRST = (
     "adaboost_stumps",
     "winnowing_fingerprint_pairs",
     "streaming_psi_monitor",
+    "welch_ttest_order_values",
+    "benford_first_digit_audit",
+    "lineitem_correlation_matrix",
+    "adamic_adar_link_prediction",
+    "binary_quantized_knn",
 )
 
 

@@ -1153,3 +1153,193 @@ def streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test: order values of urgent vs non-urgent priorities
+# ---------------------------------------------------------------------------
+
+_URGENT_SQL = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+_WELCH_ORACLE = f"""
+WITH g AS (
+    SELECT count(*) FILTER ({_URGENT_SQL})::BIGINT          AS n_a,
+           avg(o_totalprice) FILTER ({_URGENT_SQL})         AS m_a,
+           var_samp(o_totalprice) FILTER ({_URGENT_SQL})    AS v_a,
+           count(*) FILTER (NOT {_URGENT_SQL})::BIGINT      AS n_b,
+           avg(o_totalprice) FILTER (NOT {_URGENT_SQL})     AS m_b,
+           var_samp(o_totalprice) FILTER (NOT {_URGENT_SQL}) AS v_b
+    FROM orders
+)
+SELECT n_a, n_b,
+       round(m_a, 2) AS mean_urgent,
+       round(m_b, 2) AS mean_other,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+       round(pow(v_a / n_a + v_b / n_b, 2)
+             / (pow(v_a / n_a, 2) / (n_a - 1)
+                + pow(v_b / n_b, 2) / (n_b - 1)), 4) AS welch_df
+FROM g
+"""
+
+
+@register(
+    "welch_ttest_order_values",
+    oracle=_WELCH_ORACLE,
+    tags=("stats", "hypothesis-test"),
+)
+def welch_ttest_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing order totals of urgent
+    (priority 1-2) vs non-urgent orders — the two-sample location test
+    beside the KS (distribution) and chi-square (independence) members
+    of the hypothesis-test family. One map-side-combinable aggregation
+    pass computes both groups' moments via conditional aggregates (no
+    second scan, no shuffle of order rows beyond the final 1-row agg);
+    the t statistic and Welch-Satterthwaite degrees of freedom are
+    closed-form arithmetic on the 1-row result. The reference has no
+    statistics surface at all (rag.py embeds and searches only)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    p = F.col("o_totalprice")
+    g = o.agg(
+        F.count(F.when(urgent, 1)).alias("n_a"),
+        F.avg(F.when(urgent, p)).alias("m_a"),
+        F.var_samp(F.when(urgent, p)).alias("v_a"),
+        F.count(F.when(~urgent, 1)).alias("n_b"),
+        F.avg(F.when(~urgent, p)).alias("m_b"),
+        F.var_samp(F.when(~urgent, p)).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 2).alias("mean_urgent"),
+        F.round("m_b", 2).alias("mean_other"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(df, 4).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit over order totals
+# ---------------------------------------------------------------------------
+
+# First digit extracted from the integer CENTS string — floor(log10(x))
+# is one libm ulp away from flipping 10000.00 into digit 9; the string
+# route is exact and identical in both engines.
+_BENFORD_ORACLE = """
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM orders
+),
+tot AS (SELECT count(*)::DOUBLE AS n FROM d),
+obs AS (SELECT digit, count(*)::BIGINT AS n_orders FROM d GROUP BY digit)
+SELECT o.digit,
+       o.n_orders,
+       round(o.n_orders / t.n, 6) AS obs_freq,
+       round(log10(1.0 + 1.0 / o.digit), 6) AS benford_freq,
+       round(pow(o.n_orders - t.n * log10(1.0 + 1.0 / o.digit), 2)
+             / (t.n * log10(1.0 + 1.0 / o.digit)), 6) AS chi2_contrib
+FROM obs o CROSS JOIN tot t
+"""
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle=_BENFORD_ORACLE,
+    tags=("stats", "data-quality", "audit"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / ingest-corruption detector (a synthetic uniform
+    price generator fails it loudly; real multiplicative totals follow
+    log10(1+1/d)). Per-digit observed frequency vs the Benford
+    expectation with chi-square contributions. One 9-group aggregation;
+    the total-count scalar broadcasts onto the 9-row result, so the
+    corpus is scanned once and nothing wide ever shuffles. First digit
+    comes from the integer-cents string, not floor(log10(x)), which is
+    one ulp from misclassifying exact powers of ten."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    d = o.select(digit.alias("digit"))
+    tot = F.broadcast(d.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    exp_freq = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(tot)
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("n"), 6).alias("obs_freq"),
+            F.round(exp_freq, 6).alias("benford_freq"),
+            F.round(
+                F.pow(F.col("n_orders") - F.col("n") * exp_freq, 2)
+                / (F.col("n") * exp_freq),
+                6,
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix over lineitem numeric columns
+# ---------------------------------------------------------------------------
+
+_CORR_PAIRS = (
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+)
+
+_CORR_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS var_a, '{b}' AS var_b,"
+    f" round(corr({a}, {b}), 6) AS pearson_r FROM lineitem"
+    for a, b in _CORR_PAIRS
+)
+
+
+@register(
+    "lineitem_correlation_matrix",
+    oracle=_CORR_ORACLE,
+    tags=("stats", "profiling"),
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Pearson correlation matrix over the four numeric
+    lineitem measures in long form — the feature-selection /
+    multicollinearity profile beside the per-column univariate profile
+    (orders_column_profile). All six correlations are computed as
+    aggregates of ONE scan (each corr is a fused sum/sum-of-products
+    moment set, map-side combinable); the 1×6 wide row is unpivoted to
+    long form with a stack expression, so the fixture-independent output
+    shape is (pair, r) without a second pass. DuckDB's per-pair UNION
+    rescans instead — same values, different (allowed) oracle plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"r_{i}")
+            for i, (a, b) in enumerate(_CORR_PAIRS)
+        ]
+    )
+    stack_expr = ", ".join(
+        f"'{a}', '{b}', r_{i}" for i, (a, b) in enumerate(_CORR_PAIRS)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_CORR_PAIRS)}, {stack_expr})"
+            " as (var_a, var_b, pearson_r)"
+        )
+    )

@@ -1206,3 +1206,130 @@ def streaming_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_checksum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-quantized KNN: 1-bit sign quantization, Hamming shortlist, rerank
+# ---------------------------------------------------------------------------
+
+_BQ_DIMS = 64
+_BQ_SHORTLIST = 20
+
+_BQ_ORACLE = f"""
+WITH means AS (
+    SELECT i, avg((embedding::DOUBLE[])[i]) AS m
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, {_BQ_DIMS})) AS i)
+    GROUP BY i
+),
+ma AS (SELECT list(m ORDER BY i) AS ma FROM means),
+bits AS (
+    SELECT vec_id,
+           list_transform(generate_series(1, {_BQ_DIMS}),
+               i -> CASE WHEN (embedding::DOUBLE[])[i] > ma.ma[i]
+                         THEN 1 ELSE 0 END) AS bv
+    FROM embeddings CROSS JOIN ma
+),
+pb AS (SELECT bv AS pb FROM bits WHERE vec_id = {PROBE_ID}),
+short AS (
+    SELECT b.vec_id,
+           list_sum(list_transform(generate_series(1, {_BQ_DIMS}),
+               i -> abs(b.bv[i] - p.pb[i])))::BIGINT AS hamming
+    FROM bits b CROSS JOIN pb p
+    WHERE b.vec_id <> {PROBE_ID}
+    ORDER BY hamming ASC, b.vec_id ASC
+    LIMIT {_BQ_SHORTLIST}
+),
+pq AS (
+    SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = {PROBE_ID}
+)
+SELECT s.vec_id, s.hamming,
+       round(list_distance(e.embedding::DOUBLE[], p.q), 6) AS distance
+FROM short s
+JOIN embeddings e ON e.vec_id = s.vec_id
+CROSS JOIN pq p
+ORDER BY list_distance(e.embedding::DOUBLE[], p.q) ASC, s.vec_id ASC
+LIMIT {K}
+"""
+
+
+@register(
+    "binary_quantized_knn",
+    oracle=_BQ_ORACLE,
+    tags=("vector", "knn", "quantization", "hamming"),
+)
+def binary_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) quantized KNN: each dimension collapses to one
+    bit via its corpus mean threshold, candidates shortlist by Hamming
+    distance (a 64x memory-bandwidth reduction vs float32 — the
+    pgvector ``bit``/FAISS IndexBinaryFlat mode, finer-grained than
+    the int8 lane beside it), then the {_BQ_SHORTLIST}-row shortlist
+    reranks with exact float L2. The coarse-then-exact two-stage is
+    the canonical quantized-search contract: integer distances decide
+    the shortlist, so the oracle needs no float rounding until rerank.
+
+    Plan shape: per-dimension means are ONE map-side-combinable
+    aggregate row (64 avg() columns assembled into an array — no
+    posexplode, no shuffle of vector rows) broadcast onto the scan;
+    bit vectors and Hamming distances are scan-local zip_with
+    expressions; TakeOrderedAndProject keeps {_BQ_SHORTLIST}; the
+    rerank touches exactly {_BQ_SHORTLIST} embeddings via a broadcast
+    join. At 100 TB the corpus is scanned once for stats and once for
+    search; in a real deployment the bit vectors persist as a 64-bit
+    column (8 bytes/vector) and the stats pass amortizes away."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    means = F.broadcast(
+        emb.agg(
+            *[
+                F.avg(F.element_at(emb_d, i)).alias(f"m{i}")
+                for i in range(1, _BQ_DIMS + 1)
+            ]
+        ).select(
+            F.array(
+                *[F.col(f"m{i}") for i in range(1, _BQ_DIMS + 1)]
+            ).alias("ma")
+        )
+    )
+    bits = emb.crossJoin(means).select(
+        "vec_id",
+        F.zip_with(
+            emb_d,
+            "ma",
+            lambda x, m: F.when(x > m, 1).otherwise(0),
+        ).alias("bv"),
+    )
+    pb = F.broadcast(
+        bits.where(F.col("vec_id") == PROBE_ID).select(
+            F.col("bv").alias("pb")
+        )
+    )
+    hamming = F.aggregate(
+        F.zip_with("bv", "pb", lambda a, b: F.abs(a - b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    short = (
+        bits.where(F.col("vec_id") != PROBE_ID)
+        .crossJoin(pb)
+        .withColumn("hamming", hamming)
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(_BQ_SHORTLIST)
+        .select("vec_id", "hamming")
+    )
+    pq = F.broadcast(
+        emb.where(F.col("vec_id") == PROBE_ID).select(
+            F.col("embedding").alias("q")
+        )
+    )
+    return (
+        F.broadcast(short)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(pq)
+        .withColumn("dist_raw", l2_distance("embedding", "q"))
+        .orderBy(F.col("dist_raw").asc(), F.col("vec_id").asc())
+        .limit(K)
+        .select(
+            "vec_id", "hamming", F.round("dist_raw", 6).alias("distance")
+        )
+    )
