@@ -122,6 +122,10 @@ _NEVER_SAMPLED_FIRST = (
     "lineitem_correlation_matrix",
     "adamic_adar_link_prediction",
     "binary_quantized_knn",
+    "naive_bayes_lang_classifier",
+    "gopher_repetition_filters",
+    "rm3_query_expansion",
+    "mrr_recall_retrieval_eval",
 )
 
 

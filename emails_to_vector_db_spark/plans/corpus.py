@@ -1141,3 +1141,107 @@ def winnowing_fingerprint_pairs(
         )
         .limit(_WIN_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style within-document repetition filters
+# ---------------------------------------------------------------------------
+
+_REP_TOP2_MAX = 0.12  # max fraction of tokens inside the most common 2-gram
+_REP_DUP2_MAX = 0.15  # max fraction of 2-gram slots occurring more than once
+# (Gopher Rae et al. 2021 §A1.1 uses character fractions over natural
+# prose; the synthetic word-soup fixture needs recalibrated constants —
+# same filter semantics, thresholds chosen to actually bind on it.)
+
+_REPETITION_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+g AS (
+    SELECT doc_id, len(toks) AS n_tok,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS grams
+    FROM t
+),
+m AS (
+    SELECT doc_id, n_tok, len(grams) AS n_bi,
+           list_transform(
+               grams, x -> len(list_filter(grams, y -> y = x))) AS cpos
+    FROM g
+)
+SELECT doc_id,
+       n_tok::BIGINT AS n_tok,
+       round(2.0 * coalesce(list_aggregate(cpos, 'max'), 0) / n_tok, 6)
+           AS top_2gram_frac,
+       round(len(list_filter(cpos, c -> c >= 2))::DOUBLE
+             / greatest(n_bi, 1), 6) AS dup_2gram_frac,
+       (2.0 * coalesce(list_aggregate(cpos, 'max'), 0) / n_tok
+            <= {_REP_TOP2_MAX}
+        AND len(list_filter(cpos, c -> c >= 2))::DOUBLE
+            / greatest(n_bi, 1) <= {_REP_DUP2_MAX}) AS keep
+FROM m
+"""
+
+
+@register(
+    "gopher_repetition_filters",
+    oracle=_REPETITION_ORACLE,
+    tags=("corpus", "quality", "curation"),
+)
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality gate (Gopher, Rae et al. 2021
+    §A1.1): fraction of tokens covered by the most frequent 2-gram and
+    fraction of 2-gram slots whose gram repeats inside the document —
+    the filters that catch boilerplate loops, keyword stuffing, and
+    decode-degenerate text that corpus-LEVEL dedup never sees because
+    the repetition is internal to one document.
+
+    Plan shape: entirely SCAN-LOCAL array expressions — 2-grams via an
+    index transform over the token array, per-position counts via a
+    nested filter — so the operator is embarrassingly parallel with
+    ZERO shuffles at any corpus size (compare span_exact_dedup, whose
+    spans must shuffle corpus-wide by construction). The per-document
+    cost is O(L^2) in token count, bounded by the max document length;
+    for megabyte documents the explode+groupBy(doc_id, gram)
+    formulation (one doc-partitioned shuffle) replaces the quadratic
+    array scan — same semantics, the standard long-doc fallback."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", toks.alias("toks"))
+    grams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.size("toks").alias("n_tok"), grams.alias("grams"))
+    cpos = F.transform(
+        F.col("grams"),
+        lambda x: F.size(F.filter(F.col("grams"), lambda y: y == x)),
+    )
+    m = g.select(
+        "doc_id",
+        "n_tok",
+        F.size("grams").alias("n_bi"),
+        cpos.alias("cpos"),
+    )
+    top_frac = (
+        2.0 * F.coalesce(F.array_max("cpos"), F.lit(0)) / F.col("n_tok")
+    )
+    dup_frac = F.size(
+        F.filter(F.col("cpos"), lambda c: c >= 2)
+    ).cast("double") / F.greatest(F.col("n_bi"), F.lit(1))
+    return m.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(top_frac, 6).alias("top_2gram_frac"),
+        F.round(dup_frac, 6).alias("dup_2gram_frac"),
+        (
+            (top_frac <= _REP_TOP2_MAX) & (dup_frac <= _REP_DUP2_MAX)
+        ).alias("keep"),
+    )

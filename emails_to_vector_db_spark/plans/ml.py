@@ -727,3 +727,137 @@ def adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return model.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (closed-form training)
+# ---------------------------------------------------------------------------
+
+_NB_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+_NB_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest({_NB_TOKENS_SQL}) AS tok FROM documents
+),
+train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+prior AS (
+    SELECT lang, count(*)::DOUBLE AS nd
+    FROM documents WHERE doc_id % 5 <> 0 GROUP BY lang
+),
+ptot AS (SELECT sum(nd) AS td FROM prior),
+tot AS (SELECT lang, count(*)::DOUBLE AS tot_l FROM train GROUP BY lang),
+vocab AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM train),
+cnt AS (
+    SELECT lang, tok, count(*)::BIGINT AS c FROM train GROUP BY lang, tok
+),
+test_toks AS (
+    SELECT doc_id, lang AS actual_lang, tok FROM toks WHERE doc_id % 5 = 0
+),
+ll AS (
+    SELECT t.doc_id, t.actual_lang, l.lang,
+           sum(ln((coalesce(c.c, 0) + 1) / (l.tot_l + v.v))) AS loglik
+    FROM test_toks t
+    CROSS JOIN tot l
+    CROSS JOIN vocab v
+    LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = t.tok
+    GROUP BY t.doc_id, t.actual_lang, l.lang
+),
+post AS (
+    SELECT x.doc_id, x.actual_lang, x.lang,
+           x.loglik + ln(p.nd / pt.td) AS score
+    FROM ll x JOIN prior p ON p.lang = x.lang CROSS JOIN ptot pt
+),
+pred AS (
+    SELECT doc_id, actual_lang, lang AS predicted_lang,
+           row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(score, 6) DESC, lang ASC
+           ) AS rn
+    FROM post
+)
+SELECT actual_lang, predicted_lang, count(*)::BIGINT AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY actual_lang, predicted_lang
+"""
+
+
+@register(
+    "naive_bayes_lang_classifier",
+    oracle=_NB_ORACLE,
+    tags=("ml", "text", "classifier"),
+)
+def naive_bayes_lang_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multinomial Naive Bayes language identification, trained and
+    evaluated in-engine: add-one-smoothed per-class token likelihoods
+    and document priors fit on the 80% train split (doc_id % 5 != 0),
+    held-out confusion matrix on the 20% test split — the CLOSED-FORM
+    learned classifier beside the iterative GD lanes (logreg/softmax/
+    AdaBoost): training is exactly two groupBy aggregations, no loop,
+    no driver round-trips, which is why NB remains the canonical
+    first-pass text filter at corpus scale.
+
+    Plan shape: one tokenize+explode pass feeds both splits; the model
+    (per-class token counts, class totals, vocab size, priors) is a
+    handful of vocabulary-sized-or-smaller aggregates broadcast onto
+    the test-token stream (the plans/corpus.py::_scoring_join cutover
+    applies verbatim when vocab x classes outgrows RAM); scoring is
+    one (doc, class) aggregation and the argmax is a 5-row-per-doc
+    window on the ROUNDED score, so float association noise cannot
+    flip a prediction."""
+    from emails_to_vector_db_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens("text")).alias("tok")
+    )
+    train = toks.where(F.col("doc_id") % 5 != 0)
+    prior = (
+        docs.where(F.col("doc_id") % 5 != 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    )
+    ptot = prior.agg(F.sum("nd").alias("td"))
+    tot = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("tot_l")
+    )
+    vocab = train.agg(
+        F.countDistinct("tok").cast("double").alias("v")
+    )
+    cnt = train.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    test_toks = toks.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("lang").alias("actual_lang"), "tok"
+    )
+    ll = (
+        test_toks.crossJoin(F.broadcast(tot.select("lang", "tot_l")))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(cnt), ["lang", "tok"], "left")
+        .groupBy("doc_id", "actual_lang", "lang")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("tot_l") + F.col("v"))
+                )
+            ).alias("loglik")
+        )
+    )
+    post = (
+        ll.join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(ptot))
+        .withColumn(
+            "score", F.col("loglik") + F.log(F.col("nd") / F.col("td"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("score", 6).desc(), F.col("lang").asc()
+    )
+    return (
+        post.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy(
+            "actual_lang", F.col("lang").alias("predicted_lang")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

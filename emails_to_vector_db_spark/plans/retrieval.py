@@ -745,3 +745,293 @@ def percolator_stored_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("first_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance-feedback query expansion
+# ---------------------------------------------------------------------------
+
+_RM3_ALPHA = 0.5
+_RM3_FB_DOCS = 10
+_RM3_EXP_TERMS = 10
+
+_RM3_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, len({_TOKENS_SQL}) AS dl FROM documents
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
+tf_all AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf, min(dl) AS dl
+    FROM (
+        SELECT doc_id, len({_TOKENS_SQL}) AS dl,
+               unnest({_TOKENS_SQL}) AS term
+        FROM documents
+    )
+    GROUP BY doc_id, term
+),
+df_all AS (SELECT term, count(*)::BIGINT AS df FROM tf_all GROUP BY term),
+bm25_0 AS (
+    SELECT t.doc_id,
+           sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({_K1} + 1))
+               / (t.tf + {_K1} * (1 - {_B} + {_B} * t.dl / s.avgdl))
+           ) AS sc
+    FROM tf_all t JOIN df_all d USING (term) CROSS JOIN stats s
+    WHERE t.term IN ({_TERMS_SQL})
+    GROUP BY t.doc_id
+),
+fb AS (
+    SELECT doc_id, sc FROM bm25_0
+    ORDER BY sc DESC, doc_id ASC LIMIT {_RM3_FB_DOCS}
+),
+fbsum AS (SELECT sum(sc) AS s FROM fb),
+rm1 AS (
+    SELECT t.term, sum((f.sc / fs.s) * t.tf / t.dl) AS p
+    FROM tf_all t JOIN fb f USING (doc_id) CROSS JOIN fbsum fs
+    GROUP BY t.term
+),
+exp_t AS (
+    SELECT term, p FROM rm1
+    ORDER BY round(p, 9) DESC, term ASC LIMIT {_RM3_EXP_TERMS}
+),
+esum AS (SELECT sum(p) AS s FROM exp_t),
+qw AS (
+    SELECT coalesce(o.term, e.term) AS term,
+           coalesce(o.w, 0) + coalesce(e.we, 0) AS w
+    FROM (
+        SELECT unnest([{_TERMS_SQL}]) AS term,
+               {_RM3_ALPHA} / {len(QUERY_TERMS)} AS w
+    ) o
+    FULL OUTER JOIN (
+        SELECT term, (1 - {_RM3_ALPHA}) * p / (SELECT s FROM esum) AS we
+        FROM exp_t
+    ) e ON e.term = o.term
+),
+scored AS (
+    SELECT t.doc_id,
+           sum(q.w
+               * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({_K1} + 1))
+               / (t.tf + {_K1} * (1 - {_B} + {_B} * t.dl / s.avgdl))
+           ) AS rm3_raw
+    FROM tf_all t
+    JOIN qw q USING (term)
+    JOIN df_all d USING (term)
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+)
+SELECT doc_id, round(rm3_raw, 6) AS rm3_score
+FROM scored
+ORDER BY round(rm3_raw, 6) DESC, doc_id ASC
+LIMIT {TOP_N}
+"""
+
+
+@register(
+    "rm3_query_expansion",
+    oracle=_RM3_ORACLE,
+    tags=("text", "retrieval", "bm25", "prf"),
+)
+def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; the Abdul-
+    Jaleel et al. 2004 interpolation): BM25 retrieves {_RM3_FB_DOCS}
+    feedback docs for the literal query; their score-weighted term
+    distribution (RM1, p(w|d)=tf/dl) yields {_RM3_EXP_TERMS} expansion
+    terms; the original query (weight alpha={_RM3_ALPHA}, uniform) and
+    the normalized expansion model interpolate into a WEIGHTED query
+    that re-scores the corpus — the classic recall-boosting second
+    pass every lexical retrieval stack ships.
+
+    Plan shape: three corpus passes, each pruned to what it needs —
+    pass 1 is the existing term-pruned BM25 (only query-term hits
+    survive the scan); pass 2 explodes tokens ONLY for the
+    {_RM3_FB_DOCS} feedback docs (broadcast left-semi prune before the
+    per-term aggregate); pass 3 joins the scan against the ~13-row
+    broadcast weight table, so again only weighted-term hits leave the
+    scan. Corpus stats and document frequencies broadcast; the
+    expansion-term cutoff ranks on the ROUNDED RM1 probability so
+    float association noise cannot change the term set."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id",
+        F.size(TX.tokens("text")).alias("dl"),
+        TX.tokens("text").alias("toks"),
+    )
+    stats = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+    )
+    fb = F.broadcast(
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25_raw").desc(), F.col("doc_id").asc())
+        .limit(_RM3_FB_DOCS)
+        .select("doc_id", F.col("bm25_raw").alias("sc"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fbsum = F.broadcast(fb.agg(F.sum("sc").alias("s")))
+    fb_tf = (
+        base.join(fb.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    rm1 = (
+        fb_tf.join(fb, "doc_id")
+        .crossJoin(fbsum)
+        .groupBy("term")
+        .agg(
+            F.sum(
+                (F.col("sc") / F.col("s")) * F.col("tf") / F.col("dl")
+            ).alias("p")
+        )
+    )
+    exp_t = (
+        rm1.orderBy(F.round("p", 9).desc(), F.col("term").asc())
+        .limit(_RM3_EXP_TERMS)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    esum = F.broadcast(exp_t.agg(F.sum("p").alias("s")))
+    orig = spark.createDataFrame(
+        [(t, _RM3_ALPHA / len(QUERY_TERMS)) for t in QUERY_TERMS],
+        "term string, w_orig double",
+    )
+    qw = F.broadcast(
+        orig.join(
+            exp_t.crossJoin(esum).select(
+                "term",
+                ((1 - _RM3_ALPHA) * F.col("p") / F.col("s")).alias("w_exp"),
+            ),
+            "term",
+            "full_outer",
+        ).select(
+            "term",
+            (
+                F.coalesce("w_orig", F.lit(0.0))
+                + F.coalesce("w_exp", F.lit(0.0))
+            ).alias("w"),
+        )
+    )
+    tf2 = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(qw, "term")
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.first("dl").alias("dl"),
+            F.first("w").alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df2 = tf2.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    sat = (F.col("tf") * (_K1 + 1)) / (
+        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf2.join(F.broadcast(df2), "term")
+        .crossJoin(stats)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * idf * sat).alias("rm3_raw"))
+        .orderBy(F.round("rm3_raw", 6).desc(), F.col("doc_id").asc())
+        .limit(TOP_N)
+        .select("doc_id", F.round("rm3_raw", 6).alias("rm3_score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MRR / recall@k / precision@k retrieval evaluation
+# ---------------------------------------------------------------------------
+
+_MRR_K = 10
+
+_MRR_ORACLE = f"""
+WITH q AS (
+    SELECT e.embedding::DOUBLE[] AS qv, d.source AS qsrc
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE e.vec_id = {_PROBE_ID}
+),
+scored AS (
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS sim,
+           CASE WHEN d.source = q.qsrc THEN 1 ELSE 0 END AS rel
+    FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id
+    CROSS JOIN q
+    WHERE e.vec_id <> {_PROBE_ID}
+),
+ranked AS (
+    SELECT rel, row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS pos
+    FROM scored
+)
+SELECT {_PROBE_ID}::BIGINT AS query_id,
+       min(pos) FILTER (rel = 1)::BIGINT AS first_rel_rank,
+       round(1.0 / min(pos) FILTER (rel = 1), 6) AS mrr,
+       round(count(*) FILTER (rel = 1 AND pos <= {_MRR_K})::DOUBLE
+             / count(*) FILTER (rel = 1), 6) AS recall_at_k,
+       round(count(*) FILTER (rel = 1 AND pos <= {_MRR_K})::DOUBLE
+             / {_MRR_K}, 6) AS precision_at_k
+FROM ranked
+"""
+
+
+@register(
+    "mrr_recall_retrieval_eval",
+    oracle=_MRR_ORACLE,
+    tags=("retrieval", "eval", "ml"),
+)
+def mrr_recall_retrieval_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary-relevance retrieval metrics for the embedding-cosine
+    ranking: reciprocal rank of the first relevant hit (MRR), recall@10
+    and precision@10, with same-source-as-query as the relevance oracle
+    — the set-based evaluation legs beside the graded nDCG. One
+    broadcast 1-row query, one corpus scan scoring similarity and
+    relevance together, one global ranking window that immediately
+    aggregates to a single row (at 100 TB: rank only the top-k via
+    TakeOrderedAndProject for MRR/precision, and count total relevant
+    in the same scan for the recall denominator)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    base = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "vec_id", "embedding", "source"
+    )
+    q = F.broadcast(
+        base.where(F.col("vec_id") == _PROBE_ID).select(
+            F.col("embedding").alias("qv"), F.col("source").alias("qsrc")
+        )
+    )
+    scored = (
+        base.where(F.col("vec_id") != _PROBE_ID)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            cosine_similarity("embedding", "qv").alias("sim"),
+            F.when(F.col("source") == F.col("qsrc"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    ranked = scored.withColumn("pos", F.row_number().over(w))
+    rel1 = F.col("rel") == 1
+    hit = rel1 & (F.col("pos") <= _MRR_K)
+    return ranked.agg(
+        F.lit(_PROBE_ID).cast("long").alias("query_id"),
+        F.min(F.when(rel1, F.col("pos"))).alias("first_rel_rank"),
+        F.round(1.0 / F.min(F.when(rel1, F.col("pos"))), 6).alias("mrr"),
+        F.round(
+            F.count(F.when(hit, 1)).cast("double")
+            / F.count(F.when(rel1, 1)),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.count(F.when(hit, 1)).cast("double") / _MRR_K, 6
+        ).alias("precision_at_k"),
+    )
