@@ -126,6 +126,11 @@ _NEVER_SAMPLED_FIRST = (
     "gopher_repetition_filters",
     "rm3_query_expansion",
     "mrr_recall_retrieval_eval",
+    "ols_price_model",
+    "simplified_silhouette_score",
+    "embedding_anomaly_zscores",
+    "fuzzy_name_match_join",
+    "source_token_kl",
 )
 
 

@@ -376,3 +376,99 @@ def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sqrt(sq("cb")) / F.sqrt(sq("ca")), 6).alias("norm_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette: clustering-quality score against label centroids
+# ---------------------------------------------------------------------------
+
+_SIL_DIMS = 64
+
+_SILHOUETTE_ORACLE = f"""
+WITH per_dim AS (
+    SELECT label, i, avg(e.embedding[i]::DOUBLE) AS m
+    FROM embeddings e, generate_series(1, {_SIL_DIMS}) AS gs(i)
+    GROUP BY label, i
+),
+cents AS (
+    SELECT label AS clabel, list(m ORDER BY i) AS cvec
+    FROM per_dim GROUP BY label
+),
+d AS (
+    SELECT e.vec_id, e.label,
+           min(CASE WHEN c.clabel = e.label
+                    THEN list_distance(e.embedding::DOUBLE[], c.cvec)
+               END) AS a,
+           min(CASE WHEN c.clabel <> e.label
+                    THEN list_distance(e.embedding::DOUBLE[], c.cvec)
+               END) AS b
+    FROM embeddings e CROSS JOIN cents c
+    GROUP BY e.vec_id, e.label
+)
+SELECT label,
+       count(*)::BIGINT AS n_points,
+       round(avg((b - a) / greatest(a, b)), 6) AS simplified_silhouette
+FROM d
+GROUP BY label
+"""
+
+
+@register(
+    "simplified_silhouette_score",
+    oracle=_SILHOUETTE_ORACLE,
+    tags=("clustering", "eval", "vector"),
+)
+def simplified_silhouette_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-cluster simplified silhouette (Hruschka et al. 2004): for
+    each point, a = distance to its own label centroid, b = distance
+    to the nearest OTHER centroid, s = (b-a)/max(a,b); averaged per
+    label — the O(n·k) clustering-quality score that replaces the
+    O(n²) classic silhouette at corpus scale, evaluating the label
+    assignment the centroid/IVF/SemDeDup lanes all build on.
+
+    Plan shape: centroids are ONE groupBy(label) aggregation of 64
+    avg() columns assembled into arrays (no posexplode — the same
+    explode-free trick as binary_quantized_knn's per-dim means), 10x64
+    doubles broadcast onto a single corpus scan; per-point a and b
+    fold in the same k-row-per-point aggregate; the output is one row
+    per cluster. At 100 TB: one stats pass + one scan, nothing wide
+    ever shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    cents = F.broadcast(
+        emb.groupBy("label")
+        .agg(
+            *[
+                F.avg(F.element_at(emb_d, i)).alias(f"m{i}")
+                for i in range(1, _SIL_DIMS + 1)
+            ]
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.array(
+                *[F.col(f"m{i}") for i in range(1, _SIL_DIMS + 1)]
+            ).alias("cvec"),
+        )
+    )
+    from emails_to_vector_db_spark.functions.vector import l2_distance
+
+    d = (
+        emb.crossJoin(cents)
+        .withColumn("dist", l2_distance("embedding", "cvec"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(
+                F.when(F.col("clabel") == F.col("label"), F.col("dist"))
+            ).alias("a"),
+            F.min(
+                F.when(F.col("clabel") != F.col("label"), F.col("dist"))
+            ).alias("b"),
+        )
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg(s), 6).alias("simplified_silhouette"),
+    )

@@ -1245,3 +1245,101 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (top_frac <= _REP_TOP2_MAX) & (dup_frac <= _REP_DUP2_MAX)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-distribution KL divergence vs the corpus mixture
+# ---------------------------------------------------------------------------
+
+_KL_ORACLE = f"""
+WITH toks AS (
+    SELECT source, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+corpus AS (SELECT tok, count(*)::DOUBLE AS ct FROM toks GROUP BY tok),
+tot AS (SELECT sum(ct) AS n, count(*)::DOUBLE AS v FROM corpus),
+src AS (SELECT source, count(*)::DOUBLE AS ns FROM toks GROUP BY source),
+cnt AS (
+    SELECT source, tok, count(*)::DOUBLE AS cst
+    FROM toks GROUP BY source, tok
+),
+grid AS (
+    SELECT s.source, s.ns, c.tok, c.ct, coalesce(x.cst, 0) AS cst
+    FROM src s
+    CROSS JOIN corpus c
+    LEFT JOIN cnt x ON x.source = s.source AND x.tok = c.tok
+)
+SELECT g.source,
+       min(g.ns)::BIGINT AS n_tokens,
+       count(*) FILTER (g.cst > 0)::BIGINT AS vocab_used,
+       round(sum(((g.cst + 1) / (g.ns + t.v))
+                 * ln(((g.cst + 1) / (g.ns + t.v))
+                      / ((g.ct + 1) / (t.n + t.v)))), 6) AS kl_vs_corpus
+FROM grid g CROSS JOIN tot t
+GROUP BY g.source
+"""
+
+
+@register(
+    "source_token_kl",
+    oracle=_KL_ORACLE,
+    tags=("corpus", "curation", "drift", "stats"),
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the add-one-smoothed token
+    distribution against the whole-corpus mixture — the domain-shift
+    number a mixing-weight pass (source_mixing_weights, DSIR) reads
+    before deciding how hard to up/down-sample a source: near-zero KL
+    means the source is redundant with the mixture, large KL means it
+    contributes novel (or broken) text. Smoothing is over the corpus
+    vocabulary so every source is scored on the SAME support.
+
+    Plan shape: one tokenize pass feeds the corpus histogram, the
+    per-source histogram, and the per-source totals; the KL grid is
+    sources x vocabulary — the corpus-side histogram joins in as a
+    vocabulary-sized table (broadcast under the
+    plans/corpus.py::_scoring_join cutover, plain shuffle join
+    beyond), and zero-count cells come from the grid's left join, not
+    from materializing zeros. The corpus-scale token stream shuffles
+    once (the histogram groupBy); everything after is vocab-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(TX.tokens("text")).alias("tok")
+    )
+    corpus = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("ct")
+    )
+    tot = F.broadcast(
+        corpus.agg(
+            F.sum("ct").alias("n"),
+            F.count(F.lit(1)).cast("double").alias("v"),
+        )
+    )
+    src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("ns")
+    )
+    cnt = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("cst")
+    )
+    grid = (
+        F.broadcast(src)
+        .crossJoin(corpus)
+        .join(cnt, ["source", "tok"], "left")
+        .select(
+            "source",
+            "ns",
+            "tok",
+            "ct",
+            F.coalesce("cst", F.lit(0.0)).alias("cst"),
+        )
+    )
+    p = (F.col("cst") + 1) / (F.col("ns") + F.col("v"))
+    q = (F.col("ct") + 1) / (F.col("n") + F.col("v"))
+    return (
+        grid.crossJoin(tot)
+        .groupBy("source")
+        .agg(
+            F.min("ns").cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("cst") > 0, 1)).alias("vocab_used"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+    )

@@ -861,3 +861,125 @@ def naive_bayes_lang_classifier(
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS: two-predictor normal equations from one moment pass
+# ---------------------------------------------------------------------------
+
+# Shared algebra (identical text in both engines): 3x3 normal-equation
+# solve by Cramer's rule over the raw moment sums, then the
+# moment-identity SSE = Syy - b0*Sy - b1*S1y - b2*S2y (exact for the
+# least-squares solution), so ONE aggregation pass yields coefficients
+# AND goodness-of-fit with no residual re-scan.
+_OLS_DET = (
+    "(n * (s11 * s22 - s12 * s12)"
+    " - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+_OLS_B0 = (
+    "(sy * (s11 * s22 - s12 * s12)"
+    " - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y))"
+)
+_OLS_B1 = (
+    "(n * (s1y * s22 - s12 * s2y)"
+    " - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2))"
+)
+_OLS_B2 = (
+    "(n * (s11 * s2y - s1y * s12)"
+    " - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2))"
+)
+
+_OLS_ORACLE = f"""
+WITH m AS (
+    SELECT count(*)::DOUBLE AS n,
+           sum(l_quantity) AS s1, sum(l_discount) AS s2,
+           sum(l_extendedprice) AS sy,
+           sum(l_quantity * l_quantity) AS s11,
+           sum(l_discount * l_discount) AS s22,
+           sum(l_quantity * l_discount) AS s12,
+           sum(l_quantity * l_extendedprice) AS s1y,
+           sum(l_discount * l_extendedprice) AS s2y,
+           sum(l_extendedprice * l_extendedprice) AS syy
+    FROM lineitem
+),
+b AS (
+    SELECT n, sy, s1y, s2y, syy,
+           {_OLS_B0} / {_OLS_DET} AS b0,
+           {_OLS_B1} / {_OLS_DET} AS b1,
+           {_OLS_B2} / {_OLS_DET} AS b2
+    FROM m
+)
+SELECT round(b0, 4) AS intercept,
+       round(b1, 4) AS coef_quantity,
+       round(b2, 4) AS coef_discount,
+       round(1 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                 / (syy - sy * sy / n), 6) AS r_squared,
+       n::BIGINT AS n_rows
+FROM b
+"""
+
+
+@register(
+    "ols_price_model",
+    oracle=_OLS_ORACLE,
+    tags=("ml", "regression", "closed-form"),
+)
+def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-predictor ordinary least squares (extendedprice ~ quantity +
+    discount) solved in CLOSED FORM: one map-side-combinable pass
+    accumulates the ten raw moments, Cramer's rule on the 3x3 normal
+    equations yields the coefficients, and the moment identity
+    SSE = Syy - b'X'y gives R² with NO residual re-scan — the
+    regression twin of the closed-form Naive Bayes lane, and the
+    pattern that replaces gradient descent whenever d is small enough
+    that X'X fits in a row (d<=~100). The corpus never shuffles; only
+    a 1-row moment vector moves. For numerically hostile data the
+    centered-moment (QR/Cholesky) form applies — raw moments are fine
+    at these magnitudes and make the oracle exactly replayable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col(
+        "l_extendedprice"
+    )
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    b = m.selectExpr(
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        f"{_OLS_B0} / {_OLS_DET} AS b0",
+        f"{_OLS_B1} / {_OLS_DET} AS b1",
+        f"{_OLS_B2} / {_OLS_DET} AS b2",
+    )
+    return b.select(
+        F.round("b0", 4).alias("intercept"),
+        F.round("b1", 4).alias("coef_quantity"),
+        F.round("b2", 4).alias("coef_discount"),
+        F.round(
+            1
+            - (
+                F.col("syy")
+                - F.col("b0") * F.col("sy")
+                - F.col("b1") * F.col("s1y")
+                - F.col("b2") * F.col("s2y")
+            )
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            6,
+        ).alias("r_squared"),
+        F.col("n").cast("long").alias("n_rows"),
+    )

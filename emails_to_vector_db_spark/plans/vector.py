@@ -1333,3 +1333,104 @@ def binary_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "hamming", F.round("dist_raw", 6).alias("distance")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension z-score anomaly detection over the embedding corpus
+# ---------------------------------------------------------------------------
+
+_ZS_DIMS = 64
+_ZS_TOP = 20
+
+_ZSCORE_ORACLE = f"""
+WITH stats AS (
+    SELECT i, avg(embedding[i]::DOUBLE) AS m,
+           stddev_samp(embedding[i]::DOUBLE) AS sd
+    FROM embeddings, generate_series(1, {_ZS_DIMS}) AS gs(i)
+    GROUP BY i
+),
+arr AS (SELECT list(m ORDER BY i) AS ma, list(sd ORDER BY i) AS sa FROM stats),
+z AS (
+    SELECT vec_id, label,
+           list_transform(generate_series(1, {_ZS_DIMS}),
+               i -> (embedding[i]::DOUBLE - a.ma[i]) / a.sa[i]) AS zv
+    FROM embeddings CROSS JOIN arr a
+)
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(zv, x -> x * x)) / {_ZS_DIMS}), 6)
+           AS rms_z,
+       round(list_aggregate(list_transform(zv, x -> abs(x)), 'max'), 6)
+           AS max_abs_z
+FROM z
+ORDER BY rms_z DESC, vec_id ASC
+LIMIT {_ZS_TOP}
+"""
+
+
+@register(
+    "embedding_anomaly_zscores",
+    oracle=_ZSCORE_ORACLE,
+    tags=("vector", "anomaly", "monitoring"),
+)
+def embedding_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score anomaly ranking: standardize every
+    embedding against corpus-wide per-dimension mean/stddev, score each
+    vector by RMS and max |z|, surface the top-{_ZS_TOP} outliers — the
+    cheap embedding-space anomaly detector that catches encoder
+    regressions, corrupted rows, and out-of-distribution contamination
+    before they pollute an index (the pointwise member of the drift
+    family: PSI/KS watch distributions, this names the ROWS).
+
+    Plan shape: the 2x{_ZS_DIMS} stats row is one map-side-combinable
+    aggregate (explode-free, the binary_quantized_knn trick) broadcast
+    onto a single scan; z-vectors are scan-local zip expressions; the
+    ranking is TakeOrderedAndProject on the ROUNDED score, so the
+    corpus is scanned twice, shuffled never."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    stats = F.broadcast(
+        emb.agg(
+            *(
+                [
+                    F.avg(F.element_at(emb_d, i)).alias(f"m{i}")
+                    for i in range(1, _ZS_DIMS + 1)
+                ]
+                + [
+                    F.stddev_samp(F.element_at(emb_d, i)).alias(f"s{i}")
+                    for i in range(1, _ZS_DIMS + 1)
+                ]
+            )
+        ).select(
+            F.array(
+                *[F.col(f"m{i}") for i in range(1, _ZS_DIMS + 1)]
+            ).alias("ma"),
+            F.array(
+                *[F.col(f"s{i}") for i in range(1, _ZS_DIMS + 1)]
+            ).alias("sa"),
+        )
+    )
+    zv = F.zip_with(
+        F.zip_with(emb_d, "ma", lambda x, m: x - m),
+        "sa",
+        lambda d, s: d / s,
+    )
+    z = emb.crossJoin(stats).select("vec_id", "label", zv.alias("zv"))
+    rms = F.sqrt(
+        F.aggregate(
+            F.transform("zv", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / _ZS_DIMS
+    )
+    mx = F.array_max(F.transform("zv", lambda x: F.abs(x)))
+    return (
+        z.select(
+            "vec_id",
+            "label",
+            F.round(rms, 6).alias("rms_z"),
+            F.round(mx, 6).alias("max_abs_z"),
+        )
+        .orderBy(F.col("rms_z").desc(), F.col("vec_id").asc())
+        .limit(_ZS_TOP)
+    )
