@@ -1207,6 +1207,7 @@ FROM m
     "gopher_repetition_filters",
     oracle=_REPETITION_ORACLE,
     tags=("corpus", "quality", "curation"),
+    bench=True,
 )
 def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition quality gate (Gopher, Rae et al. 2021
@@ -1303,6 +1304,7 @@ GROUP BY g.source
     "source_token_kl",
     oracle=_KL_ORACLE,
     tags=("corpus", "curation", "drift", "stats"),
+    bench=True,
 )
 def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KL divergence of the add-one-smoothed token

@@ -497,6 +497,7 @@ LIMIT {_AA_TOP}
     "adamic_adar_link_prediction",
     oracle=_AA_ORACLE,
     tags=("graph", "link-prediction", "join"),
+    bench=True,
 )
 def adamic_adar_link_prediction(
     spark: SparkSession, sf_dir: str

@@ -785,6 +785,7 @@ GROUP BY actual_lang, predicted_lang
     "naive_bayes_lang_classifier",
     oracle=_NB_ORACLE,
     tags=("ml", "text", "classifier"),
+    bench=True,
 )
 def naive_bayes_lang_classifier(
     spark: SparkSession, sf_dir: str

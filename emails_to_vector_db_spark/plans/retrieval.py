@@ -831,6 +831,7 @@ LIMIT {TOP_N}
     "rm3_query_expansion",
     oracle=_RM3_ORACLE,
     tags=("text", "retrieval", "bm25", "prf"),
+    bench=True,
 )
 def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; the Abdul-

@@ -1257,6 +1257,7 @@ LIMIT {K}
     "binary_quantized_knn",
     oracle=_BQ_ORACLE,
     tags=("vector", "knn", "quantization", "hamming"),
+    bench=True,
 )
 def binary_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary (1-bit) quantized KNN: each dimension collapses to one

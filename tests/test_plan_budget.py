@@ -75,6 +75,12 @@ SHUFFLE_BUDGET = {
     "sliding_window_counts": 1,
     "tfidf_idf_top30": 2,
     "unigram_perplexity_scores": 3,  # LM train agg + vocab total + doc agg
+    "gopher_repetition_filters": 0,  # pure scan-local array expressions
+    "naive_bayes_lang_classifier": 10,  # train aggs + scoring agg + argmax window + confusion (vocab/doc-sized)
+    "rm3_query_expansion": 14,  # 3 pruned passes + tiny model/weight re-aggs (pre-AQE count; runtime converts several to broadcast)
+    "binary_quantized_knn": 2,  # stats row agg + shortlist-rerank join (pre-AQE; broadcast at runtime)
+    "source_token_kl": 6,  # token census + per-source cells + grid re-aggs
+    "adamic_adar_link_prediction": 11,  # edge extraction + edge-list-local joins/aggs (edge-list-sized, pre-AQE count)
 }
 
 
