@@ -131,6 +131,11 @@ _NEVER_SAMPLED_FIRST = (
     "embedding_anomaly_zscores",
     "fuzzy_name_match_join",
     "source_token_kl",
+    "order_value_bootstrap_ci",
+    "daily_order_anomalies",
+    "doc_entropy_stats",
+    "source_keyword_chi2",
+    "conformal_price_intervals",
 )
 
 

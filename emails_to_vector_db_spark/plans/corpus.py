@@ -24,7 +24,7 @@ replay first-seen-wins.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.functions import text as TX
@@ -1364,4 +1364,186 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("cst") > 0, 1)).alias("vocab_used"),
             F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document token-entropy quality signal
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+m AS (
+    SELECT doc_id, len(toks) AS n_tok,
+           list_distinct(toks) AS dt,
+           list_transform(list_distinct(toks),
+               x -> len(list_filter(toks, y -> y = x))) AS cnts
+    FROM t
+)
+SELECT doc_id,
+       n_tok::BIGINT AS n_tok,
+       len(dt)::BIGINT AS n_distinct,
+       round(-list_sum(list_transform(cnts,
+           c -> (c::DOUBLE / n_tok) * ln(c::DOUBLE / n_tok))), 6)
+           AS token_entropy,
+       CASE WHEN len(dt) > 1
+            THEN round(-list_sum(list_transform(cnts,
+                     c -> (c::DOUBLE / n_tok) * ln(c::DOUBLE / n_tok)))
+                 / ln(len(dt)), 6)
+            ELSE 0.0 END AS norm_entropy
+FROM m
+"""
+
+
+@register(
+    "doc_entropy_stats",
+    oracle=_ENTROPY_ORACLE,
+    tags=("corpus", "quality", "stats"),
+)
+def doc_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, raw and
+    normalized by log vocabulary size — the information-density member
+    of the quality family: low normalized entropy flags degenerate
+    repetition the length/stopword/punctuation scores miss, high
+    entropy flags token-soup with no dominant register (both tails are
+    curation-review candidates). Entirely scan-local array expressions
+    (distinct + per-distinct-token count + fold), zero shuffles at any
+    corpus size; O(V·L) per doc bounded by document length, with the
+    explode+groupBy long-doc fallback the repetition filters already
+    name."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    m = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.array_distinct(toks).alias("dt"),
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda y: y == x)),
+        ).alias("cnts"),
+    )
+    p = lambda c: c.cast("double") / F.col("n_tok")  # noqa: E731
+    h = -F.aggregate(
+        F.transform(F.col("cnts"), lambda c: p(c) * F.log(p(c))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.size("dt").cast("long").alias("n_distinct"),
+        F.round(h, 6).alias("token_entropy"),
+        F.when(
+            F.size("dt") > 1, F.round(h / F.log(F.size("dt")), 6)
+        )
+        .otherwise(0.0)
+        .alias("norm_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square discriminative keyword extraction per source
+# ---------------------------------------------------------------------------
+
+_CHI2_TOP_TERMS = 5
+
+_CHI2_KEYWORDS_ORACLE = f"""
+WITH toks AS (
+    SELECT source, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+cells AS (
+    SELECT source, tok, count(*)::DOUBLE AS a
+    FROM toks GROUP BY source, tok
+),
+tokc AS (SELECT tok, sum(a) AS tc FROM cells GROUP BY tok),
+srcc AS (SELECT source, sum(a) AS sc FROM cells GROUP BY source),
+tot AS (SELECT sum(a) AS n FROM cells),
+scored AS (
+    SELECT c.source, c.tok, c.a,
+           t.n * pow(c.a * (t.n - k.tc - s.sc + c.a)
+                     - (k.tc - c.a) * (s.sc - c.a), 2)
+           / (k.tc * (t.n - k.tc) * s.sc * (t.n - s.sc)) AS chi2
+    FROM cells c
+    JOIN tokc k USING (tok)
+    JOIN srcc s USING (source)
+    CROSS JOIN tot t
+),
+ranked AS (
+    SELECT source, tok, a::BIGINT AS n_in_source,
+           round(chi2, 6) AS chi2,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY round(chi2, 6) DESC, tok ASC
+           ) AS rank
+    FROM scored
+)
+SELECT source, tok, n_in_source, chi2, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {_CHI2_TOP_TERMS}
+"""
+
+
+@register(
+    "source_keyword_chi2",
+    oracle=_CHI2_KEYWORDS_ORACLE,
+    tags=("corpus", "text", "feature-selection"),
+)
+def source_keyword_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_CHI2_TOP_TERMS} discriminative keywords per source by
+    chi-square association between token occurrence and source
+    membership (the scikit-learn chi2 feature-selection statistic over
+    the 2x2 token-vs-source contingency) — what a curation reviewer
+    reads to see WHAT a source actually contains, and the
+    feature-selection primitive for the NB/logreg filter lanes.
+
+    Plan shape: one tokenize pass feeds the (source, token) cell
+    aggregation; token and source margins are re-aggregations of the
+    vocabulary-sized cell table (never the corpus); the chi-square is
+    arithmetic over broadcast margins and the top-k is a per-source
+    window over cells, partitioned on source — bounded groups, rounded
+    score ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(TX.tokens("text")).alias("tok")
+    )
+    cells = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("a")
+    )
+    from pyspark import StorageLevel
+
+    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    tokc = cells.groupBy("tok").agg(F.sum("a").alias("tc"))
+    srcc = cells.groupBy("source").agg(F.sum("a").alias("sc"))
+    tot = F.broadcast(cells.agg(F.sum("a").alias("n")))
+    chi2 = (
+        F.col("n")
+        * F.pow(
+            F.col("a")
+            * (F.col("n") - F.col("tc") - F.col("sc") + F.col("a"))
+            - (F.col("tc") - F.col("a")) * (F.col("sc") - F.col("a")),
+            2,
+        )
+        / (
+            F.col("tc")
+            * (F.col("n") - F.col("tc"))
+            * F.col("sc")
+            * (F.col("n") - F.col("sc"))
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.round(chi2, 6).desc(), F.col("tok").asc()
+    )
+    return (
+        cells.join(F.broadcast(tokc), "tok")
+        .join(F.broadcast(srcc), "source")
+        .crossJoin(tot)
+        .select(
+            "source",
+            "tok",
+            F.col("a").cast("long").alias("n_in_source"),
+            F.round(chi2, 6).alias("chi2"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= _CHI2_TOP_TERMS)
     )

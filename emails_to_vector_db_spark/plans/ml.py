@@ -984,3 +984,163 @@ def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r_squared"),
         F.col("n").cast("long").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals around the closed-form OLS model
+# ---------------------------------------------------------------------------
+
+_CONF_TARGET = 0.9
+
+_CONFORMAL_ORACLE = f"""
+WITH train AS (
+    SELECT * FROM lineitem WHERE l_orderkey % 4 IN (0, 1)
+),
+m AS (
+    SELECT count(*)::DOUBLE AS n,
+           sum(l_quantity) AS s1, sum(l_discount) AS s2,
+           sum(l_extendedprice) AS sy,
+           sum(l_quantity * l_quantity) AS s11,
+           sum(l_discount * l_discount) AS s22,
+           sum(l_quantity * l_discount) AS s12,
+           sum(l_quantity * l_extendedprice) AS s1y,
+           sum(l_discount * l_extendedprice) AS s2y
+    FROM train
+),
+b AS (
+    SELECT round({_OLS_B0} / {_OLS_DET}, 6) AS b0,
+           round({_OLS_B1} / {_OLS_DET}, 6) AS b1,
+           round({_OLS_B2} / {_OLS_DET}, 6) AS b2
+    FROM m
+),
+calib AS (
+    SELECT abs(l_extendedprice
+               - (b.b0 + b.b1 * l_quantity + b.b2 * l_discount)) AS r
+    FROM lineitem CROSS JOIN b
+    WHERE l_orderkey % 4 = 2
+),
+nc AS (SELECT count(*)::BIGINT AS n FROM calib),
+q AS (
+    SELECT r AS qhat
+    FROM (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM calib)
+    CROSS JOIN nc
+    WHERE rn = CAST(ceil((nc.n + 1) * {_CONF_TARGET}) AS BIGINT)
+),
+test AS (
+    SELECT abs(l_extendedprice
+               - (b.b0 + b.b1 * l_quantity + b.b2 * l_discount)) AS r
+    FROM lineitem CROSS JOIN b
+    WHERE l_orderkey % 4 = 3
+)
+SELECT (SELECT count(*) FROM train)::BIGINT AS n_train,
+       nc.n AS n_calib,
+       count(*)::BIGINT AS n_test,
+       round(max(q.qhat), 2) AS qhat,
+       {_CONF_TARGET}::DOUBLE AS target_coverage,
+       round(avg(CASE WHEN test.r <= q.qhat THEN 1.0 ELSE 0.0 END), 6)
+           AS coverage
+FROM test CROSS JOIN q CROSS JOIN nc
+GROUP BY nc.n
+"""
+
+
+@register(
+    "conformal_price_intervals",
+    oracle=_CONFORMAL_ORACLE,
+    tags=("ml", "uncertainty", "conformal"),
+)
+def conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    2018) around the closed-form OLS price model: fit on the train
+    split, take the ceil((n+1)·{_CONF_TARGET})-th smallest absolute
+    residual on the CALIBRATION split as the interval half-width qhat,
+    then verify the distribution-free coverage guarantee empirically
+    on the held-out test split — the uncertainty lane the point-
+    estimate models (OLS/logreg/softmax) need before their predictions
+    gate anything in production.
+
+    Plan shape: the model is the same ONE-moment-pass closed form as
+    ols_price_model, quantized at 6dp on both sides so residual
+    rankings can't drift; the order-statistic qhat is a sort over the
+    CALIBRATION split only (split-conformal needs just a bounded
+    calibration sample at 100 TB — that bound is the method, not a
+    compromise); coverage is one conditional aggregate over test. Three
+    filtered passes over the fact table, nothing wide shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = (
+        F.col("l_quantity"),
+        F.col("l_discount"),
+        F.col("l_extendedprice"),
+    )
+    train = li.where(F.col("l_orderkey") % 4 < 2)
+    m = train.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+    )
+    b = F.broadcast(
+        m.selectExpr(
+            f"round({_OLS_B0} / {_OLS_DET}, 6) AS b0",
+            f"round({_OLS_B1} / {_OLS_DET}, 6) AS b1",
+            f"round({_OLS_B2} / {_OLS_DET}, 6) AS b2",
+        )
+    )
+    resid = F.abs(
+        y - (F.col("b0") + F.col("b1") * x1 + F.col("b2") * x2)
+    )
+    calib = (
+        li.where(F.col("l_orderkey") % 4 == 2)
+        .crossJoin(b)
+        .select(resid.alias("r"))
+    )
+    nc = F.broadcast(calib.agg(F.count(F.lit(1)).alias("n")))
+    rn = F.row_number().over(Window.orderBy("r"))
+    q = F.broadcast(
+        calib.withColumn("rn", rn)
+        .crossJoin(nc)
+        .where(
+            F.col("rn")
+            == F.ceil((F.col("n") + 1) * _CONF_TARGET).cast("long")
+        )
+        .select(F.col("r").alias("qhat"))
+    )
+    n_train = F.broadcast(
+        train.agg(F.count(F.lit(1)).alias("n_train"))
+    )
+    test = (
+        li.where(F.col("l_orderkey") % 4 == 3)
+        .crossJoin(b)
+        .select(resid.alias("r"))
+    )
+    return (
+        test.crossJoin(q)
+        .crossJoin(nc)
+        .crossJoin(n_train)
+        .groupBy("n_train", F.col("n").alias("n_calib"))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(F.max("qhat"), 2).alias("qhat"),
+            F.round(
+                F.avg(
+                    F.when(F.col("r") <= F.col("qhat"), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            "n_train",
+            "n_calib",
+            "n_test",
+            "qhat",
+            F.lit(_CONF_TARGET).alias("target_coverage"),
+            "coverage",
+        )
+    )

@@ -1343,3 +1343,216 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as (var_a, var_b, pearson_r)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval for the mean order value
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# Poisson(1) inverse-CDF thresholds (cumulative P(X<=k)); identical
+# literals on both sides, applied to an EXACT shared uniform (md5-hex
+# prefix / 2^32 — integer division by a power of two, no float noise),
+# so the resample weights are bit-identical across engines.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+_BOOT_W_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {p!r} THEN {k}" for k, p in enumerate(_POIS_CDF)
+    )
+    + f" ELSE {len(_POIS_CDF)} END"
+)
+
+_BOOT_ORACLE = f"""
+WITH reps AS (
+    SELECT o_orderkey, o_totalprice, b.b,
+           (('0x' || substr(md5(o_orderkey || ':' || b.b), 1, 8))::BIGINT)
+               / 4294967296.0 AS u
+    FROM orders
+    CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b
+),
+w AS (SELECT b, o_totalprice, {_BOOT_W_SQL} AS w FROM reps),
+means AS (
+    SELECT b, sum(w * o_totalprice) / sum(w) AS m
+    FROM w GROUP BY b
+),
+pt AS (SELECT count(*)::BIGINT AS n_orders, avg(o_totalprice) AS mean_total
+       FROM orders)
+SELECT pt.n_orders,
+       round(pt.mean_total, 2) AS mean_total,
+       round(quantile_cont(means.m, 0.025), 2) AS ci_lo,
+       round(quantile_cont(means.m, 0.975), 2) AS ci_hi,
+       {_BOOT_B}::BIGINT AS n_replicas
+FROM means CROSS JOIN pt
+GROUP BY pt.n_orders, pt.mean_total
+"""
+
+
+@register(
+    "order_value_bootstrap_ci",
+    oracle=_BOOT_ORACLE,
+    tags=("stats", "bootstrap", "uncertainty"),
+)
+def order_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap confidence interval for the mean order
+    value: each of {_BOOT_B} replicas reweights every order by a
+    deterministic Poisson(1) draw (inverse-CDF over an exact md5-based
+    uniform), replicate means aggregate in one pass, and the CI is the
+    2.5/97.5 percentile of the {_BOOT_B} means — the MAP-REDUCE
+    bootstrap (Chamandy et al. 2012): no resampled copies of the data
+    ever materialize, the fact table is scanned ONCE with the replica
+    dimension unrolled as a crossJoin against a {_BOOT_B}-row literal
+    range, and only B partial sums shuffle. The uniform is an integer divided by 2^32, so weights are
+    bit-identical across engines and the oracle needs no tolerance."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    reps = o.crossJoin(
+        F.broadcast(
+            spark.range(_BOOT_B).select(F.col("id").alias("b"))
+        )
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "", F.col("o_orderkey").cast("string"),
+                        F.lit(":"), F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0),
+    )
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS_CDF[k], k).otherwise(w)
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")
+            ).alias("m")
+        )
+    )
+    pt = F.broadcast(
+        o.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.avg("o_totalprice").alias("mean_total"),
+        )
+    )
+    return (
+        means.crossJoin(pt)
+        .groupBy("n_orders", "mean_total")
+        .agg(
+            F.round(F.percentile(F.col("m"), F.lit(0.025)), 2).alias(
+                "ci_lo"
+            ),
+            F.round(F.percentile(F.col("m"), F.lit(0.975)), 2).alias(
+                "ci_hi"
+            ),
+        )
+        .select(
+            "n_orders",
+            F.round("mean_total", 2).alias("mean_total"),
+            "ci_lo",
+            "ci_hi",
+            F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window z-score anomalies on the daily order series
+# ---------------------------------------------------------------------------
+
+_ANOM_WIN = 7
+_ANOM_Z = 2.0
+
+_DAILY_ANOM_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderdate AS d, count(*)::BIGINT AS n_orders
+    FROM orders GROUP BY o_orderdate
+),
+scored AS (
+    SELECT d, n_orders,
+           avg(n_orders) OVER w AS m,
+           stddev_samp(n_orders) OVER w AS sd,
+           count(*) OVER w AS n_hist
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN {_ANOM_WIN} PRECEDING
+                                     AND 1 PRECEDING)
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       n_orders,
+       round((n_orders - m) / sd, 6) AS z
+FROM scored
+WHERE n_hist = {_ANOM_WIN} AND sd > 0
+  AND abs((n_orders - m) / sd) > {_ANOM_Z}
+ORDER BY day
+"""
+
+
+@register(
+    "daily_order_anomalies",
+    oracle=_DAILY_ANOM_ORACLE,
+    tags=("stats", "anomaly", "timeseries", "monitoring"),
+)
+def daily_order_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection on the daily order
+    count series: each day scores against the mean/stddev of the
+    {_ANOM_WIN} FULLY-OBSERVED preceding days (never its own value —
+    the self-exclusion that keeps a spike from masking itself), and
+    days beyond ±{_ANOM_Z}σ surface — the volume-monitoring alarm an
+    ingest pipeline runs beside the distribution-drift monitors
+    (PSI/KS watch SHAPE, this watches LEVEL).
+
+    Plan shape: the corpus-scale work is one groupBy(day) count; the
+    window runs over the day-level series (3 orders of magnitude
+    smaller than the fact table), ordered by date — a range-partitioned
+    sort at scale, trivially small here. The trailing frame is ROWS
+    BETWEEN so partial windows at the series head are excluded
+    exactly, identically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(-_ANOM_WIN, -1)
+    )
+    scored = daily.select(
+        "d",
+        "n_orders",
+        F.avg("n_orders").over(w).alias("m"),
+        F.stddev_samp("n_orders").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    z = (F.col("n_orders") - F.col("m")) / F.col("sd")
+    return (
+        scored.where(
+            (F.col("n_hist") == _ANOM_WIN)
+            & (F.col("sd") > 0)
+            & (F.abs(z) > _ANOM_Z)
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "n_orders",
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy("day")
+    )
