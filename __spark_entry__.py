@@ -136,6 +136,9 @@ _NEVER_SAMPLED_FIRST = (
     "doc_entropy_stats",
     "source_keyword_chi2",
     "conformal_price_intervals",
+    "bfs_supplier_reach",
+    "cusum_order_level_shift",
+    "markov_next_event_accuracy",
 )
 
 

@@ -656,3 +656,132 @@ def attribution_model_comparison(
         ),
     ).select("model", "n_purchases", "attributed_value")
     return first.unionByName(last).unionByName(linear)
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov next-event prediction, evaluated on a time split
+# ---------------------------------------------------------------------------
+
+_MARKOV_SPLIT_Q = 0.8
+
+_MARKOV_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+),
+cut AS (SELECT quantile_cont(t, {_MARKOV_SPLIT_Q}) AS c FROM ev),
+pairs AS (
+    SELECT user_id, event_type AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           lead(t) OVER w AS next_t
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+train AS (
+    SELECT prev_type, next_type, count(*)::BIGINT AS n
+    FROM pairs CROSS JOIN cut
+    WHERE next_type IS NOT NULL AND next_t <= cut.c
+    GROUP BY prev_type, next_type
+),
+model AS (
+    SELECT prev_type, next_type AS predicted
+    FROM (
+        SELECT prev_type, next_type,
+               row_number() OVER (
+                   PARTITION BY prev_type
+                   ORDER BY n DESC, next_type ASC
+               ) AS rn
+        FROM train
+    ) WHERE rn = 1
+),
+test AS (
+    SELECT p.prev_type, p.next_type
+    FROM pairs p CROSS JOIN cut
+    WHERE p.next_type IS NOT NULL AND p.next_t > cut.c
+)
+SELECT t.prev_type,
+       m.predicted,
+       count(*)::BIGINT AS n_test,
+       round(avg(CASE WHEN t.next_type = m.predicted
+                      THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM test t JOIN model m USING (prev_type)
+GROUP BY t.prev_type, m.predicted
+"""
+
+
+@register(
+    "markov_next_event_accuracy",
+    oracle=_MARKOV_ORACLE,
+    tags=("events", "sequence", "ml", "eval"),
+)
+def markov_next_event_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov next-event prediction evaluated out-of-time:
+    transition counts fit on events before the {_MARKOV_SPLIT_Q:.0%}
+    timestamp quantile, the per-state argmax becomes the predictor,
+    and per-state accuracy is measured on transitions AFTER the cut —
+    turning the descriptive transition table
+    (event_sequence_transitions) into an evaluated sequence model with
+    the same temporal-split discipline as the walk-forward backtest.
+
+    Plan shape: consecutive pairs come from ONE lead() window on the
+    user_id exchange (shared with every sequence query); the model is
+    a |types|²-row aggregate with a bounded per-state argmax window;
+    test scoring is a broadcast join of the |types|-row predictor onto
+    the pair stream. The time cut is one exact-percentile scalar
+    broadcast — at 100 TB an approx-percentile cut with a recorded
+    epsilon replaces it (orders_equi_depth_approx precedent)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+    )
+    cut = F.broadcast(
+        ev.agg(
+            F.percentile(F.col("t"), F.lit(_MARKOV_SPLIT_Q)).alias("c")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.lead("t").over(w).alias("next_t"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .crossJoin(cut)
+    )
+    train = (
+        pairs.where(F.col("next_t") <= F.col("c"))
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("prev_type").orderBy(
+            F.col("n").desc(), F.col("next_type").asc()
+        )
+    )
+    model = (
+        train.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    test = pairs.where(F.col("next_t") > F.col("c")).select(
+        "prev_type", "next_type"
+    )
+    return (
+        test.join(F.broadcast(model), "prev_type")
+        .groupBy("prev_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("next_type") == F.col("predicted"), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("accuracy"),
+        )
+    )

@@ -588,3 +588,123 @@ def adamic_adar_link_prediction(
             F.round("aa_raw", 6).alias("adamic_adar"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop BFS reachability over the co-supply graph
+# ---------------------------------------------------------------------------
+
+_BFS_MIN_ORDERS = 25
+
+_BFS_ORACLE = f"""
+WITH edges AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    HAVING count(DISTINCT a.l_orderkey) >= {_BFS_MIN_ORDERS}
+),
+adj AS (
+    SELECT u AS a, v AS b FROM edges
+    UNION ALL
+    SELECT v AS a, u AS b FROM edges
+),
+seed AS (SELECT min(a) AS s FROM adj),
+h1 AS (
+    SELECT DISTINCT j.b AS node FROM adj j JOIN seed ON j.a = seed.s
+),
+h2 AS (
+    SELECT DISTINCT j.b AS node FROM adj j JOIN h1 ON j.a = h1.node
+),
+h3 AS (
+    SELECT DISTINCT j.b AS node FROM adj j JOIN h2 ON j.a = h2.node
+),
+r1 AS (SELECT node FROM h1 WHERE node NOT IN (SELECT s FROM seed)),
+r2 AS (SELECT node FROM h2 WHERE node NOT IN (SELECT node FROM h1)
+                             AND node NOT IN (SELECT s FROM seed)),
+r3 AS (SELECT node FROM h3 WHERE node NOT IN (SELECT node FROM h2)
+                             AND node NOT IN (SELECT node FROM h1)
+                             AND node NOT IN (SELECT s FROM seed))
+SELECT 1::BIGINT AS hop, (SELECT count(*) FROM r1)::BIGINT AS n_new
+UNION ALL
+SELECT 2, (SELECT count(*) FROM r2)
+UNION ALL
+SELECT 3, (SELECT count(*) FROM r3)
+"""
+
+
+@register(
+    "bfs_supplier_reach",
+    oracle=_BFS_ORACLE,
+    tags=("graph", "bfs", "traversal"),
+)
+def bfs_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS from the smallest supplier in the co-supply
+    graph: how many NEW suppliers become reachable at hops 1, 2, 3 —
+    the reachability/traversal primitive beside PageRank (global
+    importance) and components (full closure): blast-radius questions
+    ("if this supplier fails, who is within two procurement links?")
+    are bounded-hop BFS, not full closure.
+
+    Plan shape: the unrolled-iteration template of every graph lane
+    here — a FIXED hop count unrolls into joins against the static
+    (persisted) adjacency list, shipping only the frontier; each
+    frontier is distinct-reduced before the next expansion so the join
+    input never exceeds the node set. New-at-hop-k sets subtract the
+    previous frontiers (broadcast anti-joins — frontiers are
+    node-bounded). The whole traversal is hash-checked by the unrolled
+    oracle."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"),
+            F.col("b.l_suppkey").alias("v"),
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("n_orders"))
+        .where(F.col("n_orders") >= _BFS_MIN_ORDERS)
+        .select("u", "v")
+    )
+    adj = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seed = F.broadcast(adj.agg(F.min("a").alias("node")))
+    frontiers = [seed.select("node")]
+    for _ in range(3):
+        nxt = (
+            adj.join(
+                F.broadcast(frontiers[-1]),
+                adj["a"] == frontiers[-1]["node"],
+                "left_semi",
+            )
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        frontiers.append(nxt.persist(StorageLevel.MEMORY_AND_DISK))
+    rows = []
+    for hop in (1, 2, 3):
+        new = frontiers[hop]
+        for prev in frontiers[:hop]:
+            new = new.join(F.broadcast(prev), "node", "left_anti")
+        rows.append(
+            new.agg(
+                F.lit(hop).cast("long").alias("hop"),
+                F.count(F.lit(1)).alias("n_new"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -1556,3 +1556,105 @@ def daily_order_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM level-shift detection on the daily order series
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = 0.5  # slack, in sigma units
+_CUSUM_H = 4.0  # decision interval, in sigma units
+
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderdate AS d, count(*)::DOUBLE AS x
+    FROM orders GROUP BY o_orderdate
+),
+stats AS (SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM daily),
+pre AS (
+    SELECT d, x,
+           sum(x - s.mu - {_CUSUM_K} * s.sd) OVER w AS sp,
+           sum(x - s.mu + {_CUSUM_K} * s.sd) OVER w AS sn,
+           s.sd
+    FROM daily CROSS JOIN stats s
+    WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+),
+cus AS (
+    SELECT d, x, sd,
+           sp - least(min(sp) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW), 0) AS c_pos,
+           greatest(max(sn) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW), 0) - sn AS c_neg
+    FROM pre
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       x::BIGINT AS n_orders,
+       round(c_pos / sd, 4) AS c_pos_sigma,
+       round(c_neg / sd, 4) AS c_neg_sigma
+FROM cus
+WHERE c_pos > {_CUSUM_H} * sd OR c_neg > {_CUSUM_H} * sd
+ORDER BY day
+"""
+
+
+@register(
+    "cusum_order_level_shift",
+    oracle=_CUSUM_ORACLE,
+    tags=("stats", "anomaly", "timeseries", "monitoring"),
+)
+def cusum_order_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection on the daily order
+    series (Page 1954): days where the cumulative deviation beyond a
+    ±{_CUSUM_K}σ slack exceeds the {_CUSUM_H}σ decision interval —
+    the SUSTAINED-level-shift detector beside the spike detector
+    (daily_order_anomalies): a 10% drift the z-score never flags
+    accumulates here within days.
+
+    Plan shape: the textbook CUSUM recursion C+_t = max(0, C+_{{t-1}}
+    + x_t - μ - k) looks sequential, but it is exactly a PREFIX-SUM
+    identity — C+_t = S_t - min(0, min_{{s<=t}} S_s) over the running
+    sum S of slack-adjusted deviations — so two cumulative windows
+    over the day-level series compute it with no recursion, no UDF,
+    no driver loop (the scan-friendly reformulation that makes CUSUM
+    distributable). Corpus-scale work is one groupBy(day); the
+    windows run over days only."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    stats = F.broadcast(
+        daily.agg(
+            F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.crossJoin(stats).select(
+        "d",
+        "x",
+        "sd",
+        F.sum(
+            F.col("x") - F.col("mu") - _CUSUM_K * F.col("sd")
+        ).over(w).alias("sp"),
+        F.sum(
+            F.col("x") - F.col("mu") + _CUSUM_K * F.col("sd")
+        ).over(w).alias("sn"),
+    )
+    c_pos = F.col("sp") - F.least(F.min("sp").over(w), F.lit(0.0))
+    c_neg = F.greatest(F.max("sn").over(w), F.lit(0.0)) - F.col("sn")
+    cus = pre.select(
+        "d", "x", "sd", c_pos.alias("c_pos"), c_neg.alias("c_neg")
+    )
+    return (
+        cus.where(
+            (F.col("c_pos") > _CUSUM_H * F.col("sd"))
+            | (F.col("c_neg") > _CUSUM_H * F.col("sd"))
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.col("x").cast("long").alias("n_orders"),
+            F.round(F.col("c_pos") / F.col("sd"), 4).alias("c_pos_sigma"),
+            F.round(F.col("c_neg") / F.col("sd"), 4).alias("c_neg_sigma"),
+        )
+        .orderBy("day")
+    )
