@@ -139,6 +139,10 @@ _NEVER_SAMPLED_FIRST = (
     "bfs_supplier_reach",
     "cusum_order_level_shift",
     "markov_next_event_accuracy",
+    "gini_revenue_concentration",
+    "dow_seasonality_profile",
+    "user_path_top_sequences",
+    "median_price_by_quantity",
 )
 
 

@@ -785,3 +785,90 @@ def markov_next_event_accuracy(
             ).alias("accuracy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Top opening paths: each user's first three events as a journey string
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 3
+_PATH_TOP = 15
+
+_PATH_ORACLE = f"""
+WITH ranked AS (
+    SELECT user_id, event_type,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_ev
+    FROM events
+),
+paths AS (
+    SELECT user_id,
+           min(CASE WHEN rn = 1 THEN event_type END)
+               || ' > ' || min(CASE WHEN rn = 2 THEN event_type END)
+               || ' > ' || min(CASE WHEN rn = 3 THEN event_type END)
+               AS path
+    FROM ranked
+    WHERE n_ev >= {_PATH_LEN} AND rn <= {_PATH_LEN}
+    GROUP BY user_id
+)
+SELECT path, count(*)::BIGINT AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT {_PATH_TOP}
+"""
+
+
+@register(
+    "user_path_top_sequences",
+    oracle=_PATH_ORACLE,
+    tags=("events", "sequence", "path-analysis"),
+)
+def user_path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top opening journeys: every user's first {_PATH_LEN} events
+    (users with fewer drop out) concatenated into a path string,
+    ranked by user count — WHOLE-path analysis (the Sankey/funnel-
+    discovery view) where event_sequence_transitions sees only
+    adjacent pairs and markov_next_event_accuracy only first-order
+    state: 'click > click > purchase' vs 'click > purchase > click'
+    are different journeys with identical transition multisets.
+
+    Plan shape: one ranking window on the user_id exchange (the
+    sequence-family shared shuffle), the per-user path assembled by a
+    conditional-min pivot over the first {_PATH_LEN} ranks (bounded
+    groups, no collect_list ordering hazard), then a map-side-
+    combinable path census with TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_ev"),
+    )
+    slot = [
+        F.min(
+            F.when(F.col("rn") == i, F.col("event_type"))
+        )
+        for i in range(1, _PATH_LEN + 1)
+    ]
+    paths = (
+        ranked.where(
+            (F.col("n_ev") >= _PATH_LEN) & (F.col("rn") <= _PATH_LEN)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat(
+                slot[0], F.lit(" > "), slot[1], F.lit(" > "), slot[2]
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(_PATH_TOP)
+    )

@@ -1658,3 +1658,257 @@ def cusum_order_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient / Lorenz concentration of customer revenue
+# ---------------------------------------------------------------------------
+
+_GINI_TOP_PCT = 0.01
+
+_GINI_ORACLE = f"""
+WITH rev AS (
+    SELECT o_custkey, sum(o_totalprice) AS r
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT r,
+           row_number() OVER (ORDER BY r ASC, o_custkey ASC) AS i,
+           count(*) OVER () AS n,
+           sum(r) OVER () AS tot
+    FROM rev
+),
+g AS (
+    SELECT max(n) AS n, max(tot) AS tot,
+           sum(i * r) AS weighted
+    FROM ranked
+),
+topshare AS (
+    SELECT sum(r) AS top_r
+    FROM ranked
+    WHERE i > n - CAST(ceil(n * {_GINI_TOP_PCT}) AS BIGINT)
+)
+SELECT g.n::BIGINT AS n_customers,
+       round(g.tot, 2) AS total_revenue,
+       round(2.0 * g.weighted / (g.n * g.tot) - (g.n + 1.0) / g.n, 6)
+           AS gini,
+       round(t.top_r / g.tot, 6) AS top1pct_share
+FROM g CROSS JOIN topshare t
+"""
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle=_GINI_ORACLE,
+    tags=("stats", "economics", "analytics"),
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration plus the
+    top-1% revenue share — the Lorenz-curve summary beside the
+    supplier HHI (HHI measures MARKET concentration over a handful of
+    suppliers; Gini measures INEQUALITY over the whole customer base,
+    the number a usage-based business watches for whale dependence).
+    Computed by the exact rank-sum identity G = 2·Σ(i·xᵢ)/(n·Σx) −
+    (n+1)/n over ascending-ranked revenues.
+
+    Plan shape: the fact table reduces to one row per customer first
+    (map-side combinable); the ranking window runs over the
+    CUSTOMER-level aggregate — self-documented scale ceiling shared
+    with rfm_customer_segments, and like it the binned-Lorenz
+    (histogram) approximation is the named 100 TB fallback
+    (orders_equi_depth_approx precedent). Deterministic tie-break on
+    custkey pins the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    w = Window.orderBy(F.col("r").asc(), F.col("o_custkey").asc())
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("r").over(wall).alias("tot"),
+    )
+    g = ranked.agg(
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+        F.sum(F.col("i") * F.col("r")).alias("weighted"),
+    )
+    topshare = ranked.where(
+        F.col("i")
+        > F.col("n") - F.ceil(F.col("n") * _GINI_TOP_PCT).cast("long")
+    ).agg(F.sum("r").alias("top_r"))
+    return (
+        g.crossJoin(topshare)
+        .select(
+            F.col("n").cast("long").alias("n_customers"),
+            F.round("tot", 2).alias("total_revenue"),
+            F.round(
+                2.0 * F.col("weighted") / (F.col("n") * F.col("tot"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+            F.round(F.col("top_r") / F.col("tot"), 6).alias(
+                "top1pct_share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile of the order series
+# ---------------------------------------------------------------------------
+
+_SEASON_ORACLE = """
+WITH daily AS (
+    SELECT o_orderdate AS d, count(*)::DOUBLE AS x
+    FROM orders GROUP BY o_orderdate
+),
+trended AS (
+    SELECT d, x,
+           avg(x) OVER w AS trend,
+           count(*) OVER w AS n_win
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT dayofweek(d)::BIGINT AS dow,
+       count(*)::BIGINT AS n_days,
+       round(avg(x), 2) AS mean_orders,
+       round(avg(x - trend), 4) AS seasonal_index
+FROM trended
+WHERE n_win = 7
+GROUP BY dayofweek(d)
+"""
+
+
+@register(
+    "dow_seasonality_profile",
+    oracle=_SEASON_ORACLE,
+    tags=("stats", "timeseries", "analytics"),
+)
+def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of the daily order series,
+    STL-lite: trend = centered 7-day moving average (full windows
+    only, so the boundary days drop out identically in both engines),
+    seasonal index = mean detrended value per weekday — the
+    calendar-effect profile the anomaly detectors (z-score, CUSUM)
+    should be read against: a 'Monday dip' is seasonality, not an
+    incident.
+
+    Plan shape: one groupBy(day) reduction of the fact table; the
+    centered window and the 7-group weekday aggregate run over the
+    day-level series only. DuckDB's dayofweek is 0=Sunday..6; Spark's
+    is 1=Sunday..7 — normalized to the DuckDB convention in the plan
+    so the group keys hash-match."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "x",
+        F.avg("x").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    return (
+        trended.where(F.col("n_win") == 7)
+        .groupBy(
+            (F.dayofweek("d") - 1).cast("long").alias("dow")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("x"), 2).alias("mean_orders"),
+            F.round(F.avg(F.col("x") - F.col("trend")), 4).alias(
+                "seasonal_index"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional quantile curve: median price by quantity, with a robust fit
+# ---------------------------------------------------------------------------
+
+_QCURVE_ORACLE = """
+WITH grp AS (
+    SELECT l_quantity AS qty,
+           count(*)::DOUBLE AS n,
+           quantile_cont(l_extendedprice, 0.5) AS med,
+           quantile_cont(l_extendedprice, 0.75)
+               - quantile_cont(l_extendedprice, 0.25) AS iqr
+    FROM lineitem GROUP BY l_quantity
+),
+fit AS (
+    SELECT (sum(n * qty * med) - sum(n * qty) * sum(n * med) / sum(n))
+           / (sum(n * qty * qty) - sum(n * qty) * sum(n * qty) / sum(n))
+               AS slope,
+           sum(n * med) / sum(n) AS my,
+           sum(n * qty) / sum(n) AS mx
+    FROM grp
+)
+SELECT CAST(g.qty AS BIGINT) AS quantity,
+       g.n::BIGINT AS n_rows,
+       round(g.med, 2) AS median_price,
+       round(g.iqr, 2) AS iqr_price,
+       round(f.my + f.slope * (g.qty - f.mx), 2) AS fitted_median
+FROM grp g CROSS JOIN fit f
+"""
+
+
+@register(
+    "median_price_by_quantity",
+    oracle=_QCURVE_ORACLE,
+    tags=("stats", "regression", "robust"),
+)
+def median_price_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MEDIAN curve of extended price against quantity with
+    a count-weighted least-squares line through the group medians — the
+    robust complement to the mean-based OLS lane (ols_price_model):
+    medians ignore the price outliers that pull a mean fit, and the
+    two-stage median-then-fit construction is the classic scalable
+    stand-in for full quantile regression (the per-group medians are
+    group-local sorts over bounded groups; no global quantile pass).
+
+    Plan shape: one groupBy(quantity) with exact interpolated
+    percentiles (group-local), then the weighted fit is a 1-row
+    aggregate of the ~50-row group table broadcast back onto it.
+    Nothing corpus-scale shuffles twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy(F.col("l_quantity").alias("qty")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("med"),
+        (
+            F.percentile(F.col("l_extendedprice"), F.lit(0.75))
+            - F.percentile(F.col("l_extendedprice"), F.lit(0.25))
+        ).alias("iqr"),
+    )
+    fit = F.broadcast(
+        grp.agg(
+            (
+                (
+                    F.sum(F.col("n") * F.col("qty") * F.col("med"))
+                    - F.sum(F.col("n") * F.col("qty"))
+                    * F.sum(F.col("n") * F.col("med"))
+                    / F.sum("n")
+                )
+                / (
+                    F.sum(F.col("n") * F.col("qty") * F.col("qty"))
+                    - F.sum(F.col("n") * F.col("qty"))
+                    * F.sum(F.col("n") * F.col("qty"))
+                    / F.sum("n")
+                )
+            ).alias("slope"),
+            (F.sum(F.col("n") * F.col("med")) / F.sum("n")).alias("my"),
+            (F.sum(F.col("n") * F.col("qty")) / F.sum("n")).alias("mx"),
+        )
+    )
+    return grp.crossJoin(fit).select(
+        F.col("qty").cast("long").alias("quantity"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round("med", 2).alias("median_price"),
+        F.round("iqr", 2).alias("iqr_price"),
+        F.round(
+            F.col("my") + F.col("slope") * (F.col("qty") - F.col("mx")),
+            2,
+        ).alias("fitted_median"),
+    )
