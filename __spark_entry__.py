@@ -143,6 +143,8 @@ _NEVER_SAMPLED_FIRST = (
     "dow_seasonality_profile",
     "user_path_top_sequences",
     "median_price_by_quantity",
+    "unicode_normalization_stats",
+    "calinski_harabasz_score",
 )
 
 

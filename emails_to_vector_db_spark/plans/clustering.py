@@ -472,3 +472,126 @@ def simplified_silhouette_score(
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.avg(s), 6).alias("simplified_silhouette"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calinski-Harabasz score for the label clustering
+# ---------------------------------------------------------------------------
+
+_CH_ORACLE = f"""
+WITH per_dim AS (
+    SELECT label, i, avg(e.embedding[i]::DOUBLE) AS m,
+           count(*) AS nk
+    FROM embeddings e, generate_series(1, {_SIL_DIMS}) AS gs(i)
+    GROUP BY label, i
+),
+cents AS (
+    SELECT label AS clabel, list(m ORDER BY i) AS cvec,
+           min(nk)::DOUBLE AS nk
+    FROM per_dim GROUP BY label
+),
+gdim AS (
+    SELECT i, avg(embedding[i]::DOUBLE) AS g
+    FROM embeddings, generate_series(1, {_SIL_DIMS}) AS gs(i)
+    GROUP BY i
+),
+gmean AS (SELECT list(g ORDER BY i) AS gvec FROM gdim),
+b AS (
+    SELECT sum(c.nk * list_sum(list_transform(
+               generate_series(1, {_SIL_DIMS}),
+               i -> (c.cvec[i] - g.gvec[i]) * (c.cvec[i] - g.gvec[i]))))
+           AS bss,
+           count(*)::DOUBLE AS k
+    FROM cents c CROSS JOIN gmean g
+),
+w AS (
+    SELECT sum(list_sum(list_transform(
+               generate_series(1, {_SIL_DIMS}),
+               i -> (e.embedding[i]::DOUBLE - c.cvec[i])
+                    * (e.embedding[i]::DOUBLE - c.cvec[i])))) AS wss,
+           count(*)::DOUBLE AS n
+    FROM embeddings e JOIN cents c ON c.clabel = e.label
+)
+SELECT w.n::BIGINT AS n_points,
+       b.k::BIGINT AS n_clusters,
+       round(b.bss, 4) AS between_ss,
+       round(w.wss, 4) AS within_ss,
+       round((b.bss / (b.k - 1)) / (w.wss / (w.n - b.k)), 4)
+           AS calinski_harabasz
+FROM b CROSS JOIN w
+"""
+
+
+@register(
+    "calinski_harabasz_score",
+    oracle=_CH_ORACLE,
+    tags=("clustering", "eval", "vector"),
+)
+def calinski_harabasz_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz variance-ratio criterion for the label
+    clustering — the second clustering-quality lens beside the
+    simplified silhouette (silhouette judges per-point placement; CH
+    judges the GLOBAL between/within variance ratio, the classic
+    k-selection score a k-means/IVF tuning sweep reads).
+
+    Plan shape: label centroids and the global mean are two
+    explode-free aggregate rows broadcast onto one scan; the within-SS
+    fold is a scan-local zip against the point's own centroid (k-row
+    broadcast join on label); between-SS is arithmetic over the k-row
+    centroid table. Two stats passes, zero wide shuffles."""
+    from emails_to_vector_db_spark.functions.vector import squared_l2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    cents = F.broadcast(
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nk"),
+            *[
+                F.avg(F.element_at(emb_d, i)).alias(f"m{i}")
+                for i in range(1, _SIL_DIMS + 1)
+            ],
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            "nk",
+            F.array(
+                *[F.col(f"m{i}") for i in range(1, _SIL_DIMS + 1)]
+            ).alias("cvec"),
+        )
+    )
+    gmean = F.broadcast(
+        emb.agg(
+            *[
+                F.avg(F.element_at(emb_d, i)).alias(f"g{i}")
+                for i in range(1, _SIL_DIMS + 1)
+            ]
+        ).select(
+            F.array(
+                *[F.col(f"g{i}") for i in range(1, _SIL_DIMS + 1)]
+            ).alias("gvec")
+        )
+    )
+    b = cents.crossJoin(gmean).agg(
+        F.sum(F.col("nk") * squared_l2("cvec", "gvec")).alias("bss"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    w = (
+        emb.join(cents, emb["label"] == cents["clabel"])
+        .select(squared_l2(emb_d, F.col("cvec")).alias("d2"))
+        .agg(
+            F.sum("d2").alias("wss"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+    )
+    return b.crossJoin(w).select(
+        F.col("n").cast("long").alias("n_points"),
+        F.col("k").cast("long").alias("n_clusters"),
+        F.round("bss", 4).alias("between_ss"),
+        F.round("wss", 4).alias("within_ss"),
+        F.round(
+            (F.col("bss") / (F.col("k") - 1))
+            / (F.col("wss") / (F.col("n") - F.col("k"))),
+            4,
+        ).alias("calinski_harabasz"),
+    )

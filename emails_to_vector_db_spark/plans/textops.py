@@ -368,3 +368,113 @@ def bytes_per_token_by_source(
             6,
         ).alias("bytes_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization hygiene: NFC + accent folding over planted text
+# ---------------------------------------------------------------------------
+
+# Deterministic plants exercising both lanes on the all-ASCII fixture:
+# a DECOMPOSED accent (e + U+0301 — NFC recomposes it, 1 char shorter)
+# and a PRECOMPOSED one (U+00E9 — NFC-stable, accent folding changes
+# it). Identical literals on both sides.
+_UNI_DECOMPOSED = " caf" + "e\u0301"
+_UNI_PRECOMPOSED = " caf\u00e9"
+
+_UNICODE_ORACLE = f"""
+WITH planted AS (
+    SELECT source,
+           CASE WHEN doc_id % 25 = 0 THEN text || '{_UNI_DECOMPOSED}'
+                WHEN doc_id % 25 = 5 THEN text || '{_UNI_PRECOMPOSED}'
+                ELSE text END AS t
+    FROM documents
+),
+norm AS (
+    SELECT source, t,
+           nfc_normalize(t) AS t_nfc,
+           strip_accents(t) AS t_fold
+    FROM planted
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN t_nfc <> t THEN 1 ELSE 0 END)::BIGINT
+           AS n_changed_nfc,
+       sum(length(t) - length(t_nfc))::BIGINT AS nfc_char_delta,
+       sum(CASE WHEN t_fold <> t THEN 1 ELSE 0 END)::BIGINT
+           AS n_changed_fold
+FROM norm
+GROUP BY source
+"""
+
+
+@register(
+    "unicode_normalization_stats",
+    oracle=_UNICODE_ORACLE,
+    tags=("text", "multilingual", "curation", "pandas_udf"),
+)
+def unicode_normalization_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unicode text hygiene for a multilingual corpus: NFC
+    canonicalization (decomposed accent sequences recompose — without
+    it, 'café' and 'cafe\\u0301' hash as DIFFERENT documents and every
+    exact-dedup/fingerprint lane silently misses the pair) and accent
+    folding (the search-side analyzer normalization), reported as
+    per-source changed-document counts and character deltas. The
+    fixture is pure ASCII, so deterministic plants (one decomposed,
+    one precomposed) prove both lanes actually fire.
+
+    Plan shape: Spark has no built-in NFC, so normalization runs in
+    the Arrow lane — one pandas_udf per form, unicodedata inside,
+    scan-local, zero shuffles before the per-source aggregate; DuckDB's
+    native nfc_normalize/strip_accents replay it for the hash check
+    (cross-IMPLEMENTATION differential: ICU-style C++ vs Python
+    unicodedata agreeing byte-for-byte is the test)."""
+    def _nfc_fn(col):
+        import unicodedata
+
+        return col.map(lambda t: unicodedata.normalize("NFC", t))
+
+    def _fold_fn(col):
+        import unicodedata
+
+        def _strip(t: str) -> str:
+            return "".join(
+                c
+                for c in unicodedata.normalize("NFD", t)
+                if not unicodedata.combining(c)
+            )
+
+        return col.map(_strip)
+
+    nfc = F.pandas_udf(_nfc_fn, "string")
+    fold = F.pandas_udf(_fold_fn, "string")
+
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.col("text"), F.lit(_UNI_DECOMPOSED)),
+        )
+        .when(
+            F.col("doc_id") % 25 == 5,
+            F.concat(F.col("text"), F.lit(_UNI_PRECOMPOSED)),
+        )
+        .otherwise(F.col("text"))
+    )
+    norm = d.select("source", t.alias("t")).select(
+        "source",
+        "t",
+        nfc(F.col("t")).alias("t_nfc"),
+        fold(F.col("t")).alias("t_fold"),
+    )
+    return norm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("t_nfc") != F.col("t"), 1).otherwise(0)
+        ).alias("n_changed_nfc"),
+        F.sum(F.length("t") - F.length("t_nfc")).alias("nfc_char_delta"),
+        F.sum(
+            F.when(F.col("t_fold") != F.col("t"), 1).otherwise(0)
+        ).alias("n_changed_fold"),
+    )
