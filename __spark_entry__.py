@@ -145,6 +145,9 @@ _NEVER_SAMPLED_FIRST = (
     "median_price_by_quantity",
     "unicode_normalization_stats",
     "calinski_harabasz_score",
+    "sprt_ab_test",
+    "did_arm_effect",
+    "ndcg_retrieval_eval_topk",
 )
 
 

@@ -872,3 +872,194 @@ def user_path_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), F.col("path").asc())
         .limit(_PATH_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential A/B testing: daily-grain SPRT on the treatment conversion rate
+# ---------------------------------------------------------------------------
+
+_SPRT_LIFT = 1.2
+_SPRT_AB = 19.0  # alpha = beta = 0.05 -> ln(19), ln(1/19) boundaries
+
+_SPRT_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_type, ts::DATE AS d FROM events
+),
+p0 AS (
+    SELECT avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+        AS p
+    FROM ev WHERE user_id % 2 = 0
+),
+daily AS (
+    SELECT d, count(*)::BIGINT AS n_t,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS x_t
+    FROM ev WHERE user_id % 2 = 1 GROUP BY d
+),
+llr AS (
+    SELECT d, n_t, x_t,
+           sum(x_t * ln(({_SPRT_LIFT} * p.p) / p.p)
+               + (n_t - x_t)
+                 * ln((1 - {_SPRT_LIFT} * p.p) / (1 - p.p)))
+               OVER (ORDER BY d) AS cum
+    FROM daily CROSS JOIN p0 p
+)
+SELECT CAST(d AS VARCHAR) AS day, n_t AS n_events, x_t AS n_conversions,
+       round(cum, 6) AS cum_llr,
+       CASE WHEN cum >= ln({_SPRT_AB}) THEN 'accept_h1'
+            WHEN cum <= ln(1.0 / {_SPRT_AB}) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM llr
+ORDER BY day
+"""
+
+
+@register(
+    "sprt_ab_test",
+    oracle=_SPRT_ORACLE,
+    tags=("events", "experimentation", "stats", "sequential"),
+)
+def sprt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test on the treatment arm's
+    purchase conversion (H1: {_SPRT_LIFT}x the control rate,
+    alpha=beta=0.05): the per-day cumulative log-likelihood ratio with
+    accept/continue decisions — the early-stopping experimentation
+    monitor that answers 'can we call this test yet' WITHOUT the
+    peeking problem of repeated fixed-horizon tests (the LLR random
+    walk is exactly what SPRT licenses you to watch daily).
+
+    Plan shape: arms split by user hash; the corpus-scale work is one
+    filtered groupBy(day); the cumulative LLR is a prefix-sum window
+    over the DAY-level series (the CUSUM reformulation family — a
+    sequential statistic expressed as cumulative windows, no
+    recursion), and the control rate is a 1-row broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("d")
+    )
+    conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    p0 = F.broadcast(
+        ev.where(F.col("user_id") % 2 == 0).agg(
+            F.avg(conv.cast("double")).alias("p")
+        )
+    )
+    daily = (
+        ev.where(F.col("user_id") % 2 == 1)
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_t"),
+            F.sum(conv).alias("x_t"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    step = F.col("x_t") * F.log(
+        (_SPRT_LIFT * F.col("p")) / F.col("p")
+    ) + (F.col("n_t") - F.col("x_t")) * F.log(
+        (1 - _SPRT_LIFT * F.col("p")) / (1 - F.col("p"))
+    )
+    llr = daily.crossJoin(p0).select(
+        "d", "n_t", "x_t", F.sum(step).over(w).alias("cum")
+    )
+    import math
+
+    return llr.select(
+        F.col("d").cast("string").alias("day"),
+        F.col("n_t").alias("n_events"),
+        F.col("x_t").alias("n_conversions"),
+        F.round("cum", 6).alias("cum_llr"),
+        F.when(F.col("cum") >= math.log(_SPRT_AB), "accept_h1")
+        .when(F.col("cum") <= math.log(1.0 / _SPRT_AB), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimate of the arm effect on event value
+# ---------------------------------------------------------------------------
+
+_DID_ORACLE = """
+WITH ev AS (
+    SELECT user_id % 2 AS arm, epoch_us(ts) AS t, value FROM events
+),
+cut AS (SELECT quantile_cont(t, 0.5) AS c FROM ev),
+cells AS (
+    SELECT arm, CASE WHEN t <= cut.c THEN 0 ELSE 1 END AS post,
+           count(*)::DOUBLE AS n, avg(value) AS m, var_samp(value) AS v
+    FROM ev CROSS JOIN cut GROUP BY 1, 2
+),
+w AS (
+    SELECT max(CASE WHEN arm = 1 AND post = 1 THEN m END) AS tp,
+           max(CASE WHEN arm = 1 AND post = 0 THEN m END) AS tr,
+           max(CASE WHEN arm = 0 AND post = 1 THEN m END) AS cp,
+           max(CASE WHEN arm = 0 AND post = 0 THEN m END) AS cr,
+           sum(v / n) AS se2,
+           sum(n)::BIGINT AS n_events
+    FROM cells
+)
+SELECT n_events,
+       round(tp - tr, 6) AS delta_treatment,
+       round(cp - cr, 6) AS delta_control,
+       round((tp - tr) - (cp - cr), 6) AS did,
+       round(((tp - tr) - (cp - cr)) / sqrt(se2), 6) AS t_stat
+FROM w
+"""
+
+
+@register(
+    "did_arm_effect",
+    oracle=_DID_ORACLE,
+    tags=("events", "experimentation", "stats", "causal"),
+)
+def did_arm_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the treatment arm's effect
+    on event value across the median-timestamp cut: the treatment
+    arm's pre/post change minus the control arm's (which removes any
+    shared time trend), with a four-cell pooled standard error — the
+    quasi-experimental complement to the randomized SPRT lane, for
+    when assignment isn't randomized but a parallel-trends control
+    exists.
+
+    Plan shape: one 4-cell conditional aggregation over a single scan
+    (count/mean/variance per arm x period), the median cut one exact-
+    percentile scalar broadcast (approx at 100 TB, the recorded-epsilon
+    precedent); the estimator and its t-statistic are arithmetic on
+    the 4-row cell table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.unix_micros("ts").alias("t"),
+        "value",
+    )
+    cut = F.broadcast(
+        ev.agg(F.percentile(F.col("t"), F.lit(0.5)).alias("c"))
+    )
+    cells = (
+        ev.crossJoin(cut)
+        .groupBy(
+            "arm",
+            F.when(F.col("t") <= F.col("c"), 0).otherwise(1).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    cell = lambda a, p: F.max(  # noqa: E731
+        F.when((F.col("arm") == a) & (F.col("post") == p), F.col("m"))
+    )
+    w = cells.agg(
+        cell(1, 1).alias("tp"),
+        cell(1, 0).alias("tr"),
+        cell(0, 1).alias("cp"),
+        cell(0, 0).alias("cr"),
+        F.sum(F.col("v") / F.col("n")).alias("se2"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    did = (F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr"))
+    return w.select(
+        "n_events",
+        F.round(F.col("tp") - F.col("tr"), 6).alias("delta_treatment"),
+        F.round(F.col("cp") - F.col("cr"), 6).alias("delta_control"),
+        F.round(did, 6).alias("did"),
+        F.round(did / F.sqrt(F.col("se2")), 6).alias("t_stat"),
+    )

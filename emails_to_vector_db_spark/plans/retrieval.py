@@ -1036,3 +1036,77 @@ def mrr_recall_retrieval_eval(
             F.count(F.when(hit, 1)).cast("double") / _MRR_K, 6
         ).alias("precision_at_k"),
     )
+
+
+@register(
+    "ndcg_retrieval_eval_topk",
+    oracle=_NDCG_ORACLE,
+    tags=("retrieval", "eval", "ml", "scale-twin"),
+)
+def ndcg_retrieval_eval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB plan ndcg_retrieval_eval's docstring names, actually
+    built: the REAL ranking truncates to k=10 via
+    TakeOrderedAndProject BEFORE any window (the global ranking window
+    of the exact form — its documented scale ceiling — never runs over
+    the corpus), and the IDEAL ranking is the closed form over the
+    relevance HISTOGRAM (one 3-cell aggregate: the top positions are
+    filled by rel=2 docs, then rel=1, by definition — no sort at all).
+    Checked against the SAME oracle as the exact form, so the hash
+    match is a cross-ALGORITHM differential proving the scalable plan
+    computes the identical statistic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    base = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "vec_id", "embedding", "source", "lang"
+    )
+    q = F.broadcast(
+        base.where(F.col("vec_id") == _PROBE_ID).select(
+            F.col("embedding").alias("qv"),
+            F.col("source").alias("qsrc"),
+            F.col("lang").alias("qlang"),
+        )
+    )
+    scored = (
+        base.where(F.col("vec_id") != _PROBE_ID)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            cosine_similarity("embedding", "qv").alias("sim"),
+            F.when(F.col("source") == F.col("qsrc"), 2)
+            .when(F.col("lang") == F.col("qlang"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    top = (
+        scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(_NDCG_K)
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("pos") + 1)
+    w10 = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    dcg = top.withColumn("pos", F.row_number().over(w10)).agg(
+        F.sum(gain).alias("dcg")
+    )
+    hist = F.broadcast(
+        scored.agg(
+            F.count(F.when(F.col("rel") == 2, 1)).alias("n2"),
+            F.count(F.when(F.col("rel") == 1, 1)).alias("n1"),
+        )
+    )
+    pos_rel = (
+        F.when(F.col("id") <= F.col("n2"), 2)
+        .when(F.col("id") <= F.col("n2") + F.col("n1"), 1)
+        .otherwise(0)
+    )
+    ideal_gain = (F.pow(F.lit(2.0), pos_rel) - 1) / F.log2(F.col("id") + 1)
+    idcg = (
+        spark.range(1, _NDCG_K + 1)
+        .crossJoin(hist)
+        .agg(F.sum(ideal_gain).alias("idcg"))
+    )
+    return dcg.crossJoin(idcg).select(
+        F.lit(_PROBE_ID).cast("long").alias("query_id"),
+        F.round("dcg", 6).alias("dcg_at_k"),
+        F.round("idcg", 6).alias("idcg_at_k"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+    )
