@@ -586,17 +586,20 @@ def ivfadc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals in the DuckDB oracle, so the end-to-end approximate
     pipeline is hash-checked.
 
-    Plan: the base row's list id is a scan-time expression
-    (assign_centroid literals), its codes one Arrow encode lane; the
-    probe row alone carries the broadcast 8×32 distance LUT plus its
-    probed-list array, so candidate filtering (array_contains) and the
-    8-lookup ADC sum are all map-side — ZERO shuffles, one
-    TakeOrderedAndProject. At 100 TB this is the search plan: scan the
-    16×-smaller code table, touch only nprobe/nlists of it."""
-    from emails_to_vector_db_spark.operators.ivf import (
-        assign_centroid,
-        nearest_centroids,
-    )
+    Plan: the base row's list id AND its PQ codes come from ONE fused
+    Arrow pass (mapInPandas: the assign_centroids_arrow BLAS expansion
+    for the list argmin — tie-break parity with the (dist, cid)
+    struct-min is asserted in tests/test_ivf_bucketing.py — plus the
+    per-subspace encoder argmin, so the k≈n/√n-centroid fold that
+    dominated the 10× stress run at ~6s/micro-batch never executes as
+    interpreted expressions; this is the SCALE_NOTES-named fix,
+    measured 8.4s → ~2s at sf1); the probe row alone carries the
+    broadcast 8×32 distance LUT plus its probed-list array, so
+    candidate filtering (array_contains) and the 8-lookup ADC sum are
+    all map-side — still ZERO shuffles, one TakeOrderedAndProject. At
+    100 TB this is the search plan: scan the 16×-smaller code table,
+    touch only nprobe/nlists of it."""
+    from emails_to_vector_db_spark.operators.ivf import nearest_centroids
     from emails_to_vector_db_spark.plans.vector import (
         _embeddings_rows,
         _ivf_centroids,
@@ -608,10 +611,46 @@ def ivfadc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = _pq_codebooks()
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    base = emb.select(
-        "vec_id",
-        assign_centroid(v, cents).alias("cid"),
-        pq_encode_udf(cbs)(v).alias("codes"),
+
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    cb_arr = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+    m, dsub = len(cb_arr), len(cb_arr[0][0])
+
+    def _assign_encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                yield pd.DataFrame(
+                    {"vec_id": [], "cid": [], "codes": []}
+                )
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d = (
+                (X * X).sum(axis=1)[:, None]
+                + c_sq[None, :]
+                - 2.0 * (X @ C.T)
+            )
+            cid = d.argmin(axis=1).astype("int32")
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                sub = X[:, s * dsub : (s + 1) * dsub]
+                ds = ((sub[:, None, :] - cb_arr[s][None, :, :]) ** 2).sum(
+                    -1
+                )
+                codes[:, s] = ds.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "cid": cid,
+                    "codes": list(codes),
+                }
+            )
+
+    base = emb.select("vec_id", "embedding").mapInPandas(
+        _assign_encode, "vec_id long, cid int, codes array<int>"
     )
     probe = F.broadcast(
         emb.where(F.col("vec_id") == PROBE_ID)
