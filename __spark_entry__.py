@@ -148,6 +148,7 @@ _NEVER_SAMPLED_FIRST = (
     "sprt_ab_test",
     "did_arm_effect",
     "ndcg_retrieval_eval_topk",
+    "streaming_sprt_monitor",
 )
 
 

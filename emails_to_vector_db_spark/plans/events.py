@@ -1063,3 +1063,209 @@ def did_arm_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(did, 6).alias("did"),
         F.round(did / F.sqrt(F.col("se2")), 6).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SPRT: the sequential test consumed as a real micro-batch stream
+# ---------------------------------------------------------------------------
+
+_STREAM_SPRT_VERSION = 1
+_STREAM_SPRT_BATCHES = 4
+
+
+def _stream_sprt_landing(sf_dir: str) -> str:
+    """Land (event_id, user_id, event_type) as FOUR parquet files in
+    ascending event_id order with increasing mtimes — the deterministic
+    micro-batch sequence of the _stream_dedup_landing convention, so
+    the DuckDB oracle can replay the batch boundaries exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        root, "spark-warehouse", f"stream_sprt_v{_STREAM_SPRT_VERSION}", sf
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    nb = _STREAM_SPRT_BATCHES
+    parts = [os.path.join(d, f"part{i}.parquet") for i in range(nb)]
+    src_mtime = os.path.getmtime(src)
+    if all(
+        os.path.exists(p) and os.path.getmtime(p) >= src_mtime for p in parts
+    ):
+        return d
+    os.makedirs(d, exist_ok=True)
+    tbl = pq.read_table(
+        src, columns=["event_id", "user_id", "event_type"]
+    )
+    rows = sorted(
+        zip(
+            tbl["event_id"].to_pylist(),
+            tbl["user_id"].to_pylist(),
+            tbl["event_type"].to_pylist(),
+        )
+    )
+    n = len(rows)
+    cuts = [n * i // nb for i in range(nb + 1)]
+    for i in range(nb):
+        chunk = rows[cuts[i] : cuts[i + 1]]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(
+                        [r[0] for r in chunk], pa.int64()
+                    ),
+                    "user_id": pa.array(
+                        [r[1] for r in chunk], pa.int64()
+                    ),
+                    "event_type": pa.array(
+                        [r[2] for r in chunk], pa.string()
+                    ),
+                }
+            ),
+            parts[i],
+        )
+        os.utime(parts[i], (src_mtime + i + 1, src_mtime + i + 1))
+    return d
+
+
+_STREAM_SPRT_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, event_type,
+           row_number() OVER (ORDER BY event_id) AS rn,
+           count(*) OVER () AS n
+    FROM events
+),
+batched AS (
+    SELECT user_id, event_type,
+           CAST(floor(({_STREAM_SPRT_BATCHES}.0 * (rn - 1)) / n) AS INT)
+               AS batch_id
+    FROM ordered
+),
+p0 AS (
+    SELECT avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+        AS p
+    FROM batched WHERE batch_id = 0 AND user_id % 2 = 0
+),
+per_batch AS (
+    SELECT batch_id, count(*)::BIGINT AS n_t,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS x_t
+    FROM batched WHERE user_id % 2 = 1 AND batch_id > 0
+    GROUP BY batch_id
+),
+llr AS (
+    SELECT batch_id, n_t, x_t,
+           sum(x_t * ln({_SPRT_LIFT})
+               + (n_t - x_t)
+                 * ln((1 - {_SPRT_LIFT} * p.p) / (1 - p.p)))
+               OVER (ORDER BY batch_id) AS cum
+    FROM per_batch CROSS JOIN p0 p
+)
+SELECT batch_id::BIGINT AS batch_id, n_t AS n_events,
+       x_t AS n_conversions,
+       round(cum, 6) AS cum_llr,
+       CASE WHEN cum >= ln({_SPRT_AB}) THEN 'accept_h1'
+            WHEN cum <= ln(1.0 / {_SPRT_AB}) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM llr
+ORDER BY batch_id
+"""
+
+
+@register(
+    "streaming_sprt_monitor",
+    oracle=_STREAM_SPRT_ORACLE,
+    tags=("streaming", "experimentation", "sequential", "stats"),
+)
+def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPRT consumed the way Wald meant it — as a STREAM: events
+    arrive in micro-batches (file stream, availableNow, one file per
+    trigger), batch 0 fixes the control conversion rate (the
+    streaming_psi_monitor reference-batch discipline), and every later
+    batch appends its treatment counts; the cumulative LLR and
+    accept/continue decision re-derive per batch. Appended state is
+    ONE ROW per batch (counts only), so the monitor's storage is
+    O(batches), never O(events), and the deterministic batch sequence
+    lets DuckDB replay the entire sequential test as a GROUP BY +
+    prefix-sum — the streaming experimentation monitor, hash-checked."""
+    import math
+    import os
+    import shutil
+
+    landing = _stream_sprt_landing(sf_dir)
+    work = landing.rstrip("/") + "__sprt_run"
+    shutil.rmtree(work, ignore_errors=True)  # deterministic re-runs
+    counts_dir = os.path.join(work, "counts")
+
+    conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.agg(
+                F.count(
+                    F.when(
+                        (F.col("user_id") % 2 == 0) & (conv == 1), 1
+                    )
+                ).alias("c_conv"),
+                F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias(
+                    "c_n"
+                ),
+                F.count(
+                    F.when(
+                        (F.col("user_id") % 2 == 1) & (conv == 1), 1
+                    )
+                ).alias("x_t"),
+                F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias(
+                    "n_t"
+                ),
+            )
+            .select(F.lit(batch_id).alias("batch_id"), "*")
+            .write.mode("append")
+            .parquet(counts_dir)
+        )
+
+    q = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    counts = spark.read.parquet(counts_dir)
+    p0 = F.broadcast(
+        counts.where(F.col("batch_id") == 0).select(
+            (F.col("c_conv") / F.col("c_n")).alias("p")
+        )
+    )
+    w = Window.orderBy("batch_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    step = F.col("x_t") * F.log(F.lit(_SPRT_LIFT)) + (
+        F.col("n_t") - F.col("x_t")
+    ) * F.log((1 - _SPRT_LIFT * F.col("p")) / (1 - F.col("p")))
+    llr = (
+        counts.where(F.col("batch_id") > 0)
+        .crossJoin(p0)
+        .select(
+            "batch_id", "n_t", "x_t", F.sum(step).over(w).alias("cum")
+        )
+    )
+    return llr.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("n_t").alias("n_events"),
+        F.col("x_t").alias("n_conversions"),
+        F.round("cum", 6).alias("cum_llr"),
+        F.when(F.col("cum") >= math.log(_SPRT_AB), "accept_h1")
+        .when(F.col("cum") <= math.log(1.0 / _SPRT_AB), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("batch_id")
