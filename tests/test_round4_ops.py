@@ -231,3 +231,30 @@ def test_markov_accuracy_bounds_and_model_shape(spark):
     # one predictor per observed prev state
     prevs = [r["prev_type"] for r in rows]
     assert len(prevs) == len(set(prevs))
+
+
+def test_registry_contract_hygiene():
+    """The driver-contract surfaces stay consistent: every rotation
+    name resolves to a registered query (a typo would silently waste a
+    driver sampling slot), every bench query carries a pinned shuffle
+    budget (a new bench=True query must not dodge the plan gate), and
+    every budgeted name is still benched (dead budgets rot)."""
+    import importlib.util
+
+    from tests.test_plan_budget import SHUFFLE_BUDGET
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_mod", "__spark_entry__.py"
+    )
+    se = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(se)
+    assert [n for n in se._NEVER_SAMPLED_FIRST if n not in REGISTRY] == []
+    bench = {n for n, s in REGISTRY.items() if s.bench}
+    assert sorted(bench - set(SHUFFLE_BUDGET)) == []
+    assert sorted(set(SHUFFLE_BUDGET) - bench) == []
+    # the driver contract exposes every registered query exactly once
+    qs = se.queries()
+    assert set(qs) == set(REGISTRY)
+    assert set(se.oracle_sql()) == {
+        n for n, s in REGISTRY.items() if s.oracle
+    }
