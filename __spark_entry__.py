@@ -149,6 +149,9 @@ _NEVER_SAMPLED_FIRST = (
     "did_arm_effect",
     "ndcg_retrieval_eval_topk",
     "streaming_sprt_monitor",
+    "zipf_slope_fit",
+    "heaps_law_vocab_growth",
+    "kaplan_meier_retention",
 )
 
 

@@ -1121,3 +1121,124 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("max_r") / F.max("t"), 6).alias("top_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier product-limit survival with right-censoring
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_US = 3 * 86400 * 1_000_000  # active within 3 days of corpus end
+
+_KM_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS t FROM events
+),
+horizon AS (SELECT max(t) AS h FROM ev),
+life AS (
+    SELECT user_id,
+           CAST((max(t) - min(t)) // 86400000000 AS BIGINT) AS days,
+           max(t) AS last_t
+    FROM ev GROUP BY user_id
+),
+obs AS (
+    SELECT days,
+           CASE WHEN l.last_t >= hz.h - {_KM_CENSOR_US}
+                THEN 0 ELSE 1 END AS event
+    FROM life l CROSS JOIN horizon hz
+),
+times AS (
+    SELECT days AS t,
+           sum(event)::DOUBLE AS d,
+           count(*)::DOUBLE AS removed
+    FROM obs GROUP BY days
+),
+risk AS (
+    SELECT t, d,
+           sum(removed) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS n_risk
+    FROM times
+),
+km AS (
+    SELECT t, d, n_risk,
+           exp(sum(ln(1.0 - d / n_risk)) OVER (
+               ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)) AS s
+    FROM risk
+    WHERE d > 0
+)
+SELECT t AS lifetime_days, n_risk::BIGINT AS n_at_risk,
+       d::BIGINT AS n_events, round(s, 6) AS survival
+FROM km
+ORDER BY t
+"""
+
+
+@register(
+    "kaplan_meier_retention",
+    oracle=_KM_ORACLE,
+    tags=("analytics", "survival", "stats"),
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve over user lifetimes
+    WITH right-censoring: users still active within 3 days of the
+    corpus horizon are censored, not counted as churned — the
+    estimator user_lifetime_survival (fixed thresholds, no censoring)
+    approximates; ignoring censoring biases every retention number
+    down, which is why KM is the standard.
+
+    Plan shape: lifetimes are one per-user aggregate of the fact
+    table; everything after runs on the distinct-lifetime table
+    (days-sized): the risk set is a DESCENDING cumulative window (no
+    self-join), and the product limit is exp(cumsum(ln(1 - d/n))) —
+    the CUSUM-family trick of turning a sequential product into a
+    prefix sum. Two tiny windows, zero corpus re-scans."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    horizon = F.broadcast(ev.agg(F.max("t").alias("h")))
+    life = ev.groupBy("user_id").agg(
+        F.floor((F.max("t") - F.min("t")) / 86400000000).alias("days"),
+        F.max("t").alias("last_t"),
+    )
+    obs = life.crossJoin(horizon).select(
+        "days",
+        F.when(
+            F.col("last_t") >= F.col("h") - _KM_CENSOR_US, 0
+        )
+        .otherwise(1)
+        .alias("event"),
+    )
+    times = obs.groupBy(F.col("days").alias("t")).agg(
+        F.sum("event").cast("double").alias("d"),
+        F.count(F.lit(1)).cast("double").alias("removed"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = times.select(
+        "t",
+        "d",
+        F.sum("removed").over(w_desc).alias("n_risk"),
+    )
+    w_asc = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    km = (
+        risk.where(F.col("d") > 0)
+        .select(
+            "t",
+            "d",
+            "n_risk",
+            F.exp(
+                F.sum(F.log(1.0 - F.col("d") / F.col("n_risk"))).over(
+                    w_asc
+                )
+            ).alias("s"),
+        )
+    )
+    return km.select(
+        F.col("t").alias("lifetime_days"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round("s", 6).alias("survival"),
+    ).orderBy("lifetime_days")

@@ -1547,3 +1547,201 @@ def source_keyword_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= _CHI2_TOP_TERMS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit over the token vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = f"""
+WITH freq AS (
+    SELECT tok, count(*)::DOUBLE AS f
+    FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+    GROUP BY tok
+),
+ranked AS (
+    SELECT ln(row_number() OVER (ORDER BY f DESC, tok ASC)) AS lr,
+           ln(f) AS lf
+    FROM freq
+),
+m AS (
+    SELECT count(*)::DOUBLE AS n, sum(lr) AS sx, sum(lf) AS sy,
+           sum(lr * lr) AS sxx, sum(lf * lf) AS syy, sum(lr * lf) AS sxy
+    FROM ranked
+)
+SELECT n::BIGINT AS vocab_size,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+       round(pow(sxy - sx * sy / n, 2)
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r_squared,
+       ((sxy - sx * sy / n) / (sxx - sx * sx / n) <= -0.8) AS is_zipfian
+FROM m
+"""
+
+
+@register(
+    "zipf_slope_fit",
+    oracle=_ZIPF_ORACLE,
+    tags=("corpus", "stats", "linguistics"),
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law check: the log-log slope of the token rank-frequency
+    curve with its R² — natural language sits near slope −1, so a
+    corpus that fits badly (this synthetic near-uniform vocabulary
+    correctly reports a shallow slope and is_zipfian = false) is
+    flagged as machine-generated, template-heavy, or decode-corrupted:
+    one of the cheapest whole-corpus authenticity signals a curation
+    pipeline can run.
+
+    Plan shape: one token census (the corpus-scale pass), a
+    vocabulary-sized ranking window, and a 1-row moment aggregate for
+    the closed-form fit. The vocab rank window is the
+    operators/ranking.py distributed-rank territory at web scale; at
+    any tested scale the vocabulary is orders smaller than the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
+    ranked = freq.select(
+        F.log(F.row_number().over(w)).alias("lr"),
+        F.log("f").alias("lf"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lr").alias("sx"),
+        F.sum("lf").alias("sy"),
+        F.sum(F.col("lr") * F.col("lr")).alias("sxx"),
+        F.sum(F.col("lf") * F.col("lf")).alias("syy"),
+        F.sum(F.col("lr") * F.col("lf")).alias("sxy"),
+    )
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    slope = sxy_c / sxx_c
+    return m.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.pow(sxy_c, 2) / (sxx_c * syy_c), 6).alias("r_squared"),
+        (slope <= -0.8).alias("is_zipfian"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit over the ingest order
+# ---------------------------------------------------------------------------
+
+_HEAPS_ORACLE = f"""
+WITH per_doc AS (
+    SELECT doc_id, len({_TOKENS_SQL}) AS n_tok FROM documents
+),
+firsts AS (
+    SELECT min(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents)
+    GROUP BY tok
+),
+gains AS (
+    SELECT first_doc AS doc_id, count(*)::DOUBLE AS v_gain
+    FROM firsts GROUP BY first_doc
+),
+curve AS (
+    SELECT ln(sum(p.n_tok) OVER (ORDER BY p.doc_id)) AS lx,
+           ln(sum(coalesce(g.v_gain, 0)) OVER (ORDER BY p.doc_id)) AS ly
+    FROM per_doc p LEFT JOIN gains g USING (doc_id)
+),
+m AS (
+    SELECT count(*)::DOUBLE AS n, sum(lx) AS sx, sum(ly) AS sy,
+           sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+    FROM curve
+),
+tot AS (
+    SELECT sum(n_tok)::BIGINT AS total_tokens FROM per_doc
+),
+voc AS (SELECT count(*)::BIGINT AS total_vocab FROM firsts)
+SELECT tot.total_tokens, voc.total_vocab,
+       round((m.sxy - m.sx * m.sy / m.n)
+             / (m.sxx - m.sx * m.sx / m.n), 6) AS heaps_beta,
+       round(m.sy / m.n - (m.sxy - m.sx * m.sy / m.n)
+             / (m.sxx - m.sx * m.sx / m.n) * m.sx / m.n, 6) AS heaps_ln_k
+FROM m CROSS JOIN tot CROSS JOIN voc
+"""
+
+
+@register(
+    "heaps_law_vocab_growth",
+    oracle=_HEAPS_ORACLE,
+    tags=("corpus", "stats", "linguistics"),
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^β of vocabulary growth against tokens
+    ingested (in doc_id order): natural corpora grow vocabulary as a
+    power law (β≈0.4–0.6) indefinitely — a vocabulary that SATURATES
+    (β→0, as this closed-vocabulary fixture correctly reports) tells a
+    tokenizer-training or dedup pass that it has seen essentially all
+    the types it ever will, which is exactly when shingle/vocab tables
+    stop growing and broadcast plans stay valid.
+
+    Plan shape: token first-occurrences are one census (min doc_id per
+    token — corpus-scale pass, map-side combinable); the growth curve
+    is two cumulative windows over the DOC-level table; the log-log
+    fit is a 1-row moment aggregate. Nothing vocabulary-sized ever
+    sorts globally."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", F.size(TX.tokens("text")).alias("n_tok")
+    )
+    firsts = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    gains = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("double").alias("v_gain")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = (
+        per_doc.join(gains, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("v_gain", F.lit(0.0)).alias("v_gain"),
+        )
+        .select(
+            F.log(F.sum("n_tok").over(w)).alias("lx"),
+            F.log(F.sum("v_gain").over(w)).alias("ly"),
+        )
+    )
+    m = curve.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    tot = F.broadcast(
+        per_doc.agg(F.sum("n_tok").cast("long").alias("total_tokens"))
+    )
+    voc = F.broadcast(
+        firsts.agg(F.count(F.lit(1)).alias("total_vocab"))
+    )
+    beta = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return (
+        m.crossJoin(tot)
+        .crossJoin(voc)
+        .select(
+            "total_tokens",
+            "total_vocab",
+            F.round(beta, 6).alias("heaps_beta"),
+            F.round(
+                F.col("sy") / F.col("n")
+                - beta * F.col("sx") / F.col("n"),
+                6,
+            ).alias("heaps_ln_k"),
+        )
+    )
