@@ -152,6 +152,9 @@ _NEVER_SAMPLED_FIRST = (
     "zipf_slope_fit",
     "heaps_law_vocab_growth",
     "kaplan_meier_retention",
+    "l_diversity_audit",
+    "mad_robust_outliers",
+    "jaccard_similarity_histogram",
 )
 
 

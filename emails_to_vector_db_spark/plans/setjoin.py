@@ -270,3 +270,99 @@ def fuzzy_name_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("edit_dist", "name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-threshold calibration: pairwise shingle-Jaccard histogram (sampled)
+# ---------------------------------------------------------------------------
+
+_HIST_SAMPLE_MOD = 4  # doc_id % 4 == 0 -> 25% calibration sample
+
+_JHIST_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % {_HIST_SAMPLE_MOD} = 0
+),
+toks AS (
+    SELECT doc_id, unnest(
+        list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+            ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                 i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END)
+    ) AS token
+    FROM docs
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS i
+    FROM toks a JOIN toks b
+      ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT least(9, CAST(floor(
+               10.0 * x.i / (sa.sz + sb.sz - x.i)) AS INT)) AS bin
+    FROM inter x
+    JOIN sizes sa ON sa.doc_id = x.doc_a
+    JOIN sizes sb ON sb.doc_id = x.doc_b
+)
+SELECT bin, count(*)::BIGINT AS n_pairs
+FROM jac GROUP BY bin
+"""
+
+
+@register(
+    "jaccard_similarity_histogram",
+    oracle=_JHIST_ORACLE,
+    tags=("dedup", "setsim", "calibration", "stats"),
+)
+def jaccard_similarity_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-threshold CALIBRATION: the histogram of pairwise 3-gram
+    shingle-Jaccard over a 25% document sample — the artifact you read
+    before choosing tau for the MinHash/prefix-filter lanes (a bimodal
+    histogram says where the near-dup cliff is; this fixture's planted
+    chains put real mass in the top bin). Pairs at zero overlap never
+    materialize: only co-shingle pairs exist.
+
+    Plan shape: the all-pairs-above-zero contract is inherently
+    quadratic in shingle co-occurrence, which is WHY it runs on a
+    deterministic hash sample (doc_id mod {_HIST_SAMPLE_MOD}) — the
+    sample IS the method for calibration at 100 TB, not a shortcut;
+    within the sample it is the same shared-shingle join + size join
+    the exact setsim oracle uses. Distinct shingles per doc are
+    array-local; the join keys on shingles only."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % _HIST_SAMPLE_MOD == 0
+    )
+    toks3 = TX.shingles(TX.tokens("text"), n=3)
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(toks3)).alias("token")
+    )
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "token")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("i"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")
+    )
+    j = F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least(F.lit(9), F.floor(10.0 * j).cast("int")).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1912,3 +1912,171 @@ def median_price_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("fitted_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit: sensitive-attribute diversity inside QI groups
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+_LDIV_ORACLE = f"""
+WITH joined AS (
+    SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS sens
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+),
+cells AS (
+    SELECT c_nationkey, c_mktsegment, sens, count(*)::DOUBLE AS cnt
+    FROM joined GROUP BY 1, 2, 3
+),
+gtot AS (
+    SELECT c_nationkey, c_mktsegment, sum(cnt) AS n
+    FROM cells GROUP BY 1, 2
+),
+grp AS (
+    SELECT c.c_nationkey, c.c_mktsegment,
+           count(*)::BIGINT AS l_distinct,
+           max(g.n)::DOUBLE AS n,
+           -sum((c.cnt / g.n) * ln(c.cnt / g.n)) AS h
+    FROM cells c
+    JOIN gtot g USING (c_nationkey, c_mktsegment)
+    GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_groups,
+       min(l_distinct)::BIGINT AS min_l,
+       sum(CASE WHEN l_distinct < {_LDIV_L} THEN 1 ELSE 0 END)::BIGINT
+           AS n_low_diversity_groups,
+       round(min(h), 6) AS min_entropy,
+       round(sum(CASE WHEN l_distinct < {_LDIV_L} THEN n ELSE 0 END)
+             / sum(n), 6) AS exposed_fraction
+FROM grp
+"""
+
+
+@register(
+    "l_diversity_audit",
+    oracle=_LDIV_ORACLE,
+    tags=("privacy", "audit", "agg"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release audit (Machanavajjhala et al. 2007), the
+    companion to k_anonymity_audit: a QI group can be large (k-safe)
+    yet reveal everyone's sensitive value if that value is uniform
+    inside the group — this audit reports distinct-l and ENTROPY
+    l-diversity of order priority within (nation, segment) groups,
+    plus the row fraction in under-diverse groups.
+
+    Plan shape: one fact-dim join (customer broadcast-eligible), one
+    (QI, sensitive)-cell aggregation, then group-level diversity from
+    the cell table — the corpus never shuffles twice, and the entropy
+    is computed over cells, not rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(
+            c.select("c_custkey", "c_nationkey", "c_mktsegment")
+        ),
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("o_orderpriority").alias("sens"),
+    )
+    cells = joined.groupBy("c_nationkey", "c_mktsegment", "sens").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    wg = Window.partitionBy("c_nationkey", "c_mktsegment")
+    p = F.col("cnt") / F.sum("cnt").over(wg)
+    grp = (
+        cells.withColumn("hterm", -p * F.log(p))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("l_distinct"),
+            F.sum("cnt").alias("n"),
+            F.sum("hterm").alias("h"),
+        )
+    )
+    return grp.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("l_distinct").alias("min_l"),
+        F.sum(
+            F.when(F.col("l_distinct") < _LDIV_L, 1).otherwise(0)
+        ).alias("n_low_diversity_groups"),
+        F.round(F.min("h"), 6).alias("min_entropy"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_distinct") < _LDIV_L, F.col("n")).otherwise(
+                    0.0
+                )
+            )
+            / F.sum("n"),
+            6,
+        ).alias("exposed_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outlier count (modified z-score, Iglewicz-Hoaglin)
+# ---------------------------------------------------------------------------
+
+_MAD_CUT = 3.5
+
+_MAD_ORACLE = f"""
+WITH med AS (
+    SELECT quantile_cont(o_totalprice, 0.5) AS m FROM orders
+),
+mad AS (
+    SELECT quantile_cont(abs(o_totalprice - med.m), 0.5) AS mad, max(med.m) AS m
+    FROM orders CROSS JOIN med GROUP BY ALL
+)
+SELECT count(*)::BIGINT AS n_orders,
+       round(max(mad.m), 2) AS median_price,
+       round(max(mad.mad), 2) AS mad_price,
+       sum(CASE WHEN abs(0.6745 * (o_totalprice - mad.m) / mad.mad)
+                     > {_MAD_CUT}
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       round(max(abs(0.6745 * (o_totalprice - mad.m) / mad.mad)), 4)
+           AS max_modified_z
+FROM orders CROSS JOIN mad
+"""
+
+
+@register(
+    "mad_robust_outliers",
+    oracle=_MAD_ORACLE,
+    tags=("stats", "anomaly", "robust"),
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified z-score outlier audit (Iglewicz-Hoaglin
+    |0.6745·(x−med)/MAD| > {_MAD_CUT}) over order totals — the robust
+    member of the outlier family: mean/stddev z-scores are dragged by
+    the very outliers they hunt (masking), the median/MAD pair has a
+    50% breakdown point and cannot be.
+
+    Plan shape: two exact-percentile passes (median, then MAD — the
+    second depends on the first by definition) with 1-row scalars
+    broadcast between them, then one conditional-aggregate scan. At
+    100 TB both medians go percentile_approx with recorded epsilon
+    (the orders_equi_depth_approx precedent)."""
+    o = load_table(spark, sf_dir, "orders")
+    med = F.broadcast(
+        o.agg(F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("m"))
+    )
+    mad = F.broadcast(
+        o.crossJoin(med).agg(
+            F.percentile(
+                F.abs(F.col("o_totalprice") - F.col("m")), F.lit(0.5)
+            ).alias("mad"),
+            F.max("m").alias("m"),
+        )
+    )
+    z = F.abs(
+        0.6745 * (F.col("o_totalprice") - F.col("m")) / F.col("mad")
+    )
+    return o.crossJoin(mad).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.max("m"), 2).alias("median_price"),
+        F.round(F.max("mad"), 2).alias("mad_price"),
+        F.sum(F.when(z > _MAD_CUT, 1).otherwise(0)).alias("n_outliers"),
+        F.round(F.max(z), 4).alias("max_modified_z"),
+    )
