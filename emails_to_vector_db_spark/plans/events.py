@@ -743,6 +743,10 @@ def markov_next_event_accuracy(
         )
     )
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    from pyspark import StorageLevel
+
+    # train and test both consume the pair stream — without the persist
+    # the lead()-window shuffle (the corpus-scale stage) runs twice
     pairs = (
         ev.select(
             F.col("event_type").alias("prev_type"),
@@ -751,6 +755,7 @@ def markov_next_event_accuracy(
         )
         .where(F.col("next_type").isNotNull())
         .crossJoin(cut)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     train = (
         pairs.where(F.col("next_t") <= F.col("c"))
