@@ -155,6 +155,8 @@ _NEVER_SAMPLED_FIRST = (
     "l_diversity_audit",
     "mad_robust_outliers",
     "jaccard_similarity_histogram",
+    "entity_canonical_groups",
+    "table_constraint_audit",
 )
 
 

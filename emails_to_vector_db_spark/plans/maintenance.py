@@ -841,3 +841,142 @@ def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-contract constraint audit (dbt-test-style quality gate)
+# ---------------------------------------------------------------------------
+
+_CONSTRAINT_ORACLE = """
+SELECT 'orders_pk_unique' AS check_name,
+       (count(*) - count(DISTINCT o_orderkey))::BIGINT AS n_violations,
+       count(*)::BIGINT AS n_checked
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(*)::BIGINT
+FROM orders
+UNION ALL
+SELECT 'orders_status_enum',
+       sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                THEN 1 ELSE 0 END)::BIGINT,
+       count(*)::BIGINT
+FROM orders
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
+       (SELECT count(*) FROM lineitem)::BIGINT
+UNION ALL
+SELECT 'lineitem_discount_range',
+       sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                THEN 1 ELSE 0 END)::BIGINT,
+       count(*)::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_quantity_positive',
+       sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT,
+       count(*)::BIGINT
+FROM lineitem
+"""
+
+
+@register(
+    "table_constraint_audit",
+    oracle=_CONSTRAINT_ORACLE,
+    tags=("warehouse", "data-quality", "audit"),
+)
+def table_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract enforcement as one report: primary-key
+    uniqueness, not-null, enum membership, referential integrity
+    (lineitem rows whose order vanished — the orphan check a CDC/
+    compaction bug produces), and numeric range checks — the
+    dbt-test/Great-Expectations quality gate expressed as engine
+    queries, run before anything downstream trusts a landed batch.
+
+    Plan shape: the single-table checks fuse into ONE conditional-
+    aggregate pass per table (uniqueness via count - countDistinct in
+    the same agg); the referential check is a broadcast-eligible
+    left-anti join on the orders key projection. Six 1-row results
+    union; nothing scans twice except the FK probe."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = []
+    o_agg = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "pk"
+        ),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).alias("nn"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+            .otherwise(0)
+        ).alias("enum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    checks.append(
+        o_agg.select(
+            F.lit("orders_pk_unique").alias("check_name"),
+            F.col("pk").cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_checked"),
+        )
+    )
+    checks.append(
+        o_agg.select(
+            F.lit("orders_custkey_not_null").alias("check_name"),
+            F.col("nn").cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_checked"),
+        )
+    )
+    checks.append(
+        o_agg.select(
+            F.lit("orders_status_enum").alias("check_name"),
+            F.col("enum").cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_checked"),
+        )
+    )
+    orphans = li.join(
+        o.select("o_orderkey"),
+        li["l_orderkey"] == o["o_orderkey"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("v"))
+    li_total = li.agg(F.count(F.lit(1)).alias("n"))
+    checks.append(
+        orphans.crossJoin(li_total).select(
+            F.lit("lineitem_fk_orders").alias("check_name"),
+            F.col("v").cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_checked"),
+        )
+    )
+    li_agg = li.agg(
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("disc"),
+        F.sum(
+            F.when(F.col("l_quantity") <= 0, 1).otherwise(0)
+        ).alias("qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    checks.append(
+        li_agg.select(
+            F.lit("lineitem_discount_range").alias("check_name"),
+            F.col("disc").cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_checked"),
+        )
+    )
+    checks.append(
+        li_agg.select(
+            F.lit("lineitem_quantity_positive").alias("check_name"),
+            F.col("qty").cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_checked"),
+        )
+    )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out

@@ -366,3 +366,128 @@ def jaccard_similarity_histogram(
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end entity resolution: fuzzy pairs -> closure -> canonical ids
+# ---------------------------------------------------------------------------
+
+_ER_ORACLE = f"""
+WITH dict AS (
+    SELECT p_name, split_part(p_name, ' ', 1) AS blk,
+           count(*)::BIGINT AS n_rows,
+           min(p_partkey)::BIGINT AS name_id
+    FROM part
+    GROUP BY p_name
+),
+pairs AS (
+    SELECT a.name_id AS src, b.name_id AS dst
+    FROM dict a JOIN dict b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+),
+edges AS (
+    SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+),
+closure AS (
+    WITH RECURSIVE cc(id, comp) AS (
+        SELECT name_id, name_id FROM dict
+        UNION
+        SELECT e.dst, cc.comp
+        FROM cc JOIN edges e ON e.src = cc.id
+        WHERE cc.comp < e.dst
+    )
+    SELECT id, min(comp) AS comp FROM cc GROUP BY id
+),
+labeled AS (
+    SELECT d.p_name, d.n_rows, c.comp
+    FROM dict d JOIN closure c ON c.id = d.name_id
+)
+SELECT min(p_name ORDER BY p_name) FILTER (
+           l.comp = (SELECT min(x.comp) FROM labeled x
+                     WHERE x.comp = l.comp)) AS canonical_name,
+       count(*)::BIGINT AS n_names,
+       sum(n_rows)::BIGINT AS total_rows,
+       string_agg(p_name, ' | ' ORDER BY p_name) AS members
+FROM labeled l
+GROUP BY comp
+"""
+
+
+@register(
+    "entity_canonical_groups",
+    oracle=_ER_ORACLE,
+    tags=("join", "entity-resolution", "components"),
+)
+def entity_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END: the blocked fuzzy match pairs
+    (fuzzy_name_match_join's contract) fed through transitive closure
+    so every spelling variant lands in ONE canonical group — match →
+    cluster → canonicalize, the full ER pipeline ('hot gear' matching
+    'hot bolt' matching 'hot ring' must merge into one group even
+    though the ends don't match each other directly). Output: one row
+    per canonical group with its member list and row support.
+
+    Plan shape: dictionary-first (the corpus aggregates to distinct
+    names with min-partkey as a deterministic dense id); pairs are the
+    block-local Levenshtein join over the dictionary; closure runs
+    through operators/components.py (the size-adaptive union-find /
+    distributed min-label machinery every dedup lane shares); the
+    per-group rollup is vocabulary-sized. The oracle replays closure
+    as a recursive CTE — true transitive closure on both sides."""
+    from emails_to_vector_db_spark.operators.components import (
+        connected_components,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    dict_df = (
+        p.groupBy("p_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("p_partkey").alias("name_id"),
+        )
+        .select(
+            "p_name",
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias(
+                "blk"
+            ),
+            "n_rows",
+            "name_id",
+        )
+    )
+    from pyspark import StorageLevel
+
+    dict_df = dict_df.persist(StorageLevel.MEMORY_AND_DISK)
+    a = dict_df.alias("a")
+    b = dict_df.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            <= _FUZZY_MAX_DIST
+        )
+        .select(
+            F.col("a.name_id").alias("src"),
+            F.col("b.name_id").alias("dst"),
+        )
+    )
+    comp = connected_components(pairs)
+    labeled = dict_df.join(
+        comp, dict_df["name_id"] == comp["id"], "left"
+    ).select(
+        "p_name",
+        "n_rows",
+        F.coalesce("component", F.col("name_id")).alias("comp"),
+    )
+    return labeled.groupBy("comp").agg(
+        F.min("p_name").alias("canonical_name"),
+        F.count(F.lit(1)).alias("n_names"),
+        F.sum("n_rows").alias("total_rows"),
+        F.array_join(
+            F.array_sort(F.collect_list("p_name")), " | "
+        ).alias("members"),
+    ).drop("comp")
