@@ -157,6 +157,7 @@ _NEVER_SAMPLED_FIRST = (
     "jaccard_similarity_histogram",
     "entity_canonical_groups",
     "table_constraint_audit",
+    "item_cooccurrence_hitrate",
 )
 
 

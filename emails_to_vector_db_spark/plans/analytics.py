@@ -1242,3 +1242,148 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("n_events"),
         F.round("s", 6).alias("survival"),
     ).orderBy("lifetime_days")
+
+
+# ---------------------------------------------------------------------------
+# Item co-occurrence recommender, evaluated out-of-time by hit-rate
+# ---------------------------------------------------------------------------
+
+_REC_SPLIT_Q = 0.8
+
+_REC_HITRATE_ORACLE = f"""
+WITH ok AS (
+    SELECT l.l_orderkey AS okey, l.l_partkey AS pk,
+           epoch(o.o_orderdate) AS t
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+cut AS (SELECT quantile_cont(t, {_REC_SPLIT_Q}) AS c FROM ok),
+train AS (
+    SELECT DISTINCT okey, pk FROM ok CROSS JOIN cut WHERE t <= cut.c
+),
+test AS (
+    SELECT DISTINCT okey, pk FROM ok CROSS JOIN cut WHERE t > cut.c
+),
+co AS (
+    SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS n
+    FROM train a JOIN train b
+      ON a.okey = b.okey AND a.pk <> b.pk
+    GROUP BY a.pk, b.pk
+),
+rec AS (
+    SELECT pa, pb AS rec_pk FROM (
+        SELECT pa, pb,
+               row_number() OVER (
+                   PARTITION BY pa ORDER BY n DESC, pb ASC
+               ) AS rn
+        FROM co
+    ) WHERE rn = 1
+),
+slots AS (
+    SELECT t.okey, t.pk, r.rec_pk,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM test x
+               WHERE x.okey = t.okey AND x.pk = r.rec_pk
+           ) THEN 1 ELSE 0 END AS hit
+    FROM test t JOIN rec r ON r.pa = t.pk
+)
+SELECT count(DISTINCT okey)::BIGINT AS n_test_baskets,
+       count(*)::BIGINT AS n_item_slots,
+       round(avg(hit), 6) AS slot_hitrate,
+       round(count(DISTINCT CASE WHEN hit = 1 THEN okey END)::DOUBLE
+             / count(DISTINCT okey), 6) AS basket_hitrate
+FROM slots
+"""
+
+
+@register(
+    "item_cooccurrence_hitrate",
+    oracle=_REC_HITRATE_ORACLE,
+    tags=("analytics", "recommendation", "ml", "eval"),
+)
+def item_cooccurrence_hitrate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """An item-to-item co-occurrence recommender ('customers who bought
+    a also bought b' — the Amazon-style baseline every recsys is
+    measured against) trained on baskets before the 80% order-date
+    quantile and EVALUATED out-of-time: for each item in a later
+    basket, does the recommended companion actually appear in that
+    basket? Reports per-slot and per-basket hit-rates — turning the
+    descriptive market-basket table into an evaluated model, the same
+    temporal-split discipline as the Markov and walk-forward lanes.
+
+    Plan shape: the co-occurrence matrix is a basket-keyed
+    co-partitioned self-join of the TRAIN slice (the market-basket
+    shuffle); the argmax is a bounded per-item window; scoring joins
+    the vocabulary-sized rec table (broadcast) onto test items and
+    probes basket membership with a left-semi self-join on
+    (basket, recommended-item). One fact scan feeds train and test."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.unix_timestamp("o_orderdate").alias("t")
+    )
+    ok = li.join(o, li["okey"] == o["o_orderkey"]).select(
+        "okey", "pk", "t"
+    )
+    cut = F.broadcast(
+        ok.agg(F.percentile(F.col("t"), F.lit(_REC_SPLIT_Q)).alias("c"))
+    )
+    ok = ok.crossJoin(cut).persist(StorageLevel.MEMORY_AND_DISK)
+    train = ok.where(F.col("t") <= F.col("c")).select("okey", "pk").distinct()
+    test = (
+        ok.where(F.col("t") > F.col("c"))
+        .select("okey", "pk")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = train.alias("a")
+    b = train.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pk") != F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("pa").orderBy(
+            F.col("n").desc(), F.col("pb").asc()
+        )
+    )
+    rec = (
+        co.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("pa", F.col("pb").alias("rec_pk"))
+    )
+    slots = test.join(
+        F.broadcast(rec), test["pk"] == rec["pa"]
+    ).select("okey", "pk", "rec_pk")
+    hits = slots.join(
+        test.select(
+            F.col("okey").alias("h_okey"), F.col("pk").alias("h_pk")
+        ),
+        (F.col("okey") == F.col("h_okey"))
+        & (F.col("rec_pk") == F.col("h_pk")),
+        "left",
+    ).select(
+        "okey",
+        F.when(F.col("h_okey").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    return hits.agg(
+        F.countDistinct("okey").alias("n_test_baskets"),
+        F.count(F.lit(1)).alias("n_item_slots"),
+        F.round(F.avg("hit"), 6).alias("slot_hitrate"),
+        F.round(
+            F.countDistinct(
+                F.when(F.col("hit") == 1, F.col("okey"))
+            ).cast("double")
+            / F.countDistinct("okey"),
+            6,
+        ).alias("basket_hitrate"),
+    )
