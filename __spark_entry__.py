@@ -158,6 +158,8 @@ _NEVER_SAMPLED_FIRST = (
     "entity_canonical_groups",
     "table_constraint_audit",
     "item_cooccurrence_hitrate",
+    "robust_trend_daily_orders",
+    "daily_autocorrelation",
 )
 
 

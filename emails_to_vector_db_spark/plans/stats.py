@@ -2089,3 +2089,181 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(z > _MAD_CUT, 1).otherwise(0)).alias("n_outliers"),
         F.round(F.max(z), 4).alias("max_modified_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust trend: Theil-Sen slope + Mann-Kendall test on daily orders
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH daily AS (
+    SELECT o_orderdate AS d, count(*)::DOUBLE AS x
+    FROM orders GROUP BY o_orderdate
+),
+pairs AS (
+    SELECT (b.x - a.x) / date_diff('day', a.d, b.d) AS slope,
+           CASE WHEN b.x > a.x THEN 1
+                WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+    FROM daily a JOIN daily b ON b.d > a.d
+),
+ties AS (
+    SELECT sum(t * (t - 1.0) * (2 * t + 5.0)) AS tie_corr
+    FROM (SELECT count(*)::DOUBLE AS t FROM daily GROUP BY x)
+),
+agg AS (
+    SELECT quantile_cont(slope, 0.5) AS ts_slope,
+           sum(sgn)::DOUBLE AS s,
+           (SELECT count(*)::DOUBLE FROM daily) AS n
+    FROM pairs
+)
+SELECT n::BIGINT AS n_days,
+       round(ts_slope, 6) AS theil_sen_slope,
+       s::BIGINT AS mk_s,
+       round((s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+             / sqrt((n * (n - 1) * (2 * n + 5) - t.tie_corr) / 18.0), 6)
+           AS mk_z
+FROM agg CROSS JOIN ties t
+"""
+
+
+@register(
+    "robust_trend_daily_orders",
+    oracle=_TREND_ORACLE,
+    tags=("stats", "timeseries", "robust"),
+)
+def robust_trend_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend analysis of the daily order series: the Theil-Sen
+    slope (median of all pairwise slopes — up to 29% contamination
+    tolerance, vs OLS's zero) and the Mann-Kendall S statistic with
+    tie-corrected normal z — the nonparametric is-volume-trending
+    answer that outliers and non-normal noise can't fake, reading
+    against the seasonality profile and the CUSUM/z-score alarms.
+
+    Plan shape: the fact table reduces to the day-level series first;
+    the O(days²) pair join runs over THAT (2.9M pairs at 2400 days —
+    day-grain pair spaces stay small at ANY corpus size, which is the
+    whole trick), the slope median is one exact percentile over pairs,
+    and the tie correction is a value-histogram aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    from pyspark import StorageLevel
+
+    daily = daily.persist(StorageLevel.MEMORY_AND_DISK)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        (
+            (F.col("b.x") - F.col("a.x"))
+            / F.datediff(F.col("b.d"), F.col("a.d"))
+        ).alias("slope"),
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    ties = F.broadcast(
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1.0) * (2 * F.col("t") + 5.0)
+            ).alias("tie_corr")
+        )
+    )
+    n_days = F.broadcast(
+        daily.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    agg = pairs.agg(
+        F.percentile(F.col("slope"), F.lit(0.5)).alias("ts_slope"),
+        F.sum("sgn").cast("double").alias("s"),
+    )
+    sgn_s = (
+        F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    )
+    return (
+        agg.crossJoin(ties)
+        .crossJoin(n_days)
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.round("ts_slope", 6).alias("theil_sen_slope"),
+            F.col("s").cast("long").alias("mk_s"),
+            F.round(
+                (F.col("s") - sgn_s)
+                / F.sqrt(
+                    (
+                        F.col("n")
+                        * (F.col("n") - 1)
+                        * (2 * F.col("n") + 5)
+                        - F.col("tie_corr")
+                    )
+                    / 18.0
+                ),
+                6,
+            ).alias("mk_z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily order series at calendar lags
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 7, 14)
+
+_ACF_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT {lag}::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+       round(corr(a.x, b.x), 6) AS acf
+FROM (SELECT o_orderdate AS d, count(*)::DOUBLE AS x
+      FROM orders GROUP BY o_orderdate) a
+JOIN (SELECT o_orderdate AS d, count(*)::DOUBLE AS x
+      FROM orders GROUP BY o_orderdate) b
+  ON b.d = a.d + INTERVAL {lag} DAY"""
+    for lag in _ACF_LAGS
+)
+
+
+@register(
+    "daily_autocorrelation",
+    oracle=_ACF_ORACLE,
+    tags=("stats", "timeseries"),
+)
+def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order volume at calendar lags 1, 7 and
+    14 — the diagnostic that separates day-over-day momentum from
+    weekly seasonality (a high lag-7/low lag-1 profile says 'weekday
+    effect, not trend'), and the standard pre-check before fitting any
+    forecasting model on the series.
+
+    Plan shape: the day-level series (persisted once) self-joins at
+    each calendar lag on an exact date key — equi-joins, no windows,
+    no corpus re-scans; each lag's correlation is one fused moment
+    aggregate. DuckDB replays per-lag with UNION rescans (allowed —
+    same values)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    from pyspark import StorageLevel
+
+    daily = daily.persist(StorageLevel.MEMORY_AND_DISK)
+    outs = []
+    for lag in _ACF_LAGS:
+        a = daily.alias("a")
+        b = daily.alias("b")
+        outs.append(
+            a.join(
+                b, F.col("b.d") == F.date_add(F.col("a.d"), lag)
+            ).agg(
+                F.lit(lag).cast("long").alias("lag"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(F.corr(F.col("a.x"), F.col("b.x")), 6).alias(
+                    "acf"
+                ),
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionAll(x)
+    return out
