@@ -160,6 +160,7 @@ _NEVER_SAMPLED_FIRST = (
     "item_cooccurrence_hitrate",
     "robust_trend_daily_orders",
     "daily_autocorrelation",
+    "cosupply_graph_churn",
 )
 
 

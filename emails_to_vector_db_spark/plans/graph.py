@@ -713,3 +713,131 @@ def bfs_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Temporal graph churn: co-supply edge turnover between time halves
+# ---------------------------------------------------------------------------
+
+_CHURN_MIN_ORDERS = 12  # per-half threshold (half the data of the full graph)
+
+_CHURN_ORACLE = f"""
+WITH dated AS (
+    SELECT l.l_orderkey, l.l_suppkey, epoch(o.o_orderdate) AS t
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+cut AS (SELECT quantile_cont(t, 0.5) AS c FROM dated),
+half_edges AS (
+    SELECT CASE WHEN a.t <= cut.c THEN 0 ELSE 1 END AS half,
+           a.l_suppkey AS u, b.l_suppkey AS v,
+           count(DISTINCT a.l_orderkey) AS n_orders
+    FROM dated a
+    JOIN dated b ON a.l_orderkey = b.l_orderkey
+                AND a.l_suppkey < b.l_suppkey
+    CROSS JOIN cut
+    GROUP BY 1, 2, 3
+    HAVING count(DISTINCT a.l_orderkey) >= {_CHURN_MIN_ORDERS}
+),
+ea AS (SELECT u, v FROM half_edges WHERE half = 0),
+eb AS (SELECT u, v FROM half_edges WHERE half = 1),
+flags AS (
+    SELECT coalesce(a.u, b.u) AS u,
+           (a.u IS NOT NULL)::INT AS in_a,
+           (b.u IS NOT NULL)::INT AS in_b
+    FROM ea a FULL OUTER JOIN eb b ON a.u = b.u AND a.v = b.v
+)
+SELECT sum(in_a)::BIGINT AS n_edges_first,
+       sum(in_b)::BIGINT AS n_edges_second,
+       sum(in_a * in_b)::BIGINT AS n_retained,
+       sum((1 - in_a) * in_b)::BIGINT AS n_added,
+       sum(in_a * (1 - in_b))::BIGINT AS n_removed,
+       round(sum(in_a * in_b)::DOUBLE / count(*), 6) AS edge_jaccard
+FROM flags
+"""
+
+
+@register(
+    "cosupply_graph_churn",
+    oracle=_CHURN_ORACLE,
+    tags=("graph", "temporal", "monitoring"),
+)
+def cosupply_graph_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph churn: the co-supply edge set extracted
+    independently for each half of the order timeline (median-date
+    cut), diffed — retained / added / removed edges and the edge-set
+    Jaccard stability. The graph-STRUCTURE drift monitor beside the
+    value-distribution ones (PSI/KS): a supply network whose edges
+    churn 50% quarter-over-quarter invalidates any centrality/
+    community result computed on last quarter's snapshot, and this is
+    the number that says so.
+
+    Plan shape: ONE dated co-occurrence self-join (the shared
+    co-supply extraction, now carrying the half label through the
+    SAME aggregation — the two halves never scan separately), then a
+    full-outer diff of the two thresholded edge lists — edge-list-
+    sized, the table_diff_audit shape applied to a graph."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.unix_timestamp("o_orderdate").alias("t")
+    )
+    dated = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", "t"
+    )
+    cut = F.broadcast(
+        dated.agg(F.percentile(F.col("t"), F.lit(0.5)).alias("c"))
+    )
+    a = dated.alias("a")
+    b = dated.alias("b")
+    half_edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .crossJoin(cut)
+        .groupBy(
+            F.when(F.col("a.t") <= F.col("c"), 0)
+            .otherwise(1)
+            .alias("half"),
+            F.col("a.l_suppkey").alias("u"),
+            F.col("b.l_suppkey").alias("v"),
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("n_orders"))
+        .where(F.col("n_orders") >= _CHURN_MIN_ORDERS)
+        .select("half", "u", "v")
+    )
+    from pyspark import StorageLevel
+
+    half_edges = half_edges.persist(StorageLevel.MEMORY_AND_DISK)
+    ea = half_edges.where(F.col("half") == 0).select("u", "v")
+    eb = half_edges.where(F.col("half") == 1).select(
+        F.col("u").alias("u2"), F.col("v").alias("v2")
+    )
+    flags = ea.join(
+        eb,
+        (F.col("u") == F.col("u2")) & (F.col("v") == F.col("v2")),
+        "full_outer",
+    ).select(
+        F.when(F.col("u").isNotNull(), 1).otherwise(0).alias("in_a"),
+        F.when(F.col("u2").isNotNull(), 1).otherwise(0).alias("in_b"),
+    )
+    return flags.agg(
+        F.sum("in_a").cast("long").alias("n_edges_first"),
+        F.sum("in_b").cast("long").alias("n_edges_second"),
+        F.sum(F.col("in_a") * F.col("in_b"))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum((1 - F.col("in_a")) * F.col("in_b"))
+        .cast("long")
+        .alias("n_added"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b")))
+        .cast("long")
+        .alias("n_removed"),
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("edge_jaccard"),
+    )
