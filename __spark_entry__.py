@@ -161,6 +161,7 @@ _NEVER_SAMPLED_FIRST = (
     "robust_trend_daily_orders",
     "daily_autocorrelation",
     "cosupply_graph_churn",
+    "order_ship_latency_sla",
 )
 
 
