@@ -162,6 +162,7 @@ _NEVER_SAMPLED_FIRST = (
     "daily_autocorrelation",
     "cosupply_graph_churn",
     "order_ship_latency_sla",
+    "part_size_price_anova",
 )
 
 

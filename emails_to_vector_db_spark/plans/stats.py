@@ -2347,3 +2347,85 @@ def order_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sla_attainment",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA: retail price across part-size groups
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH g AS (
+    SELECT p_size, count(*)::DOUBLE AS n, avg(p_retailprice) AS m,
+           var_samp(p_retailprice) AS v
+    FROM part GROUP BY p_size
+),
+tot AS (
+    SELECT sum(n) AS n, sum(n * m) / sum(n) AS gm,
+           count(*)::DOUBLE AS k
+    FROM g
+),
+ss AS (
+    SELECT max(t.n) AS n, max(t.k) AS k,
+           sum(g.n * (g.m - t.gm) * (g.m - t.gm)) AS ssb,
+           sum((g.n - 1) * g.v) AS ssw
+    FROM g CROSS JOIN tot t
+)
+SELECT k::BIGINT AS n_groups,
+       n::BIGINT AS n_rows,
+       round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat,
+       round(ssb / (ssb + ssw), 6) AS eta_squared
+FROM ss
+"""
+
+
+@register(
+    "part_size_price_anova",
+    oracle=_ANOVA_ORACLE,
+    tags=("stats", "hypothesis-test"),
+)
+def part_size_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of retail price across part-size groups: the
+    between/within variance-ratio F statistic plus eta-squared effect
+    size — the k-group generalization completing the hypothesis-test
+    family (Welch handles two groups, chi-square independence, KS
+    distributions, this one k-group means).
+
+    Plan shape: per-group moments in one map-side-combinable
+    aggregation, the grand mean and sums of squares as re-aggregations
+    of the k-row group table — the fact table is scanned exactly once
+    and only k rows ever move again."""
+    p = load_table(spark, sf_dir, "part")
+    g = p.groupBy("p_size").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("p_retailprice").alias("m"),
+        F.var_samp("p_retailprice").alias("v"),
+    )
+    tot = F.broadcast(
+        g.agg(
+            F.sum("n").alias("n_tot"),
+            (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+            F.count(F.lit(1)).cast("double").alias("k"),
+        )
+    )
+    ss = g.crossJoin(tot).agg(
+        F.max("n_tot").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(
+            F.col("n")
+            * (F.col("m") - F.col("gm"))
+            * (F.col("m") - F.col("gm"))
+        ).alias("ssb"),
+        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+    )
+    return ss.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+        F.round(
+            F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6
+        ).alias("eta_squared"),
+    )
