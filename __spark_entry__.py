@@ -163,6 +163,8 @@ _NEVER_SAMPLED_FIRST = (
     "cosupply_graph_churn",
     "order_ship_latency_sla",
     "part_size_price_anova",
+    "binned_lorenz_gini",
+    "discount_quantity_elasticity",
 )
 
 

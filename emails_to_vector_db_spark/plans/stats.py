@@ -2429,3 +2429,222 @@ def part_size_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6
         ).alias("eta_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binned Lorenz curve + approximate Gini: the named 100 TB fallback, landed
+# ---------------------------------------------------------------------------
+
+_LORENZ_BINS = 32
+
+_LORENZ_ORACLE = f"""
+WITH rev AS (
+    SELECT o_custkey, sum(o_totalprice) AS r FROM orders GROUP BY o_custkey
+),
+rng AS (SELECT min(r) AS lo, max(r) AS hi FROM rev),
+binned AS (
+    SELECT least({_LORENZ_BINS} - 1,
+                 CAST(floor({_LORENZ_BINS} * (r - rng.lo)
+                            / (rng.hi - rng.lo + 1e-9)) AS INT)) AS bin,
+           count(*)::DOUBLE AS n, sum(r) AS s
+    FROM rev CROSS JOIN rng
+    GROUP BY 1
+),
+cum AS (
+    SELECT bin, n, s,
+           sum(n) OVER (ORDER BY bin) AS cn,
+           sum(s) OVER (ORDER BY bin) AS cs,
+           sum(n) OVER () AS tn,
+           sum(s) OVER () AS ts
+    FROM binned
+),
+gini AS (
+    SELECT sum((fp - pfp) * (fs + pfs)) AS area2
+    FROM (
+        SELECT cn / tn AS fp, cs / ts AS fs,
+               coalesce(lag(cn / tn) OVER (ORDER BY bin), 0) AS pfp,
+               coalesce(lag(cs / ts) OVER (ORDER BY bin), 0) AS pfs
+        FROM cum
+    )
+),
+exact AS (
+    SELECT 2.0 * sum(i * r) / (max(n) * max(tot))
+           - (max(n) + 1.0) / max(n) AS g
+    FROM (
+        SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i,
+               count(*) OVER () AS n, sum(r) OVER () AS tot
+        FROM rev
+    )
+)
+SELECT {_LORENZ_BINS}::BIGINT AS n_bins,
+       round(1.0 - g2.area2, 6) AS gini_binned,
+       round(e.g, 6) AS gini_exact,
+       round(abs((1.0 - g2.area2) - e.g), 6) AS abs_error,
+       (abs((1.0 - g2.area2) - e.g) < 0.02) AS within_tolerance
+FROM gini g2 CROSS JOIN exact e
+"""
+
+
+@register(
+    "binned_lorenz_gini",
+    oracle=_LORENZ_ORACLE,
+    tags=("stats", "economics", "approx-twin"),
+)
+def binned_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB fallback gini_revenue_concentration's docstring
+    names, actually landed: the Lorenz curve discretized into
+    {_LORENZ_BINS} equal-width revenue bins (one aggregation — NO
+    global rank over customers), approximate Gini by trapezoid
+    integration over the binned curve, reported NEXT TO the exact
+    rank-sum Gini with the absolute error and an in-query tolerance
+    boolean — the orders_equi_depth_approx 'approx twin' discipline:
+    the exact form stays bit-checkable, the approx form is the plan
+    that scales, and the query itself certifies how close they are.
+
+    Plan shape: customer revenues aggregate once; binning is
+    arithmetic on a broadcast (min, max) row; the curve and its
+    integral are windows over {_LORENZ_BINS} rows. The exact branch
+    (for the error column) keeps the documented customer-rank ceiling
+    — at true scale you drop that column and keep the bins."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    from pyspark import StorageLevel
+
+    rev = rev.persist(StorageLevel.MEMORY_AND_DISK)
+    rng = F.broadcast(
+        rev.agg(F.min("r").alias("lo"), F.max("r").alias("hi"))
+    )
+    bin_col = F.least(
+        F.lit(_LORENZ_BINS - 1),
+        F.floor(
+            _LORENZ_BINS
+            * (F.col("r") - F.col("lo"))
+            / (F.col("hi") - F.col("lo") + 1e-9)
+        ).cast("int"),
+    )
+    binned = (
+        rev.crossJoin(rng)
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("r").alias("s"),
+        )
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    wlag = Window.orderBy("bin")
+    cum = binned.select(
+        "bin",
+        (F.sum("n").over(wb) / F.sum("n").over(wall)).alias("fp"),
+        (F.sum("s").over(wb) / F.sum("s").over(wall)).alias("fs"),
+    )
+    area2 = cum.select(
+        (
+            (F.col("fp") - F.coalesce(F.lag("fp").over(wlag), F.lit(0.0)))
+            * (
+                F.col("fs")
+                + F.coalesce(F.lag("fs").over(wlag), F.lit(0.0))
+            )
+        ).alias("strip")
+    ).agg(F.sum("strip").alias("area2"))
+    wr = Window.orderBy("r", "o_custkey")
+    exact = rev.select(
+        "r",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("r").over(wall).alias("tot"),
+    ).agg(
+        (
+            2.0
+            * F.sum(F.col("i") * F.col("r"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n")
+        ).alias("g")
+    )
+    return area2.crossJoin(F.broadcast(exact)).select(
+        F.lit(_LORENZ_BINS).cast("long").alias("n_bins"),
+        F.round(1.0 - F.col("area2"), 6).alias("gini_binned"),
+        F.round(F.col("g"), 6).alias("gini_exact"),
+        F.round(F.abs((1.0 - F.col("area2")) - F.col("g")), 6).alias(
+            "abs_error"
+        ),
+        (F.abs((1.0 - F.col("area2")) - F.col("g")) < 0.02).alias(
+            "within_tolerance"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity of demand from the discount schedule
+# ---------------------------------------------------------------------------
+
+_ELASTICITY_ORACLE = """
+WITH lvl AS (
+    SELECT round(l_discount, 2) AS d,
+           count(*)::DOUBLE AS n,
+           avg(l_quantity) AS q
+    FROM lineitem GROUP BY round(l_discount, 2)
+),
+pts AS (
+    SELECT n, ln(1.0 - d) AS lx, ln(q) AS ly FROM lvl
+),
+m AS (
+    SELECT sum(n) AS w, sum(n * lx) AS sx, sum(n * ly) AS sy,
+           sum(n * lx * lx) AS sxx, sum(n * ly * ly) AS syy,
+           sum(n * lx * ly) AS sxy,
+           count(*)::BIGINT AS k
+    FROM pts
+)
+SELECT k AS n_levels,
+       round((sxy - sx * sy / w) / (sxx - sx * sx / w), 4) AS elasticity,
+       round(pow(sxy - sx * sy / w, 2)
+             / ((sxx - sx * sx / w) * (syy - sy * sy / w)), 6) AS r_squared
+FROM m
+"""
+
+
+@register(
+    "discount_quantity_elasticity",
+    oracle=_ELASTICITY_ORACLE,
+    tags=("stats", "economics", "regression"),
+)
+def discount_quantity_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Price elasticity of demand estimated from the discount schedule:
+    the count-weighted log-log slope of mean quantity against the
+    effective price multiplier (1 − discount) across discount levels —
+    the economics number behind every 'should we discount more'
+    decision, and the constant-elasticity counterpart of the linear
+    OLS lane.
+
+    Plan shape: one groupBy over the ~11 discount levels (map-side
+    combinable), then the weighted fit is a 1-row moment aggregate of
+    the level table. One scan, nothing wide."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lvl = li.groupBy(F.round("l_discount", 2).alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("l_quantity").alias("q"),
+    )
+    pts = lvl.select(
+        "n",
+        F.log(1.0 - F.col("d")).alias("lx"),
+        F.log("q").alias("ly"),
+    )
+    m = pts.agg(
+        F.sum("n").alias("w"),
+        F.sum(F.col("n") * F.col("lx")).alias("sx"),
+        F.sum(F.col("n") * F.col("ly")).alias("sy"),
+        F.sum(F.col("n") * F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("n") * F.col("ly") * F.col("ly")).alias("syy"),
+        F.sum(F.col("n") * F.col("lx") * F.col("ly")).alias("sxy"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("w")
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("w")
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / F.col("w")
+    return m.select(
+        F.col("k").alias("n_levels"),
+        F.round(sxy_c / sxx_c, 4).alias("elasticity"),
+        F.round(F.pow(sxy_c, 2) / (sxx_c * syy_c), 6).alias("r_squared"),
+    )
