@@ -165,6 +165,8 @@ _NEVER_SAMPLED_FIRST = (
     "part_size_price_anova",
     "binned_lorenz_gini",
     "discount_quantity_elasticity",
+    "watermark_lateness_audit",
+    "source_vocab_overlap",
 )
 
 

@@ -1745,3 +1745,93 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("heaps_ln_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source-vocabulary overlap matrix
+# ---------------------------------------------------------------------------
+
+_VOCAB_OVERLAP_ORACLE = f"""
+WITH v AS (
+    SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest({_TOKENS_SQL}) AS tok FROM documents
+    )
+),
+sz AS (SELECT source, count(*)::BIGINT AS n FROM v GROUP BY source),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS i
+    FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT x.src_a, x.src_b,
+       sa.n AS vocab_a, sb.n AS vocab_b, x.i AS n_shared,
+       round(x.i::DOUBLE / (sa.n + sb.n - x.i), 6) AS jaccard,
+       round(x.i::DOUBLE / least(sa.n, sb.n), 6) AS overlap_coef
+FROM inter x
+JOIN sz sa ON sa.source = x.src_a
+JOIN sz sb ON sb.source = x.src_b
+"""
+
+
+@register(
+    "source_vocab_overlap",
+    oracle=_VOCAB_OVERLAP_ORACLE,
+    tags=("corpus", "curation", "setsim"),
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap matrix: Jaccard and overlap
+    coefficient between every pair of sources' distinct-token sets —
+    the PAIRWISE companion to source_token_kl (KL scores each source
+    against the corpus mixture; this says which sources duplicate EACH
+    OTHER'S lexicon, the signal for merging or deduplicating whole
+    sources before mixing weights are fit).
+
+    Plan shape: one distinct (source, token) census; intersections
+    come from a token-keyed self-join of the vocabulary table (never
+    the corpus), sizes broadcast onto the |sources|²-row result."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = (
+        docs.select("source", F.explode(TX.tokens("text")).alias("tok"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.alias("a")
+    b = v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(
+        F.col("source").alias("src_a"), F.col("n").alias("vocab_a")
+    )
+    sb = sz.select(
+        F.col("source").alias("src_b"), F.col("n").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            F.col("i").alias("n_shared"),
+            F.round(
+                F.col("i")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("i") / F.least("vocab_a", "vocab_b"), 6
+            ).alias("overlap_coef"),
+        )
+    )

@@ -1274,3 +1274,107 @@ def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     ).orderBy("batch_id")
+
+
+# ---------------------------------------------------------------------------
+# Watermark-budget sizing: lateness audit over a (planted) arrival order
+# ---------------------------------------------------------------------------
+
+_LATE_BUDGETS_H = (1, 6, 48)
+
+_LATENESS_ORACLE = f"""
+WITH arr AS (
+    SELECT epoch_us(ts) AS t,
+           event_id + CASE WHEN event_id % 97 = 0 THEN 500
+                           WHEN event_id % 31 = 0 THEN 10
+                           ELSE 0 END AS pos,
+           event_id
+    FROM events
+),
+x AS (
+    SELECT t,
+           max(t) OVER (ORDER BY pos, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS runmax
+    FROM arr
+),
+late AS (SELECT (runmax - t) / 3600000000.0 AS late_h FROM x)
+SELECT b.budget_h::BIGINT AS budget_h,
+       sum(CASE WHEN late_h > b.budget_h THEN 1 ELSE 0 END)::BIGINT
+           AS n_dropped,
+       round(avg(CASE WHEN late_h > b.budget_h THEN 1.0 ELSE 0.0 END), 6)
+           AS dropped_frac,
+       round(max(late_h), 4) AS max_lateness_h
+FROM late
+CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in _LATE_BUDGETS_H)}])
+            AS budget_h) b
+GROUP BY b.budget_h
+"""
+
+
+@register(
+    "watermark_lateness_audit",
+    oracle=_LATENESS_ORACLE,
+    tags=("events", "streaming", "watermark", "audit"),
+)
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-budget sizing from measured arrival disorder: for each
+    candidate watermark delay, how many events would arrive LATER than
+    the delay behind the max event-time seen so far — i.e., would be
+    dropped by a stream with that watermark. The fixture arrives
+    perfectly ordered, so deterministic plants (every 97th event
+    displaced ~33h, every 31st ~40min — the planting convention of the
+    dedup lanes) create the two-tier disorder real pipelines see.
+    This is the BATCH audit you run before choosing
+    withWatermark(delay): streaming correctness work starts with
+    measuring lateness, not guessing it.
+
+    Plan shape: lateness is a running event-time maximum over the
+    arrival order — one window ordered by arrival position (a
+    range-partitioned sort at scale; lateness only needs partition-
+    local prefixes plus partition-boundary maxima, the documented
+    distributed form) — then one 3-budget conditional aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("t"), "event_id"
+    )
+    pos = F.col("event_id") + F.when(
+        F.col("event_id") % 97 == 0, 500
+    ).when(F.col("event_id") % 31 == 0, 10).otherwise(0)
+    w = Window.orderBy("pos", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    late = (
+        ev.select("t", pos.alias("pos"), "event_id")
+        .select(
+            ((F.max("t").over(w) - F.col("t")) / 3600000000.0).alias(
+                "late_h"
+            )
+        )
+    )
+    budgets = F.broadcast(
+        spark.createDataFrame(
+            [(b,) for b in _LATE_BUDGETS_H], "budget_h long"
+        )
+    )
+    return (
+        late.crossJoin(budgets)
+        .groupBy("budget_h")
+        .agg(
+            F.sum(
+                F.when(F.col("late_h") > F.col("budget_h"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_dropped"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("late_h") > F.col("budget_h"), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("dropped_frac"),
+            F.round(F.max("late_h"), 4).alias("max_lateness_h"),
+        )
+    )
