@@ -167,6 +167,8 @@ _NEVER_SAMPLED_FIRST = (
     "discount_quantity_elasticity",
     "watermark_lateness_audit",
     "source_vocab_overlap",
+    "repurchase_cadence_percentiles",
+    "embedding_distance_histogram",
 )
 
 

@@ -1387,3 +1387,87 @@ def item_cooccurrence_hitrate(
             6,
         ).alias("basket_hitrate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repurchase cadence: inter-order gap percentiles per market segment
+# ---------------------------------------------------------------------------
+
+_CADENCE_ORACLE = """
+WITH gaps AS (
+    SELECT c.c_mktsegment AS segment,
+           date_diff('day',
+               lag(o.o_orderdate) OVER (
+                   PARTITION BY o.o_custkey
+                   ORDER BY o.o_orderdate, o.o_orderkey),
+               o.o_orderdate)::DOUBLE AS gap_days
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT segment,
+       count(gap_days)::BIGINT AS n_gaps,
+       round(quantile_cont(gap_days, 0.5), 2) AS p50_days,
+       round(quantile_cont(gap_days, 0.9), 2) AS p90_days,
+       round(avg(gap_days), 2) AS mean_days
+FROM gaps
+WHERE gap_days IS NOT NULL
+GROUP BY segment
+"""
+
+
+@register(
+    "repurchase_cadence_percentiles",
+    oracle=_CADENCE_ORACLE,
+    tags=("analytics", "window", "percentiles"),
+)
+def repurchase_cadence_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repurchase cadence: the distribution of days between a
+    customer's consecutive orders, rolled up to p50/p90/mean per
+    market segment — the purchase-frequency number behind churn
+    definitions ('inactive' should mean 'quiet for longer than this
+    segment's p90 gap', not an arbitrary 30 days; the
+    user_lifetime_survival and RFM lanes both consume exactly this
+    calibration).
+
+    Plan shape: one lag() window on the custkey exchange (the
+    per-entity sequence shuffle every cadence/sessionization query
+    shares), customer dim broadcast, and a per-segment aggregate whose
+    two percentiles share one fused buffer."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            )
+            .cast("double")
+            .alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    qs = F.percentile(
+        F.col("gap_days"), F.array(F.lit(0.5), F.lit(0.9))
+    )
+    return (
+        gaps.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            qs.alias("q2"),
+            F.round(F.avg("gap_days"), 2).alias("mean_days"),
+        )
+        .select(
+            "segment",
+            "n_gaps",
+            F.round(F.element_at("q2", 1), 2).alias("p50_days"),
+            F.round(F.element_at("q2", 2), 2).alias("p90_days"),
+            "mean_days",
+        )
+    )

@@ -1435,3 +1435,90 @@ def embedding_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rms_z").desc(), F.col("vec_id").asc())
         .limit(_ZS_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space geometry: pairwise-distance histogram on a sample
+# ---------------------------------------------------------------------------
+
+_GEO_SAMPLE_MOD = 4
+_GEO_BINS = 10
+
+_GEOMETRY_ORACLE = f"""
+WITH s AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE vec_id % {_GEO_SAMPLE_MOD} = 0
+),
+d AS (
+    SELECT list_distance(a.v, b.v) AS dist
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+),
+rng AS (SELECT max(dist) AS hi FROM d)
+SELECT least({_GEO_BINS} - 1,
+             CAST(floor({_GEO_BINS} * d.dist / rng.hi) AS INT))::BIGINT
+           AS bin,
+       count(*)::BIGINT AS n_pairs,
+       round(min(d.dist), 6) AS min_dist,
+       round(max(d.dist), 6) AS max_dist
+FROM d CROSS JOIN rng
+GROUP BY 1
+"""
+
+
+@register(
+    "embedding_distance_histogram",
+    oracle=_GEOMETRY_ORACLE,
+    tags=("vector", "calibration", "stats"),
+)
+def embedding_distance_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space geometry check: the pairwise L2 distance
+    histogram over a deterministic 25% vector sample — the diagnostic
+    read BEFORE choosing ANN parameters (a distribution concentrated
+    in one bin means distances barely discriminate — the
+    curse-of-dimensionality regime where every ANN index degrades —
+    while a long left tail says near-dup mass; the LSH/IVF self-tuning
+    lanes assume the geometry this query verifies). The
+    jaccard_similarity_histogram discipline applied to the vector
+    space: calibration runs on a sample because all-pairs is the
+    contract.
+
+    Plan shape: sample filter at the scan, one O(sample²) distance
+    join (bounded by the sample budget — the method, not a shortcut),
+    a 1-row max broadcast for the bin width, one 10-group aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % _GEO_SAMPLE_MOD == 0
+    )
+    from pyspark import StorageLevel
+
+    s = emb.select("vec_id", "embedding").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    d = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        l2_distance(F.col("a.embedding"), F.col("b.embedding")).alias(
+            "dist"
+        )
+    )
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    rng = F.broadcast(d.agg(F.max("dist").alias("hi")))
+    return (
+        d.crossJoin(rng)
+        .groupBy(
+            F.least(
+                F.lit(_GEO_BINS - 1),
+                F.floor(_GEO_BINS * F.col("dist") / F.col("hi")).cast(
+                    "int"
+                ),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("dist"), 6).alias("min_dist"),
+            F.round(F.max("dist"), 6).alias("max_dist"),
+        )
+    )
