@@ -169,6 +169,8 @@ _NEVER_SAMPLED_FIRST = (
     "source_vocab_overlap",
     "repurchase_cadence_percentiles",
     "embedding_distance_histogram",
+    "dup_cluster_size_histogram",
+    "hits_hubs_authorities",
 )
 
 

@@ -798,3 +798,46 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         neg.select("id_a", "id_b", F.lit(0).cast("long").alias("label"))
     )
+
+
+_CLUSTER_HIST_ORACLE = f"""
+SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       (cluster_size * count(*))::BIGINT AS n_docs
+FROM (
+    SELECT component_id, count(*)::BIGINT AS cluster_size
+    FROM ({_COMPONENTS_ORACLE}) comp
+    GROUP BY component_id
+) sizes
+GROUP BY cluster_size
+"""
+
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle=_CLUSTER_HIST_ORACLE,
+    tags=("dedup", "components", "stats"),
+)
+def dup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The duplicate-FAMILY size distribution: near-dup components
+    rolled up to (cluster size → cluster count, doc count) — the
+    single number-row that decides pair-listing vs cluster-labeling
+    plans (rule 13: pair output is Σ size², cluster output is Σ size;
+    this histogram says which regime a corpus is in BEFORE a dedup
+    job commits to one), and the ops metric that catches a template
+    explosion (one giant family appearing week-over-week).
+
+    Plan shape: the same LSH→components pipeline as
+    near_dup_components (shared lineage, nothing new at corpus
+    scale), plus two component-table-sized aggregations."""
+    comp = near_dup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+    )

@@ -841,3 +841,135 @@ def cosupply_graph_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("edge_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities on the customer->supplier purchase graph
+# ---------------------------------------------------------------------------
+
+_HITS_TOP = 10
+_HITS_ROUND = 9  # per-iteration quantum (the ml.py trajectory discipline)
+
+_HITS_ORACLE = f"""
+WITH edges AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+h1 AS (SELECT c, count(*)::DOUBLE AS v FROM edges GROUP BY c),
+h1n AS (SELECT c, round(v / (SELECT max(v) FROM h1), {_HITS_ROUND}) AS v
+        FROM h1),
+a1 AS (
+    SELECT e.s, sum(h.v) AS v
+    FROM edges e JOIN h1n h ON h.c = e.c GROUP BY e.s
+),
+a1n AS (SELECT s, round(v / (SELECT max(v) FROM a1), {_HITS_ROUND}) AS v
+        FROM a1),
+h2 AS (
+    SELECT e.c, sum(a.v) AS v
+    FROM edges e JOIN a1n a ON a.s = e.s GROUP BY e.c
+),
+h2n AS (SELECT c, round(v / (SELECT max(v) FROM h2), {_HITS_ROUND}) AS v
+        FROM h2),
+a2 AS (
+    SELECT e.s, sum(h.v) AS v
+    FROM edges e JOIN h2n h ON h.c = e.c GROUP BY e.s
+),
+a2n AS (SELECT s, round(v / (SELECT max(v) FROM a2), {_HITS_ROUND}) AS v
+        FROM a2),
+top_a AS (
+    SELECT 'authority' AS role, 's' || s AS node, round(v, 6) AS score
+    FROM a2n ORDER BY round(v, 6) DESC, s ASC LIMIT {_HITS_TOP}
+),
+top_h AS (
+    SELECT 'hub' AS role, 'c' || c AS node, round(v, 6) AS score
+    FROM h2n ORDER BY round(v, 6) DESC, c ASC LIMIT {_HITS_TOP}
+)
+SELECT * FROM top_a UNION ALL SELECT * FROM top_h
+"""
+
+
+@register(
+    "hits_hubs_authorities",
+    oracle=_HITS_ORACLE,
+    tags=("graph", "iterative", "hits"),
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) on the directed customer→supplier
+    purchase graph: two mutually-recursive scores — a customer is a
+    good HUB if it buys from good authorities, a supplier a good
+    AUTHORITY if good hubs buy from it — which PageRank's single
+    undirected score cannot express (a high-volume buyer and a
+    high-demand supplier are different kinds of central). Two unrolled
+    iterations, max-normalized and QUANTIZED at every step (the
+    GD-trajectory discipline from plans/ml.py), top-{_HITS_TOP} per
+    role.
+
+    Plan shape: the same template as every iterative lane — static
+    edge list extracted once (the one corpus-scale fact join) and
+    persisted; each half-step joins the |nodes|-row score vector to
+    the edges and re-aggregates; normalizers are 1-row broadcast
+    scalars. The graph never moves, only the two vectors do."""
+    from pyspark import StorageLevel
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def norm(df: DataFrame, key: str) -> DataFrame:
+        mx = F.broadcast(df.agg(F.max("v").alias("mx")))
+        return df.crossJoin(mx).select(
+            key, F.round(F.col("v") / F.col("mx"), _HITS_ROUND).alias("v")
+        )
+
+    h1 = norm(
+        edges.groupBy("c").agg(F.count(F.lit(1)).cast("double").alias("v")),
+        "c",
+    )
+    a1 = norm(
+        edges.join(F.broadcast(h1), "c")
+        .groupBy("s")
+        .agg(F.sum("v").alias("v")),
+        "s",
+    )
+    h2 = norm(
+        edges.join(F.broadcast(a1), "s")
+        .groupBy("c")
+        .agg(F.sum("v").alias("v")),
+        "c",
+    )
+    a2 = norm(
+        edges.join(F.broadcast(h2), "c")
+        .groupBy("s")
+        .agg(F.sum("v").alias("v")),
+        "s",
+    )
+    top_a = (
+        a2.orderBy(F.round("v", 6).desc(), F.col("s").asc())
+        .limit(_HITS_TOP)
+        .select(
+            F.lit("authority").alias("role"),
+            F.concat(F.lit("s"), F.col("s")).alias("node"),
+            F.round("v", 6).alias("score"),
+        )
+    )
+    top_h = (
+        h2.orderBy(F.round("v", 6).desc(), F.col("c").asc())
+        .limit(_HITS_TOP)
+        .select(
+            F.lit("hub").alias("role"),
+            F.concat(F.lit("c"), F.col("c")).alias("node"),
+            F.round("v", 6).alias("score"),
+        )
+    )
+    return top_a.unionAll(top_h)
