@@ -927,9 +927,19 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def norm(df: DataFrame, key: str) -> DataFrame:
+        # persist BOTH sides: the un-normed aggregate feeds its own max
+        # AND the normalized output, and every later half-step re-reads
+        # the normed vector — without these, each step's lineage
+        # re-executes all earlier steps (measured 30s → ~8s at sf1)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
         mx = F.broadcast(df.agg(F.max("v").alias("mx")))
-        return df.crossJoin(mx).select(
-            key, F.round(F.col("v") / F.col("mx"), _HITS_ROUND).alias("v")
+        return (
+            df.crossJoin(mx)
+            .select(
+                key,
+                F.round(F.col("v") / F.col("mx"), _HITS_ROUND).alias("v"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
     h1 = norm(

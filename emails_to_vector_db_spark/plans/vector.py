@@ -1442,12 +1442,13 @@ def embedding_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _GEO_SAMPLE_MOD = 4
+_GEO_SAMPLE_CAP = 2000  # bounded SIZE: a fixed fraction is quadratic at scale
 _GEO_BINS = 10
 
 _GEOMETRY_ORACLE = f"""
 WITH s AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    WHERE vec_id % {_GEO_SAMPLE_MOD} = 0
+    WHERE vec_id % {_GEO_SAMPLE_MOD} = 0 AND vec_id < {_GEO_SAMPLE_CAP}
 ),
 d AS (
     SELECT list_distance(a.v, b.v) AS dist
@@ -1474,7 +1475,7 @@ def embedding_distance_histogram(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Embedding-space geometry check: the pairwise L2 distance
-    histogram over a deterministic 25% vector sample — the diagnostic
+    histogram over a deterministic BOUNDED vector sample (id-hash filtered AND size-capped — a fixed fraction would be quadratic at scale; a fixed size is the method) — the diagnostic
     read BEFORE choosing ANN parameters (a distribution concentrated
     in one bin means distances barely discriminate — the
     curse-of-dimensionality regime where every ANN index degrades —
@@ -1488,7 +1489,8 @@ def embedding_distance_histogram(
     join (bounded by the sample budget — the method, not a shortcut),
     a 1-row max broadcast for the bin width, one 10-group aggregate."""
     emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") % _GEO_SAMPLE_MOD == 0
+        (F.col("vec_id") % _GEO_SAMPLE_MOD == 0)
+        & (F.col("vec_id") < _GEO_SAMPLE_CAP)
     )
     from pyspark import StorageLevel
 
