@@ -171,6 +171,8 @@ _NEVER_SAMPLED_FIRST = (
     "embedding_distance_histogram",
     "dup_cluster_size_histogram",
     "hits_hubs_authorities",
+    "snippet_best_window",
+    "typo_tolerant_correction",
 )
 
 

@@ -1110,3 +1110,215 @@ def ndcg_retrieval_eval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg_at_k"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snippet generation: best query-term window for the top BM25 docs
+# ---------------------------------------------------------------------------
+
+_SNIP_DOCS = 3
+_SNIP_W = 10
+
+_SNIPPET_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, len({_TOKENS_SQL}) AS dl,
+           list_filter({_TOKENS_SQL}, x -> x IN ({_TERMS_SQL})) AS qtoks
+    FROM documents
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
+tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf, min(dl) AS dl
+    FROM (SELECT doc_id, dl, unnest(qtoks) AS term FROM docs)
+    GROUP BY doc_id, term
+),
+df_t AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+bm25 AS (
+    SELECT t.doc_id,
+           sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({_K1} + 1))
+               / (t.tf + {_K1} * (1 - {_B} + {_B} * t.dl / s.avgdl))
+           ) AS sc
+    FROM tf t JOIN df_t d USING (term) CROSS JOIN stats s
+    GROUP BY t.doc_id
+),
+top3 AS (
+    SELECT doc_id FROM bm25 ORDER BY sc DESC, doc_id ASC LIMIT {_SNIP_DOCS}
+),
+toks AS (
+    SELECT d.doc_id, {_TOKENS_SQL} AS w
+    FROM documents d JOIN top3 USING (doc_id)
+),
+wins AS (
+    SELECT doc_id, i AS start_pos,
+           len(list_filter(w[i:i + {_SNIP_W - 1}],
+                           x -> x IN ({_TERMS_SQL}))) AS n_hits,
+           array_to_string(w[i:i + {_SNIP_W - 1}], ' ') AS snippet
+    FROM toks,
+         unnest(generate_series(1, len(w) - {_SNIP_W - 1})) AS gs(i)
+),
+best AS (
+    SELECT doc_id, start_pos, n_hits, snippet,
+           row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY n_hits DESC, start_pos ASC
+           ) AS rn
+    FROM wins
+)
+SELECT doc_id, start_pos::BIGINT AS start_pos,
+       n_hits::BIGINT AS n_hits, snippet
+FROM best WHERE rn = 1
+"""
+
+
+@register(
+    "snippet_best_window",
+    oracle=_SNIPPET_ORACLE,
+    tags=("text", "retrieval", "snippet"),
+)
+def snippet_best_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippet generation: for each of the top-{_SNIP_DOCS}
+    BM25 documents, the {_SNIP_W}-token window containing the most
+    query-term hits (earliest window on ties) — the highlight/preview
+    stage every retrieval stack runs between ranking and rendering,
+    here as a first-class engine operator instead of application code.
+
+    Plan shape: ranking reuses the term-pruned BM25 lane; window
+    scoring then touches ONLY the {_SNIP_DOCS} winning documents
+    (broadcast semi-join before tokenization), where per-window hit
+    counts are scan-local slice/filter array expressions and the
+    argmax is a bounded per-doc window — the corpus is never scanned
+    for snippets at all."""
+    top3 = F.broadcast(
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25_raw").desc(), F.col("doc_id").asc())
+        .limit(_SNIP_DOCS)
+        .select("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents").join(
+        top3, "doc_id", "left_semi"
+    )
+    toks = TX.tokens("text")
+    wins = d.select(
+        "doc_id",
+        toks.alias("w"),
+        F.explode(
+            F.sequence(F.lit(1), F.size(toks) - (_SNIP_W - 1))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.col("i").alias("start_pos"),
+        F.size(
+            F.filter(
+                F.slice("w", F.col("i"), _SNIP_W),
+                lambda x: x.isin(*QUERY_TERMS),
+            )
+        ).alias("n_hits"),
+        F.array_join(F.slice("w", F.col("i"), _SNIP_W), " ").alias(
+            "snippet"
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("n_hits").desc(), F.col("start_pos").asc()
+        )
+    )
+    return (
+        wins.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("start_pos").cast("long").alias("start_pos"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            "snippet",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Typo-tolerant retrieval: edit-distance query correction against the vocab
+# ---------------------------------------------------------------------------
+
+_TYPO_TERMS = ("sparkk", "windw", "merge")  # two typos + one exact
+_TYPO_MAX_DIST = 1
+
+_TYPO_ORACLE = f"""
+WITH vocab AS (
+    SELECT DISTINCT tok
+    FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+),
+q AS (SELECT unnest(['{"', '".join(_TYPO_TERMS)}']) AS qterm),
+cand AS (
+    SELECT q.qterm, v.tok,
+           levenshtein(q.qterm, v.tok) AS d,
+           row_number() OVER (
+               PARTITION BY q.qterm
+               ORDER BY levenshtein(q.qterm, v.tok) ASC, v.tok ASC
+           ) AS rn
+    FROM q CROSS JOIN vocab v
+    WHERE levenshtein(q.qterm, v.tok) <= {_TYPO_MAX_DIST}
+),
+corrected AS (SELECT qterm, tok, d FROM cand WHERE rn = 1),
+hits AS (
+    SELECT c.qterm, c.tok, c.d, count(DISTINCT t.doc_id)::BIGINT AS n_docs
+    FROM corrected c
+    JOIN (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents) t
+      ON t.tok = c.tok
+    GROUP BY c.qterm, c.tok, c.d
+)
+SELECT qterm, tok AS corrected_term, d::BIGINT AS edit_dist, n_docs
+FROM hits
+"""
+
+
+@register(
+    "typo_tolerant_correction",
+    oracle=_TYPO_ORACLE,
+    tags=("text", "retrieval", "fuzzy"),
+)
+def typo_tolerant_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Did you mean': each query term maps to its nearest vocabulary
+    token within Levenshtein {_TYPO_MAX_DIST} (smallest distance, then
+    lexicographic — so 'sparkk'→'spark', 'windw'→'window', and the
+    already-correct term maps to itself at distance 0), with the
+    corrected term's document frequency — the query-correction stage in
+    front of BM25 that turns zero-hit typo queries into real ones.
+
+    Plan shape: the vocabulary census is the corpus-scale pass (shared
+    with every lexical lane); candidate correction is a
+    |terms| × |vocab| comparison — terms are a handful, so this is a
+    broadcast flatMap over the vocab table, never a corpus scan; the
+    per-term argmin is a bounded window; the DF lookup joins the ≤
+    |terms|-row corrected table back against the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("tok")
+    )
+    vocab = toks.select("tok").distinct()
+    q = spark.createDataFrame(
+        [(t,) for t in _TYPO_TERMS], "qterm string"
+    )
+    dist = F.levenshtein(F.col("qterm"), F.col("tok"))
+    rn = F.row_number().over(
+        Window.partitionBy("qterm").orderBy(
+            dist.asc(), F.col("tok").asc()
+        )
+    )
+    corrected = (
+        vocab.crossJoin(F.broadcast(q))
+        .where(dist <= _TYPO_MAX_DIST)
+        .withColumn("d", dist)
+        .withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("qterm", "tok", "d")
+    )
+    return (
+        toks.join(F.broadcast(corrected), "tok")
+        .groupBy("qterm", "tok", "d")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .select(
+            "qterm",
+            F.col("tok").alias("corrected_term"),
+            F.col("d").cast("long").alias("edit_dist"),
+            "n_docs",
+        )
+    )
