@@ -173,6 +173,8 @@ _NEVER_SAMPLED_FIRST = (
     "hits_hubs_authorities",
     "snippet_best_window",
     "typo_tolerant_correction",
+    "supplier_latency_icc",
+    "leakage_safe_dataset_build",
 )
 
 

@@ -1144,3 +1144,130 @@ def conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe training-set assembly: features at T, label in (T, T+h]
+# ---------------------------------------------------------------------------
+
+_DS_SPLIT_Q = 0.7
+_DS_HORIZON_US = 5 * 86400 * 1_000_000
+
+_DATASET_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_type, value, epoch_us(ts) AS t FROM events
+),
+cut AS (SELECT quantile_cont(t, {_DS_SPLIT_Q}) AS c FROM ev),
+feat AS (
+    SELECT user_id,
+           count(*)::DOUBLE AS n_events,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE
+               AS n_clicks,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+               AS n_purchases,
+           avg(value) AS avg_value,
+           max(t) AS last_seen
+    FROM ev CROSS JOIN cut WHERE t <= cut.c
+    GROUP BY user_id
+),
+lab AS (
+    SELECT DISTINCT user_id, 1 AS y
+    FROM ev CROSS JOIN cut
+    WHERE t > cut.c AND t <= cut.c + {_DS_HORIZON_US}
+      AND event_type = 'purchase'
+),
+ds AS (
+    SELECT f.user_id, f.n_events, f.n_clicks, f.n_purchases,
+           f.avg_value, coalesce(l.y, 0) AS y,
+           (SELECT c FROM cut) - f.last_seen AS recency_us
+    FROM feat f LEFT JOIN lab l USING (user_id)
+)
+SELECT count(*)::BIGINT AS n_users,
+       sum(y)::BIGINT AS n_positive,
+       round(avg(y), 6) AS label_rate,
+       round(avg(n_events), 4) AS mean_events,
+       round(avg(n_purchases), 4) AS mean_past_purchases,
+       round(avg(recency_us) / 86400000000.0, 4) AS mean_recency_days,
+       round(corr(n_purchases, y), 6) AS past_future_corr
+FROM ds
+"""
+
+
+@register(
+    "leakage_safe_dataset_build",
+    oracle=_DATASET_ORACLE,
+    tags=("ml", "dataset", "feature-engineering"),
+)
+def leakage_safe_dataset_build(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training-set ASSEMBLY with the temporal-leakage contract
+    enforced by construction: features aggregate ONLY events at or
+    before the cutoff (the {_DS_SPLIT_Q:.0%} timestamp quantile),
+    labels come ONLY from the (cutoff, cutoff+5d] horizon — the
+    point-in-time-correct snapshot every churn/propensity model needs,
+    where the classic bug (a feature window that peeks past T) silently
+    inflates offline metrics. Reported as the dataset's audit card:
+    size, label rate, feature means, recency, and the
+    past-purchases→future-purchase correlation (the sanity signal that
+    the features carry any lift at all).
+
+    Plan shape: one cut scalar broadcast; features and labels are two
+    filtered aggregations of the same scan lineage joined per user —
+    the corpus shuffles once on user_id; the audit card is a 1-row
+    fold of the user-level dataset. The per-user dataset itself is the
+    intermediate you'd persist for the logreg/NB training lanes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", F.unix_micros("ts").alias("t")
+    )
+    cut = F.broadcast(
+        ev.agg(F.percentile(F.col("t"), F.lit(_DS_SPLIT_Q)).alias("c"))
+    )
+    ev = ev.crossJoin(cut)
+    feat = (
+        ev.where(F.col("t") <= F.col("c"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("n_clicks"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("n_purchases"),
+            F.avg("value").alias("avg_value"),
+            F.max("t").alias("last_seen"),
+            F.max("c").alias("c"),
+        )
+    )
+    lab = (
+        ev.where(
+            (F.col("t") > F.col("c"))
+            & (F.col("t") <= F.col("c") + _DS_HORIZON_US)
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    ds = feat.join(lab, "user_id", "left").select(
+        "n_events",
+        "n_purchases",
+        F.coalesce("y", F.lit(0)).alias("y"),
+        (F.col("c") - F.col("last_seen")).alias("recency_us"),
+    )
+    return ds.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("y").cast("long").alias("n_positive"),
+        F.round(F.avg("y"), 6).alias("label_rate"),
+        F.round(F.avg("n_events"), 4).alias("mean_events"),
+        F.round(F.avg("n_purchases"), 4).alias("mean_past_purchases"),
+        F.round(F.avg("recency_us") / 86400000000.0, 4).alias(
+            "mean_recency_days"
+        ),
+        F.round(F.corr("n_purchases", "y"), 6).alias("past_future_corr"),
+    )

@@ -2648,3 +2648,110 @@ def discount_quantity_elasticity(
         F.round(sxy_c / sxx_c, 4).alias("elasticity"),
         F.round(F.pow(sxy_c, 2) / (sxx_c * syy_c), 6).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Variance components / intraclass correlation of ship latency by supplier
+# ---------------------------------------------------------------------------
+
+_ICC_ORACLE = """
+WITH lat AS (
+    SELECT l.l_suppkey AS grp,
+           date_diff('day', o.o_orderdate, l.l_shipdate)::DOUBLE AS y
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+g AS (
+    SELECT grp, count(*)::DOUBLE AS n, avg(y) AS m, var_samp(y) AS v
+    FROM lat GROUP BY grp
+),
+tot AS (
+    SELECT sum(n) AS nt, sum(n * m) / sum(n) AS gm,
+           count(*)::DOUBLE AS k,
+           sum(n * n) AS sn2
+    FROM g
+),
+ss AS (
+    SELECT max(t.nt) AS nt, max(t.k) AS k,
+           (max(t.nt) - max(t.sn2) / max(t.nt)) / (max(t.k) - 1) AS n0,
+           sum(g.n * (g.m - t.gm) * (g.m - t.gm)) / (max(t.k) - 1) AS msb,
+           sum((g.n - 1) * g.v) / (max(t.nt) - max(t.k)) AS msw
+    FROM g CROSS JOIN tot t
+)
+SELECT k::BIGINT AS n_suppliers,
+       nt::BIGINT AS n_lines,
+       round(msw, 4) AS var_within,
+       round((msb - msw) / n0, 4) AS var_between,
+       round(((msb - msw) / n0) / ((msb - msw) / n0 + msw), 6) AS icc
+FROM ss
+"""
+
+
+@register(
+    "supplier_latency_icc",
+    oracle=_ICC_ORACLE,
+    tags=("stats", "variance-components"),
+)
+def supplier_latency_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-components decomposition of fulfillment latency: how
+    much of ship-delay variance lives BETWEEN suppliers vs WITHIN one
+    supplier's own lines — the one-way random-effects ICC (ANOVA
+    method-of-moments, unbalanced-n0 correction). ICC near 0 says
+    latency is process noise no supplier scorecard will fix; ICC high
+    says WHICH supplier you use is the lever — the attribution
+    question behind every vendor-performance program, answered from
+    the same moments the fixed-effects ANOVA lane uses.
+
+    Plan shape: one fact-dim join, one per-supplier moment
+    aggregation, then k-row re-aggregations — the ANOVA template with
+    the unbalanced-design n0 = (N - Σn²/N)/(k-1) correction."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_suppkey").alias("grp"),
+        F.datediff("l_shipdate", "o_orderdate").cast("double").alias("y"),
+    )
+    g = lat.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("y").alias("m"),
+        F.var_samp("y").alias("v"),
+    )
+    tot = F.broadcast(
+        g.agg(
+            F.sum("n").alias("nt"),
+            (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+            F.count(F.lit(1)).cast("double").alias("k"),
+            F.sum(F.col("n") * F.col("n")).alias("sn2"),
+        )
+    )
+    ss = g.crossJoin(tot).agg(
+        F.max("nt").alias("nt"),
+        F.max("k").alias("k"),
+        (
+            (F.max("nt") - F.max("sn2") / F.max("nt"))
+            / (F.max("k") - 1)
+        ).alias("n0"),
+        (
+            F.sum(
+                F.col("n")
+                * (F.col("m") - F.col("gm"))
+                * (F.col("m") - F.col("gm"))
+            )
+            / (F.max("k") - 1)
+        ).alias("msb"),
+        (
+            F.sum((F.col("n") - 1) * F.col("v"))
+            / (F.max("nt") - F.max("k"))
+        ).alias("msw"),
+    )
+    vb = (F.col("msb") - F.col("msw")) / F.col("n0")
+    return ss.select(
+        F.col("k").cast("long").alias("n_suppliers"),
+        F.col("nt").cast("long").alias("n_lines"),
+        F.round("msw", 4).alias("var_within"),
+        F.round(vb, 4).alias("var_between"),
+        F.round(vb / (vb + F.col("msw")), 6).alias("icc"),
+    )
