@@ -1269,5 +1269,40 @@ def leakage_safe_dataset_build(
         F.round(F.avg("recency_us") / 86400000000.0, 4).alias(
             "mean_recency_days"
         ),
-        F.round(F.corr("n_purchases", "y"), 6).alias("past_future_corr"),
+        # moment-form corr with an explicit zero-variance guard: at a
+        # 10x-replicated SF every user converts in the horizon, y has
+        # zero variance, and ANSI-mode F.corr raises DIVIDE_BY_ZERO
+        # where DuckDB's corr returns NULL — the guard matches DuckDB
+        F.round(
+            F.when(
+                (
+                    F.sum(F.col("n_purchases") * F.col("n_purchases"))
+                    - F.pow(F.sum("n_purchases"), 2) / F.count(F.lit(1))
+                    > 0
+                )
+                & (
+                    F.sum(F.col("y") * F.col("y"))
+                    - F.pow(F.sum("y"), 2) / F.count(F.lit(1))
+                    > 0
+                ),
+                (
+                    F.sum(F.col("n_purchases") * F.col("y"))
+                    - F.sum("n_purchases")
+                    * F.sum("y")
+                    / F.count(F.lit(1))
+                )
+                / F.sqrt(
+                    (
+                        F.sum(F.col("n_purchases") * F.col("n_purchases"))
+                        - F.pow(F.sum("n_purchases"), 2)
+                        / F.count(F.lit(1))
+                    )
+                    * (
+                        F.sum(F.col("y") * F.col("y"))
+                        - F.pow(F.sum("y"), 2) / F.count(F.lit(1))
+                    )
+                ),
+            ),
+            6,
+        ).alias("past_future_corr"),
     )
