@@ -175,6 +175,8 @@ _NEVER_SAMPLED_FIRST = (
     "typo_tolerant_correction",
     "supplier_latency_icc",
     "leakage_safe_dataset_build",
+    "region_revenue_yoy_growth",
+    "basket_size_distribution",
 )
 
 

@@ -1471,3 +1471,160 @@ def repurchase_cadence_percentiles(
             "mean_days",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue growth per region
+# ---------------------------------------------------------------------------
+
+_YOY_ORACLE = """
+WITH rev AS (
+    SELECT r.r_name AS region,
+           year(o.o_orderdate)::BIGINT AS yr,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, year(o.o_orderdate)
+),
+g AS (
+    SELECT region, yr, revenue,
+           lag(revenue) OVER (PARTITION BY region ORDER BY yr) AS prev
+    FROM rev
+)
+SELECT region, yr,
+       round(revenue, 2) AS revenue,
+       round(100.0 * (revenue - prev) / prev, 4) AS yoy_growth_pct
+FROM g
+WHERE prev IS NOT NULL
+ORDER BY region, yr
+"""
+
+
+@register(
+    "region_revenue_yoy_growth",
+    oracle=_YOY_ORACLE,
+    tags=("analytics", "window", "reporting"),
+)
+def region_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per region — the executive
+    reporting primitive (period-over-period deltas on a rolled-up
+    grain) that composes the star-join lane (q5's join tree) with a
+    lag window over the TINY (region, year) grain, where the window
+    belongs: the classic mistake is lagging at row grain and
+    re-aggregating, which double-counts partial periods.
+
+    Plan shape: one star join with every dimension broadcast, one
+    (region, year) aggregation of the fact table, then the lag runs
+    over ~35 rows. Revenue rounded AFTER the growth ratio so the
+    ratio's operands are full precision on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+        )
+        .join(
+            F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+        )
+        .join(
+            F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("region").orderBy("yr")
+    g = rev.withColumn("prev", F.lag("revenue").over(w))
+    return (
+        g.where(F.col("prev").isNotNull())
+        .select(
+            "region",
+            "yr",
+            F.round("revenue", 2).alias("revenue"),
+            F.round(
+                100.0
+                * (F.col("revenue") - F.col("prev"))
+                / F.col("prev"),
+                4,
+            ).alias("yoy_growth_pct"),
+        )
+        .orderBy("region", "yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Basket-size distribution of orders
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH b AS (
+    SELECT l_orderkey, count(*)::BIGINT AS n_items
+    FROM lineitem GROUP BY l_orderkey
+),
+tot AS (SELECT count(*)::DOUBLE AS n FROM b)
+SELECT b.n_items AS basket_size,
+       count(*)::BIGINT AS n_orders,
+       round(count(*) / t.n, 6) AS share,
+       round(sum(count(*)) OVER (ORDER BY b.n_items) / t.n, 6)
+           AS cum_share
+FROM b CROSS JOIN tot t
+GROUP BY b.n_items, t.n
+ORDER BY basket_size
+"""
+
+
+@register(
+    "basket_size_distribution",
+    oracle=_BASKET_ORACLE,
+    tags=("analytics", "stats", "histogram"),
+)
+def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order basket-size distribution with cumulative shares — the
+    shape parameter behind every basket-keyed plan here (the
+    market-basket and co-occurrence self-joins cost Σ size² per
+    basket, so THIS histogram is what says whether those joins are
+    safe or need a basket-size cap), doubling as the assortment
+    metric merchandising reads.
+
+    Plan shape: one groupBy(orderkey) count (map-side combinable),
+    one size-grain aggregation with the total broadcast, cumulative
+    share as a window over the ~7-row size table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    tot = F.broadcast(
+        b.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    sizes = (
+        b.groupBy(F.col("n_items").alias("basket_size"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(tot)
+    )
+    w = Window.orderBy("basket_size").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        sizes.select(
+            "basket_size",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("n"), 6).alias("share"),
+            F.round(
+                F.sum("n_orders").over(w) / F.col("n"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("basket_size")
+    )
