@@ -177,6 +177,8 @@ _NEVER_SAMPLED_FIRST = (
     "leakage_safe_dataset_build",
     "region_revenue_yoy_growth",
     "basket_size_distribution",
+    "duplicate_invoice_detection",
+    "language_purity_audit",
 )
 
 

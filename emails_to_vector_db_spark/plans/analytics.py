@@ -1628,3 +1628,92 @@ def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("basket_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-invoice detection: near-identical orders per customer
+# ---------------------------------------------------------------------------
+
+_DUPINV_WINDOW_DAYS = 7
+_DUPINV_TOL = 0.01
+
+_DUPINV_ORACLE = f"""
+WITH pairs AS (
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           date_diff('day', a.o_orderdate, b.o_orderdate)::BIGINT
+               AS days_apart,
+           round(abs(a.o_totalprice - b.o_totalprice)
+                 / greatest(a.o_totalprice, b.o_totalprice), 6)
+               AS price_delta
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND b.o_orderdate BETWEEN a.o_orderdate
+         AND a.o_orderdate + INTERVAL {_DUPINV_WINDOW_DAYS} DAY
+    WHERE abs(a.o_totalprice - b.o_totalprice)
+          / greatest(a.o_totalprice, b.o_totalprice) <= {_DUPINV_TOL}
+)
+SELECT custkey, order_a, order_b, days_apart, price_delta
+FROM pairs
+ORDER BY custkey, order_a, order_b
+"""
+
+
+@register(
+    "duplicate_invoice_detection",
+    oracle=_DUPINV_ORACLE,
+    tags=("analytics", "dedup", "audit", "join"),
+)
+def duplicate_invoice_detection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RELATIONAL near-duplicate detection: order pairs from the same
+    customer within {_DUPINV_WINDOW_DAYS} days whose totals agree
+    within {_DUPINV_TOL:.0%} — the double-charge / resubmitted-invoice
+    audit. The text lanes dedup by content similarity; structured
+    records dedup by BLOCKED attribute agreement, and this is that
+    lane: blocking key = customer, candidate window = date range,
+    verification = the price tolerance.
+
+    Plan shape: a self-join co-partitioned on the customer blocking
+    key (the quadratic space is per-customer, bounded by per-customer
+    order counts — the basket_size_distribution argument applied to
+    customers), with the date-range band applied IN the join condition
+    so candidates never materialize outside the window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    delta = F.abs(
+        F.col("a.o_totalprice") - F.col("b.o_totalprice")
+    ) / F.greatest(F.col("a.o_totalprice"), F.col("b.o_totalprice"))
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (
+                F.col("b.o_orderdate").between(
+                    F.col("a.o_orderdate"),
+                    F.date_add(
+                        F.col("a.o_orderdate"), _DUPINV_WINDOW_DAYS
+                    ),
+                )
+            ),
+        )
+        .where(delta <= _DUPINV_TOL)
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.datediff(
+                F.col("b.o_orderdate"), F.col("a.o_orderdate")
+            )
+            .cast("long")
+            .alias("days_apart"),
+            F.round(delta, 6).alias("price_delta"),
+        )
+        .orderBy("custkey", "order_a", "order_b")
+    )

@@ -478,3 +478,82 @@ def unicode_normalization_stats(
             F.when(F.col("t_fold") != F.col("t"), 1).otherwise(0)
         ).alias("n_changed_fold"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-purity audit: documents with signals from multiple languages
+# ---------------------------------------------------------------------------
+
+_PURITY_MIN_HITS = 2
+
+_PURITY_CASES_SQL = "\n".join(
+    f"           len(list_filter(toks, x -> x IN"
+    f" ({', '.join(repr(w) for w in ws)}))) AS hits_{lang},"
+    for lang, ws in TX.LANG_STOPWORDS.items()
+).rstrip(",")
+
+_PURITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+),
+scored AS (
+    SELECT doc_id, lang,
+{_PURITY_CASES_SQL}
+    FROM t
+),
+flags AS (
+    SELECT doc_id, lang,
+           {" + ".join(f"CASE WHEN hits_{lg} >= {_PURITY_MIN_HITS} THEN 1 ELSE 0 END" for lg in TX.LANG_STOPWORDS)}
+               AS n_langs_detected
+    FROM scored
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_langs_detected >= 2 THEN 1 ELSE 0 END)::BIGINT
+           AS n_mixed,
+       round(avg(CASE WHEN n_langs_detected >= 2 THEN 1.0 ELSE 0.0 END), 6)
+           AS mixed_frac
+FROM flags
+GROUP BY lang
+"""
+
+
+@register(
+    "language_purity_audit",
+    oracle=_PURITY_ORACLE,
+    tags=("text", "langid", "curation"),
+)
+def language_purity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching / mislabeling audit: documents whose stopword
+    profile fires for TWO OR MORE languages (≥{_PURITY_MIN_HITS} hits
+    each), rolled up per labeled language — the purity check beside
+    the lang-ID confusion matrix: confusion says the classifier and
+    label disagree, THIS says the document itself is mixed, which is a
+    different curation action (segment-level splitting, not
+    relabeling).
+
+    Plan shape: scan-local stopword-hit counts per language family
+    (array filters over the token array — the lang_id_confusion
+    expression set reused), one per-language rollup. Zero shuffles
+    before the 5-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    hit_cols = [
+        F.size(F.filter(toks, lambda x: x.isin(*ws))).alias(
+            f"hits_{lang}"
+        )
+        for lang, ws in TX.LANG_STOPWORDS.items()
+    ]
+    scored = docs.select("doc_id", "lang", *hit_cols)
+    n_detected = None
+    for lang in TX.LANG_STOPWORDS:
+        flag = F.when(
+            F.col(f"hits_{lang}") >= _PURITY_MIN_HITS, 1
+        ).otherwise(0)
+        n_detected = flag if n_detected is None else n_detected + flag
+    mixed = (n_detected >= 2).cast("int")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(mixed).cast("long").alias("n_mixed"),
+        F.round(F.avg(mixed.cast("double")), 6).alias("mixed_frac"),
+    )
