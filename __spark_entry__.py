@@ -179,6 +179,7 @@ _NEVER_SAMPLED_FIRST = (
     "basket_size_distribution",
     "duplicate_invoice_detection",
     "language_purity_audit",
+    "session_duration_percentiles",
 )
 
 

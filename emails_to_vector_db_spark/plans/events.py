@@ -1378,3 +1378,101 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("late_h"), 4).alias("max_lateness_h"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session duration / depth percentiles from gap-based sessionization
+# ---------------------------------------------------------------------------
+
+_SESSDUR_GAP_US = 30 * 60 * 1_000_000
+
+_SESSDUR_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, epoch_us(ts) AS t,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                     > {_SESSDUR_GAP_US}
+                OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, t,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM flagged
+),
+per_sess AS (
+    SELECT user_id, session_id,
+           (max(t) - min(t)) / 60000000.0 AS dur_min,
+           count(*)::DOUBLE AS depth
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT count(*)::BIGINT AS n_sessions,
+       round(quantile_cont(dur_min, 0.5), 4) AS p50_duration_min,
+       round(quantile_cont(dur_min, 0.9), 4) AS p90_duration_min,
+       round(quantile_cont(depth, 0.5), 4) AS p50_depth,
+       round(quantile_cont(depth, 0.9), 4) AS p90_depth,
+       round(avg(CASE WHEN depth = 1 THEN 1.0 ELSE 0.0 END), 6)
+           AS bounce_rate
+FROM per_sess
+"""
+
+
+@register(
+    "session_duration_percentiles",
+    oracle=_SESSDUR_ORACLE,
+    tags=("events", "session", "percentiles"),
+)
+def session_duration_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session QUALITY metrics from the gap-based sessionization:
+    duration and depth percentiles plus the bounce rate (single-event
+    sessions) — user_sessionization counts sessions, THIS characterizes
+    them, which is what engagement dashboards actually plot and what a
+    session-window watermark budget should be sized against (state
+    lives as long as p90-ish sessions, not the mean).
+
+    Plan shape: the same lag+cumulative-flag window as every session
+    lane (one user_id exchange), a per-session min/max/count
+    aggregation, then a 1-row fold whose four percentiles share two
+    fused buffers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gap = F.col("t") - F.lag("t").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > _SESSDUR_GAP_US), 1).otherwise(0),
+    )
+    wc = Window.partitionBy("user_id").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wc)
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        ((F.max("t") - F.min("t")) / 60000000.0).alias("dur_min"),
+        F.count(F.lit(1)).cast("double").alias("depth"),
+    )
+    qd = F.percentile(F.col("dur_min"), F.array(F.lit(0.5), F.lit(0.9)))
+    qn = F.percentile(F.col("depth"), F.array(F.lit(0.5), F.lit(0.9)))
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        qd.alias("qd"),
+        qn.alias("qn"),
+        F.round(
+            F.avg(F.when(F.col("depth") == 1, 1.0).otherwise(0.0)), 6
+        ).alias("bounce_rate"),
+    ).select(
+        "n_sessions",
+        F.round(F.element_at("qd", 1), 4).alias("p50_duration_min"),
+        F.round(F.element_at("qd", 2), 4).alias("p90_duration_min"),
+        F.round(F.element_at("qn", 1), 4).alias("p50_depth"),
+        F.round(F.element_at("qn", 2), 4).alias("p90_depth"),
+        "bounce_rate",
+    )
