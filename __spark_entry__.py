@@ -180,6 +180,8 @@ _NEVER_SAMPLED_FIRST = (
     "duplicate_invoice_detection",
     "language_purity_audit",
     "session_duration_percentiles",
+    "cold_start_popularity_hitrate",
+    "inventory_abc_classes",
 )
 
 

@@ -1717,3 +1717,207 @@ def duplicate_invoice_detection(
         )
         .orderBy("custkey", "order_a", "order_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cold-start fallback: popularity recommendation for history-less customers
+# ---------------------------------------------------------------------------
+
+_COLD_ORACLE = f"""
+WITH ok AS (
+    SELECT l.l_orderkey AS okey, o.o_custkey AS ck, l.l_partkey AS pk,
+           epoch(o.o_orderdate) AS t
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+cut AS (SELECT quantile_cont(t, {_REC_SPLIT_Q}) AS c FROM ok),
+train AS (SELECT * FROM ok CROSS JOIN cut WHERE t <= cut.c),
+test AS (SELECT DISTINCT okey, ck, pk FROM ok CROSS JOIN cut
+         WHERE t > cut.c),
+top_item AS (
+    SELECT pk FROM (
+        SELECT pk, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, pk ASC) AS rn
+        FROM train GROUP BY pk
+    ) WHERE rn = 1
+),
+known AS (SELECT DISTINCT ck FROM train),
+cold AS (
+    SELECT t.okey, t.ck, t.pk FROM test t
+    WHERE t.ck NOT IN (SELECT ck FROM known)
+),
+per_basket AS (
+    SELECT c.okey,
+           max(CASE WHEN c.pk = (SELECT pk FROM top_item)
+                    THEN 1 ELSE 0 END) AS hit
+    FROM cold c GROUP BY c.okey
+)
+SELECT (SELECT count(DISTINCT okey) FROM test)::BIGINT AS n_test_baskets,
+       count(*)::BIGINT AS n_cold_baskets,
+       round(count(*)::DOUBLE
+             / (SELECT count(DISTINCT okey) FROM test), 6)
+           AS cold_basket_frac,
+       sum(hit)::BIGINT AS n_hits,
+       round(avg(hit), 6) AS cold_hitrate
+FROM per_basket
+"""
+
+
+@register(
+    "cold_start_popularity_hitrate",
+    oracle=_COLD_ORACLE,
+    tags=("analytics", "recommendation", "eval"),
+)
+def cold_start_popularity_hitrate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The recommender's COLD-START branch, evaluated: test-period
+    baskets from customers with NO training-period history (the
+    co-occurrence model has nothing to condition on) get the global
+    popularity fallback, and its basket hit-rate is measured
+    out-of-time — the companion number to item_cooccurrence_hitrate
+    that says how much of the traffic the personalized path cannot
+    serve and how well the fallback does there.
+
+    Plan shape: the same temporal split as the co-occurrence lane;
+    cold customers come from a broadcast anti-join against the train
+    customer set; the fallback item is a 1-row argmax broadcast; the
+    evaluation is one per-basket aggregate."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.unix_timestamp("o_orderdate").alias("t"),
+    )
+    ok = li.join(o, li["okey"] == o["o_orderkey"]).select(
+        "okey", "ck", "pk", "t"
+    )
+    cut = F.broadcast(
+        ok.agg(F.percentile(F.col("t"), F.lit(_REC_SPLIT_Q)).alias("c"))
+    )
+    ok = ok.crossJoin(cut).persist(StorageLevel.MEMORY_AND_DISK)
+    train = ok.where(F.col("t") <= F.col("c"))
+    test = (
+        ok.where(F.col("t") > F.col("c"))
+        .select("okey", "ck", "pk")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    top_item = F.broadcast(
+        train.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pk").asc())
+        .limit(1)
+        .select(F.col("pk").alias("top_pk"))
+    )
+    known = train.select("ck").distinct()
+    cold = test.join(known, "ck", "left_anti")
+    per_basket = (
+        cold.crossJoin(top_item)
+        .groupBy("okey")
+        .agg(
+            F.max(
+                F.when(F.col("pk") == F.col("top_pk"), 1).otherwise(0)
+            ).alias("hit")
+        )
+    )
+    n_test = F.broadcast(
+        test.agg(F.countDistinct("okey").alias("n_test_baskets"))
+    )
+    return per_basket.crossJoin(n_test).agg(
+        F.max("n_test_baskets").alias("n_test_baskets"),
+        F.count(F.lit(1)).alias("n_cold_baskets"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.max("n_test_baskets"), 6
+        ).alias("cold_basket_frac"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.round(F.avg("hit"), 6).alias("cold_hitrate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto inventory classification by part revenue
+# ---------------------------------------------------------------------------
+
+_ABC_A = 0.8
+_ABC_B = 0.95
+
+_ABC_ORACLE = f"""
+WITH rev AS (
+    SELECT l_partkey AS pk,
+           sum(l_extendedprice * (1 - l_discount)) AS r
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT pk, r,
+           sum(r) OVER (ORDER BY r DESC, pk ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(r) OVER () AS cum_share
+    FROM rev
+),
+classed AS (
+    SELECT CASE WHEN cum_share <= {_ABC_A} THEN 'A'
+                WHEN cum_share <= {_ABC_B} THEN 'B'
+                ELSE 'C' END AS abc_class,
+           r
+    FROM ranked
+)
+SELECT abc_class,
+       count(*)::BIGINT AS n_parts,
+       round(sum(r), 2) AS revenue,
+       round(sum(r) / (SELECT sum(r) FROM rev), 6) AS revenue_share
+FROM classed
+GROUP BY abc_class
+"""
+
+
+@register(
+    "inventory_abc_classes",
+    oracle=_ABC_ORACLE,
+    tags=("analytics", "pareto", "economics"),
+)
+def inventory_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A = the head covering {_ABC_A:.0%} of revenue, B = to
+    {_ABC_B:.0%}, C = the tail — the 80/15/5 segmentation that decides
+    stocking policy and, in the data-curation reading, which 'head'
+    entities deserve per-item treatment vs bucketed handling (the same
+    head/tail split the heavy-hitter sketches formalize
+    probabilistically; this is its exact form).
+
+    Plan shape: a per-part revenue aggregate, a part-grain ranking
+    window for the cumulative share (the exact head/tail contract —
+    the documented part-table-sized ceiling, with the heavy-hitters
+    sketch as the named streaming-scale stand-in), then a 3-row
+    rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("r")
+    )
+    w = Window.orderBy(F.col("r").desc(), F.col("pk").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "r",
+        (F.sum("r").over(w) / F.sum("r").over(wall)).alias("cum_share"),
+        F.sum("r").over(wall).alias("tot"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_share") <= _ABC_A, "A")
+        .when(F.col("cum_share") <= _ABC_B, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+        "tot",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("r"), 2).alias("revenue"),
+        F.round(F.sum("r") / F.max("tot"), 6).alias("revenue_share"),
+    )
