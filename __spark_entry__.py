@@ -182,6 +182,8 @@ _NEVER_SAMPLED_FIRST = (
     "session_duration_percentiles",
     "cold_start_popularity_hitrate",
     "inventory_abc_classes",
+    "dau_wau_stickiness",
+    "return_rate_wilson_ranking",
 )
 
 

@@ -1476,3 +1476,80 @@ def session_duration_percentiles(
         F.round(F.element_at("qn", 2), 4).alias("p90_depth"),
         "bounce_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU rolling engagement and stickiness
+# ---------------------------------------------------------------------------
+
+_WAU_WINDOW = 7
+
+_WAU_ORACLE = f"""
+WITH du AS (
+    SELECT DISTINCT ts::DATE AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM du),
+dau AS (SELECT d, count(*)::BIGINT AS dau FROM du GROUP BY d),
+wau AS (
+    SELECT days.d, count(DISTINCT du.user_id)::BIGINT AS wau
+    FROM days JOIN du
+      ON du.d BETWEEN days.d - INTERVAL {_WAU_WINDOW - 1} DAY AND days.d
+    GROUP BY days.d
+)
+SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau,
+       round(dau.dau::DOUBLE / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d
+ORDER BY day
+"""
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle=_WAU_ORACLE,
+    tags=("events", "engagement", "analytics"),
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, rolling {_WAU_WINDOW}-day WAU, and the DAU/WAU stickiness
+    ratio per day — the engagement dashboard's first row. Rolling
+    DISTINCT counts cannot use an ordinary window frame (distinct
+    doesn't decompose over frames), so WAU is computed by the
+    day-range self-join of the deduplicated (day, user) table — exact,
+    and cheap because it runs at day×user grain, never event grain
+    (the HLL-sketch lane is the named stand-in when even that table is
+    too hot).
+
+    Plan shape: one event-grain dedup to (day, user); DAU is a
+    day-grain count; WAU joins the ~30-row day list against the
+    (day, user) table on a {_WAU_WINDOW}-day band."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    from pyspark import StorageLevel
+
+    du = ev.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    w_days = days.select(F.col("d").alias("wd"))
+    wau = (
+        F.broadcast(w_days)
+        .join(
+            du,
+            du["d"].between(
+                F.date_sub(F.col("wd"), _WAU_WINDOW - 1), F.col("wd")
+            ),
+        )
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["d"] == wau["wd"])
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -2755,3 +2755,95 @@ def supplier_latency_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vb, 4).alias("var_between"),
         F.round(vb / (vb + F.col("msw")), 6).alias("icc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson-lower-bound ranking of part return rates
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.96
+_WILSON_TOP = 20
+_WILSON_MIN_N = 20
+
+_WILSON_ORACLE = f"""
+WITH rates AS (
+    SELECT l_partkey AS pk,
+           count(*)::DOUBLE AS n,
+           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::DOUBLE
+               AS r
+    FROM lineitem GROUP BY l_partkey
+    HAVING count(*) >= {_WILSON_MIN_N}
+),
+scored AS (
+    SELECT pk, n, r, r / n AS p,
+           (r / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+            - {_WILSON_Z} * sqrt((r / n) * (1 - r / n) / n
+                  + {_WILSON_Z} * {_WILSON_Z} / (4 * n * n)))
+           / (1 + {_WILSON_Z} * {_WILSON_Z} / n) AS lb
+    FROM rates
+)
+SELECT pk AS partkey, n::BIGINT AS n_lines, r::BIGINT AS n_returns,
+       round(p, 6) AS return_rate,
+       round(lb, 6) AS wilson_lower_bound
+FROM scored
+ORDER BY round(lb, 6) DESC, pk ASC
+LIMIT {_WILSON_TOP}
+"""
+
+
+@register(
+    "return_rate_wilson_ranking",
+    oracle=_WILSON_ORACLE,
+    tags=("stats", "ranking", "uncertainty"),
+)
+def return_rate_wilson_ranking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parts ranked by the WILSON LOWER BOUND of their return rate
+    (z={_WILSON_Z}) rather than the raw proportion — the 'how not to
+    sort by average rating' correction: a part with 3 returns out of 4
+    lines outranks everything by raw rate but its evidence is four
+    observations; the Wilson bound demotes it below a part returning
+    30% of 500 lines. Minimum-n gate plus the bound makes the ranking
+    audit-stable as data accumulates.
+
+    Plan shape: one per-part conditional aggregate (map-side
+    combinable), closed-form bound arithmetic, TakeOrderedAndProject
+    on the ROUNDED bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rates = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("r"),
+        )
+        .where(F.col("n") >= _WILSON_MIN_N)
+    )
+    z2 = _WILSON_Z * _WILSON_Z
+    p = F.col("r") / F.col("n")
+    lb = (
+        p
+        + z2 / (2 * F.col("n"))
+        - _WILSON_Z
+        * F.sqrt(
+            p * (1 - p) / F.col("n")
+            + z2 / (4 * F.col("n") * F.col("n"))
+        )
+    ) / (1 + z2 / F.col("n"))
+    return (
+        rates.select(
+            F.col("pk").alias("partkey"),
+            F.col("n").cast("long").alias("n_lines"),
+            F.col("r").cast("long").alias("n_returns"),
+            F.round(p, 6).alias("return_rate"),
+            F.round(lb, 6).alias("wilson_lower_bound"),
+        )
+        .orderBy(
+            F.col("wilson_lower_bound").desc(), F.col("partkey").asc()
+        )
+        .limit(_WILSON_TOP)
+    )
