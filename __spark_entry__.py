@@ -184,6 +184,8 @@ _NEVER_SAMPLED_FIRST = (
     "inventory_abc_classes",
     "dau_wau_stickiness",
     "return_rate_wilson_ranking",
+    "cosupply_degree_distribution",
+    "markov_entropy_rate",
 )
 
 

@@ -1553,3 +1553,106 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the event-type Markov chain
+# ---------------------------------------------------------------------------
+
+_MARKOV_ENTROPY_ORACLE = """
+WITH pairs AS (
+    SELECT event_type AS a,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS b
+    FROM events
+),
+cnt AS (
+    SELECT a, b, count(*)::DOUBLE AS n FROM pairs
+    WHERE b IS NOT NULL GROUP BY a, b
+),
+row_tot AS (SELECT a, sum(n) AS na FROM cnt GROUP BY a),
+tot AS (SELECT sum(n) AS nt FROM cnt),
+h_cond AS (
+    SELECT sum((r.na / t.nt) * (-(c.n / r.na) * ln(c.n / r.na)))
+        AS h_rate
+    FROM cnt c JOIN row_tot r USING (a) CROSS JOIN tot t
+),
+h_marg AS (
+    SELECT sum(-(na / t.nt) * ln(na / t.nt)) AS h0
+    FROM row_tot CROSS JOIN tot t
+)
+SELECT (SELECT count(*) FROM row_tot)::BIGINT AS n_states,
+       round(h_marg.h0, 6) AS marginal_entropy,
+       round(h_cond.h_rate, 6) AS entropy_rate,
+       round(1.0 - h_cond.h_rate / h_marg.h0, 6) AS predictability_gain
+FROM h_cond CROSS JOIN h_marg
+"""
+
+
+@register(
+    "markov_entropy_rate",
+    oracle=_MARKOV_ENTROPY_ORACLE,
+    tags=("events", "sequence", "stats", "information"),
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type Markov chain — H(next | current)
+    under the empirical transition matrix, next to the marginal
+    entropy H(next): their gap is exactly how much PREDICTABILITY the
+    sequence structure carries, which upper-bounds what ANY next-event
+    model (the markov_next_event_accuracy lane included) can extract;
+    a gain near zero says the chain is memoryless and sequence
+    modeling is wasted effort.
+
+    Plan shape: the shared per-user lead() window, a |types|²-cell
+    transition aggregate, and entropy arithmetic over cells — the
+    information-theoretic fold runs on the cell table, never the
+    corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    cnt = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    from pyspark import StorageLevel
+
+    cnt = cnt.persist(StorageLevel.MEMORY_AND_DISK)
+    row_tot = cnt.groupBy("a").agg(F.sum("n").alias("na"))
+    tot = F.broadcast(cnt.agg(F.sum("n").alias("nt")))
+    h_cond = (
+        cnt.join(F.broadcast(row_tot), "a")
+        .crossJoin(tot)
+        .agg(
+            F.sum(
+                (F.col("na") / F.col("nt"))
+                * (
+                    -(F.col("n") / F.col("na"))
+                    * F.log(F.col("n") / F.col("na"))
+                )
+            ).alias("h_rate")
+        )
+    )
+    h_marg = row_tot.crossJoin(tot).agg(
+        F.sum(
+            -(F.col("na") / F.col("nt"))
+            * F.log(F.col("na") / F.col("nt"))
+        ).alias("h0")
+    )
+    n_states = F.broadcast(
+        row_tot.agg(F.count(F.lit(1)).alias("n_states"))
+    )
+    return (
+        h_cond.crossJoin(h_marg)
+        .crossJoin(n_states)
+        .select(
+            F.col("n_states").cast("long").alias("n_states"),
+            F.round("h0", 6).alias("marginal_entropy"),
+            F.round("h_rate", 6).alias("entropy_rate"),
+            F.round(1.0 - F.col("h_rate") / F.col("h0"), 6).alias(
+                "predictability_gain"
+            ),
+        )
+    )

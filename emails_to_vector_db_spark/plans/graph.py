@@ -983,3 +983,128 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_a.unionAll(top_h)
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution + discrete power-law MLE of the co-supply graph
+# ---------------------------------------------------------------------------
+
+_DEG_MIN = 2  # d_min for the continuous-approximation MLE
+
+_DEGREE_ORACLE = f"""
+WITH edges AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    HAVING count(DISTINCT a.l_orderkey) >= {_AA_MIN_ORDERS}
+),
+deg AS (
+    SELECT node, count(*)::DOUBLE AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+    ) GROUP BY node
+),
+mle AS (
+    SELECT count(*)::DOUBLE AS n_tail,
+           1.0 + count(*) / sum(ln(d / ({_DEG_MIN} - 0.5))) AS alpha
+    FROM deg WHERE d >= {_DEG_MIN}
+),
+hist AS (
+    SELECT d::BIGINT AS degree, count(*)::BIGINT AS n_nodes FROM deg
+    GROUP BY d
+),
+summary AS (
+    SELECT count(*)::DOUBLE AS n_nodes, avg(d) AS mean_deg,
+           max(d)::BIGINT AS max_deg
+    FROM deg
+)
+SELECT s.n_nodes::BIGINT AS n_nodes,
+       round(s.mean_deg, 4) AS mean_degree,
+       s.max_deg AS max_degree,
+       (SELECT count(*) FROM hist)::BIGINT AS n_distinct_degrees,
+       m.n_tail::BIGINT AS n_tail_nodes,
+       round(m.alpha, 4) AS powerlaw_alpha
+FROM summary s CROSS JOIN mle m
+"""
+
+
+@register(
+    "cosupply_degree_distribution",
+    oracle=_DEGREE_ORACLE,
+    tags=("graph", "stats", "structure"),
+)
+def cosupply_degree_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree-distribution profile of the co-supply graph with the
+    continuous-approximation power-law MLE alpha = 1 + n/Σln(d/(dmin-½))
+    (Clauset-Shalizi-Newman 2009) — the structural statistic that
+    decides which graph plans are safe: a heavy tail (small alpha) is
+    exactly when the hub caps (Adamic-Adar), degree orientation
+    (triangles), and skew salting earn their keep; a near-regular
+    graph needs none of them. The one-number answer to 'is this graph
+    skewed'.
+
+    Plan shape: the shared thresholded edge extraction, a node-grain
+    degree aggregate, and two 1-row folds (summary + MLE). The degree
+    table is node-sized; nothing quadratic anywhere."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"),
+            F.col("b.l_suppkey").alias("v"),
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("n_orders"))
+        .where(F.col("n_orders") >= _AA_MIN_ORDERS)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mle = deg.where(F.col("d") >= _DEG_MIN).agg(
+        F.count(F.lit(1)).cast("double").alias("n_tail"),
+        (
+            1.0
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("d") / (_DEG_MIN - 0.5)))
+        ).alias("alpha"),
+    )
+    n_deg = F.broadcast(
+        deg.select("d").distinct().agg(
+            F.count(F.lit(1)).alias("n_distinct_degrees")
+        )
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).cast("double").alias("n_nodes"),
+        F.avg("d").alias("mean_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(mle))
+        .crossJoin(n_deg)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.round("mean_deg", 4).alias("mean_degree"),
+            F.col("max_deg").alias("max_degree"),
+            F.col("n_distinct_degrees").cast("long").alias(
+                "n_distinct_degrees"
+            ),
+            F.col("n_tail").cast("long").alias("n_tail_nodes"),
+            F.round("alpha", 4).alias("powerlaw_alpha"),
+        )
+    )
