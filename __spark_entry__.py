@@ -186,6 +186,8 @@ _NEVER_SAMPLED_FIRST = (
     "return_rate_wilson_ranking",
     "cosupply_degree_distribution",
     "markov_entropy_rate",
+    "xbar_s_control_chart",
+    "new_vs_returning_revenue",
 )
 
 

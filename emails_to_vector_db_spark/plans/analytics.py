@@ -1921,3 +1921,86 @@ def inventory_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("r"), 2).alias("revenue"),
         F.round(F.sum("r") / F.max("tot"), 6).alias("revenue_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning revenue split per month
+# ---------------------------------------------------------------------------
+
+_NEWRET_ORACLE = """
+WITH first_order AS (
+    SELECT o_custkey, min(o_orderdate) AS first_d
+    FROM orders GROUP BY o_custkey
+),
+classed AS (
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS ym,
+           o.o_totalprice,
+           CASE WHEN date_trunc('month', o.o_orderdate)
+                     = date_trunc('month', f.first_d)
+                THEN 1 ELSE 0 END AS is_new
+    FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+)
+SELECT ym AS year_month,
+       count(*)::BIGINT AS n_orders,
+       round(sum(CASE WHEN is_new = 1 THEN o_totalprice ELSE 0 END), 2)
+           AS revenue_new,
+       round(sum(CASE WHEN is_new = 0 THEN o_totalprice ELSE 0 END), 2)
+           AS revenue_returning,
+       round(sum(CASE WHEN is_new = 1 THEN o_totalprice ELSE 0 END)
+             / sum(o_totalprice), 6) AS new_share
+FROM classed
+GROUP BY ym
+ORDER BY ym
+"""
+
+
+@register(
+    "new_vs_returning_revenue",
+    oracle=_NEWRET_ORACLE,
+    tags=("analytics", "cohorts", "reporting"),
+)
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split between NEW customers (orders in their
+    acquisition month) and RETURNING ones — the growth-accounting
+    decomposition every subscription/commerce dashboard leads with: a
+    flat topline can hide acquisition collapsing while the base
+    over-monetizes, and this split is what shows it. Composes the
+    cohort machinery (first-order month) with the reporting grain.
+
+    Plan shape: the first-order table is one per-customer aggregate
+    joined back on the customer key (co-partitioned with the fact
+    shuffle it already needs); classification is scan-local date
+    arithmetic; the rollup is month-grain."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_d")
+    )
+    classed = o.join(first, "o_custkey").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        "o_totalprice",
+        F.when(
+            F.trunc("o_orderdate", "month")
+            == F.trunc("first_d", "month"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    new_rev = F.sum(
+        F.when(F.col("is_new") == 1, F.col("o_totalprice")).otherwise(0)
+    )
+    ret_rev = F.sum(
+        F.when(F.col("is_new") == 0, F.col("o_totalprice")).otherwise(0)
+    )
+    return (
+        classed.groupBy(F.col("ym").alias("year_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(new_rev, 2).alias("revenue_new"),
+            F.round(ret_rev, 2).alias("revenue_returning"),
+            F.round(
+                new_rev / F.sum("o_totalprice"), 6
+            ).alias("new_share"),
+        )
+        .orderBy("year_month")
+    )

@@ -2847,3 +2847,83 @@ def return_rate_wilson_ranking(
         )
         .limit(_WILSON_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# X-bar / S control chart on daily order-value subgroups
+# ---------------------------------------------------------------------------
+
+_XBAR_SIGMA = 3.0
+
+_XBAR_ORACLE = f"""
+WITH days AS (
+    SELECT o_orderdate AS d, count(*)::DOUBLE AS n,
+           avg(o_totalprice) AS xbar, var_samp(o_totalprice) AS v
+    FROM orders GROUP BY o_orderdate
+    HAVING count(*) >= 2
+),
+pooled AS (
+    SELECT sum((n - 1) * v) / sum(n - 1) AS s2,
+           sum(n * xbar) / sum(n) AS gm
+    FROM days
+),
+flags AS (
+    SELECT d.d, d.n, d.xbar, p.gm,
+           sqrt(p.s2 / d.n) * {_XBAR_SIGMA} AS halfwidth
+    FROM days d CROSS JOIN pooled p
+)
+SELECT count(*)::BIGINT AS n_days,
+       round(max(gm), 2) AS grand_mean,
+       sum(CASE WHEN abs(xbar - gm) > halfwidth THEN 1 ELSE 0 END)::BIGINT
+           AS n_out_of_control,
+       round(avg(CASE WHEN abs(xbar - gm) > halfwidth
+                      THEN 1.0 ELSE 0.0 END), 6) AS ooc_frac
+FROM flags
+"""
+
+
+@register(
+    "xbar_s_control_chart",
+    oracle=_XBAR_ORACLE,
+    tags=("stats", "spc", "monitoring"),
+)
+def xbar_s_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X-bar/S control chart over daily order-value subgroups
+    (variable subgroup sizes, pooled within-day variance, per-day
+    ±{_XBAR_SIGMA:.0f}σ/√n limits): days whose MEAN value drifts
+    outside what WITHIN-day dispersion predicts — the subgroup-based
+    SPC lane that completes the monitoring family (z-score watches
+    level vs history, CUSUM accumulates drift, X-bar asks whether
+    between-day variation exceeds within-day variation, the proper
+    common-cause/special-cause split).
+
+    Plan shape: one groupBy(day) moment pass, a 1-row pooled-variance
+    fold, and a day-grain conditional aggregate — all limits are
+    closed-form arithmetic on subgroup moments."""
+    o = load_table(spark, sf_dir, "orders")
+    days = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("o_totalprice").alias("xbar"),
+            F.var_samp("o_totalprice").alias("v"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    pooled = F.broadcast(
+        days.agg(
+            (
+                F.sum((F.col("n") - 1) * F.col("v"))
+                / F.sum(F.col("n") - 1)
+            ).alias("s2"),
+            (F.sum(F.col("n") * F.col("xbar")) / F.sum("n")).alias("gm"),
+        )
+    )
+    hw = F.sqrt(F.col("s2") / F.col("n")) * _XBAR_SIGMA
+    ooc = (F.abs(F.col("xbar") - F.col("gm")) > hw).cast("int")
+    return days.crossJoin(pooled).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.max("gm"), 2).alias("grand_mean"),
+        F.sum(ooc).cast("long").alias("n_out_of_control"),
+        F.round(F.avg(ooc.cast("double")), 6).alias("ooc_frac"),
+    )
