@@ -188,6 +188,8 @@ _NEVER_SAMPLED_FIRST = (
     "markov_entropy_rate",
     "xbar_s_control_chart",
     "new_vs_returning_revenue",
+    "cohort_ltv_curves",
+    "mattr_lexical_diversity",
 )
 
 

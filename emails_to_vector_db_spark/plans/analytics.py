@@ -2004,3 +2004,92 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves: cumulative revenue by acquisition cohort and age
+# ---------------------------------------------------------------------------
+
+_LTV_MAX_AGE = 11  # months since acquisition, 0-based
+
+_LTV_ORACLE = f"""
+WITH first_order AS (
+    SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_m
+    FROM orders GROUP BY o_custkey
+),
+sized AS (
+    SELECT cohort_m, count(*)::DOUBLE AS cohort_size
+    FROM first_order GROUP BY cohort_m
+),
+aged AS (
+    SELECT f.cohort_m,
+           (year(o.o_orderdate) - year(f.cohort_m)) * 12
+               + (month(o.o_orderdate) - month(f.cohort_m)) AS age,
+           sum(o.o_totalprice) AS rev
+    FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort_m, age, rev,
+           sum(rev) OVER (PARTITION BY cohort_m ORDER BY age) AS cum_rev
+    FROM aged WHERE age <= {_LTV_MAX_AGE}
+)
+SELECT strftime(c.cohort_m, '%Y-%m') AS cohort,
+       c.age::BIGINT AS months_since_acq,
+       round(c.cum_rev, 2) AS cum_revenue,
+       round(c.cum_rev / s.cohort_size, 4) AS ltv_per_customer
+FROM cum c JOIN sized s USING (cohort_m)
+ORDER BY cohort, months_since_acq
+"""
+
+
+@register(
+    "cohort_ltv_curves",
+    oracle=_LTV_ORACLE,
+    tags=("analytics", "cohorts", "ltv"),
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curves by acquisition cohort: cumulative
+    revenue per cohort at each month since acquisition, normalized per
+    cohort member — the DOLLAR twin of the retention matrix
+    (cohort_retention_matrix counts who comes back; this prices what
+    they're worth), and the curve whose flattening point sets
+    acquisition-spend payback policy.
+
+    Plan shape: the first-order table joins back co-partitioned on the
+    customer key; the (cohort, age) grain aggregates the fact table
+    once; the cumulative sum is a window over ≤{_LTV_MAX_AGE + 1} rows
+    per cohort."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.trunc(F.min("o_orderdate"), "month").alias("cohort_m")
+    )
+    sized = first.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("double").alias("cohort_size")
+    )
+    age = (F.year("o_orderdate") - F.year("cohort_m")) * 12 + (
+        F.month("o_orderdate") - F.month("cohort_m")
+    )
+    aged = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort_m", age.alias("age"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .where(F.col("age") <= _LTV_MAX_AGE)
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age")
+    cum = aged.withColumn("cum_rev", F.sum("rev").over(w))
+    return (
+        cum.join(F.broadcast(sized), "cohort_m")
+        .select(
+            F.date_format("cohort_m", "yyyy-MM").alias("cohort"),
+            F.col("age").cast("long").alias("months_since_acq"),
+            F.round("cum_rev", 2).alias("cum_revenue"),
+            # 4dp, not money-2dp: cohort_size divisions land exactly on
+            # half-cent ties (e.g. /2 of any odd-cent total), where the
+            # two engines' double-rounding can split; 4dp has no tie
+            F.round(
+                F.col("cum_rev") / F.col("cohort_size"), 4
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "months_since_acq")
+    )

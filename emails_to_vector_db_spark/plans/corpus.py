@@ -1835,3 +1835,83 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coef"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MATTR: moving-average type-token ratio (length-controlled diversity)
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 25
+
+_MATTR_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+m AS (
+    SELECT doc_id, len(toks) AS n_tok,
+           CASE WHEN len(toks) >= {_MATTR_W}
+                THEN list_avg(list_transform(
+                    generate_series(1, len(toks) - {_MATTR_W - 1}),
+                    i -> len(list_distinct(toks[i:i + {_MATTR_W - 1}]))
+                         / {_MATTR_W}.0))
+           END AS mattr,
+           len(list_distinct(toks))::DOUBLE / len(toks) AS raw_ttr
+    FROM t
+)
+SELECT doc_id, n_tok::BIGINT AS n_tok,
+       round(raw_ttr, 6) AS raw_ttr,
+       round(mattr, 6) AS mattr
+FROM m
+WHERE mattr IS NOT NULL
+"""
+
+
+@register(
+    "mattr_lexical_diversity",
+    oracle=_MATTR_ORACLE,
+    tags=("corpus", "quality", "linguistics"),
+)
+def mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio (MATTR, Covington & McFall
+    2010): lexical diversity averaged over every {_MATTR_W}-token
+    window, reported beside the raw TTR — raw TTR falls mechanically
+    with document length (long docs repeat function words), so
+    comparing diversity ACROSS lengths requires the windowed form;
+    the gap between the two columns is itself the length-bias
+    measurement.
+
+    Plan shape: entirely scan-local array expressions (a distinct
+    count per sliding window — the gopher_repetition_filters cost
+    profile, O(L·W) per doc), zero shuffles; documents shorter than
+    the window drop out identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    win_ttrs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (_MATTR_W - 1)),
+        lambda i: F.size(
+            F.array_distinct(F.slice("toks", i, _MATTR_W))
+        )
+        / float(_MATTR_W),
+    )
+    mattr = F.when(
+        F.size("toks") >= _MATTR_W,
+        F.aggregate(
+            win_ttrs, F.lit(0.0), lambda acc, v: acc + v
+        )
+        / F.size(win_ttrs),
+    )
+    m = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tok"),
+        (
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks")
+        ).alias("raw_ttr"),
+        mattr.alias("mattr"),
+    )
+    return m.where(F.col("mattr").isNotNull()).select(
+        "doc_id",
+        "n_tok",
+        F.round("raw_ttr", 6).alias("raw_ttr"),
+        F.round("mattr", 6).alias("mattr"),
+    )
