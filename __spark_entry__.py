@@ -29,62 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["knn_topk_l2"].fn(spark, SMOKE_SF_DIR)
 
 
-# Queries with no driver CORRECTNESS row in rounds 1-3 (the driver
-# samples ~50/round; r01∪r02∪r03 covered 123/192): surface exactly the
-# 69 never-sampled names first so this round's sample closes most of the
-# remaining gap. All 192 pass the identical oracle gate in
-# tests/test_oracle_parity.py regardless of order.
+# Queries with no driver CORRECTNESS row in rounds 1-4 (the driver
+# samples ~50/round; r01∪r02∪r03∪r04 covered 173/277): surface the 104
+# never-sampled names first so this round's sample keeps closing the
+# gap (TPC-H analogues and retrieval/corpus headliners lead). All 277
+# pass the identical oracle gate in tests/test_oracle_parity.py
+# regardless of order.
 _NEVER_SAMPLED_FIRST = (
-    "window_function_zoo",
-    "order_revenue_proration",
-    "forecast_walkforward_backtest",
-    "market_basket_part_pairs",
-    "user_lifetime_survival",
-    "rfm_customer_segments",
-    "supplier_concentration_hhi",
-    "exact_quota_stratified_sample",
-    "dbscan_embedding_clusters",
-    "embedding_drift_monitor",
-    "bigram_perplexity_scores",
-    "source_curation_health",
-    "curation_pipeline_e2e",
-    "scd2_user_value_history",
-    "event_sequence_transitions",
-    "funnel_conversion_latency",
-    "attribution_model_comparison",
-    "label_propagation_communities",
-    "textrank_keywords",
-    "audio_spectral_stats",
-    "json_source_stats",
-    "orc_source_stats",
-    "events_table_fingerprint",
-    "email_datasource_stream_stats",
-    "video_shot_boundaries",
-    "image_codec_stats",
-    "audio_resample_stats",
-    "join_key_skew_report",
-    "table_diff_audit",
-    "logreg_calibration_curve",
-    "softmax_lang_classifier",
-    "ndcg_retrieval_eval",
-    "percolator_stored_queries",
-    "label_centroid_norm_arrow",
-    "streaming_ivf_index_ingest",
-    "bpe_style_token_counts",
-    "token_pmi_top_pairs",
-    "orders_equi_depth_histogram",
-    "event_type_value_chi2",
-    "orders_equi_depth_approx",
-    "order_value_ks_test",
-    "winsorized_order_stats",
-    "k_anonymity_audit",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "lang_id_confusion",
-    "doc_fingerprints",
-    "term_frequency_top20",
-    "shingle_cardinality",
-    "bpe_fertility_by_lang",
     "q10_returned_item_customers",
     "q12_priority_line_classes",
     "q14_promo_revenue_share",
@@ -104,92 +55,91 @@ _NEVER_SAMPLED_FIRST = (
     "q21_suppliers_kept_orders_waiting",
     "q2_min_cost_supplier",
     "q11_important_stock",
-    # round-4 additions (no prior round could have sampled them)
-    "rfm_customer_segments_approx",
-    "knn_join_probe_cutover",
+    "winnowing_fingerprint_pairs",
+    "rm3_query_expansion",
+    "mrr_recall_retrieval_eval",
+    "ndcg_retrieval_eval_topk",
+    "snippet_best_window",
+    "typo_tolerant_correction",
     "hard_negative_mining",
+    "knn_join_probe_cutover",
+    "binary_quantized_knn",
+    "ivfadc_ann_topk",
+    "containment_near_supersets",
+    "fuzzy_name_match_join",
+    "rfm_customer_segments_approx",
     "alpha_mixing_weights",
     "ngram_novelty_scores",
+    "gopher_repetition_filters",
+    "source_token_kl",
+    "doc_entropy_stats",
+    "source_keyword_chi2",
+    "zipf_slope_fit",
+    "heaps_law_vocab_growth",
+    "source_vocab_overlap",
+    "mattr_lexical_diversity",
+    "streaming_sprt_monitor",
+    "watermark_lateness_audit",
+    "naive_bayes_lang_classifier",
+    "leakage_safe_dataset_build",
     "psi_value_drift",
-    "bytes_per_token_by_source",
-    "containment_near_supersets",
-    "ivfadc_ann_topk",
-    "adaboost_stumps",
-    "winnowing_fingerprint_pairs",
     "streaming_psi_monitor",
+    "bytes_per_token_by_source",
+    "unicode_normalization_stats",
+    "language_purity_audit",
+    "kaplan_meier_retention",
+    "item_cooccurrence_hitrate",
+    "repurchase_cadence_percentiles",
+    "region_revenue_yoy_growth",
+    "basket_size_distribution",
+    "duplicate_invoice_detection",
+    "cold_start_popularity_hitrate",
+    "inventory_abc_classes",
+    "new_vs_returning_revenue",
+    "cohort_ltv_curves",
+    "dup_cluster_size_histogram",
+    "simplified_silhouette_score",
+    "calinski_harabasz_score",
+    "markov_next_event_accuracy",
+    "user_path_top_sequences",
+    "sprt_ab_test",
+    "did_arm_effect",
+    "session_duration_percentiles",
+    "dau_wau_stickiness",
+    "markov_entropy_rate",
+    "adamic_adar_link_prediction",
+    "bfs_supplier_reach",
+    "cosupply_graph_churn",
+    "hits_hubs_authorities",
+    "cosupply_degree_distribution",
+    "table_constraint_audit",
+    "adaboost_stumps",
+    "ols_price_model",
+    "conformal_price_intervals",
+    "embedding_anomaly_zscores",
+    "embedding_distance_histogram",
+    "jaccard_similarity_histogram",
+    "entity_canonical_groups",
     "welch_ttest_order_values",
     "benford_first_digit_audit",
     "lineitem_correlation_matrix",
-    "adamic_adar_link_prediction",
-    "binary_quantized_knn",
-    "naive_bayes_lang_classifier",
-    "gopher_repetition_filters",
-    "rm3_query_expansion",
-    "mrr_recall_retrieval_eval",
-    "ols_price_model",
-    "simplified_silhouette_score",
-    "embedding_anomaly_zscores",
-    "fuzzy_name_match_join",
-    "source_token_kl",
     "order_value_bootstrap_ci",
     "daily_order_anomalies",
-    "doc_entropy_stats",
-    "source_keyword_chi2",
-    "conformal_price_intervals",
-    "bfs_supplier_reach",
     "cusum_order_level_shift",
-    "markov_next_event_accuracy",
     "gini_revenue_concentration",
     "dow_seasonality_profile",
-    "user_path_top_sequences",
     "median_price_by_quantity",
-    "unicode_normalization_stats",
-    "calinski_harabasz_score",
-    "sprt_ab_test",
-    "did_arm_effect",
-    "ndcg_retrieval_eval_topk",
-    "streaming_sprt_monitor",
-    "zipf_slope_fit",
-    "heaps_law_vocab_growth",
-    "kaplan_meier_retention",
     "l_diversity_audit",
     "mad_robust_outliers",
-    "jaccard_similarity_histogram",
-    "entity_canonical_groups",
-    "table_constraint_audit",
-    "item_cooccurrence_hitrate",
     "robust_trend_daily_orders",
     "daily_autocorrelation",
-    "cosupply_graph_churn",
     "order_ship_latency_sla",
     "part_size_price_anova",
     "binned_lorenz_gini",
     "discount_quantity_elasticity",
-    "watermark_lateness_audit",
-    "source_vocab_overlap",
-    "repurchase_cadence_percentiles",
-    "embedding_distance_histogram",
-    "dup_cluster_size_histogram",
-    "hits_hubs_authorities",
-    "snippet_best_window",
-    "typo_tolerant_correction",
     "supplier_latency_icc",
-    "leakage_safe_dataset_build",
-    "region_revenue_yoy_growth",
-    "basket_size_distribution",
-    "duplicate_invoice_detection",
-    "language_purity_audit",
-    "session_duration_percentiles",
-    "cold_start_popularity_hitrate",
-    "inventory_abc_classes",
-    "dau_wau_stickiness",
     "return_rate_wilson_ranking",
-    "cosupply_degree_distribution",
-    "markov_entropy_rate",
     "xbar_s_control_chart",
-    "new_vs_returning_revenue",
-    "cohort_ltv_curves",
-    "mattr_lexical_diversity",
 )
 
 

@@ -57,9 +57,11 @@ def _ranked_docsets(doc_tokens: DataFrame) -> DataFrame:
     # offset join, operators/ranking.py) — a plain
     # Window.orderBy(df, token) would move the whole vocabulary to one
     # partition, a real straggler at web-corpus shingle cardinality.
+    pins: list = []
     ordered = distributed_row_number(
         toks.groupBy("token").agg(F.count(F.lit(1)).alias("df")),
         [F.col("df").asc(), F.col("token").asc()],
+        pins=pins,
     ).select("token", "rank")
     # vocabulary-sized map side: broadcast the rank dictionary so the
     # corpus-scale postings stream is never shuffled for the dictionary
@@ -67,7 +69,7 @@ def _ranked_docsets(doc_tokens: DataFrame) -> DataFrame:
     # bucketed join on token instead); then fold each document into one
     # row holding its SORTED rank array — by construction sorted ranks
     # are sorted by rarity, so the prefix is a plain array slice.
-    return (
+    docsets = (
         toks.join(F.broadcast(ordered), "token")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("rank")).alias("rs"))
@@ -76,6 +78,15 @@ def _ranked_docsets(doc_tokens: DataFrame) -> DataFrame:
         # ^ consumed 3× (prefix build + both verification sides); one
         #   narrow row per document
     )
+    # materialize the docset table now, then release the upstream pins
+    # deterministically: the (wide) tokenize/shingle cache and the rank
+    # table's local pin would otherwise accumulate across calls in a
+    # long-lived session with nothing but clearCache() to free them
+    docsets.count()
+    toks.unpersist()
+    for p in pins:
+        p.unpersist()
+    return docsets
 
 
 def prefix_filter_jaccard_join(

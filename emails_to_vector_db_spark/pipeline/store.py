@@ -97,6 +97,12 @@ class EmbeddingStore:
         deletes in force."""
         if not ids:
             return 0
+        if not self.exists():
+            # nothing has ever been written: there is no live id type
+            # to cast against and nothing the tombstones could delete —
+            # an explicit no-op beats the opaque path-does-not-exist
+            # AnalysisException the parquet read below would raise
+            return 0
         # the tombstone schema must match the LIVE id column type —
         # inferring it from ids[0] lets an int list against a
         # string-keyed store write a long-typed tombstone whose
@@ -108,6 +114,17 @@ class EmbeddingStore:
         df = self.spark.createDataFrame(
             [(str(i),) for i in ids], f"{self.id_col} string"
         ).select(F.col(self.id_col).cast(id_type))
+        # an id that can't cast (e.g. "abc" against a long-keyed store)
+        # becomes a NULL tombstone the left_anti read join can never
+        # match — the delete would be silently lost while this method
+        # reported success. Fail loudly instead; the check runs on a
+        # driver-local literal frame, not the store.
+        n_bad = df.where(F.col(self.id_col).isNull()).count()
+        if n_bad:
+            raise ValueError(
+                f"delete(): {n_bad} id(s) cannot be cast to the store's "
+                f"id type {id_type!r}; no tombstones were written"
+            )
         df.write.mode("append").parquet(self._tombstone_dir())
         return len(ids)
 

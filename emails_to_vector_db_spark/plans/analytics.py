@@ -993,9 +993,19 @@ def rfm_customer_segments_approx(
         F.sum("o_totalprice").alias("monetary"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # ascending composites; quartile 1 = best on every axis (most
-    # recent / most frequent / highest spend), matching the exact form
-    tie = F.col("o_custkey").cast("double") / F.lit(1e9)
-    vals = cust.select(
+    # recent / most frequent / highest spend), matching the exact form.
+    # The custkey tiebreak is scaled by the OBSERVED max custkey (one
+    # broadcast scalar off the already-persisted per-customer table),
+    # so its magnitude is bounded by 1e-6 at ANY key range — a fixed
+    # 1e9 divisor would exceed the smallest real value gap (0.01 on
+    # the monetary axis, 1 on the integer axes) once keys pass 1e7 and
+    # start reordering genuinely different values, corrupting the
+    # quartile coding instead of only breaking ties.
+    mx = F.broadcast(
+        cust.agg(F.max("o_custkey").cast("double").alias("__mx_ck"))
+    )
+    tie = F.col("o_custkey").cast("double") / (F.col("__mx_ck") * 1e6)
+    vals = cust.crossJoin(mx).select(
         (F.col("recency_days").cast("double") + tie).alias("vr"),
         (-F.col("frequency").cast("double") + tie).alias("vf"),
         (-F.col("monetary") + tie).alias("vm"),

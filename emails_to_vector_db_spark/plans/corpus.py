@@ -1685,9 +1685,15 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: token first-occurrences are one census (min doc_id per
     token — corpus-scale pass, map-side combinable); the growth curve
-    is two cumulative windows over the DOC-level table; the log-log
-    fit is a 1-row moment aggregate. Nothing vocabulary-sized ever
-    sorts globally."""
+    is two DISTRIBUTED cumulative sums over the DOC-level table
+    (range-partition → partition-local prefix → broadcast offsets,
+    operators/ranking.py — no single-partition window even though the
+    table is doc-grain, i.e. data-sized); the log-log fit is a 1-row
+    moment aggregate. Nothing ever sorts globally."""
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_prefix_agg,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     per_doc = docs.select(
         "doc_id", F.size(TX.tokens("text")).alias("n_tok")
@@ -1700,20 +1706,16 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     gains = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("double").alias("v_gain")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    curve = (
-        per_doc.join(gains, "doc_id", "left")
-        .select(
+    curve = distributed_prefix_agg(
+        per_doc.join(gains, "doc_id", "left").select(
             "doc_id",
             "n_tok",
             F.coalesce("v_gain", F.lit(0.0)).alias("v_gain"),
-        )
-        .select(
-            F.log(F.sum("n_tok").over(w)).alias("lx"),
-            F.log(F.sum("v_gain").over(w)).alias("ly"),
-        )
+        ),
+        [F.col("doc_id")],
+        sums=[("n_tok", "cum_tok"), ("v_gain", "cum_voc")],
+    ).select(
+        F.log("cum_tok").alias("lx"), F.log("cum_voc").alias("ly")
     )
     m = curve.agg(
         F.count(F.lit(1)).cast("double").alias("n"),

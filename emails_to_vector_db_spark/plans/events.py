@@ -1330,26 +1330,28 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     measuring lateness, not guessing it.
 
     Plan shape: lateness is a running event-time maximum over the
-    arrival order — one window ordered by arrival position (a
-    range-partitioned sort at scale; lateness only needs partition-
-    local prefixes plus partition-boundary maxima, the documented
-    distributed form) — then one 3-budget conditional aggregate."""
+    arrival order — computed as the DISTRIBUTED prefix-max
+    (range-partition by arrival position → partition-local running
+    max → broadcast partition-boundary maxima combined with
+    ``greatest``, operators/ranking.py), so the event-grain table
+    never collapses to one partition — then one 3-budget conditional
+    aggregate."""
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_prefix_agg,
+    )
+
     ev = load_table(spark, sf_dir, "events").select(
         F.unix_micros("ts").alias("t"), "event_id"
     )
     pos = F.col("event_id") + F.when(
         F.col("event_id") % 97 == 0, 500
     ).when(F.col("event_id") % 31 == 0, 10).otherwise(0)
-    w = Window.orderBy("pos", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    late = (
-        ev.select("t", pos.alias("pos"), "event_id")
-        .select(
-            ((F.max("t").over(w) - F.col("t")) / 3600000000.0).alias(
-                "late_h"
-            )
-        )
+    late = distributed_prefix_agg(
+        ev.select("t", pos.alias("pos"), "event_id"),
+        [F.col("pos"), F.col("event_id")],
+        maxs=[("t", "run_max")],
+    ).select(
+        ((F.col("run_max") - F.col("t")) / 3600000000.0).alias("late_h")
     )
     budgets = F.broadcast(
         spark.createDataFrame(

@@ -175,3 +175,100 @@ def test_containment_boundary_inclusive(spark):
     assert _spark_contain(spark, docs, 1.0) == {(1, 2): (2, 2)}
     docs2 = {1: {"a", "x", "c", "d"}, 2: {"a", "b"}}
     assert _spark_contain(spark, docs2, 1.0) == {}
+
+
+def test_distributed_prefix_agg_matches_global_window(spark):
+    """distributed_prefix_agg cumsum/cummax == the global-window form
+    exactly, for a multi-partition input with nulls in the aggregated
+    columns and ties on the order prefix."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_prefix_agg,
+    )
+
+    rows = [
+        (i, (i * 7) % 13, None if i % 11 == 0 else float(i % 5),
+         (i * 3) % 97)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, grp int, v double, m int"
+    ).repartition(8)
+    order = [F.col("grp").asc(), F.col("id").asc()]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    expected = {
+        (r["id"], r["cs"], r["cm"])
+        for r in df.select(
+            "id", F.sum("v").over(w).alias("cs"), F.max("m").over(w).alias("cm")
+        ).collect()
+    }
+    got = {
+        (r["id"], r["cs"], r["cm"])
+        for r in distributed_prefix_agg(
+            df, order, sums=[("v", "cs")], maxs=[("m", "cm")]
+        ).select("id", "cs", "cm").collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_distributed_prefix_agg_no_single_partition_window(spark):
+    """The prefix-agg plan must not contain an unpartitioned Window."""
+    from pyspark.sql import functions as F
+
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_prefix_agg,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    out = distributed_prefix_agg(
+        df, [F.col("id").asc()], sums=[("k", "ck")], maxs=[("k", "mk")]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "__pid" in line, f"unpartitioned window: {line}"
+
+
+def test_distributed_helpers_release_input_pin(spark):
+    """Both ranking helpers must unpersist the input pin before
+    returning; with pins=[] the caller can release the local table too,
+    leaving zero cache entries (the ADVICE.md leak)."""
+    from pyspark.sql import functions as F
+
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_prefix_agg,
+        distributed_row_number,
+    )
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached():
+        return jsc.getPersistentRDDs().size()
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    )
+    pins = []
+    distributed_row_number(
+        df, [F.col("k").asc(), F.col("id").asc()], pins=pins
+    ).count()
+    assert len(pins) == 1
+    assert n_cached() == 1  # only the local table remains
+    pins[0].unpersist()
+    assert n_cached() == 0
+
+    pins = []
+    distributed_prefix_agg(
+        df, [F.col("id").asc()], sums=[("k", "ck")], pins=pins
+    ).count()
+    assert len(pins) == 1
+    assert n_cached() == 1
+    pins[0].unpersist()
+    assert n_cached() == 0
