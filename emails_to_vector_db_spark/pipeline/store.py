@@ -78,7 +78,56 @@ class EmbeddingStore:
             return None
         return self.spark.read.parquet(d)
 
-    def read(self) -> DataFrame:
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifests")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir(), f"v{version}.manifest")
+
+    def versions(self) -> list[int]:
+        """Version numbers of the retained compacted snapshots, ascending
+        (empty before the first compaction — the flat layout has no
+        version identity). The largest is the live version."""
+        d = self._manifest_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(e[1 : -len(".manifest")])
+            for e in os.listdir(d)
+            if e.startswith("v") and e.endswith(".manifest")
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the live view, or — time travel — a retained snapshot.
+
+        ``version=None`` reads the live data with current tombstones
+        anti-joined (logical deletes in force). ``version=n`` reads the
+        EXACT snapshot ``compact(retain=...)`` committed as ``v{n}``:
+        each compaction records the part files it wrote in a per-version
+        MANIFEST, and the snapshot read opens exactly those files — so
+        later appends (which add files to the same live directory) and
+        later tombstones (which target the live view; each compaction
+        folds them in physically and clears them) leave retained
+        snapshots frozen. Raises a descriptive error for a version that
+        was never created or already pruned by a later compaction's
+        retention sweep."""
+        if version is not None:
+            mp = self._manifest_path(version)
+            vdir = os.path.join(self.path, f"v{version}")
+            if not os.path.isfile(mp) or not os.path.isdir(vdir):
+                have = self.versions()
+                raise ValueError(
+                    f"version {version} is not retained (available: "
+                    f"{have or 'none — store not yet compacted'}); "
+                    "raise compact(retain=...) to keep more snapshots"
+                )
+            with open(mp) as fh:
+                files = [
+                    os.path.join(vdir, line.strip())
+                    for line in fh
+                    if line.strip()
+                ]
+            return self.spark.read.parquet(*files)
         df = self.spark.read.parquet(self._data_dir())
         ts = self._tombstones()
         if ts is not None:
@@ -159,7 +208,11 @@ class EmbeddingStore:
         batch.write.mode("append").parquet(self._data_dir())
         return int(obs.get["n"])
 
-    def compact(self, target_partitions: int | None = None) -> int:
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        retain: int = 1,
+    ) -> int:
         """Small-file compaction: incremental appends accumulate one file
         per append-partition; periodic compaction rewrites the store into
         well-sized files (the standard housekeeping job any 100 TB
@@ -172,7 +225,16 @@ class EmbeddingStore:
         leaves the new version live and the stale directory is swept by
         the next successful compaction. At no point is live data
         overwritten in place (the defect the previous ``__compacting``
-        scheme had)."""
+        scheme had).
+
+        ``retain`` keeps that many NEWEST version directories (including
+        the one just written) through the sweep — the snapshot-retention
+        knob behind ``read(version=...)`` time travel. The default 1
+        keeps only the live version (no history cost); retention is a
+        per-compaction decision, so one call with ``retain=1`` prunes
+        history kept by earlier calls."""
+        if retain < 1:
+            raise ValueError(f"retain must be >= 1, got {retain}")
         df = self.read()
         if target_partitions is None:
             target_partitions = max(1, df.rdd.getNumPartitions() // 4)
@@ -185,20 +247,45 @@ class EmbeddingStore:
         df.repartition(target_partitions).write.mode("overwrite").parquet(
             new_dir
         )
+        # snapshot manifest: the part files THIS compaction wrote —
+        # read(version=...) opens exactly these, so later appends into
+        # the live directory can't leak into the frozen snapshot.
+        # Written (atomically) BEFORE the pointer flip: a crash between
+        # the two leaves an unreferenced manifest the next sweep prunes.
+        os.makedirs(self._manifest_dir(), exist_ok=True)
+        parts = sorted(
+            e for e in os.listdir(new_dir) if e.endswith(".parquet")
+        )
+        mtmp = self._manifest_path(version) + ".tmp"
+        with open(mtmp, "w") as fh:
+            fh.write("\n".join(parts))
+        os.replace(mtmp, self._manifest_path(version))
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(f"v{version}")
         os.replace(tmp, self._pointer())  # atomic commit point
-        self._sweep(keep=f"v{version}")
+        kept = {f"v{n}" for n in self.versions()[-retain:]} | {f"v{version}"}
+        self._prune_manifests(kept)
+        self._sweep(keep=kept)
         return target_partitions
 
-    def _sweep(self, keep: str) -> None:
+    def _prune_manifests(self, keep: set) -> None:
+        d = self._manifest_dir()
+        if not os.path.isdir(d):
+            return
+        for e in os.listdir(d):
+            name = e.split(".")[0]  # v{n}
+            if e.endswith(".manifest") and name in keep:
+                continue
+            os.remove(os.path.join(d, e))
+
+    def _sweep(self, keep: set) -> None:
         """Remove stale version directories, legacy flat part files, and
-        leftover pointer temp files — everything except the live version
-        and the pointer. Runs only AFTER the pointer flip, so a crash
-        mid-sweep never affects readability."""
+        leftover pointer temp files — everything except the retained
+        versions and the pointer. Runs only AFTER the pointer flip, so a
+        crash mid-sweep never affects readability."""
         for entry in os.listdir(self.path):
-            if entry in (keep, "_LATEST"):
+            if entry in keep or entry == "_LATEST":
                 continue
             full = os.path.join(self.path, entry)
             if (

@@ -512,3 +512,86 @@ def window_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("o_totalprice").over(w_range), 2).alias("rolling_30d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto-front) operator: cheapest-largest parts
+# --------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+SELECT a.p_partkey, a.p_name,
+       round(a.p_retailprice, 2) AS price,
+       a.p_size::BIGINT AS size
+FROM part a
+WHERE NOT EXISTS (
+    SELECT 1 FROM part b
+    WHERE b.p_retailprice <= a.p_retailprice
+      AND b.p_size >= a.p_size
+      AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+ORDER BY price, a.p_partkey
+"""
+
+
+@register(
+    "skyline_pareto_parts",
+    oracle=_SKYLINE_ORACLE,
+    tags=("advanced", "skyline", "pareto", "operator"),
+    bench=True,
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline operator (Börzsönyi et al. 2001): the Pareto front of
+    parts under (minimize retail price, maximize size) — every part no
+    other part dominates (≤ price AND ≥ size, strict in at least one).
+    The query class behind "best tradeoff" shortlists that plain
+    ORDER BY can't express; duplicates of a front point all survive
+    (equal pairs don't dominate each other).
+
+    Plan shape: the naive form is the O(n²) dominance anti-join (the
+    DuckDB oracle runs exactly that — this query is a differential
+    against it). The engine instead uses the SORT-FIRST 2-D skyline
+    identity: a row is dominated iff a strictly-cheaper price level
+    reaches its size (prefix-max over price order) or its own price
+    level has a strictly larger size. Price levels are data-sized, so
+    the prefix-max and the level shift run through the DISTRIBUTED
+    two-pass helpers (operators/ranking.py) — no single-partition
+    stage, no pairwise join: corpus-scale work is one groupBy(price)
+    plus one broadcast-offset pass, O(n) vs the oracle's O(n²)."""
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_prefix_agg,
+        distributed_row_number,
+    )
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    levels = p.groupBy("price").agg(F.max("size").alias("mx"))
+    ranked = distributed_row_number(levels, [F.col("price").asc()], "rk")
+    cm = distributed_prefix_agg(
+        ranked, [F.col("price").asc()], maxs=[("mx", "cm_incl")]
+    )
+    prev = cm.select(
+        (F.col("rk") + 1).alias("rk"), F.col("cm_incl").alias("cm_excl")
+    )
+    lvl = cm.join(prev, "rk", "left").select("price", "mx", "cm_excl")
+    return (
+        p.join(lvl, "price")
+        .where(
+            ~(
+                F.coalesce(
+                    F.col("cm_excl") >= F.col("size"), F.lit(False)
+                )
+                | (F.col("mx") > F.col("size"))
+            )
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round("price", 2).alias("price"),
+            "size",
+        )
+        .orderBy("price", "p_partkey")
+    )

@@ -1001,11 +1001,12 @@ def rfm_customer_segments_approx(
     # the monetary axis, 1 on the integer axes) once keys pass 1e7 and
     # start reordering genuinely different values, corrupting the
     # quartile coding instead of only breaking ties.
-    mx = F.broadcast(
-        cust.agg(F.max("o_custkey").cast("double").alias("__mx_ck"))
-    )
-    tie = F.col("o_custkey").cast("double") / (F.col("__mx_ck") * 1e6)
-    vals = cust.crossJoin(mx).select(
+    # one driver-side scalar off the persisted table (a literal, not a
+    # plan branch: a broadcast-crossJoin form re-ran the aggregate —
+    # and its exchange — once per consumer of vals)
+    mx_ck = float(cust.agg(F.max("o_custkey")).first()[0])
+    tie = F.col("o_custkey").cast("double") / F.lit(mx_ck * 1e6)
+    vals = cust.select(
         (F.col("recency_days").cast("double") + tie).alias("vr"),
         (-F.col("frequency").cast("double") + tie).alias("vf"),
         (-F.col("monetary") + tie).alias("vm"),
@@ -2102,4 +2103,193 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_customer"),
         )
         .orderBy("cohort", "months_since_acq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (blocked, supervised m/u)
+# ---------------------------------------------------------------------------
+
+_FS_TOP = 20
+_FS_BAL_TOL = 0.25
+
+_FS_ORACLE = f"""
+WITH recs AS (
+    SELECT c_custkey * 10 AS rec_id, c_custkey AS base,
+           c_nationkey, c_custkey % 97 AS blk,
+           c_name AS name, c_mktsegment AS seg, c_acctbal AS bal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey * 10 + 1, c_custkey, c_nationkey, c_custkey % 97,
+           CASE WHEN c_custkey % 3 = 0
+                THEN substr(c_name, 1, length(c_name) - 1) || 'X'
+                ELSE c_name END,
+           CASE WHEN c_custkey % 5 = 0
+                THEN 'UNKNOWN' ELSE c_mktsegment END,
+           CASE WHEN c_custkey % 2 = 0
+                THEN c_acctbal + 0.5 ELSE c_acctbal END
+    FROM customer WHERE c_custkey % 7 = 0
+),
+pairs AS (
+    SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+           (a.base = b.base) AS is_match,
+           (a.name = b.name) AS name_eq,
+           (a.seg = b.seg) AS seg_eq,
+           (abs(a.bal - b.bal) <= {_FS_BAL_TOL}) AS bal_eq
+    FROM recs a JOIN recs b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.blk = b.blk
+     AND a.rec_id < b.rec_id
+),
+mu AS (
+    SELECT
+      (sum(CASE WHEN is_match AND name_eq THEN 1 ELSE 0 END) + 0.5)
+        / (sum(CASE WHEN is_match THEN 1 ELSE 0 END) + 1.0) AS m_name,
+      (sum(CASE WHEN NOT is_match AND name_eq THEN 1 ELSE 0 END) + 0.5)
+        / (sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) + 1.0) AS u_name,
+      (sum(CASE WHEN is_match AND seg_eq THEN 1 ELSE 0 END) + 0.5)
+        / (sum(CASE WHEN is_match THEN 1 ELSE 0 END) + 1.0) AS m_seg,
+      (sum(CASE WHEN NOT is_match AND seg_eq THEN 1 ELSE 0 END) + 0.5)
+        / (sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) + 1.0) AS u_seg,
+      (sum(CASE WHEN is_match AND bal_eq THEN 1 ELSE 0 END) + 0.5)
+        / (sum(CASE WHEN is_match THEN 1 ELSE 0 END) + 1.0) AS m_bal,
+      (sum(CASE WHEN NOT is_match AND bal_eq THEN 1 ELSE 0 END) + 0.5)
+        / (sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) + 1.0) AS u_bal
+    FROM pairs
+),
+scored AS (
+    SELECT p.rec_a, p.rec_b, p.is_match,
+           (CASE WHEN p.name_eq THEN ln(m.m_name / m.u_name)
+                 ELSE ln((1 - m.m_name) / (1 - m.u_name)) END
+          + CASE WHEN p.seg_eq THEN ln(m.m_seg / m.u_seg)
+                 ELSE ln((1 - m.m_seg) / (1 - m.u_seg)) END
+          + CASE WHEN p.bal_eq THEN ln(m.m_bal / m.u_bal)
+                 ELSE ln((1 - m.m_bal) / (1 - m.u_bal)) END) AS w
+    FROM pairs p CROSS JOIN mu m
+)
+SELECT rec_a, rec_b, is_match, round(w, 4) AS weight
+FROM scored
+ORDER BY w DESC, rec_a, rec_b
+LIMIT {_FS_TOP}
+"""
+
+@register(
+    "fellegi_sunter_linkage",
+    oracle=_FS_ORACLE,
+    tags=("analytics", "linkage", "dedup", "entity-resolution"),
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (1969) over a
+    deterministically-dirtied customer registry: every 7th customer
+    gains a perturbed twin (name tail, mktsegment, balance each
+    flipped on independent key residues), candidate pairs come from
+    BLOCKING on (nation, custkey mod 97 — the stand-in for a stable
+    block key like a postcode; perturbations never touch it, so true
+    pairs always co-block) — and each pair is scored by the
+    log-likelihood-ratio weight Σ ln(m_f/u_f) over its
+    field-agreement vector. m/u are estimated from the labeled-by-
+    construction pairs with Laplace smoothing (+0.5/+1 — keeps
+    perfectly-separating fields like the unique name finite), the
+    supervised variant of the EM fit real linkage runs;
+    entity_canonical_groups is the exact-key sibling, this is the
+    NOISY-field one. Top-{_FS_TOP} pairs by weight: the decision list
+    a clerical-review threshold cuts.
+
+    Plan shape: the self-join is EQUI on the block key (shuffle both
+    sides on (nation, residue) — never all-pairs; block occupancy is
+    the operator's own audit, join_key_skew_report's job); the m/u fit
+    is one 1-row aggregate broadcast back; scoring is map-side; the
+    decision list is TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        (F.col("c_custkey") * 10).alias("rec_id"),
+        F.col("c_custkey").alias("base"),
+        "c_nationkey",
+        (F.col("c_custkey") % 97).alias("blk"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    twin = c.where(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") * 10 + 1).alias("rec_id"),
+        F.col("c_custkey").alias("base"),
+        "c_nationkey",
+        (F.col("c_custkey") % 97).alias("blk"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.expr("substring(c_name, 1, length(c_name) - 1)"),
+                F.lit("X"),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.when(F.col("c_custkey") % 2 == 0, F.col("c_acctbal") + 0.5)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    recs = base.unionByName(twin)
+    a, b = recs.alias("a"), recs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .select(
+            F.col("a.rec_id").alias("rec_a"),
+            F.col("b.rec_id").alias("rec_b"),
+            (F.col("a.base") == F.col("b.base")).alias("is_match"),
+            (F.col("a.name") == F.col("b.name")).alias("name_eq"),
+            (F.col("a.seg") == F.col("b.seg")).alias("seg_eq"),
+            (
+                F.abs(F.col("a.bal") - F.col("b.bal")) <= _FS_BAL_TOL
+            ).alias("bal_eq"),
+        )
+        .persist()
+    )
+
+    def _m(flag):
+        return (
+            F.sum(F.when(F.col("is_match") & F.col(flag), 1).otherwise(0))
+            + 0.5
+        ) / (F.sum(F.when(F.col("is_match"), 1).otherwise(0)) + 1.0)
+
+    def _u(flag):
+        return (
+            F.sum(F.when(~F.col("is_match") & F.col(flag), 1).otherwise(0))
+            + 0.5
+        ) / (F.sum(F.when(~F.col("is_match"), 1).otherwise(0)) + 1.0)
+
+    mu = F.broadcast(
+        pairs.agg(
+            _m("name_eq").alias("m_name"),
+            _u("name_eq").alias("u_name"),
+            _m("seg_eq").alias("m_seg"),
+            _u("seg_eq").alias("u_seg"),
+            _m("bal_eq").alias("m_bal"),
+            _u("bal_eq").alias("u_bal"),
+        )
+    )
+
+    def _w(flag, m, u):
+        return F.when(
+            F.col(flag), F.log(F.col(m) / F.col(u))
+        ).otherwise(F.log((1 - F.col(m)) / (1 - F.col(u))))
+
+    return (
+        pairs.crossJoin(mu)
+        .withColumn(
+            "w",
+            _w("name_eq", "m_name", "u_name")
+            + _w("seg_eq", "m_seg", "u_seg")
+            + _w("bal_eq", "m_bal", "u_bal"),
+        )
+        .orderBy(F.col("w").desc(), "rec_a", "rec_b")
+        .limit(_FS_TOP)
+        .select("rec_a", "rec_b", "is_match", F.round("w", 4).alias("weight"))
     )

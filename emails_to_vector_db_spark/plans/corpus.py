@@ -762,6 +762,140 @@ def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram-LM perplexity (the KenLM/CCNet smoothing)
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount
+_KN_TOP = 20
+
+_KN_PPL_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, {_TOKENS_SQL} AS T FROM documents
+),
+bg0 AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(T) - 1),
+                  i -> T[i] || chr(9) || T[i+1])) AS b
+    FROM docs WHERE len(T) >= 2
+),
+bg AS (
+    SELECT doc_id,
+           string_split(b, chr(9))[1] AS w1,
+           string_split(b, chr(9))[2] AS w2
+    FROM bg0
+),
+bfreq AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2),
+hist AS (
+    SELECT w1, sum(c12)::DOUBLE AS h, count(*)::DOUBLE AS n1p
+    FROM bfreq GROUP BY w1
+),
+cont AS (SELECT w2, count(*)::DOUBLE AS cc FROM bfreq GROUP BY w2),
+types AS (SELECT count(*)::DOUBLE AS bt FROM bfreq),
+scored AS (
+    SELECT g.doc_id,
+           -ln(greatest(f.c12 - {_KN_D}, 0) / h1.h
+               + ({_KN_D} * h1.n1p / h1.h) * (c.cc / t.bt)) AS nll
+    FROM bg g
+    JOIN bfreq f ON f.w1 = g.w1 AND f.w2 = g.w2
+    JOIN hist h1 ON h1.w1 = g.w1
+    JOIN cont c ON c.w2 = g.w2
+    CROSS JOIN types t
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(nll), 6) AS kn_avg_nll
+FROM scored GROUP BY doc_id
+ORDER BY kn_avg_nll DESC, doc_id ASC
+LIMIT {_KN_TOP}
+"""
+
+
+@register(
+    "kneser_ney_bigram_scores",
+    oracle=_KN_PPL_ORACLE,
+    tags=("cleaning", "quality", "lm", "bigram", "kneser-ney"),
+    bench=True,
+)
+def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity — the smoothing family
+    KenLM actually ships and CCNet-style corpus filtering runs, beside
+    the simpler add-λ interpolation above: p(w2|w1) =
+    max(c(w1w2)-D, 0)/c(w1·) + D·N1+(w1·)/c(w1·) · p_cont(w2), with
+    the CONTINUATION probability p_cont(w2) = N1+(·w2)/N1+(··) — "how
+    many distinct histories precede w2" — instead of raw unigram
+    frequency, which is what stops high-count-but-context-bound tokens
+    (the "Francisco" effect) from inflating unseen-bigram mass. Scoring
+    the training corpus itself keeps every scored bigram in the model
+    (c12 ≥ 1), so no zero-history backoff branch is needed; per-doc
+    mean NLL, top-{_KN_TOP} least-typical docs — the CCNet quality
+    signal.
+
+    Plan shape: identical economics to bigram_perplexity_scores — one
+    adjacency-preserving tokenize pass; the model is ONE bigram-type
+    groupBy plus two margins DERIVED from it (history totals/fanout,
+    continuation counts — bigram-type-grain, not corpus-grain); the
+    bigram-type total is a broadcast 1-row aggregate; scoring joins go
+    through _scoring_join (broadcast under the row-count cutover,
+    shuffle join at over-RAM vocab scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    T = F.split(F.trim(F.col("text")), r"\s+")
+    bg = (
+        d.select("doc_id", T.alias("T"))
+        .where(F.size("T") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("T") - 1),
+                    lambda i: F.struct(
+                        F.element_at("T", i).alias("w1"),
+                        F.element_at("T", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    bfreq = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hist = bfreq.groupBy("w1").agg(
+        F.sum("c12").cast("double").alias("h"),
+        F.count(F.lit(1)).cast("double").alias("n1p"),
+    )
+    cont = bfreq.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("cc")
+    )
+    types = F.broadcast(
+        bfreq.agg(F.count(F.lit(1)).cast("double").alias("bt"))
+    )
+    D = F.lit(_KN_D)
+    scored = (
+        _scoring_join(
+            _scoring_join(_scoring_join(bg, bfreq, ["w1", "w2"]), hist, "w1"),
+            cont,
+            "w2",
+        )
+        .crossJoin(types)
+        .withColumn(
+            "nll",
+            -F.log(
+                F.greatest(F.col("c12") - D, F.lit(0.0)) / F.col("h")
+                + (D * F.col("n1p") / F.col("h"))
+                * (F.col("cc") / F.col("bt"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("kn_avg_nll"),
+        )
+        .orderBy(F.col("kn_avg_nll").desc(), F.col("doc_id").asc())
+        .limit(_KN_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-source curation health rollup (the "dataset card" table)
 # ---------------------------------------------------------------------------
 

@@ -2927,3 +2927,138 @@ def xbar_s_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ooc).cast("long").alias("n_out_of_control"),
         F.round(F.avg(ooc.cast("double")), 6).alias("ooc_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart on the daily mean order value
+# ---------------------------------------------------------------------------
+
+_EWMA_LAMBDA = 0.2  # memory parameter
+_EWMA_L = 3.0  # control-limit width, in sigma_z units
+_EWMA_K = 80  # finite-memory truncation: (1-λ)^80 ≈ 1.8e-8
+
+_EWMA_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderdate AS d, avg(o_totalprice) AS x
+    FROM orders GROUP BY o_orderdate
+),
+stats AS (SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM daily),
+idx AS (
+    SELECT d, x, row_number() OVER (ORDER BY d) AS t FROM daily
+),
+z AS (
+    SELECT a.d, a.x, a.t,
+           {_EWMA_LAMBDA} * sum(power(1 - {_EWMA_LAMBDA}, a.t - b.t) * b.x)
+               + power(1 - {_EWMA_LAMBDA}, least(a.t, {_EWMA_K}))
+                 * max(s.mu) AS ewma
+    FROM idx a
+    JOIN idx b ON b.t <= a.t AND a.t - b.t < {_EWMA_K}
+    CROSS JOIN stats s
+    GROUP BY a.d, a.x, a.t
+),
+flags AS (
+    SELECT z.d, z.x, z.ewma,
+           s.sd * sqrt({_EWMA_LAMBDA} / (2 - {_EWMA_LAMBDA})
+                 * (1 - power(1 - {_EWMA_LAMBDA},
+                              2 * least(z.t, {_EWMA_K})))) AS sig,
+           s.mu
+    FROM z CROSS JOIN stats s
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       round(x, 2) AS day_mean,
+       round(ewma, 4) AS ewma,
+       round((ewma - mu) / sig, 4) AS z_units,
+       CASE WHEN ewma > mu THEN 'high' ELSE 'low' END AS side
+FROM flags
+WHERE abs(ewma - mu) > {_EWMA_L} * sig
+ORDER BY day
+"""
+
+
+@register(
+    "ewma_control_chart",
+    oracle=_EWMA_ORACLE,
+    tags=("stats", "spc", "monitoring", "timeseries"),
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959) on the daily mean order
+    value: z_t = λx_t + (1-λ)z_(t-1) against ±Lσ_z(t) limits — the
+    small-persistent-shift detector that completes the SPC family
+    (z-score catches spikes, CUSUM catches level shifts, X-bar/S
+    splits within/between-day variance; EWMA with λ={_EWMA_LAMBDA}
+    sits between the first two, weighting recent history
+    geometrically).
+
+    The recursion is made distributable the FINITE-MEMORY way: weights
+    (1-λ)^k vanish below 2e-8 past k={_EWMA_K} lags, so z_t is DEFINED
+    here (identically in both engines — the truncation is part of the
+    statistic, not an engine approximation) as the {_EWMA_K}-lag
+    geometric sum plus the initial-value term (1-λ)^min(t,{_EWMA_K})·μ.
+    That turns the sequential filter into a banded day×lag join:
+    day-grain × {_EWMA_K} rows — calendar-bounded, independent of data
+    scale (corpus-scale work is exactly one groupBy(day) moment pass).
+    The variance ramp σ_z(t) = σ√(λ/(2-λ)·(1-(1-λ)^2t)) uses the same
+    truncated t, so early-series limits tighten correctly."""
+    o = load_table(spark, sf_dir, "orders")
+    lam, K = _EWMA_LAMBDA, _EWMA_K
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.avg("o_totalprice").alias("x")
+    )
+    stats = F.broadcast(
+        daily.agg(
+            F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+        )
+    )
+    idx = daily.select(
+        "d", "x", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    a, b = idx.alias("a"), F.broadcast(idx.alias("b"))
+    z = (
+        a.join(
+            b,
+            (F.col("b.t") <= F.col("a.t"))
+            & (F.col("a.t") - F.col("b.t") < K),
+        )
+        .crossJoin(stats)
+        .groupBy("a.d", "a.x", "a.t")
+        .agg(
+            (
+                lam
+                * F.sum(
+                    F.pow(F.lit(1 - lam), F.col("a.t") - F.col("b.t"))
+                    * F.col("b.x")
+                )
+                + F.pow(F.lit(1 - lam), F.least(F.col("a.t"), F.lit(K)))
+                * F.max("mu")
+            ).alias("ewma")
+        )
+    )
+    sig = F.col("sd") * F.sqrt(
+        F.lit(lam / (2 - lam))
+        * (
+            F.lit(1.0)
+            - F.pow(F.lit(1 - lam), 2 * F.least(F.col("t"), F.lit(K)))
+        )
+    )
+    flags = z.crossJoin(stats).select(
+        "d",
+        "x",
+        "ewma",
+        "mu",
+        sig.alias("sig"),
+    )
+    return (
+        flags.where(F.abs(F.col("ewma") - F.col("mu")) > _EWMA_L * F.col("sig"))
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.round("x", 2).alias("day_mean"),
+            F.round("ewma", 4).alias("ewma"),
+            F.round(
+                (F.col("ewma") - F.col("mu")) / F.col("sig"), 4
+            ).alias("z_units"),
+            F.when(F.col("ewma") > F.col("mu"), "high")
+            .otherwise("low")
+            .alias("side"),
+        )
+        .orderBy("day")
+    )

@@ -46,6 +46,7 @@ SHUFFLE_BUDGET = {
     "doc_quality_scores": 0,  # pure scan projection, no shuffle at all
     "doc_token_stats": 1,
     "lang_id_confusion": 1,  # one (lang, predicted) cell agg
+    "skyline_pareto_parts": 7,  # level agg + 2 two-pass helpers + part join
     "embedding_jl_projection_pairs": 0,
     "embedding_near_dups_lsh": 0,
     "embedding_pca_topvar": 1,  # projected-corpus moment agg
@@ -56,6 +57,7 @@ SHUFFLE_BUDGET = {
     "hourly_event_counts": 1,
     "incremental_mv_refresh": 2,  # delta partial agg + merge re-agg
     "knn_join_multi_probe": 1,
+    "kneser_ney_bigram_scores": 4,  # bigram agg + 2 margins + doc re-agg
     "knn_topk_l2": 0,
     "label_centroid_norm_pandas": 1,  # one grouped-map exchange on label
     "minhash_lsh_near_dups": 1,

@@ -192,11 +192,18 @@ def test_store_compaction_crash_safe(spark, tmp_path, monkeypatch):
         )
         == before
     )
-    # exactly one live version dir + the pointer remain
+    # exactly one live version dir + the pointer/manifest metadata remain
     entries = sorted(
-        e for e in (tmp_path / "xstore").iterdir() if e.name != "_LATEST"
+        e
+        for e in (tmp_path / "xstore").iterdir()
+        if e.name not in ("_LATEST", "_manifests")
     )
     assert len(entries) == 1 and entries[0].name.startswith("v")
+    # and only the live version's manifest is retained
+    manifests = sorted(
+        e.name for e in (tmp_path / "xstore" / "_manifests").iterdir()
+    )
+    assert manifests == [f"{entries[0].name}.manifest"]
 
 
 def test_runtime_bloom_filter_prunes_probe_side(spark):
@@ -389,3 +396,46 @@ def test_store_delete_typed_from_live_schema(spark, tmp_path):
     ts = spark.read.parquet(str(tmp_path / "typed_store" / "_tombstones"))
     assert dict(ts.dtypes)["id"] == "string"
     assert {r["id"] for r in store.read().collect()} == {"1"}
+
+
+def test_store_time_travel_snapshots(spark, tmp_path):
+    """compact(retain=N) keeps N snapshot versions; read(version=n) is
+    the frozen as-of-compaction view (later deletes don't apply);
+    retention is per-call, so retain=1 prunes history; pruned/unknown
+    versions raise a descriptive error."""
+    import pytest
+
+    store = EmbeddingStore(spark, str(tmp_path / "tstore"))
+    emb = HashingEmbedder(dim=16)
+    src = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "id long, content string"
+    )
+    embed_and_store(spark, src, store, emb)
+    with pytest.raises(ValueError, match="not retained"):
+        store.read(version=0)  # flat layout: no snapshots yet
+    store.compact(target_partitions=1, retain=2)
+    assert store.versions() == [0]
+
+    # delete + append, then compact again retaining both snapshots
+    store.delete([0, 1, 2])
+    late = spark.createDataFrame(
+        [(100 + i, f"late {i}") for i in range(3)], "id long, content string"
+    )
+    embed_and_store(spark, late, store, emb)
+    store.compact(target_partitions=1, retain=2)
+    assert store.versions() == [0, 1]
+
+    # v0 is frozen: pre-delete, pre-append; v1 and live agree
+    v0 = sorted(r.id for r in store.read(version=0).select("id").collect())
+    assert v0 == list(range(20))
+    v1 = sorted(r.id for r in store.read(version=1).select("id").collect())
+    live = sorted(r.id for r in store.read().select("id").collect())
+    assert v1 == live == list(range(3, 20)) + [100, 101, 102]
+
+    # retention is per-call: retain=1 prunes v0 and v1
+    store.compact(target_partitions=1, retain=1)
+    assert store.versions() == [2]
+    with pytest.raises(ValueError, match="not retained"):
+        store.read(version=0)
+    with pytest.raises(ValueError, match="retain must be >= 1"):
+        store.compact(retain=0)
