@@ -144,6 +144,10 @@ _NEVER_SAMPLED_FIRST = (
     "skyline_pareto_parts",
     "ewma_control_chart",
     "fellegi_sunter_linkage",
+    "changepoint_detection",
+    "seasonal_decomposition",
+    "kmv_distinct_sketch",
+    "t_closeness_audit",
 )
 
 

@@ -3062,3 +3062,480 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Single change-point detection (CUSUM-argmax / binary-segmentation step)
+# ---------------------------------------------------------------------------
+
+_CPT_ORACLE = """
+WITH daily AS (
+    SELECT o_orderdate AS d, avg(o_totalprice) AS x
+    FROM orders GROUP BY o_orderdate
+),
+tot AS (
+    SELECT count(*)::BIGINT AS n, sum(x) AS sn, stddev_samp(x) AS sd
+    FROM daily
+),
+pref AS (
+    SELECT d, x,
+           row_number() OVER (ORDER BY d) AS t,
+           sum(x) OVER (ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS st
+    FROM daily
+),
+stat AS (
+    SELECT p.d, p.t, p.st, o.n, o.sn, o.sd,
+           round(abs(p.st - (p.t::DOUBLE / o.n) * o.sn)
+                 / (o.sd * sqrt(o.n)), 6) AS cusum_stat
+    FROM pref p CROSS JOIN tot o
+    WHERE p.t < o.n
+)
+SELECT CAST(d AS VARCHAR) AS split_day,
+       t AS n_before,
+       (n - t)::BIGINT AS n_after,
+       round(st / t, 2) AS mean_before,
+       round((sn - st) / (n - t), 2) AS mean_after,
+       round((sn - st) / (n - t) - st / t, 2) AS shift,
+       cusum_stat
+FROM stat
+ORDER BY cusum_stat DESC, d ASC
+LIMIT 1
+"""
+
+
+@register(
+    "changepoint_detection",
+    oracle=_CPT_ORACLE,
+    tags=("stats", "timeseries", "changepoint", "monitoring"),
+    bench=True,
+)
+def changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection on the daily mean order value —
+    the CUSUM-argmax statistic max_t |S_t - (t/n)S_n| / (sigma*sqrt(n))
+    (the one binary-segmentation step ruptures/ED-PELT iterate): the
+    split day that best explains the series as two constant levels,
+    with before/after means and the normalized statistic. Completes
+    the monitoring family: z-score flags spiky DAYS, CUSUM/EWMA flag
+    the onset of a shift ONLINE, this finds the single best RETRO-
+    SPECTIVE break for root-cause dating. The statistic is rounded to
+    6dp BEFORE the argmax so the winning day is ulp-stable across
+    engines; ties break to the earliest day.
+
+    Plan shape: corpus-scale work is exactly one groupBy(day) moment
+    pass; everything after runs at DAY grain (calendar-bounded, ~2.4k
+    rows/decade). The cumulative sums still go through the two-pass
+    range-partition helper (operators/ranking.py) rather than a
+    global window — zero single-partition stages even at the day
+    grain, and the cumsum-of-ones trick makes one helper call serve
+    as both the prefix sum and the row number. The two-pass grouping
+    perturbs the double prefix sum by ~1e-5 absolute at worst
+    (~2e-11 in the normalized statistic) — absorbed by the 6dp
+    pre-argmax rounding."""
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_prefix_agg,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.avg("o_totalprice").alias("x")
+    )
+    tot = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sn"),
+            F.stddev_samp("x").alias("sd"),
+        )
+    )
+    pref = distributed_prefix_agg(
+        daily.withColumn("one", F.lit(1).cast("long")),
+        [F.col("d").asc()],
+        sums=[("x", "st"), ("one", "t")],
+    ).select("d", "t", "st")
+    stat = (
+        pref.crossJoin(tot)
+        .where(F.col("t") < F.col("n"))
+        .withColumn(
+            "cusum_stat",
+            F.round(
+                F.abs(
+                    F.col("st")
+                    - (F.col("t").cast("double") / F.col("n")) * F.col("sn")
+                )
+                / (F.col("sd") * F.sqrt(F.col("n"))),
+                6,
+            ),
+        )
+    )
+    return (
+        stat.orderBy(F.col("cusum_stat").desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.col("d").cast("string").alias("split_day"),
+            F.col("t").alias("n_before"),
+            (F.col("n") - F.col("t")).cast("long").alias("n_after"),
+            F.round(F.col("st") / F.col("t"), 2).alias("mean_before"),
+            F.round(
+                (F.col("sn") - F.col("st")) / (F.col("n") - F.col("t")), 2
+            ).alias("mean_after"),
+            F.round(
+                (F.col("sn") - F.col("st")) / (F.col("n") - F.col("t"))
+                - F.col("st") / F.col("t"),
+                2,
+            ).alias("shift"),
+            "cusum_stat",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moving-average seasonal decomposition (trend / day-of-week / residual)
+# ---------------------------------------------------------------------------
+
+_SEAS_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x
+    FROM orders GROUP BY 1
+),
+tr AS (
+    SELECT d, x,
+           avg(x) OVER w AS trend,
+           count(*) OVER w AS wn
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+    SELECT datediff('day', DATE '1970-01-01', d) % 7 AS dow,
+           x - trend AS det
+    FROM tr WHERE wn = 7
+),
+det2 AS (
+    SELECT dow, det, avg(det) OVER (PARTITION BY dow) AS m FROM det
+)
+SELECT dow::BIGINT AS dow,
+       count(*)::BIGINT AS n_days,
+       round(avg(det), 2) AS seasonal_idx,
+       round(stddev_samp(det - m), 2) AS resid_sd
+FROM det2
+GROUP BY dow
+ORDER BY dow
+"""
+
+
+@register(
+    "seasonal_decomposition",
+    oracle=_SEAS_ORACLE,
+    tags=("stats", "timeseries", "seasonality"),
+)
+def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical moving-average decomposition of daily revenue into
+    trend + day-of-week seasonal + residual (the additive
+    decompose()/STL-lite every forecasting pipeline runs before
+    modeling): trend = centered 7-day moving average (full windows
+    only), seasonal index = mean detrended value per day-of-week,
+    residual spread = per-DOW stddev of (detrended - seasonal). DOW is
+    computed as epoch-days mod 7 (0 = Thursday) — identical integer
+    arithmetic in both engines, no locale/DOW-origin dependence.
+
+    Plan shape: one corpus moment pass to day grain; the centered MA
+    is a 7-row window over calendar-bounded daily rows; the seasonal
+    table is 7 rows. The residual stddev reuses the per-DOW mean via a
+    window rather than a self-join."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "x",
+        F.avg("x").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    det = tr.where(F.col("wn") == 7).select(
+        (F.datediff(F.col("d"), F.lit("1970-01-01")) % 7).alias("dow"),
+        (F.col("x") - F.col("trend")).alias("det"),
+    )
+    wd = Window.partitionBy("dow")
+    return (
+        det.withColumn("m", F.avg("det").over(wd))
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("det"), 2).alias("seasonal_idx"),
+            F.round(F.stddev_samp(F.col("det") - F.col("m")), 2).alias(
+                "resid_sd"
+            ),
+        )
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            "n_days",
+            "seasonal_idx",
+            "resid_sd",
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (K-minimum-values) distinct-count sketch, per source, exactness-audited
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = 1152921504606846976.0  # 2^60: 15 hex chars of md5
+# 3/sqrt(K): ~3 standard errors of the KMV estimator (RSE ~= 1/sqrt(K-2))
+_KMV_BOUND = 0.375
+
+_KMV_ORACLE = f"""
+WITH toks AS (
+    SELECT DISTINCT source, tok FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    )
+),
+h AS (
+    SELECT source, tok,
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+    FROM toks
+),
+r AS (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h, tok) AS rk
+    FROM h
+),
+agg AS (
+    SELECT source,
+           count(*)::BIGINT AS exact_distinct,
+           max(CASE WHEN rk = {_KMV_K} THEN h END) AS kth
+    FROM r GROUP BY source
+),
+est AS (
+    SELECT source, exact_distinct,
+           CASE WHEN exact_distinct >= {_KMV_K}
+                THEN ({_KMV_K} - 1) * {_KMV_SPACE} / kth
+                ELSE exact_distinct::DOUBLE END AS raw_est
+    FROM agg
+)
+SELECT source, exact_distinct,
+       round(raw_est, 2) AS kmv_estimate,
+       round(abs(raw_est - exact_distinct) / exact_distinct, 4) AS rel_error,
+       (abs(raw_est - exact_distinct) / exact_distinct <= {_KMV_BOUND})
+           AS within_bound
+FROM est
+ORDER BY source
+"""
+
+
+@register(
+    "kmv_distinct_sketch",
+    oracle=_KMV_ORACLE,
+    tags=("sketch", "distinct", "approx", "text"),
+    bench=True,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / K-minimum-values distinct-count sketch (Bar-Yossef et al.
+    2002; the theta-sketch core): per source, keep the K={_KMV_K}
+    smallest 60-bit hashes of the distinct tokens; the k-th minimum
+    estimates the distinct count as (K-1)·2^60/h_k. The third mergeable
+    sketch beside CMS (frequency) and HLL (the other distinct family):
+    KMV's min-k sets union by "merge and re-truncate" AND support
+    intersection/Jaccard estimates HLL can't — which is why theta
+    sketches are the warehouse standard for set-expression rollups.
+    Hash = leading 15 hex chars of md5 (the repo's portable-hash
+    convention), so the estimate is hash-checked against DuckDB, and
+    the exact distinct count rides along with the standard-error audit
+    (|est-exact|/exact ≤ 3/sqrt(K) = {_KMV_BOUND}) — approximation
+    with the bound checked in-query, not trusted.
+
+    Plan shape: one distinct over (source, token) — map-side
+    combinable — then a per-source window that only RANKS (min-k is
+    order-local per group; at stream/partition scale the same sketch
+    is maintained as a bounded per-partition top-k then merged, the
+    property the docstring's union claim rests on). Sources with fewer
+    than K distinct tokens fall back to the exact count (the standard
+    small-set rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .distinct()
+    )
+    h = toks.select(
+        "source",
+        "tok",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy("h", "tok")
+    )
+    agg = (
+        h.withColumn("rk", rk)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("exact_distinct"),
+            F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("kth"),
+        )
+    )
+    raw = F.when(
+        F.col("exact_distinct") >= _KMV_K,
+        (_KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("kth"),
+    ).otherwise(F.col("exact_distinct").cast("double"))
+    rel = F.abs(raw - F.col("exact_distinct")) / F.col("exact_distinct")
+    return (
+        agg.select(
+            "source",
+            "exact_distinct",
+            F.round(raw, 2).alias("kmv_estimate"),
+            F.round(rel, 4).alias("rel_error"),
+            (rel <= _KMV_BOUND).alias("within_bound"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit: ordered-EMD of sensitive distribution per QI group
+# ---------------------------------------------------------------------------
+
+_TCLOSE_T = 0.2
+
+_TCLOSE_ORACLE = f"""
+WITH joined AS (
+    SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS sens
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+),
+cells AS (
+    SELECT c_nationkey, c_mktsegment, sens, count(*)::DOUBLE AS cnt
+    FROM joined GROUP BY 1, 2, 3
+),
+classes AS (
+    SELECT c_nationkey, c_mktsegment, sum(cnt) AS n
+    FROM cells GROUP BY 1, 2
+),
+cats AS (
+    SELECT sens, sum(cnt) AS g FROM cells GROUP BY sens
+),
+gt AS (
+    SELECT sum(cnt) AS gn, count(DISTINCT sens) AS m FROM cells
+),
+dense AS (
+    SELECT cl.c_nationkey, cl.c_mktsegment, cl.n, ca.sens, gt.m,
+           coalesce(ce.cnt, 0) / cl.n AS p,
+           ca.g / gt.gn AS q
+    FROM classes cl CROSS JOIN cats ca CROSS JOIN gt
+    LEFT JOIN cells ce
+      ON ce.c_nationkey = cl.c_nationkey
+     AND ce.c_mktsegment = cl.c_mktsegment
+     AND ce.sens = ca.sens
+),
+cum AS (
+    SELECT c_nationkey, c_mktsegment, n, m,
+           sum(p - q) OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY sens
+                            ROWS UNBOUNDED PRECEDING) AS cd
+    FROM dense
+),
+tval AS (
+    SELECT c_nationkey, c_mktsegment, max(n) AS n,
+           sum(abs(cd)) / (max(m) - 1) AS t
+    FROM cum GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_groups,
+       round(max(t), 6) AS max_t,
+       sum(CASE WHEN t > {_TCLOSE_T} THEN 1 ELSE 0 END)::BIGINT
+           AS n_violating_groups,
+       round(sum(CASE WHEN t > {_TCLOSE_T} THEN n ELSE 0 END)
+             / sum(n), 6) AS exposed_fraction
+FROM tval
+"""
+
+
+@register(
+    "t_closeness_audit",
+    oracle=_TCLOSE_ORACLE,
+    tags=("privacy", "audit", "agg"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit (Li, Li & Venkatasubramanian 2007) —
+    the third rung of the privacy-audit ladder: k-anonymity bounds
+    group SIZE, l-diversity bounds sensitive-value VARIETY, and
+    t-closeness bounds the DISTANCE between each QI group's sensitive
+    distribution and the global one (a group can be large and diverse
+    yet still skewed enough to leak). Distance = Earth Mover's
+    Distance over the ORDERED sensitive attribute (order priority,
+    ordinal by construction): EMD = sum_i |CDF_class(i) - CDF_global(i)|
+    / (m-1), the standard ordered-categorical form. Reports the worst
+    group's t, groups over t={_TCLOSE_T}, and the exposed row
+    fraction.
+
+    Plan shape: same economics as the sibling audits — one broadcast
+    fact-dim join, one (QI, sens)-cell aggregation, then everything
+    runs on the cell table (classes x m dense grid, m=5 priorities);
+    the per-class CDF is a 5-row window. The corpus shuffles once."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("o_orderpriority").alias("sens"),
+    )
+    cells = joined.groupBy("c_nationkey", "c_mktsegment", "sens").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    classes = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").alias("n")
+    )
+    cats = cells.groupBy("sens").agg(F.sum("cnt").alias("g"))
+    gt = cells.agg(
+        F.sum("cnt").alias("gn"), F.countDistinct("sens").alias("m")
+    )
+    dense = (
+        classes.crossJoin(F.broadcast(cats))
+        .crossJoin(F.broadcast(gt))
+        .join(cells, ["c_nationkey", "c_mktsegment", "sens"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            "sens",
+            "m",
+            (F.coalesce(F.col("cnt"), F.lit(0.0)) / F.col("n")).alias("p"),
+            (F.col("g") / F.col("gn")).alias("q"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("sens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        "m",
+        F.sum(F.col("p") - F.col("q")).over(w_cum).alias("cd"),
+    )
+    tval = cum.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("n").alias("n"),
+        (F.sum(F.abs(F.col("cd"))) / (F.max("m") - 1)).alias("t"),
+    )
+    return tval.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.round(F.max("t"), 6).alias("max_t"),
+        F.sum(
+            F.when(F.col("t") > _TCLOSE_T, 1).otherwise(0)
+        ).cast("long").alias("n_violating_groups"),
+        F.round(
+            F.sum(F.when(F.col("t") > _TCLOSE_T, F.col("n")).otherwise(0.0))
+            / F.sum("n"),
+            6,
+        ).alias("exposed_fraction"),
+    )

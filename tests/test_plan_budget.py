@@ -33,6 +33,8 @@ SHUFFLE_BUDGET = {
     "psi_value_drift": 3,  # 20-cell contingency agg + 2 tiny re-aggs
     "rfm_customer_segments_approx": 4,  # cust agg + sketch + coding cells
     "winnowing_fingerprint_pairs": 1,  # fp pair-join + pair agg
+    "changepoint_detection": 5,  # daily agg + 1-row stats + two-pass prefix
+    "kmv_distinct_sketch": 3,  # (source,tok) distinct + rank + source agg
     "cohort_retention_matrix": 4,  # one corpus agg + cells/sizes re-aggs
     "curation_pipeline_e2e": 2,  # dedup groupBy + final stats agg only
     "mips_topk_augmented": 1,  # max-norm 1-row agg; search is TakeOrdered
