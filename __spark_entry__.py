@@ -148,6 +148,8 @@ _NEVER_SAMPLED_FIRST = (
     "seasonal_decomposition",
     "kmv_distinct_sketch",
     "t_closeness_audit",
+    "kcore_part_basket",
+    "duplicate_ngram_coverage",
 )
 
 

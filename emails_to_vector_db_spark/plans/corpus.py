@@ -2051,3 +2051,126 @@ def mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("raw_ttr", 6).alias("raw_ttr"),
         F.round("mattr", 6).alias("mattr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate n-gram coverage (Lee et al. 2022's substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+_DNC_N = 8
+_DNC_TOP = 20
+
+_DNC_ORACLE = f"""
+WITH docs AS ({_DOCS_CHAIN_SQL}),
+tk AS (
+    SELECT doc_id, {_TOKENS_SQL} AS T FROM docs
+),
+occ AS (
+    SELECT doc_id, len(T)::BIGINT AS n_tokens, i,
+           md5(array_to_string(T[i:i+{_DNC_N - 1}], ' ')) AS fp
+    FROM tk, LATERAL unnest(generate_series(1, len(T) - {_DNC_N - 1}))
+              AS u(i)
+    WHERE len(T) >= {_DNC_N}
+),
+census AS (
+    SELECT fp FROM occ GROUP BY fp
+    HAVING count(DISTINCT doc_id) >= 2
+),
+pos AS (
+    SELECT DISTINCT o.doc_id, o.n_tokens, p
+    FROM occ o JOIN census c USING (fp),
+         LATERAL unnest(generate_series(o.i, o.i + {_DNC_N - 1})) AS g(p)
+),
+cov AS (
+    SELECT doc_id, max(n_tokens) AS n_tokens, count(*)::BIGINT AS covered
+    FROM pos GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, covered AS covered_tokens,
+       round(covered / n_tokens::DOUBLE, 6) AS coverage
+FROM cov
+ORDER BY coverage DESC, doc_id ASC
+LIMIT {_DNC_TOP}
+"""
+
+
+@register(
+    "duplicate_ngram_coverage",
+    oracle=_DNC_ORACLE,
+    tags=("dedup", "corpus", "quality", "ngram"),
+    bench=True,
+)
+def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate n-gram COVERAGE — the per-document form of Lee et
+    al. 2022's "Deduplicating Training Data Makes Language Models
+    Better" substring signal: the fraction of a document's token
+    positions lying inside at least one 8-gram that also occurs in
+    ANOTHER document. span_exact_dedup counts duplicated
+    NON-OVERLAPPING spans (cheap, C4-style); this is the sliding-
+    window refinement that catches duplication the span grid
+    misaligns — the score substring-dedup pipelines threshold on
+    (e.g. drop docs with >50% duplicated-gram coverage). Top-20
+    most-covered docs over the planted chained-dup corpus (the chains
+    score 1.0 by construction — original and twin share every gram).
+
+    Plan shape: one adjacency-preserving tokenize pass emits (doc,
+    position, gram-hash); the cross-doc census is a groupBy(fp) with
+    an approx-friendly distinct-doc count kept EXACT here (two-level
+    agg, map-side combinable), never a window over fp (hot boilerplate
+    grams would funnel into one task); only DUPLICATED occurrences
+    explode into covered positions (n-fold on the duplicated subset
+    only), then per-doc distinct-position counting. Shuffles carry
+    16-byte hashes and integer positions, never text."""
+    docs = _docs_with_chained_dups(spark, sf_dir)
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("T") - (_DNC_N - 1)),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.md5(F.concat_ws(" ", F.slice("T", i, _DNC_N))).alias("fp"),
+        ),
+    )
+    occ = (
+        docs.select("doc_id", w.alias("T"))
+        .where(F.size("T") >= _DNC_N)
+        .select(
+            "doc_id",
+            F.size("T").cast("long").alias("n_tokens"),
+            F.explode(grams).alias("g"),
+        )
+        .select("doc_id", "n_tokens", "g.i", "g.fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    census = (
+        occ.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("fp")
+    )
+    pos = (
+        occ.join(census, "fp")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (_DNC_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    return (
+        pos.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("covered_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens") / F.col("n_tokens").cast("double"), 6
+            ).alias("coverage"),
+        )
+        .orderBy(F.col("coverage").desc(), F.col("doc_id").asc())
+        .limit(_DNC_TOP)
+    )

@@ -34,6 +34,10 @@ SHUFFLE_BUDGET = {
     "rfm_customer_segments_approx": 4,  # cust agg + sketch + coding cells
     "winnowing_fingerprint_pairs": 1,  # fp pair-join + pair agg
     "changepoint_detection": 5,  # daily agg + 1-row stats + two-pass prefix
+    "duplicate_ngram_coverage": 4,  # gram census + scoring join + 2 re-aggs
+    "kcore_part_basket": 19,  # pair extraction + 8 rounds x node-sized agg
+    # + 9 stat-row aggs: per-round traffic is the |V|-sized degree table,
+    # never the edge list (checkpointed vector, cached edges)
     "kmv_distinct_sketch": 3,  # (source,tok) distinct + rank + source agg
     "cohort_retention_matrix": 4,  # one corpus agg + cells/sizes re-aggs
     "curation_pipeline_e2e": 2,  # dedup groupBy + final stats agg only
