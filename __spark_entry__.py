@@ -150,6 +150,8 @@ _NEVER_SAMPLED_FIRST = (
     "t_closeness_audit",
     "kcore_part_basket",
     "duplicate_ngram_coverage",
+    "classifier_fairness_audit",
+    "tfidf_cosine_topk_pairs",
 )
 
 

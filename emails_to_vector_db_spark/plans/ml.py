@@ -69,11 +69,14 @@ def _spark_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _training_ctes() -> tuple[str, str]:
+def _training_ctes(features_sql: str | None = None) -> tuple[str, str]:
     """(WITH-prefix SQL containing features + the unrolled GD
-    trajectory, name of the final weight CTE) — shared by the training
-    query and the calibration query so both replay the identical
-    trajectory."""
+    trajectory, name of the final weight CTE) — shared by the training,
+    calibration, and fairness queries so all replay the identical
+    trajectory. ``features_sql`` may carry extra passthrough columns
+    (e.g. the protected attribute); the trajectory reads only y/x*."""
+    if features_sql is None:
+        features_sql = _sql_features()
     xs = [f"x{j}" for j in range(_N_FEATURES)]
     prev = "w0_cte"
     iters = []
@@ -94,7 +97,7 @@ def _training_ctes() -> tuple[str, str]:
         prev = f"w{i}"
     iter_sql = ",\n".join(iters)
     prefix = f"""
-WITH features AS ({_sql_features()}),
+WITH features AS ({features_sql}),
 w0_cte AS (SELECT {', '.join(f'0.0 AS w{j}' for j in range(_N_FEATURES))}),
 {iter_sql}"""
     return prefix, prev
@@ -1305,4 +1308,146 @@ def leakage_safe_dataset_build(
             ),
             6,
         ).alias("past_future_corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier fairness audit: per-group disparity of the trained filter
+# ---------------------------------------------------------------------------
+
+
+def _sql_features_with_source() -> str:
+    """The logreg feature projection plus the protected-group
+    passthrough (document source — the stand-in for the provenance /
+    domain attribute a curation pipeline must not skew against)."""
+    return """
+    SELECT source,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           1.0 AS x0,
+           n_chars / 1000.0 AS x1,
+           len(string_split(text, ' ')) / 100.0 AS x2,
+           length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+               / length(text)::DOUBLE AS x3,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / length(text)::DOUBLE AS x4
+    FROM documents"""
+
+
+def _fairness_oracle() -> str:
+    prefix, prev = _training_ctes(_sql_features_with_source())
+    margin = " + ".join(f"w.w{j} * f.x{j}" for j in range(_N_FEATURES))
+    return f"""{prefix},
+scored AS (
+    SELECT f.source, f.y,
+           CASE WHEN ({margin}) > 0 THEN 1.0 ELSE 0.0 END AS pred
+    FROM features f CROSS JOIN {prev} w
+),
+grp AS (
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           avg(pred) AS pos_rate,
+           avg(CASE WHEN y = 1.0 THEN pred END) AS tpr,
+           avg(CASE WHEN y = 0.0 THEN pred END) AS fpr,
+           avg(CASE WHEN pred = y THEN 1.0 ELSE 0.0 END) AS acc
+    FROM scored GROUP BY source
+),
+gaps AS (
+    SELECT max(pos_rate) - min(pos_rate) AS dp_gap,
+           max(tpr) - min(tpr) AS eo_gap
+    FROM grp
+)
+SELECT g.source, g.n_docs,
+       round(g.pos_rate, 6) AS positive_rate,
+       round(g.tpr, 6) AS tpr,
+       round(g.fpr, 6) AS fpr,
+       round(g.acc, 6) AS accuracy,
+       round(x.dp_gap, 6) AS dp_gap,
+       round(x.eo_gap, 6) AS eo_gap
+FROM grp g CROSS JOIN gaps x
+ORDER BY g.source
+"""
+
+
+@register(
+    "classifier_fairness_audit",
+    oracle=_fairness_oracle(),
+    tags=("ml", "eval", "fairness", "audit"),
+)
+def classifier_fairness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group fairness audit of the in-engine quality classifier —
+    the bias check a curation pipeline owes its corpus before a learned
+    filter gates documents at scale: replay the EXACT logreg_quality_
+    classifier GD trajectory, then report per-SOURCE (the protected /
+    provenance attribute) selection rate, TPR, FPR and accuracy, plus
+    the two standard disparity summaries — demographic-parity gap
+    (max-min selection rate) and equalized-odds gap (max-min TPR). A
+    filter whose dp_gap is large is silently re-weighting the corpus
+    mix; this makes that drift a hash-checked number (the model-eval
+    sibling of source_curation_health's raw-data view).
+
+    Plan shape: identical economics to logreg_calibration_curve — the
+    cached feature projection trains via three 5-double map-side
+    gradient aggs; scoring broadcasts the 1-row weight vector; the
+    audit is one groupBy(source) over scored rows plus a 1-row gap
+    aggregate broadcast back onto the (|groups|-sized) metric table."""
+    feats = _spark_features_with_source(spark, sf_dir).cache()
+    w = _trained_weights_df(spark, sf_dir, feats)
+    xs = [f"x{j}" for j in range(_N_FEATURES)]
+    margin = sum(
+        (F.col(f"w{j}") * F.col(x) for j, x in enumerate(xs)), F.lit(0.0)
+    )
+    pred = F.when(margin > 0, 1.0).otherwise(0.0)
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        "source", "y", pred.alias("pred")
+    )
+    grp = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("pred").alias("pos_rate"),
+        F.avg(F.when(F.col("y") == 1.0, F.col("pred"))).alias("tpr"),
+        F.avg(F.when(F.col("y") == 0.0, F.col("pred"))).alias("fpr"),
+        F.avg(
+            F.when(F.col("pred") == F.col("y"), 1.0).otherwise(0.0)
+        ).alias("acc"),
+    )
+    gaps = F.broadcast(
+        grp.agg(
+            (F.max("pos_rate") - F.min("pos_rate")).alias("dp_gap"),
+            (F.max("tpr") - F.min("tpr")).alias("eo_gap"),
+        )
+    )
+    return (
+        grp.crossJoin(gaps)
+        .select(
+            "source",
+            "n_docs",
+            F.round("pos_rate", 6).alias("positive_rate"),
+            F.round("tpr", 6).alias("tpr"),
+            F.round("fpr", 6).alias("fpr"),
+            F.round("acc", 6).alias("accuracy"),
+            F.round("dp_gap", 6).alias("dp_gap"),
+            F.round("eo_gap", 6).alias("eo_gap"),
+        )
+        .orderBy("source")
+    )
+
+
+def _spark_features_with_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text_len = F.length("text").cast("double")
+    return docs.select(
+        "source",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (F.size(F.split("text", " ", -1)) / 100.0).alias("x2"),
+        (
+            F.length(F.regexp_replace("text", r"[^.,!?;:]", "")) / text_len
+        ).alias("x3"),
+        (F.length(F.regexp_replace("text", r"[^0-9]", "")) / text_len).alias(
+            "x4"
+        ),
     )

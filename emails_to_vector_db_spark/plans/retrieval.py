@@ -1322,3 +1322,146 @@ def typo_tolerant_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine similarity join (sparse lexical vectors, df-pruned)
+# ---------------------------------------------------------------------------
+
+_TC_DF_FRAC = 0.05  # prune terms appearing in > 5% of docs
+_TC_TOP = 20
+
+_TC_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, count(*)::DOUBLE AS tf
+    FROM toks GROUP BY doc_id, tok
+),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+df AS (
+    SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+),
+w AS (
+    SELECT t.doc_id, t.tok, t.tf * ln(nd.n / d.df) AS w
+    FROM tf t
+    JOIN df d ON d.tok = t.tok
+    CROSS JOIN nd
+    WHERE d.df <= floor({_TC_DF_FRAC} * nd.n) AND d.df >= 2
+),
+nrm AS (
+    SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*)::BIGINT AS n_shared_terms,
+           sum(a.w * b.w) AS dot
+    FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b, d.n_shared_terms,
+       round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN nrm na ON na.doc_id = d.doc_a
+JOIN nrm nb ON nb.doc_id = d.doc_b
+ORDER BY cosine DESC, doc_a ASC, doc_b ASC
+LIMIT {_TC_TOP}
+"""
+
+
+@register(
+    "tfidf_cosine_topk_pairs",
+    oracle=_TC_ORACLE,
+    tags=("retrieval", "similarity", "tfidf", "join"),
+    bench=True,
+)
+def tfidf_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join — the LEXICAL vector lane
+    beside the dense-embedding KNN family and the set-based
+    Jaccard/containment joins: each document becomes an idf-weighted
+    sparse vector over its DF-PRUNED vocabulary (terms in >5% of docs
+    or in a single doc are dropped — so norms and dots are defined
+    over the SAME pruned representation, the stopword-pruned form IR
+    systems actually index), and the top-20 most-similar pairs come
+    out of the postings self-join. This is the inverted-index
+    similarity join (the DIMSUM/all-pairs-similarity shape): pairs
+    materialize ONLY through shared informative terms.
+
+    Plan shape: one (doc, term) tf aggregation (map-side combinable,
+    the only corpus shuffle); df and N are term-table re-aggs; the df
+    cap is the candidate-pair bound — a term with df <= 0.05N emits
+    <= (0.05N)² local pairs and hot stop terms emit NONE, which is
+    what keeps the join sub-quadratic at corpus scale (raise the cut
+    and the pair space, not the algorithm, is what grows). Dot
+    products group by the pair key; norms broadcast back onto the
+    20-row result."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    nd = F.broadcast(
+        tf.agg(F.count_distinct("doc_id").cast("double").alias("n"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    w = (
+        tf.join(df, "tok")
+        .crossJoin(nd)
+        .where(
+            (F.col("df") <= F.floor(_TC_DF_FRAC * F.col("n")))
+            & (F.col("df") >= 2)
+        )
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_terms"),
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+        )
+    )
+    na = nrm.select(
+        F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a")
+    )
+    nb = nrm.select(
+        F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            F.round(
+                F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(_TC_TOP)
+    )

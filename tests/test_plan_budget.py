@@ -35,6 +35,7 @@ SHUFFLE_BUDGET = {
     "winnowing_fingerprint_pairs": 1,  # fp pair-join + pair agg
     "changepoint_detection": 5,  # daily agg + 1-row stats + two-pass prefix
     "duplicate_ngram_coverage": 4,  # gram census + scoring join + 2 re-aggs
+    "tfidf_cosine_topk_pairs": 7,  # tf agg + df/norm re-aggs + pair join
     "kcore_part_basket": 19,  # pair extraction + 8 rounds x node-sized agg
     # + 9 stat-row aggs: per-round traffic is the |V|-sized degree table,
     # never the edge list (checkpointed vector, cached edges)
