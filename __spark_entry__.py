@@ -152,6 +152,9 @@ _NEVER_SAMPLED_FIRST = (
     "duplicate_ngram_coverage",
     "classifier_fairness_audit",
     "tfidf_cosine_topk_pairs",
+    "streaming_kmv_merge",
+    "collocation_llr_top_pairs",
+    "average_precision_eval",
 )
 
 

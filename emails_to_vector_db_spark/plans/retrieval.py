@@ -1465,3 +1465,132 @@ def tfidf_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
         .limit(_TC_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Average precision @ k (the PR-curve summary beside ROC-AUC and nDCG)
+# ---------------------------------------------------------------------------
+
+_AP_K = 20
+
+_AP_ORACLE = f"""
+WITH q AS (
+    SELECT e.embedding::DOUBLE[] AS qv, d.source AS qsrc
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE e.vec_id = {_PROBE_ID}
+),
+scored AS (
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS sim,
+           CASE WHEN d.source = q.qsrc THEN 1 ELSE 0 END AS rel
+    FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id
+    CROSS JOIN q
+    WHERE e.vec_id <> {_PROBE_ID}
+),
+r AS (SELECT sum(rel)::BIGINT AS n_rel_total FROM scored),
+topk AS (
+    SELECT rel, row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS pos
+    FROM scored
+    ORDER BY sim DESC, vec_id ASC
+    LIMIT {_AP_K}
+),
+cum AS (
+    SELECT rel, pos,
+           sum(rel) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cr
+    FROM topk
+)
+SELECT {_PROBE_ID}::BIGINT AS query_id,
+       r.n_rel_total,
+       sum(c.rel)::BIGINT AS n_rel_at_k,
+       round(sum(CASE WHEN c.rel = 1 THEN c.cr / c.pos ELSE 0 END)
+             / least(r.n_rel_total, {_AP_K}), 6) AS ap_at_k
+FROM cum c CROSS JOIN r
+GROUP BY r.n_rel_total
+"""
+
+
+@register(
+    "average_precision_eval",
+    oracle=_AP_ORACLE,
+    tags=("retrieval", "eval", "ml"),
+)
+def average_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @ 20 for the embedding-cosine ranking with
+    same-source relevance — the precision-recall-curve summary that
+    completes the eval suite (ROC-AUC ranks globally, nDCG grades,
+    MRR finds the first hit, calibration checks probabilities; AP is
+    the metric that punishes relevant docs buried mid-list): AP@K =
+    Σ_{{k relevant}} P@k / min(R, K).
+
+    Plan shape: the scale form, not the textbook one — the ranking is
+    cut to the top-K FIRST (TakeOrderedAndProject, no global window
+    ever materializes the full ranking), the cumulative-precision
+    window then runs over K=20 rows (bounded by construction), and the
+    recall denominator R comes from a 1-row aggregate on the same
+    scored scan, broadcast back. Same probe/relevance conventions as
+    mrr_recall_retrieval_eval."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    base = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "vec_id", "embedding", "source"
+    )
+    q = F.broadcast(
+        base.where(F.col("vec_id") == _PROBE_ID).select(
+            F.col("embedding").alias("qv"), F.col("source").alias("qsrc")
+        )
+    )
+    scored = (
+        base.where(F.col("vec_id") != _PROBE_ID)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            cosine_similarity("embedding", "qv").alias("sim"),
+            F.when(F.col("source") == F.col("qsrc"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    from pyspark import StorageLevel
+
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    r = F.broadcast(scored.agg(F.sum("rel").alias("n_rel_total")))
+    topk = (
+        scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(_AP_K)
+        .select("rel", "sim", "vec_id")
+    )
+    w_pos = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    cum = topk.select(
+        "rel",
+        F.row_number().over(w_pos).alias("pos"),
+        F.sum("rel")
+        .over(w_pos.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cr"),
+    )
+    return (
+        cum.crossJoin(r)
+        .groupBy("n_rel_total")
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel_at_k"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("rel") == 1,
+                        F.col("cr") / F.col("pos"),
+                    ).otherwise(0.0)
+                )
+                / F.least(F.col("n_rel_total"), F.lit(_AP_K)),
+                6,
+            ).alias("ap_at_k"),
+        )
+        .select(
+            F.lit(_PROBE_ID).cast("long").alias("query_id"),
+            F.col("n_rel_total").cast("long").alias("n_rel_total"),
+            "n_rel_at_k",
+            "ap_at_k",
+        )
+    )

@@ -3539,3 +3539,258 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exposed_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV merge: distinct-count sketch state rolled up across batches
+# ---------------------------------------------------------------------------
+
+
+def _kmv_stream_oracle() -> str:
+    """The whole-corpus global KMV state over the SAME planted corpus
+    the stream lands — the merged min-K set must equal it exactly
+    (min-k of a union is the min-k of the per-batch min-k's), so the
+    temporal merge is integer-hash-checked like streaming_cms_merge."""
+    from emails_to_vector_db_spark.plans.dedup import _DOCS_EXACT_SQL
+
+    return f"""
+WITH docs AS ({_DOCS_EXACT_SQL}),
+toks AS (
+    SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM docs
+),
+h AS (
+    SELECT DISTINCT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+topk AS (
+    SELECT h FROM h ORDER BY h ASC LIMIT {_KMV_K}
+)
+SELECT count(*)::BIGINT AS n_state,
+       max(h) AS kth_hash,
+       round(CASE WHEN count(*) >= {_KMV_K}
+                  THEN ({_KMV_K} - 1) * {_KMV_SPACE} / max(h)
+                  ELSE count(*)::DOUBLE END, 2) AS kmv_estimate
+FROM topk
+"""
+
+
+@register(
+    "streaming_kmv_merge",
+    oracle=_kmv_stream_oracle(),
+    tags=("streaming", "sketch", "distinct", "kmv"),
+)
+def streaming_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY under streaming for the KMV distinct
+    counter — the property that makes theta sketches the warehouse
+    rollup standard: each micro-batch (the same deterministic 3-file
+    landing as streaming_cms_merge) keeps only its K smallest distinct
+    token hashes; the union of per-batch states, re-deduplicated and
+    re-truncated to K, must equal the whole-corpus min-K set EXACTLY
+    (any globally-smallest hash is also batch-smallest in the batch
+    that saw it), and the DuckDB oracle rebuilds that corpus state from
+    scratch. At 100 TB this is per-hour / per-partition distinct-count
+    state rolling up without re-reading history: merged state is ≤ K
+    rows no matter the corpus, and unions stay ≤ K by construction."""
+    import os
+    import shutil
+
+    from emails_to_vector_db_spark.plans.corpus import _stream_dedup_landing
+
+    landing = _stream_dedup_landing(sf_dir)
+    work = landing.rstrip("/") + "__kmv_run"
+    shutil.rmtree(work, ignore_errors=True)  # deterministic re-runs
+    state_dir = os.path.join(work, "state")
+
+    def apply(batch: DataFrame, _batch_id: int) -> None:
+        batch_state = (
+            batch.select(
+                F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                    "tok"
+                )
+            )
+            .select(
+                F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+                .cast("long")
+                .alias("h")
+            )
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_K)
+        )
+        batch_state.write.mode("append").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    merged = (
+        spark.read.parquet(state_dir)
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+    )
+    est = F.when(
+        F.count(F.lit(1)) >= _KMV_K,
+        (_KMV_K - 1) * F.lit(_KMV_SPACE) / F.max("h"),
+    ).otherwise(F.count(F.lit(1)).cast("double"))
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_state"),
+        F.max("h").alias("kth_hash"),
+        F.round(est, 2).alias("kmv_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collocation extraction via Dunning's G² log-likelihood ratio
+# ---------------------------------------------------------------------------
+
+_LLR_FLOOR = 5
+_LLR_TOP = 30
+
+_LLR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {{tokens}} AS T FROM documents
+),
+bg AS (
+    SELECT unnest(list_transform(generate_series(1, len(T) - 1),
+                  i -> T[i] || ' ' || T[i+1])) AS b
+    FROM toks WHERE len(T) >= 2
+),
+cells AS (SELECT b, count(*)::DOUBLE AS c12 FROM bg GROUP BY b),
+m1 AS (
+    SELECT string_split(b, ' ')[1] AS w1, sum(c12) AS c1
+    FROM cells GROUP BY 1
+),
+m2 AS (
+    SELECT string_split(b, ' ')[2] AS w2, sum(c12) AS c2
+    FROM cells GROUP BY 1
+),
+nt AS (SELECT sum(c12) AS n FROM cells),
+tab AS (
+    SELECT c.b, c.c12 AS o11,
+           m1.c1 - c.c12 AS o12,
+           m2.c2 - c.c12 AS o21,
+           nt.n - m1.c1 - m2.c2 + c.c12 AS o22,
+           m1.c1, m2.c2, nt.n
+    FROM cells c
+    JOIN m1 ON m1.w1 = string_split(c.b, ' ')[1]
+    JOIN m2 ON m2.w2 = string_split(c.b, ' ')[2]
+    CROSS JOIN nt
+    WHERE c.c12 >= {_LLR_FLOOR}
+),
+g2 AS (
+    SELECT b, o11::BIGINT AS pair_count,
+           2 * (
+             CASE WHEN o11 > 0
+                  THEN o11 * ln(o11 * n / (c1 * c2)) ELSE 0 END
+           + CASE WHEN o12 > 0
+                  THEN o12 * ln(o12 * n / (c1 * (n - c2))) ELSE 0 END
+           + CASE WHEN o21 > 0
+                  THEN o21 * ln(o21 * n / ((n - c1) * c2)) ELSE 0 END
+           + CASE WHEN o22 > 0
+                  THEN o22 * ln(o22 * n / ((n - c1) * (n - c2))) ELSE 0 END
+           ) AS llr
+    FROM tab
+)
+SELECT b AS bigram, pair_count, round(llr, 4) AS llr
+FROM g2
+ORDER BY round(llr, 4) DESC, bigram ASC
+LIMIT {_LLR_TOP}
+""".replace("{tokens}", "regexp_split_to_array(trim(text), '\\s+')")
+
+
+@register(
+    "collocation_llr_top_pairs",
+    oracle=_LLR_ORACLE,
+    tags=("text", "collocation", "stats"),
+)
+def collocation_llr_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by Dunning's G² log-likelihood ratio
+    (Dunning 1993) — the statistic that fixed PMI's rare-pair bias
+    (PMI ranks a hapax pair occurring once-together at the top; G²
+    weights the full 2×2 contingency table, so high-count genuine
+    collocations win): G² = 2·Σ O·ln(O/E) over (first-word × second-
+    word) presence/absence at adjacent-bigram grain. The top-30
+    list beside token_pmi_top_pairs is the phrase-mining /
+    tokenizer-seeding lane (multiword expressions worth fusing before
+    BPE sees them).
+
+    Plan shape: identical economics to the PMI query — one adjacency
+    tokenize pass, one bigram-cell groupBy (map-side combinable), the
+    margins re-agg the CELL table (vocabulary-sized, not corpus-
+    sized), N is a broadcast 1-row aggregate, G² is map-side
+    arithmetic on cells, TakeOrderedAndProject emits 30 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    T = F.split(F.trim(F.col("text")), r"\s+")
+    bg = (
+        d.select(T.alias("T"))
+        .where(F.size("T") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("T") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("T", i), F.element_at("T", i + 1)
+                    ),
+                )
+            ).alias("b")
+        )
+    )
+    cells = bg.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    from pyspark import StorageLevel
+
+    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    parts = F.split(F.col("b"), " ")
+    m1 = (
+        cells.select(parts[0].alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    m2 = (
+        cells.select(parts[1].alias("w2"), "c12")
+        .groupBy("w2")
+        .agg(F.sum("c12").alias("c2"))
+    )
+    nt = F.broadcast(cells.agg(F.sum("c12").alias("n")))
+    tab = (
+        cells.where(F.col("c12") >= _LLR_FLOOR)
+        .withColumn("w1", parts[0])
+        .withColumn("w2", parts[1])
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(nt)
+    )
+    o11 = F.col("c12")
+    o12 = F.col("c1") - F.col("c12")
+    o21 = F.col("c2") - F.col("c12")
+    o22 = F.col("n") - F.col("c1") - F.col("c2") + F.col("c12")
+
+    def term(o: F.Column, e_num: F.Column) -> F.Column:
+        return F.when(o > 0, o * F.log(o * F.col("n") / e_num)).otherwise(
+            0.0
+        )
+
+    llr = 2 * (
+        term(o11, F.col("c1") * F.col("c2"))
+        + term(o12, F.col("c1") * (F.col("n") - F.col("c2")))
+        + term(o21, (F.col("n") - F.col("c1")) * F.col("c2"))
+        + term(o22, (F.col("n") - F.col("c1")) * (F.col("n") - F.col("c2")))
+    )
+    return (
+        tab.select(
+            F.col("b").alias("bigram"),
+            o11.cast("long").alias("pair_count"),
+            F.round(llr, 4).alias("llr"),
+        )
+        .orderBy(F.col("llr").desc(), F.col("bigram").asc())
+        .limit(_LLR_TOP)
+    )
