@@ -155,6 +155,8 @@ _NEVER_SAMPLED_FIRST = (
     "streaming_kmv_merge",
     "collocation_llr_top_pairs",
     "average_precision_eval",
+    "cuped_variance_reduction",
+    "propensity_stratified_att",
 )
 
 
