@@ -157,6 +157,10 @@ _NEVER_SAMPLED_FIRST = (
     "average_precision_eval",
     "cuped_variance_reduction",
     "propensity_stratified_att",
+    "mann_whitney_u_test",
+    "spearman_rank_correlation",
+    "jarque_bera_normality",
+    "hill_tail_index",
 )
 
 

@@ -3794,3 +3794,364 @@ def collocation_llr_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("llr").desc(), F.col("bigram").asc())
         .limit(_LLR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (tie-corrected, value-census form)
+# ---------------------------------------------------------------------------
+
+_MW_ORACLE = """
+WITH x AS (
+    SELECT o_orderkey % 2 AS arm, o_totalprice AS v FROM orders
+),
+census AS (
+    SELECT v,
+           count(*)::DOUBLE AS t,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1v
+    FROM x GROUP BY v
+),
+ranked AS (
+    SELECT v, t, n1v,
+           coalesce(sum(t) OVER (ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS below
+    FROM census
+),
+agg AS (
+    SELECT sum(n1v) AS n1,
+           sum(t - n1v) AS n2,
+           sum(n1v * (below + (t + 1) / 2)) AS r1,
+           sum(t * t * t - t) AS ties
+    FROM ranked
+)
+SELECT n1::BIGINT AS n_treat,
+       n2::BIGINT AS n_ctrl,
+       round(r1 - n1 * (n1 + 1) / 2, 2) AS u_stat,
+       round(((r1 - n1 * (n1 + 1) / 2) - n1 * n2 / 2)
+             / sqrt(n1 * n2 / 12.0
+                    * ((n1 + n2 + 1)
+                       - ties / ((n1 + n2) * (n1 + n2 - 1)))), 6)
+           AS z_stat
+FROM agg
+"""
+
+
+@register(
+    "mann_whitney_u_test",
+    oracle=_MW_ORACLE,
+    tags=("stats", "hypothesis-test", "nonparametric"),
+)
+def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test on order value between the two
+    hash arms — the NONPARAMETRIC two-sample test beside Welch's t
+    (which assumes rough normality) and KS (which tests the whole
+    CDF): U from average ranks with the standard tie-corrected normal
+    approximation z = (U - n1n2/2) / sqrt(n1n2/12 ((n+1) - Σ(t³-t)/
+    (n(n-1)))).
+
+    Plan shape: the scale insight is that rank-sum statistics never
+    need row-level ranks — the VALUE-LEVEL census (one map-side-
+    combinable groupBy) carries everything: avg rank of a tie group =
+    (#below + (t+1)/2), so one cumulative pass over the value table
+    (here a window at value grain; the two-pass range-partition helper
+    at 10⁹-distinct-value scale) plus a closed-form fold produces U
+    and z. No global sort of the data ever happens."""
+    x = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).alias("arm"),
+        F.col("o_totalprice").alias("v"),
+    )
+    census = x.groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("n1v"),
+    )
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_prefix_agg,
+    )
+
+    pref = distributed_prefix_agg(
+        census, [F.col("v").asc()], sums=[("t", "cum_t")]
+    )
+    ranked = pref.select(
+        "v", "t", "n1v", (F.col("cum_t") - F.col("t")).alias("below")
+    )
+    agg = ranked.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("t") - F.col("n1v")).alias("n2"),
+        F.sum(
+            F.col("n1v") * (F.col("below") + (F.col("t") + 1) / 2)
+        ).alias("r1"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    n = F.col("n1") + F.col("n2")
+    var = (
+        F.col("n1")
+        * F.col("n2")
+        / 12.0
+        * ((n + 1) - F.col("ties") / (n * (n - 1)))
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n2").cast("long").alias("n_ctrl"),
+        F.round(u, 2).alias("u_stat"),
+        F.round(
+            (u - F.col("n1") * F.col("n2") / 2) / F.sqrt(var), 6
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (average ranks from value censuses)
+# ---------------------------------------------------------------------------
+
+_SPEAR_ORACLE = """
+WITH x AS (
+    SELECT l_quantity AS a, l_extendedprice AS b FROM lineitem
+),
+ca AS (
+    SELECT a, count(*)::DOUBLE AS t FROM x GROUP BY a
+),
+ra AS (
+    SELECT a,
+           coalesce(sum(t) OVER (ORDER BY a
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) + (t + 1) / 2
+               AS rank_a
+    FROM ca
+),
+cb AS (
+    SELECT b, count(*)::DOUBLE AS t FROM x GROUP BY b
+),
+rb AS (
+    SELECT b,
+           coalesce(sum(t) OVER (ORDER BY b
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) + (t + 1) / 2
+               AS rank_b
+    FROM cb
+)
+SELECT count(*)::BIGINT AS n,
+       round(corr(ra.rank_a, rb.rank_b), 6) AS spearman_rho,
+       round(corr(x.a, x.b), 6) AS pearson_r
+FROM x JOIN ra USING (a) JOIN rb USING (b)
+"""
+
+
+@register(
+    "spearman_rank_correlation",
+    oracle=_SPEAR_ORACLE,
+    tags=("stats", "correlation", "nonparametric"),
+)
+def spearman_rank_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between line-item quantity and
+    extended price — the monotone-association measure the correlation
+    matrix's Pearson entries miss (Pearson sees only LINEAR structure;
+    Spearman is Pearson on average ranks, robust to outliers and
+    monotone transforms). Both reported side by side.
+
+    Plan shape: same scale move as the Mann-Whitney lane — average
+    ranks come from the two VALUE-LEVEL censuses (tie group's avg rank
+    = #below + (t+1)/2), never from a row-level global sort; the
+    cumulative pass runs at value grain through the two-pass range-
+    partition helper, ranks join back (value-keyed), and the
+    correlation is one moment aggregate."""
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_prefix_agg,
+    )
+
+    x = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("a"), F.col("l_extendedprice").alias("b")
+    )
+
+    def ranks(col: str) -> DataFrame:
+        census = x.groupBy(col).agg(
+            F.count(F.lit(1)).cast("double").alias("t")
+        )
+        pref = distributed_prefix_agg(
+            census, [F.col(col).asc()], sums=[("t", "cum_t")]
+        )
+        return pref.select(
+            col,
+            (F.col("cum_t") - F.col("t") + (F.col("t") + 1) / 2).alias(
+                f"rank_{col}"
+            ),
+        )
+
+    joined = x.join(ranks("a"), "a").join(ranks("b"), "b")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("rank_a", "rank_b"), 6).alias("spearman_rho"),
+        F.round(F.corr("a", "b"), 6).alias("pearson_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test (raw-moment form, per priority class)
+# ---------------------------------------------------------------------------
+
+_JB_ORACLE = """
+WITH m AS (
+    SELECT o_orderpriority,
+           count(*)::DOUBLE AS n,
+           avg(o_totalprice) AS m1,
+           avg(o_totalprice * o_totalprice) AS m2,
+           avg(o_totalprice * o_totalprice * o_totalprice) AS m3,
+           avg(o_totalprice * o_totalprice * o_totalprice * o_totalprice)
+               AS m4
+    FROM orders GROUP BY o_orderpriority
+),
+c AS (
+    SELECT o_orderpriority, n,
+           m2 - m1 * m1 AS c2,
+           m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1 AS c3,
+           m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+               AS c4
+    FROM m
+)
+SELECT o_orderpriority,
+       n::BIGINT AS n_orders,
+       round(c3 / power(c2, 1.5), 6) AS skewness,
+       round(c4 / (c2 * c2) - 3, 6) AS excess_kurtosis,
+       round(n / 6.0 * (power(c3 / power(c2, 1.5), 2)
+             + power(c4 / (c2 * c2) - 3, 2) / 4), 4) AS jarque_bera
+FROM c
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "jarque_bera_normality",
+    oracle=_JB_ORACLE,
+    tags=("stats", "hypothesis-test", "distribution"),
+)
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per order-priority class: JB =
+    n/6 (S² + K²/4) from population skewness and excess kurtosis —
+    the moment-based normality check (the one that needs NO
+    order statistics, quantiles, or CDF evaluations, unlike
+    Shapiro/Anderson-Darling) that tells you whether the t-test lane
+    or the rank-test lane is trustworthy for a segment.
+
+    Plan shape: deliberately computed from RAW moments E[x^k] (one
+    map-side-combinable pass, four sums per group) with central
+    moments derived by algebra IDENTICAL in both engines — built-in
+    skewness/kurtosis are avoided because Spark and DuckDB disagree on
+    sample-vs-population conventions (the lineitem_stats lesson);
+    the raw-moment form has one convention by construction."""
+    m = load_table(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("o_totalprice").alias("m1"),
+        F.avg(F.col("o_totalprice") ** 2).alias("m2"),
+        F.avg(F.col("o_totalprice") ** 3).alias("m3"),
+        F.avg(F.col("o_totalprice") ** 4).alias("m4"),
+    )
+    c2 = F.col("m2") - F.col("m1") ** 2
+    c3 = (
+        F.col("m3")
+        - 3 * F.col("m1") * F.col("m2")
+        + 2 * F.col("m1") ** 3
+    )
+    c4 = (
+        F.col("m4")
+        - 4 * F.col("m1") * F.col("m3")
+        + 6 * F.col("m1") ** 2 * F.col("m2")
+        - 3 * F.col("m1") ** 4
+    )
+    s = c3 / F.pow(c2, 1.5)
+    k = c4 / (c2 * c2) - 3
+    return (
+        m.select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(s, 6).alias("skewness"),
+            F.round(k, 6).alias("excess_kurtosis"),
+            F.round(
+                F.col("n") / 6.0 * (F.pow(s, 2) + F.pow(k, 2) / 4), 4
+            ).alias("jarque_bera"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (peaks-over-threshold heavy-tail fit)
+# ---------------------------------------------------------------------------
+
+_HILL_K = 200
+
+_HILL_ORACLE = f"""
+WITH topk AS (
+    SELECT o_totalprice AS v,
+           row_number() OVER (ORDER BY o_totalprice DESC,
+                              o_orderkey ASC) AS rk
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT {_HILL_K + 1}
+),
+ref AS (SELECT v AS vref FROM topk WHERE rk = {_HILL_K + 1})
+SELECT {_HILL_K}::BIGINT AS k,
+       round(r.vref, 2) AS threshold,
+       round(avg(ln(t.v / r.vref)), 6) AS hill_h,
+       round(1.0 / avg(ln(t.v / r.vref)), 4) AS tail_index
+FROM topk t CROSS JOIN ref r
+WHERE t.rk <= {_HILL_K}
+GROUP BY r.vref
+"""
+
+
+@register(
+    "hill_tail_index",
+    oracle=_HILL_ORACLE,
+    tags=("stats", "distribution", "tail", "risk"),
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index (Hill 1975, the
+    peaks-over-threshold standard): over the k=200 largest order
+    values, H = mean ln(x_i / x_(k+1)) and the Pareto tail index
+    α = 1/H — the continuous-variable twin of the degree-distribution
+    power-law MLE (cosupply_degree_distribution): α ≈ 1-2 means
+    totals are dominated by a few extreme orders (top-N concentration
+    queries are then the right reporting tool; means are not).
+
+    Plan shape: TakeOrderedAndProject cuts k+1 rows from the scan —
+    the full table is never sorted — and everything after is a
+    closed-form fold over 200 bounded rows (the average_precision_eval
+    discipline)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    topk = (
+        o.orderBy(F.col("v").desc(), F.col("o_orderkey").asc())
+        .limit(_HILL_K + 1)
+        .select(
+            "v",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("v").desc(), F.col("o_orderkey").asc())
+            )
+            .alias("rk"),
+        )
+    )
+    ref = F.broadcast(
+        topk.where(F.col("rk") == _HILL_K + 1).select(
+            F.col("v").alias("vref")
+        )
+    )
+    return (
+        topk.where(F.col("rk") <= _HILL_K)
+        .crossJoin(ref)
+        .groupBy("vref")
+        .agg(F.avg(F.log(F.col("v") / F.col("vref"))).alias("h"))
+        .select(
+            F.lit(_HILL_K).cast("long").alias("k"),
+            F.round("vref", 2).alias("threshold"),
+            F.round("h", 6).alias("hill_h"),
+            F.round(1.0 / F.col("h"), 4).alias("tail_index"),
+        )
+    )
