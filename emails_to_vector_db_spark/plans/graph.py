@@ -1193,10 +1193,13 @@ def kcore_part_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE. Each round ships only the ALIVE NODE VECTOR (broadcast into
     two left-semi probes of the cached edges) and re-aggregates
     degrees map-side — "ship the vector, not the graph", the
-    operators/pagerank.py discipline. Alive sets are localCheckpointed
-    per round: each round references the previous vector twice, so
-    without lineage truncation the logical plan doubles per round (the
-    hits_hubs_authorities re-execution lesson, squared)."""
+    operators/pagerank.py discipline. ONE edge pass per round serves
+    both peeling and the stat row (the degree table's sum/2 IS the
+    surviving-pair count); the node-sized degree table is
+    localCheckpointed per round because each round references the
+    previous vector twice — without lineage truncation the logical
+    plan doubles per round (the hits_hubs_authorities re-execution
+    lesson, squared)."""
     from pyspark import StorageLevel
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1215,27 +1218,73 @@ def kcore_part_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    def _stats(rnd: int, alive: DataFrame) -> DataFrame:
-        surv = edges.join(
-            F.broadcast(alive.withColumnRenamed("node", "src")),
-            "src",
-            "left_semi",
-        ).join(
-            F.broadcast(alive.withColumnRenamed("node", "dst")),
-            "dst",
-            "left_semi",
+    # symmetrize via explode, not union: a union of pairs with its swap
+    # re-executes the join+distinct lineage twice before the persist
+    # materializes (measured 2x the extraction cost at sf0.1)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
-        return (
-            alive.agg(F.count(F.lit(1)).cast("long").alias("n_alive_nodes"))
+        .select("e.src", "e.dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # One edge pass per round, shared by peeling AND stats: the degree
+    # table within alive_r already carries the surviving-pair count
+    # (sum of directed degrees / 2), so no separate edge probe per stat
+    # row — 9 edge passes total, not 17. Each round references the
+    # previous alive set TWICE (src and dst probes): without lineage
+    # truncation the logical plan doubles per round (2^8 nodes —
+    # Catalyst tree walks explode long before any data moves).
+    # localCheckpoint on the node-sized DEGREE table materializes it
+    # and CUTS the plan (persist alone dedups execution, not the
+    # logical tree); alive sets are cheap filters over it.
+    alive = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
+    out = None
+    for rnd in range(_KCORE_ROUNDS + 1):
+        # round 0's alive set is ALL nodes by construction — the semi
+        # probes would be no-ops, so degree-count the raw edge list.
+        # (Deeper cascades would warrant delta-peeling: subtract each
+        # round's edge losses against the TINY removed set instead of
+        # re-filtering all edges — the named refinement if peeling
+        # depth ever dominates; at <=8 rounds the full refilter of the
+        # cached list is one in-memory pass per round.)
+        filt = (
+            edges
+            if rnd == 0
+            else edges.join(
+                F.broadcast(alive.withColumnRenamed("node", "src")),
+                "src",
+                "left_semi",
+            ).join(
+                F.broadcast(alive.withColumnRenamed("node", "dst")),
+                "dst",
+                "left_semi",
+            )
+        )
+        deg = (
+            filt.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint()
+        )
+        stat = (
+            alive.agg(
+                F.count(F.lit(1)).cast("long").alias("n_alive_nodes")
+            )
             .crossJoin(
-                surv.agg(
-                    (F.count(F.lit(1)) / 2).cast("long").alias(
-                        "n_alive_pairs"
-                    )
+                deg.agg(
+                    (F.coalesce(F.sum("c"), F.lit(0)) / 2)
+                    .cast("long")
+                    .alias("n_alive_pairs")
                 )
             )
             .select(
@@ -1244,31 +1293,9 @@ def kcore_part_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_alive_pairs",
             )
         )
-
-    # each round references the previous alive set TWICE (src and dst
-    # probes): without lineage truncation the logical plan doubles per
-    # round (2^8 nodes — Catalyst tree walks explode long before any
-    # data moves). localCheckpoint materializes the node-sized vector
-    # and CUTS the plan, the per-iteration hygiene persist() alone
-    # cannot provide (persist dedups execution, not the logical tree).
-    alive = (
-        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
-    )
-    out = _stats(0, alive)
-    for rnd in range(1, _KCORE_ROUNDS + 1):
-        deg = edges.join(
-            F.broadcast(alive.withColumnRenamed("node", "src")),
-            "src",
-            "left_semi",
-        ).join(
-            F.broadcast(alive.withColumnRenamed("node", "dst")),
-            "dst",
-            "left_semi",
-        ).groupBy("src").agg(F.count(F.lit(1)).alias("c"))
-        alive = (
-            deg.where(F.col("c") >= _KCORE_K)
-            .select(F.col("src").alias("node"))
-            .localCheckpoint()
-        )
-        out = out.unionByName(_stats(rnd, alive))
+        out = stat if out is None else out.unionByName(stat)
+        if rnd < _KCORE_ROUNDS:
+            alive = deg.where(F.col("c") >= _KCORE_K).select(
+                F.col("src").alias("node")
+            )
     return out.orderBy("round")
