@@ -161,6 +161,7 @@ _NEVER_SAMPLED_FIRST = (
     "spearman_rank_correlation",
     "jarque_bera_normality",
     "hill_tail_index",
+    "spatial_radius_join",
 )
 
 

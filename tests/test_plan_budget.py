@@ -36,6 +36,7 @@ SHUFFLE_BUDGET = {
     "changepoint_detection": 5,  # daily agg + 1-row stats + two-pass prefix
     "duplicate_ngram_coverage": 4,  # gram census + scoring join + 2 re-aggs
     "tfidf_cosine_topk_pairs": 7,  # tf agg + df/norm re-aggs + pair join
+    "spatial_radius_join": 1,  # the 9-cell stencil equi-join; verify map-side
     "kcore_part_basket": 19,  # pair extraction + 8 rounds x node-sized agg
     # + 9 stat-row aggs: per-round traffic is the |V|-sized degree table,
     # never the edge list (checkpointed vector, cached edges)
