@@ -162,6 +162,8 @@ _NEVER_SAMPLED_FIRST = (
     "jarque_bera_normality",
     "hill_tail_index",
     "spatial_radius_join",
+    "adf_stationarity_test",
+    "granger_causality_lag1",
 )
 
 

@@ -4155,3 +4155,261 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 / F.col("h"), 4).alias("tail_index"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ADF stationarity test (lag-1 augmented Dickey-Fuller, closed-form OLS)
+# ---------------------------------------------------------------------------
+
+# 3x3 normal-equation Cramer solve over the moment symbols
+# (n, s1, s2, s11, s12, s22, sy, s1y, s2y) — the plans/ml.py OLS layout.
+_ADF_DET = (
+    "(n * (s11 * s22 - s12 * s12)"
+    " - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+_ADF_B0 = (
+    "(sy * (s11 * s22 - s12 * s12)"
+    " - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y))"
+)
+_ADF_B1 = (
+    "(n * (s1y * s22 - s12 * s2y)"
+    " - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2))"
+)
+_ADF_B2 = (
+    "(n * (s11 * s2y - s1y * s12)"
+    " - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2))"
+)
+_ADF_CRIT_5PCT = -2.86  # DF tau-mu critical value, large n
+
+_ADF_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderdate AS d, count(*)::DOUBLE AS x
+    FROM orders GROUP BY o_orderdate
+),
+lagged AS (
+    SELECT x - lag(x, 1) OVER (ORDER BY d) AS y,
+           lag(x, 1) OVER (ORDER BY d) AS u,
+           lag(x, 1) OVER (ORDER BY d)
+             - lag(x, 2) OVER (ORDER BY d) AS v
+    FROM daily
+),
+obs AS (SELECT y, u, v FROM lagged WHERE v IS NOT NULL),
+m AS (
+    SELECT count(*)::DOUBLE AS n,
+           sum(u) AS s1, sum(v) AS s2,
+           sum(u * u) AS s11, sum(u * v) AS s12, sum(v * v) AS s22,
+           sum(y) AS sy, sum(u * y) AS s1y, sum(v * y) AS s2y,
+           sum(y * y) AS syy
+    FROM obs
+),
+fit AS (
+    SELECT n, sy, s1y, s2y, syy, s1, s2, s22, s12,
+           {_ADF_B0} / {_ADF_DET} AS b0,
+           {_ADF_B1} / {_ADF_DET} AS b1,
+           {_ADF_B2} / {_ADF_DET} AS b2,
+           (n * s22 - s2 * s2) / {_ADF_DET} AS inv_uu
+    FROM m
+)
+SELECT n::BIGINT AS n_obs,
+       round(b1, 6) AS gamma,
+       round(b1 / sqrt((syy - b0 * sy - b1 * s1y - b2 * s2y) / (n - 3)
+                       * inv_uu), 4) AS adf_t,
+       (b1 / sqrt((syy - b0 * sy - b1 * s1y - b2 * s2y) / (n - 3)
+                  * inv_uu) < {_ADF_CRIT_5PCT}) AS stationary_5pct
+FROM fit
+"""
+
+
+@register(
+    "adf_stationarity_test",
+    oracle=_ADF_ORACLE,
+    tags=("stats", "timeseries", "hypothesis-test"),
+)
+def adf_stationarity_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented Dickey-Fuller unit-root test (lag 1) on the daily
+    order-count series: Δx_t = α + γ·x_(t-1) + δ·Δx_(t-1), the
+    stationarity diagnostic every forecasting/monitoring pipeline owes
+    its series before trusting CUSUM/EWMA limits or an OLS trend (a
+    unit root makes all of them lie). Emits γ, its t-statistic, and
+    the 5% decision against the literal DF critical value (-2.86,
+    large-n τ_μ — embedded as a constant, no p-value machinery
+    needed).
+
+    Plan shape: one groupBy(day) pass; lags are day-grain windows
+    (calendar-bounded, the CUSUM/EWMA justification); the regression
+    is the closed-form 3×3 normal-equation Cramer solve over ONE
+    moment aggregate (the ols_price_model machinery), with se(γ̂)
+    from the same cofactors — no iterative fitting, no matrix
+    library."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        (F.col("x") - F.lag("x", 1).over(w)).alias("y"),
+        F.lag("x", 1).over(w).alias("u"),
+        (F.lag("x", 1).over(w) - F.lag("x", 2).over(w)).alias("v"),
+    ).where(F.col("v").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("u").alias("s1"),
+        F.sum("v").alias("s2"),
+        F.sum(F.col("u") * F.col("u")).alias("s11"),
+        F.sum(F.col("u") * F.col("v")).alias("s12"),
+        F.sum(F.col("v") * F.col("v")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("u") * F.col("y")).alias("s1y"),
+        F.sum(F.col("v") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    fit = m.selectExpr(
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        f"{_ADF_B0} / {_ADF_DET} AS b0",
+        f"{_ADF_B1} / {_ADF_DET} AS b1",
+        f"{_ADF_B2} / {_ADF_DET} AS b2",
+        f"(n * s22 - s2 * s2) / {_ADF_DET} AS inv_uu",
+    )
+    rss = (
+        F.col("syy")
+        - F.col("b0") * F.col("sy")
+        - F.col("b1") * F.col("s1y")
+        - F.col("b2") * F.col("s2y")
+    )
+    t = F.col("b1") / F.sqrt(rss / (F.col("n") - 3) * F.col("inv_uu"))
+    return fit.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.round("b1", 6).alias("gamma"),
+        F.round(t, 4).alias("adf_t"),
+        (t < _ADF_CRIT_5PCT).alias("stationary_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag-1): does order count help predict revenue?
+# ---------------------------------------------------------------------------
+
+_GRANGER_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderdate AS d,
+           sum(o_totalprice) AS rev,
+           count(*)::DOUBLE AS cnt
+    FROM orders GROUP BY o_orderdate
+),
+lagged AS (
+    SELECT rev AS y,
+           lag(rev, 1) OVER (ORDER BY d) AS u,
+           lag(cnt, 1) OVER (ORDER BY d) AS v
+    FROM daily
+),
+obs AS (SELECT y, u, v FROM lagged WHERE u IS NOT NULL),
+m AS (
+    SELECT count(*)::DOUBLE AS n,
+           sum(u) AS s1, sum(v) AS s2,
+           sum(u * u) AS s11, sum(u * v) AS s12, sum(v * v) AS s22,
+           sum(y) AS sy, sum(u * y) AS s1y, sum(v * y) AS s2y,
+           sum(y * y) AS syy
+    FROM obs
+),
+fit AS (
+    SELECT n, sy, s1y, s2y, syy,
+           {_ADF_B0} / {_ADF_DET} AS b0,
+           {_ADF_B1} / {_ADF_DET} AS b1,
+           {_ADF_B2} / {_ADF_DET} AS b2,
+           -- restricted model y ~ 1 + u (drop v): 2x2 closed form
+           (sy * s11 - s1 * s1y) / (n * s11 - s1 * s1) AS r0,
+           (n * s1y - s1 * sy) / (n * s11 - s1 * s1) AS r1
+    FROM m
+),
+rss AS (
+    SELECT n,
+           syy - b0 * sy - b1 * s1y - b2 * s2y AS rss_u,
+           syy - r0 * sy - r1 * s1y AS rss_r
+    FROM fit
+)
+SELECT n::BIGINT AS n_obs,
+       round(rss_r / rss_u, 6) AS rss_ratio,
+       round((rss_r - rss_u) / (rss_u / (n - 3)), 4) AS f_stat,
+       ((rss_r - rss_u) / (rss_u / (n - 3)) > 3.85) AS granger_5pct
+FROM rss
+"""
+
+
+@register(
+    "granger_causality_lag1",
+    oracle=_GRANGER_ORACLE,
+    tags=("stats", "timeseries", "causal"),
+)
+def granger_causality_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality: does yesterday's ORDER COUNT improve
+    the prediction of today's REVENUE beyond yesterday's revenue
+    alone? F = ((RSS_r - RSS_u)/q) / (RSS_u/(n-k)) comparing the
+    restricted AR(1) against the model with the candidate predictor's
+    lag added, with the 5% F(1, large-n) critical value (3.85)
+    embedded as a literal — the lead-lag screen run across metric
+    pairs before anyone claims 'X drives Y' from a dashboard.
+
+    Plan shape: both regressions come from the SAME single moment
+    aggregate — the unrestricted fit is the 3×3 Cramer solve (ADF
+    machinery), the restricted one the 2×2 closed form on a subset of
+    the identical moments; corpus work is one groupBy(day) pass, and
+    no second scan exists to disagree with the first."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+    )
+    w = Window.orderBy("d")
+    obs = daily.select(
+        F.col("rev").alias("y"),
+        F.lag("rev", 1).over(w).alias("u"),
+        F.lag("cnt", 1).over(w).alias("v"),
+    ).where(F.col("u").isNotNull())
+    m = obs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("u").alias("s1"),
+        F.sum("v").alias("s2"),
+        F.sum(F.col("u") * F.col("u")).alias("s11"),
+        F.sum(F.col("u") * F.col("v")).alias("s12"),
+        F.sum(F.col("v") * F.col("v")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("u") * F.col("y")).alias("s1y"),
+        F.sum(F.col("v") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    fit = m.selectExpr(
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        "syy",
+        f"{_ADF_B0} / {_ADF_DET} AS b0",
+        f"{_ADF_B1} / {_ADF_DET} AS b1",
+        f"{_ADF_B2} / {_ADF_DET} AS b2",
+        "(sy * s11 - s1 * s1y) / (n * s11 - s1 * s1) AS r0",
+        "(n * s1y - s1 * sy) / (n * s11 - s1 * s1) AS r1",
+    )
+    rss_u = (
+        F.col("syy")
+        - F.col("b0") * F.col("sy")
+        - F.col("b1") * F.col("s1y")
+        - F.col("b2") * F.col("s2y")
+    )
+    rss_r = (
+        F.col("syy") - F.col("r0") * F.col("sy") - F.col("r1") * F.col("s1y")
+    )
+    f_stat = (rss_r - rss_u) / (rss_u / (F.col("n") - 3))
+    return fit.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(rss_r / rss_u, 6).alias("rss_ratio"),
+        F.round(f_stat, 4).alias("f_stat"),
+        (f_stat > 3.85).alias("granger_5pct"),
+    )
