@@ -164,6 +164,7 @@ _NEVER_SAMPLED_FIRST = (
     "spatial_radius_join",
     "adf_stationarity_test",
     "granger_causality_lag1",
+    "holt_linear_trend",
 )
 
 

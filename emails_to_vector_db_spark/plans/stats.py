@@ -4413,3 +4413,134 @@ def granger_causality_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f_stat, 4).alias("f_stat"),
         (f_stat > 3.85).alias("granger_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential), finite-memory banded form
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_K = 60  # |M^k| ~ 0.707^k (sqrt of det M) -> ~1e-9 at k=60
+_HOLT_H = 7  # forecast horizon, days
+_HOLT_TAIL = 15
+
+
+def _holt_coefs() -> list[tuple[int, float, float]]:
+    """Lag-k weights of x_(t-k) in (level_t, trend_t): the coupled Holt
+    recursion s_t = M s_(t-1) + v x_t unrolls to s_t = Σ M^k v x_(t-k)
+    (+ a vanishing initial term), with M = [[1-α, 1-α], [-αβ, 1-αβ]],
+    v = (α, αβ). Computed ONCE in plain Python and embedded as double
+    literals in BOTH engines (repr round-trips exactly), so the banded
+    join is hash-checkable — the EWMA finite-memory move generalized
+    to a matrix recursion."""
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    m = ((1 - a, 1 - a), (-a * b, 1 - a * b))
+    cur = (a, a * b)
+    out = []
+    for k in range(_HOLT_K):
+        out.append((k, cur[0], cur[1]))
+        cur = (
+            m[0][0] * cur[0] + m[0][1] * cur[1],
+            m[1][0] * cur[0] + m[1][1] * cur[1],
+        )
+    return out
+
+
+def _holt_oracle() -> str:
+    values = ",\n           ".join(
+        f"({k}, {wl!r}, {wb!r})" for k, wl, wb in _holt_coefs()
+    )
+    return f"""
+WITH daily AS (
+    SELECT o_orderdate AS d, avg(o_totalprice) AS x
+    FROM orders GROUP BY o_orderdate
+),
+idx AS (
+    SELECT d, x, row_number() OVER (ORDER BY d) AS t FROM daily
+),
+coefs (k, wl, wb) AS (
+    VALUES {values}
+),
+s AS (
+    SELECT a.d, a.t,
+           sum(c.wl * b.x) AS lvl,
+           sum(c.wb * b.x) AS tr
+    FROM idx a
+    JOIN idx b ON b.t <= a.t AND a.t - b.t < {_HOLT_K}
+    JOIN coefs c ON c.k = a.t - b.t
+    WHERE a.t >= {_HOLT_K}
+    GROUP BY a.d, a.t
+)
+SELECT * FROM (
+    SELECT CAST(d AS VARCHAR) AS day,
+           round(lvl, 2) AS level,
+           round(tr, 4) AS trend,
+           round(lvl + {_HOLT_H} * tr, 2) AS forecast_{_HOLT_H}d
+    FROM s ORDER BY d DESC LIMIT {_HOLT_TAIL}
+) ORDER BY day
+"""
+
+
+@register(
+    "holt_linear_trend",
+    oracle=_holt_oracle(),
+    tags=("stats", "timeseries", "forecast"),
+)
+def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing of the daily
+    mean order value, with the h=7-day-ahead forecast l_t + h·b_t —
+    the workhorse short-horizon forecaster between the EWMA level
+    tracker (no trend) and full Holt-Winters (adds seasonality;
+    seasonal_decomposition covers that axis separately).
+
+    The COUPLED recursion (level feeds trend feeds level) is made
+    distributable the same finite-memory way as the EWMA chart, but
+    via the matrix form: s_t = M s_(t-1) + v x_t unrolls to
+    Σ_k M^k v x_(t-k), and the 2-vector coefficients M^k v (spectral
+    radius √(1-α) ≈ 0.707, ~1e-9 by lag 60) are precomputed in plain
+    Python and embedded as identical double literals in both engines.
+    The statistic is DEFINED as the 60-lag truncation on days with a
+    full window (the EWMA/kcore fixed-unroll discipline) — corpus
+    work is one groupBy(day); the smoother is a day×lag banded join
+    against a 60-row broadcast coefficient table."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.avg("o_totalprice").alias("x")
+    )
+    idx = daily.select(
+        "d", "x", F.row_number().over(Window.orderBy("d")).alias("t")
+    )
+    coefs = F.broadcast(
+        spark.createDataFrame(
+            _holt_coefs(), "k int, wl double, wb double"
+        )
+    )
+    a, b = idx.alias("a"), F.broadcast(idx.alias("b"))
+    s = (
+        a.join(
+            b,
+            (F.col("b.t") <= F.col("a.t"))
+            & (F.col("a.t") - F.col("b.t") < _HOLT_K),
+        )
+        .join(coefs, F.col("k") == F.col("a.t") - F.col("b.t"))
+        .where(F.col("a.t") >= _HOLT_K)
+        .groupBy("a.d", "a.t")
+        .agg(
+            F.sum(F.col("wl") * F.col("b.x")).alias("lvl"),
+            F.sum(F.col("wb") * F.col("b.x")).alias("tr"),
+        )
+    )
+    return (
+        s.orderBy(F.col("d").desc())
+        .limit(_HOLT_TAIL)
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.round("lvl", 2).alias("level"),
+            F.round("tr", 4).alias("trend"),
+            F.round(F.col("lvl") + _HOLT_H * F.col("tr"), 2).alias(
+                f"forecast_{_HOLT_H}d"
+            ),
+        )
+        .orderBy("day")
+    )

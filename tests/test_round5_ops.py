@@ -363,3 +363,45 @@ def test_streaming_kmv_state_is_bounded_and_subset_of_hashes(spark):
     row = REGISTRY["streaming_kmv_merge"].fn(spark, SF_ORACLE).collect()[0]
     assert row["n_state"] <= _KMV_K
     assert row["kmv_estimate"] > 0
+
+
+def test_holt_matches_literal_recursion(spark):
+    """The banded matrix-coefficient form must match the textbook
+    coupled recursion l_t = αx_t + (1-α)(l+b), b_t = β Δl + (1-β)b
+    replayed sequentially (initialized far enough back that the
+    truncated initial term is below the 60-lag tail bound)."""
+    from emails_to_vector_db_spark.plans.stats import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+        _HOLT_K,
+    )
+
+    daily = (
+        load_table(spark, SF_ORACLE, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.avg("o_totalprice").alias("x"))
+        .orderBy("d")
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    days = [str(r["d"]) for r in daily]
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    # literal recursion from zero state: for t >= K the initial term
+    # has decayed below ~1e-9 relative, matching the truncated statistic
+    lvl = tr = 0.0
+    series = {}
+    for i, x in enumerate(xs):
+        prev = lvl
+        lvl = a * x + (1 - a) * (lvl + tr)
+        tr = b * (lvl - prev) + (1 - b) * tr
+        series[days[i]] = (lvl, tr)
+    got = {
+        r["day"]: (r["level"], r["trend"])
+        for r in REGISTRY["holt_linear_trend"].fn(spark, SF_ORACLE).collect()
+    }
+    assert len(got) == 15
+    for day, (gl, gt) in got.items():
+        el, et = series[day]
+        # truncation tail ~ 0.707^60 * sum|x| — comfortably inside 0.05
+        assert abs(gl - el) < 0.05, (day, gl, el)
+        assert abs(gt - et) < 0.005, (day, gt, et)
