@@ -165,6 +165,7 @@ _NEVER_SAMPLED_FIRST = (
     "adf_stationarity_test",
     "granger_causality_lag1",
     "holt_linear_trend",
+    "bradley_terry_strengths",
 )
 
 

@@ -1639,3 +1639,189 @@ def propensity_stratified_att(
         ).alias("att"),
         F.round(F.max("d"), 4).alias("naive_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry pairwise-strength fit (the preference-model lane)
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 3
+_BT_ROUND = 6
+_BT_TOP = 20
+
+
+def _bt_oracle() -> str:
+    iters = []
+    prev = "p0"
+    for t in range(1, _BT_ITERS + 1):
+        iters.append(
+            f"""d{t} AS (
+    SELECT g.i, sum(g.nij / (pi.p + pj.p)) AS den
+    FROM games g
+    JOIN {prev} pi ON pi.i = g.i
+    JOIN {prev} pj ON pj.i = g.j
+    GROUP BY g.i
+),
+r{t} AS (
+    SELECT d.i, coalesce(w.w, 0) / d.den AS raw
+    FROM d{t} d LEFT JOIN wins w ON w.i = d.i
+),
+s{t} AS (SELECT sum(raw) AS s FROM r{t}),
+p{t} AS MATERIALIZED (
+    SELECT r.i, round(r.raw * np.n / s.s, {_BT_ROUND}) AS p
+    FROM r{t} r CROSS JOIN s{t} s CROSS JOIN np
+)"""
+        )
+        prev = f"p{t}"
+    iter_sql = ",\n".join(iters)
+    return f"""
+WITH comps AS MATERIALIZED (
+    SELECT CASE WHEN a.l_shipdate < b.l_shipdate
+                THEN a.l_suppkey ELSE b.l_suppkey END AS winner,
+           CASE WHEN a.l_shipdate < b.l_shipdate
+                THEN b.l_suppkey ELSE a.l_suppkey END AS loser
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey
+     AND a.l_suppkey < b.l_suppkey
+     AND a.l_shipdate <> b.l_shipdate
+),
+wins AS (SELECT winner AS i, count(*)::DOUBLE AS w FROM comps GROUP BY 1),
+und AS (
+    SELECT winner AS i, loser AS j FROM comps
+    UNION ALL
+    SELECT loser AS i, winner AS j FROM comps
+),
+games AS MATERIALIZED (
+    SELECT i, j, count(*)::DOUBLE AS nij FROM und GROUP BY 1, 2
+),
+np AS (SELECT count(DISTINCT i)::DOUBLE AS n FROM games),
+p0 AS MATERIALIZED (SELECT DISTINCT i, 1.0 AS p FROM games),
+{iter_sql},
+tot AS (SELECT i, sum(nij)::BIGINT AS n_games FROM games GROUP BY i)
+SELECT p.i AS supp_key,
+       coalesce(w.w, 0)::BIGINT AS n_wins,
+       t.n_games,
+       p.p AS strength
+FROM {prev} p
+LEFT JOIN wins w ON w.i = p.i
+JOIN tot t ON t.i = p.i
+ORDER BY p.p DESC, p.i ASC
+LIMIT {_BT_TOP}
+"""
+
+
+@register(
+    "bradley_terry_strengths",
+    oracle=_bt_oracle(),
+    tags=("ml", "iterative", "ranking", "preference"),
+)
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry pairwise-strength model (1952) fit by Zermelo's MM
+    iteration — THE model behind preference data: reward-model
+    training pairs, chatbot-arena leaderboards, and learning-to-rank
+    all reduce to P(i beats j) = π_i/(π_i+π_j). Here the comparisons
+    are deterministic by construction: within each order, the supplier
+    shipping EARLIER beats the slower one (ties skipped), and three MM
+    updates π_i ← W_i / Σ_j n_ij/(π_i+π_j) — normalized to mean 1 and
+    6dp-quantized per step, the logreg trajectory discipline — produce
+    the top-20 fastest-shipping suppliers with their fitted strengths.
+
+    Plan shape: the corpus-scale stage is the one order-blocked
+    lineitem self-join emitting comparisons (the market-basket lane);
+    everything iterative runs on the PLAYER-PAIR table (|players|²
+    ceiling, cached once). Each MM step joins the broadcast π vector
+    twice (both endpoints), aggregates a player-grain denominator, and
+    renormalizes via a 1-row sum — ship the vector, not the pairs."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    comps = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+            & (F.col("a.l_shipdate") != F.col("b.l_shipdate")),
+        )
+        .select(
+            F.when(
+                F.col("a.l_shipdate") < F.col("b.l_shipdate"),
+                F.col("a.l_suppkey"),
+            )
+            .otherwise(F.col("b.l_suppkey"))
+            .alias("winner"),
+            F.when(
+                F.col("a.l_shipdate") < F.col("b.l_shipdate"),
+                F.col("b.l_suppkey"),
+            )
+            .otherwise(F.col("a.l_suppkey"))
+            .alias("loser"),
+        )
+    )
+    wins = comps.groupBy(F.col("winner").alias("i")).agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    und = comps.select(
+        F.col("winner").alias("i"), F.col("loser").alias("j")
+    ).unionByName(
+        comps.select(F.col("loser").alias("i"), F.col("winner").alias("j"))
+    )
+    games = (
+        und.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("double").alias("nij"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wins = wins.persist(StorageLevel.MEMORY_AND_DISK)
+    np_ = F.broadcast(
+        games.agg(F.count_distinct("i").cast("double").alias("n"))
+    )
+    p = games.select("i").distinct().withColumn("p", F.lit(1.0))
+    for _ in range(_BT_ITERS):
+        pi = F.broadcast(p.select(F.col("i"), F.col("p").alias("p_i")))
+        pj = F.broadcast(
+            p.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
+        )
+        den = (
+            games.join(pi, "i")
+            .join(pj, "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("nij") / (F.col("p_i") + F.col("p_j"))
+                ).alias("den")
+            )
+        )
+        raw = den.join(wins, "i", "left").select(
+            "i",
+            (F.coalesce(F.col("w"), F.lit(0.0)) / F.col("den")).alias(
+                "raw"
+            ),
+        )
+        s = F.broadcast(raw.agg(F.sum("raw").alias("s")))
+        p = (
+            raw.crossJoin(s)
+            .crossJoin(np_)
+            .select(
+                "i",
+                F.round(
+                    F.col("raw") * F.col("n") / F.col("s"), _BT_ROUND
+                ).alias("p"),
+            )
+        )
+    tot = games.groupBy("i").agg(
+        F.sum("nij").cast("long").alias("n_games")
+    )
+    return (
+        p.join(wins, "i", "left")
+        .join(tot, "i")
+        .select(
+            F.col("i").alias("supp_key"),
+            F.coalesce(F.col("w"), F.lit(0.0)).cast("long").alias("n_wins"),
+            "n_games",
+            F.col("p").alias("strength"),
+        )
+        .orderBy(F.col("strength").desc(), F.col("supp_key").asc())
+        .limit(_BT_TOP)
+    )
