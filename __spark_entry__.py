@@ -166,6 +166,7 @@ _NEVER_SAMPLED_FIRST = (
     "granger_causality_lag1",
     "holt_linear_trend",
     "bradley_terry_strengths",
+    "bigram_greedy_decode",
 )
 
 

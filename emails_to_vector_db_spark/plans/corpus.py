@@ -2174,3 +2174,132 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("coverage").desc(), F.col("doc_id").asc())
         .limit(_DNC_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy bigram-LM decoding (deterministic argmax generation in-engine)
+# ---------------------------------------------------------------------------
+
+_DECODE_STEPS = 10
+
+
+def _decode_oracle() -> str:
+    steps = []
+    prev = "s0"
+    for t in range(1, _DECODE_STEPS + 1):
+        steps.append(
+            f"""s{t} AS (
+    SELECT b.w2 AS tok, b.c12 AS c
+    FROM bfreq b, {prev}
+    WHERE b.w1 = {prev}.tok
+    ORDER BY b.c12 DESC, b.w2 ASC
+    LIMIT 1
+)"""
+        )
+        prev = f"s{t}"
+    step_sql = ",\n".join(steps)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {t} AS step, tok, c::BIGINT AS pair_count FROM s{t}"
+        for t in range(1, _DECODE_STEPS + 1)
+    )
+    return f"""
+WITH docs AS (
+    SELECT {_TOKENS_SQL} AS T FROM documents
+),
+bg AS (
+    SELECT unnest(list_transform(generate_series(1, len(T) - 1),
+                  i -> T[i] || chr(9) || T[i+1])) AS b
+    FROM docs WHERE len(T) >= 2
+),
+bfreq AS (
+    SELECT string_split(b, chr(9))[1] AS w1,
+           string_split(b, chr(9))[2] AS w2,
+           count(*)::BIGINT AS c12
+    FROM bg GROUP BY 1, 2
+),
+s0 AS (
+    SELECT w1 AS tok, sum(c12) AS c FROM bfreq
+    GROUP BY w1 ORDER BY sum(c12) DESC, w1 ASC LIMIT 1
+),
+{step_sql}
+SELECT * FROM (
+    SELECT 0 AS step, tok, c::BIGINT AS pair_count FROM s0
+    UNION ALL
+    {rows}
+) ORDER BY step
+"""
+
+
+@register(
+    "bigram_greedy_decode",
+    oracle=_decode_oracle(),
+    tags=("lm", "generation", "iterative", "text"),
+)
+def bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy decoding from the corpus bigram LM — deterministic
+    argmax GENERATION run inside the engine: seed with the most
+    frequent history token, then 10 steps of next = argmax_w2
+    c(prev, w2) (ties break lexicographically), emitting the decoded
+    chain with each transition's support count. The inference twin of
+    the perplexity lanes (they SCORE with the model; this SAMPLES its
+    mode), and the deterministic skeleton of every LM decode loop —
+    swap the argmax for a temperature sampler and the chain for a
+    beam and the dataflow is unchanged.
+
+    Plan shape: one bigram-type groupBy builds the model (cached,
+    vocabulary-sized); each decode step is a 1-row broadcast state
+    joined into the model followed by TakeOrderedAndProject(1) — the
+    10-step chain is lineage-linear (one reference per step, no
+    checkpoint needed), and the corpus is scanned exactly once."""
+    d = load_table(spark, sf_dir, "documents")
+    T = F.split(F.trim(F.col("text")), r"\s+")
+    bg = (
+        d.select(T.alias("T"))
+        .where(F.size("T") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("T") - 1),
+                    lambda i: F.struct(
+                        F.element_at("T", i).alias("w1"),
+                        F.element_at("T", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bfreq = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seed = (
+        bfreq.groupBy("w1")
+        .agg(F.sum("c12").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w1").asc())
+        .limit(1)
+        .select(
+            F.lit(0).alias("step"),
+            F.col("w1").alias("tok"),
+            F.col("c").cast("long").alias("pair_count"),
+        )
+    )
+    out = seed
+    prev = seed.select("tok")
+    for t in range(1, _DECODE_STEPS + 1):
+        nxt = (
+            bfreq.join(
+                F.broadcast(prev.withColumnRenamed("tok", "w1")), "w1"
+            )
+            .orderBy(F.col("c12").desc(), F.col("w2").asc())
+            .limit(1)
+            .select(
+                F.lit(t).alias("step"),
+                F.col("w2").alias("tok"),
+                F.col("c12").cast("long").alias("pair_count"),
+            )
+        )
+        out = out.unionByName(nxt)
+        prev = nxt.select("tok")
+    return out.orderBy("step")

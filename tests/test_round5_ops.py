@@ -405,3 +405,35 @@ def test_holt_matches_literal_recursion(spark):
         # truncation tail ~ 0.707^60 * sum|x| — comfortably inside 0.05
         assert abs(gl - el) < 0.05, (day, gl, el)
         assert abs(gt - et) < 0.005, (day, gt, et)
+
+
+def test_greedy_decode_matches_literal_python_chain(spark):
+    """The 10-step in-engine argmax decode must equal a literal Python
+    greedy walk over the same bigram counts (ties lexicographic)."""
+    import collections
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("text").collect()
+    counts = collections.Counter()
+    for r in docs:
+        toks = r["text"].strip().split()
+        for x, y in zip(toks, toks[1:]):
+            counts[(x, y)] += 1
+    hist = collections.Counter()
+    for (x, _), c in counts.items():
+        hist[x] += c
+    seed = min(
+        (tok for tok, c in hist.items() if c == max(hist.values()))
+    )
+    chain = [(0, seed, hist[seed])]
+    prev = seed
+    for t in range(1, 11):
+        cands = {y: c for (x, y), c in counts.items() if x == prev}
+        best_c = max(cands.values())
+        nxt = min(y for y, c in cands.items() if c == best_c)
+        chain.append((t, nxt, best_c))
+        prev = nxt
+    got = [
+        (r["step"], r["tok"], r["pair_count"])
+        for r in REGISTRY["bigram_greedy_decode"].fn(spark, SF_ORACLE).collect()
+    ]
+    assert got == chain
