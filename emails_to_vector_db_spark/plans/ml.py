@@ -1731,7 +1731,10 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything iterative runs on the PLAYER-PAIR table (|players|²
     ceiling, cached once). Each MM step joins the broadcast π vector
     twice (both endpoints), aggregates a player-grain denominator, and
-    renormalizes via a 1-row sum — ship the vector, not the pairs."""
+    renormalizes via a 1-row sum — ship the vector, not the pairs.
+    The π vector is localCheckpointed per step (each step broadcasts
+    it twice; the execution tree would otherwise double per iteration
+    — the kcore lesson, measured 4x at sf1)."""
     from pyspark import StorageLevel
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1760,24 +1763,53 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loser"),
         )
     )
-    wins = comps.groupBy(F.col("winner").alias("i")).agg(
-        F.count(F.lit(1)).cast("double").alias("w")
-    )
-    und = comps.select(
-        F.col("winner").alias("i"), F.col("loser").alias("j")
-    ).unionByName(
-        comps.select(F.col("loser").alias("i"), F.col("winner").alias("j"))
-    )
-    games = (
-        und.groupBy("i", "j")
-        .agg(F.count(F.lit(1)).cast("double").alias("nij"))
+    # condense the corpus to the directed (winner, loser) win-count
+    # table in ONE pass — wins and the symmetric game counts both
+    # derive from it; a union-of-comps-with-swap would re-execute the
+    # order-blocked self-join once per branch (the kcore lesson)
+    dirw = (
+        comps.groupBy("winner", "loser")
+        .agg(F.count(F.lit(1)).cast("double").alias("nw"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    wins = wins.persist(StorageLevel.MEMORY_AND_DISK)
+    wins = (
+        dirw.groupBy(F.col("winner").alias("i"))
+        .agg(F.sum("nw").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    games = (
+        dirw.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("winner").alias("i"),
+                        F.col("loser").alias("j"),
+                        F.col("nw"),
+                    ),
+                    F.struct(
+                        F.col("loser").alias("i"),
+                        F.col("winner").alias("j"),
+                        F.col("nw"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .groupBy("e.i", "e.j")
+        .agg(F.sum("e.nw").alias("nij"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     np_ = F.broadcast(
         games.agg(F.count_distinct("i").cast("double").alias("n"))
     )
-    p = games.select("i").distinct().withColumn("p", F.lit(1.0))
+    # each MM step references pi AND pj (two broadcasts of the same
+    # vector) — without lineage truncation the execution tree doubles
+    # per iteration (the kcore lesson); the vector is |players| rows
+    p = (
+        games.select("i")
+        .distinct()
+        .withColumn("p", F.lit(1.0))
+        .localCheckpoint()
+    )
     for _ in range(_BT_ITERS):
         pi = F.broadcast(p.select(F.col("i"), F.col("p").alias("p_i")))
         pj = F.broadcast(
@@ -1809,6 +1841,7 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("raw") * F.col("n") / F.col("s"), _BT_ROUND
                 ).alias("p"),
             )
+            .localCheckpoint()
         )
     tot = games.groupBy("i").agg(
         F.sum("nij").cast("long").alias("n_games")
