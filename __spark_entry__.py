@@ -30,9 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries with no driver CORRECTNESS row in rounds 1-4 (the driver
-# samples ~50/round; r01∪r02∪r03∪r04 covered 173/281): surface the 108
-# never-sampled names first so this round's sample keeps closing the
-# gap (TPC-H analogues and retrieval/corpus headliners lead). All 281
+# samples the FIRST ~50 of queries() order; r01∪r02∪r03∪r04 covered
+# 173/281): never-sampled names lead — TPC-H analogues first, then the
+# round-5 flagship operators pulled into this round's window, then the
+# rest of the never-sampled backlog and the round-5 additions. All 304
 # pass the identical oracle gate in tests/test_oracle_parity.py
 # regardless of order.
 _NEVER_SAMPLED_FIRST = (
@@ -55,6 +56,12 @@ _NEVER_SAMPLED_FIRST = (
     "q21_suppliers_kept_orders_waiting",
     "q2_min_cost_supplier",
     "q11_important_stock",
+    # round-5 flagship operators pulled into this round's sample window
+    "kcore_part_basket",
+    "spatial_radius_join",
+    "tfidf_cosine_topk_pairs",
+    "cuped_variance_reduction",
+    "mann_whitney_u_test",
     "winnowing_fingerprint_pairs",
     "rm3_query_expansion",
     "mrr_recall_retrieval_eval",
@@ -148,20 +155,15 @@ _NEVER_SAMPLED_FIRST = (
     "seasonal_decomposition",
     "kmv_distinct_sketch",
     "t_closeness_audit",
-    "kcore_part_basket",
     "duplicate_ngram_coverage",
     "classifier_fairness_audit",
-    "tfidf_cosine_topk_pairs",
     "streaming_kmv_merge",
     "collocation_llr_top_pairs",
     "average_precision_eval",
-    "cuped_variance_reduction",
     "propensity_stratified_att",
-    "mann_whitney_u_test",
     "spearman_rank_correlation",
     "jarque_bera_normality",
     "hill_tail_index",
-    "spatial_radius_join",
     "adf_stationarity_test",
     "granger_causality_lag1",
     "holt_linear_trend",
