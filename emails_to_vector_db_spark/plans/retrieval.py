@@ -1329,6 +1329,14 @@ def typo_tolerant_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TC_DF_FRAC = 0.05  # prune terms appearing in > 5% of docs
+# absolute postings ceiling: the FRACTIONAL cap scales with corpus size,
+# so at 100x a 5% term carries 100x the postings and its local pair
+# space grows 10^4x (measured to destruction on the replicated .scale/
+# sf10 corpus — every doc there has 100 identical twins, the dup-heavy
+# worst case). A fixed ceiling bounds per-term candidate pairs at
+# CAP^2 regardless of corpus size — the production knob; fixture-scale
+# results are unchanged (fractional cap binds below 20k docs).
+_TC_DF_ABS_CAP = 1000
 _TC_TOP = 20
 
 _TC_ORACLE = f"""
@@ -1348,7 +1356,8 @@ w AS (
     FROM tf t
     JOIN df d ON d.tok = t.tok
     CROSS JOIN nd
-    WHERE d.df <= floor({_TC_DF_FRAC} * nd.n) AND d.df >= 2
+    WHERE d.df <= least(floor({_TC_DF_FRAC} * nd.n), {_TC_DF_ABS_CAP})
+      AND d.df >= 2
 ),
 nrm AS (
     SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
@@ -1416,7 +1425,13 @@ def tfidf_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(df, "tok")
         .crossJoin(nd)
         .where(
-            (F.col("df") <= F.floor(_TC_DF_FRAC * F.col("n")))
+            (
+                F.col("df")
+                <= F.least(
+                    F.floor(_TC_DF_FRAC * F.col("n")),
+                    F.lit(_TC_DF_ABS_CAP),
+                )
+            )
             & (F.col("df") >= 2)
         )
         .select(
