@@ -437,3 +437,124 @@ def test_greedy_decode_matches_literal_python_chain(spark):
         for r in REGISTRY["bigram_greedy_decode"].fn(spark, SF_ORACLE).collect()
     ]
     assert got == chain
+
+
+def test_bradley_terry_matches_literal_mm_replay(spark):
+    """The in-engine MM trajectory must equal Zermelo's update replayed
+    literally in Python from the same comparison counts (3 iterations,
+    mean-1 normalization, 6dp quantization per step)."""
+    import collections
+
+    li = (
+        load_table(spark, SF_ORACLE, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .collect()
+    )
+    by_order = collections.defaultdict(list)
+    for r in li:
+        by_order[r["l_orderkey"]].append((r["l_suppkey"], r["l_shipdate"]))
+    wins = collections.Counter()
+    games = collections.Counter()
+    for rows in by_order.values():
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                (sa, da), (sb, db) = rows[i], rows[j]
+                if sa == sb or da == db:
+                    continue
+                w, l = (sa, sb) if da < db else (sb, sa)
+                wins[w] += 1
+                games[(w, l)] += 1
+                games[(l, w)] += 1
+    players = sorted({i for i, _ in games})
+    n = float(len(players))
+    pi = {p: 1.0 for p in players}
+    for _ in range(3):
+        raw = {}
+        for p in players:
+            den = sum(
+                c / (pi[p] + pi[q])
+                for (a, q), c in games.items()
+                if a == p
+            )
+            raw[p] = wins.get(p, 0) / den
+        s = sum(raw.values())
+        pi = {p: round(v * n / s, 6) for p, v in raw.items()}
+    top = sorted(players, key=lambda p: (-pi[p], p))[:20]
+    expected = [(p, pi[p]) for p in top]
+    got = [
+        (r["supp_key"], r["strength"])
+        for r in REGISTRY["bradley_terry_strengths"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_fellegi_sunter_weights_match_literal_replay(spark):
+    """The blocked m/u estimation and log-likelihood weights must match
+    a literal Python replay over the same dirtied registry."""
+    import math as _math
+
+    cust = (
+        load_table(spark, SF_ORACLE, "customer")
+        .select(
+            "c_custkey", "c_nationkey", "c_name", "c_mktsegment", "c_acctbal"
+        )
+        .collect()
+    )
+    recs = []
+    for r in cust:
+        k = r["c_custkey"]
+        recs.append(
+            (k * 10, k, r["c_nationkey"], k % 97, r["c_name"],
+             r["c_mktsegment"], r["c_acctbal"])
+        )
+        if k % 7 == 0:
+            name = (
+                r["c_name"][:-1] + "X" if k % 3 == 0 else r["c_name"]
+            )
+            seg = "UNKNOWN" if k % 5 == 0 else r["c_mktsegment"]
+            bal = r["c_acctbal"] + 0.5 if k % 2 == 0 else r["c_acctbal"]
+            recs.append((k * 10 + 1, k, r["c_nationkey"], k % 97, name, seg, bal))
+    import collections
+
+    blocks = collections.defaultdict(list)
+    for rec in recs:
+        blocks[(rec[2], rec[3])].append(rec)
+    pairs = []
+    for rows in blocks.values():
+        rows.sort()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                pairs.append(
+                    (a[0], b[0], a[1] == b[1], a[4] == b[4],
+                     a[5] == b[5], abs(a[6] - b[6]) <= 0.25)
+                )
+    nm = sum(1 for p in pairs if p[2])
+    nu = len(pairs) - nm
+
+    def mu(idx):
+        m = (sum(1 for p in pairs if p[2] and p[idx]) + 0.5) / (nm + 1.0)
+        u = (sum(1 for p in pairs if not p[2] and p[idx]) + 0.5) / (nu + 1.0)
+        return m, u
+
+    mus = {i: mu(i) for i in (3, 4, 5)}
+
+    def weight(p):
+        w = 0.0
+        for i in (3, 4, 5):
+            m, u = mus[i]
+            w += _math.log(m / u) if p[i] else _math.log((1 - m) / (1 - u))
+        return w
+
+    scored = sorted(
+        ((round(weight(p), 4), p) for p in pairs),
+        key=lambda t: (-t[0], t[1][0], t[1][1]),
+    )[:20]
+    expected = [(p[0], p[1], p[2], w) for w, p in scored]
+    got = [
+        (r["rec_a"], r["rec_b"], r["is_match"], r["weight"])
+        for r in REGISTRY["fellegi_sunter_linkage"].fn(spark, SF_ORACLE).collect()
+    ]
+    assert got == expected
