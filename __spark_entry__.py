@@ -169,6 +169,7 @@ _NEVER_SAMPLED_FIRST = (
     "holt_linear_trend",
     "bradley_terry_strengths",
     "bigram_greedy_decode",
+    "user_automation_signals",
 )
 
 

@@ -1781,3 +1781,119 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.var_samp("y_adj") / F.var_samp("y"), 6
         ).alias("variance_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Automation / bot-likeness signals per user (burstiness + clock regularity)
+# ---------------------------------------------------------------------------
+
+_BOT_MIN_EVENTS = 20
+_BOT_TOP = 20
+
+_BOT_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS t, ts::DATE AS d FROM events
+),
+gaps AS (
+    SELECT user_id, t,
+           t - lag(t) OVER (PARTITION BY user_id ORDER BY t, t) AS gap
+    FROM ev
+),
+per_user AS (
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           avg(gap) AS gap_mean,
+           stddev_samp(gap) AS gap_sd
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY user_id
+),
+daily AS (
+    SELECT user_id, d, count(*)::DOUBLE AS c FROM ev GROUP BY user_id, d
+),
+fano AS (
+    SELECT user_id,
+           count(*)::BIGINT AS n_days,
+           var_samp(c) / avg(c) AS fano
+    FROM daily GROUP BY user_id HAVING count(*) >= 2
+)
+SELECT p.user_id,
+       p.n_events + 1 AS n_events,
+       f.n_days,
+       round(f.fano, 4) AS fano_factor,
+       round(p.gap_sd / p.gap_mean, 4) AS iat_cv,
+       round(f.fano / (p.gap_sd / p.gap_mean + 1e-9), 4) AS bot_score
+FROM per_user p JOIN fano f ON f.user_id = p.user_id
+WHERE p.n_events + 1 >= {_BOT_MIN_EVENTS}
+ORDER BY bot_score DESC, p.user_id ASC
+LIMIT {_BOT_TOP}
+"""
+
+
+@register(
+    "user_automation_signals",
+    oracle=_BOT_ORACLE,
+    tags=("events", "quality", "anomaly", "bot-detection"),
+)
+def user_automation_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation/bot-likeness screen per user — the behavioral twin
+    of the text-quality filters (a training corpus fed by event
+    streams needs its synthetic ACTORS flagged, not just its synthetic
+    text): per sufficiently-active user, the Fano factor of daily
+    event counts (var/mean: ~1 for Poisson-like humans, >>1 for bursty
+    schedulers) and the coefficient of variation of inter-event gaps
+    (CV→0 is a metronome — cron-like regularity no human produces).
+    The composite score ranks high-burst + high-regularity users
+    first: the classic scraper signature (inactive for days, then a
+    machine-gun session of evenly spaced requests).
+
+    Plan shape: one user-partitioned lag window (co-partitioned with
+    the per-user aggregation that follows — ONE shuffle serves both),
+    one (user, day) census re-agg, and a TakeOrderedAndProject over
+    the user-grain signal table. Nothing global ever sorts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.to_date("ts").alias("d"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "t")
+    gaps = ev.select(
+        "user_id",
+        (F.col("t") - F.lag("t").over(w)).alias("gap"),
+    )
+    per_user = (
+        gaps.where(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.avg("gap").alias("gap_mean"),
+            F.stddev_samp("gap").alias("gap_sd"),
+        )
+    )
+    daily = ev.groupBy("user_id", "d").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    fano = (
+        daily.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (F.var_samp("c") / F.avg("c")).alias("fano"),
+        )
+        .where(F.col("n_days") >= 2)
+    )
+    iat_cv = F.col("gap_sd") / F.col("gap_mean")
+    return (
+        per_user.join(fano, "user_id")
+        .where(F.col("n_gaps") + 1 >= _BOT_MIN_EVENTS)
+        .select(
+            "user_id",
+            (F.col("n_gaps") + 1).alias("n_events"),
+            "n_days",
+            F.round("fano", 4).alias("fano_factor"),
+            F.round(iat_cv, 4).alias("iat_cv"),
+            F.round(
+                F.col("fano") / (iat_cv + F.lit(1e-9)), 4
+            ).alias("bot_score"),
+        )
+        .orderBy(F.col("bot_score").desc(), F.col("user_id").asc())
+        .limit(_BOT_TOP)
+    )
