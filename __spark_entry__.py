@@ -170,6 +170,7 @@ _NEVER_SAMPLED_FIRST = (
     "bradley_terry_strengths",
     "bigram_greedy_decode",
     "user_automation_signals",
+    "bigram_distribution_audit",
 )
 
 

@@ -2303,3 +2303,139 @@ def bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(nxt)
         prev = nxt.select("tok")
     return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Bigram next-token distribution audit (entropy / top-1 mass / nucleus size)
+# ---------------------------------------------------------------------------
+
+_DIST_TOP_HIST = 20
+_DIST_P = 0.9
+
+_DIST_ORACLE = f"""
+WITH docs AS (
+    SELECT {_TOKENS_SQL} AS T FROM documents
+),
+bg AS (
+    SELECT unnest(list_transform(generate_series(1, len(T) - 1),
+                  i -> T[i] || chr(9) || T[i+1])) AS b
+    FROM docs WHERE len(T) >= 2
+),
+bfreq AS (
+    SELECT string_split(b, chr(9))[1] AS w1,
+           string_split(b, chr(9))[2] AS w2,
+           count(*)::DOUBLE AS c
+    FROM bg GROUP BY 1, 2
+),
+hist AS (
+    SELECT w1, sum(c) AS h FROM bfreq GROUP BY w1
+    ORDER BY sum(c) DESC, w1 ASC LIMIT {_DIST_TOP_HIST}
+),
+dist AS (
+    SELECT f.w1, h.h, f.c / h.h AS p,
+           row_number() OVER (PARTITION BY f.w1
+                              ORDER BY f.c DESC, f.w2 ASC) AS rk,
+           sum(f.c / h.h) OVER (PARTITION BY f.w1
+                                ORDER BY f.c DESC, f.w2 ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum
+    FROM bfreq f JOIN hist h ON h.w1 = f.w1
+)
+SELECT w1 AS history,
+       h::BIGINT AS n_continuations_total,
+       count(*)::BIGINT AS fanout,
+       round(-sum(p * ln(p)), 4) AS entropy,
+       round(max(CASE WHEN rk = 1 THEN p END), 4) AS top1_mass,
+       min(CASE WHEN cum >= {_DIST_P} THEN rk END)::BIGINT
+           AS nucleus_size
+FROM dist
+GROUP BY w1, h
+ORDER BY h DESC, w1 ASC
+"""
+
+
+@register(
+    "bigram_distribution_audit",
+    oracle=_DIST_ORACLE,
+    tags=("lm", "text", "distribution", "audit"),
+)
+def bigram_distribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-token DISTRIBUTION audit for the 20 most frequent bigram
+    histories: continuation fanout, Shannon entropy, top-1 (greedy)
+    mass, and the NUCLEUS size (min k whose cumulative probability
+    reaches p=0.9 — exactly the set top-p sampling truncates to). The
+    distribution-shape companion to the scoring (perplexity) and
+    sampling (greedy decode) lanes: histories with top1_mass ≈ 1 decode
+    deterministically, flat high-entropy histories are where sampling
+    temperature matters, and nucleus_size is the working vocabulary a
+    top-p decoder actually sees per step.
+
+    Plan shape: the bigram-type groupBy is the only corpus shuffle;
+    the 20 audited histories come from a TakeOrderedAndProject over the
+    history margin; per-history rank/cumulative windows are PARTITIONED
+    by history (bounded per-group fanout, no single-partition stage);
+    the final rollup is 20 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    T = F.split(F.trim(F.col("text")), r"\s+")
+    bg = (
+        d.select(T.alias("T"))
+        .where(F.size("T") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("T") - 1),
+                    lambda i: F.struct(
+                        F.element_at("T", i).alias("w1"),
+                        F.element_at("T", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bfreq = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hist = F.broadcast(
+        bfreq.groupBy("w1")
+        .agg(F.sum("c").alias("h"))
+        .orderBy(F.col("h").desc(), F.col("w1").asc())
+        .limit(_DIST_TOP_HIST)
+    )
+    w_rk = Window.partitionBy("w1").orderBy(
+        F.col("c").desc(), F.col("w2").asc()
+    )
+    dist = (
+        bfreq.join(hist, "w1")
+        .withColumn("p", F.col("c") / F.col("h"))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .withColumn(
+            "cum",
+            F.sum(F.col("c") / F.col("h")).over(
+                w_rk.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        dist.groupBy("w1", "h")
+        .agg(
+            F.count(F.lit(1)).alias("fanout"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 4).alias("entropy"),
+            F.round(
+                F.max(F.when(F.col("rk") == 1, F.col("p"))), 4
+            ).alias("top1_mass"),
+            F.min(
+                F.when(F.col("cum") >= _DIST_P, F.col("rk"))
+            ).cast("long").alias("nucleus_size"),
+        )
+        .select(
+            F.col("w1").alias("history"),
+            F.col("h").cast("long").alias("n_continuations_total"),
+            F.col("fanout").cast("long").alias("fanout"),
+            "entropy",
+            "top1_mass",
+            "nucleus_size",
+        )
+        .orderBy(F.col("n_continuations_total").desc(), F.col("history").asc())
+    )
