@@ -171,6 +171,7 @@ _NEVER_SAMPLED_FIRST = (
     "bigram_greedy_decode",
     "user_automation_signals",
     "bigram_distribution_audit",
+    "logrank_test_arms",
 )
 
 

@@ -2293,3 +2293,158 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_FS_TOP)
         .select("rec_a", "rec_b", "is_match", F.round("w", 4).alias("weight"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: do the two arms' churn survival curves differ?
+# ---------------------------------------------------------------------------
+
+_LOGRANK_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, user_id % 2 AS arm, epoch_us(ts) AS t FROM events
+),
+horizon AS (SELECT max(t) AS h FROM ev),
+life AS (
+    SELECT user_id, max(arm) AS arm,
+           CAST((max(t) - min(t)) // 86400000000 AS BIGINT) AS days,
+           max(t) AS last_t
+    FROM ev GROUP BY user_id
+),
+obs AS (
+    SELECT arm, days,
+           CASE WHEN l.last_t >= hz.h - {_KM_CENSOR_US}
+                THEN 0 ELSE 1 END AS event
+    FROM life l CROSS JOIN horizon hz
+),
+times AS (
+    SELECT days AS t,
+           sum(event)::DOUBLE AS d,
+           count(*)::DOUBLE AS removed,
+           sum(CASE WHEN arm = 1 THEN event ELSE 0 END)::DOUBLE AS d1,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::DOUBLE AS removed1
+    FROM obs GROUP BY days
+),
+risk AS (
+    SELECT t, d, d1,
+           sum(removed) OVER w AS n_risk,
+           sum(removed1) OVER w AS n1_risk
+    FROM times
+    WINDOW w AS (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+),
+terms AS (
+    SELECT d1, d * n1_risk / n_risk AS e1,
+           d * (n1_risk / n_risk) * (1 - n1_risk / n_risk)
+             * (n_risk - d) / (n_risk - 1) AS v
+    FROM risk WHERE d > 0 AND n_risk > 1
+),
+agg AS (
+    SELECT sum(d1) AS o1, sum(e1) AS e1, sum(v) AS v FROM terms
+),
+arms AS (
+    SELECT sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ctrl
+    FROM life
+)
+SELECT a.n_treat, a.n_ctrl,
+       g.o1::BIGINT AS observed_events_treat,
+       round(g.e1, 4) AS expected_events_treat,
+       round((g.o1 - g.e1) * (g.o1 - g.e1) / g.v, 4) AS logrank_chi2,
+       ((g.o1 - g.e1) * (g.o1 - g.e1) / g.v > 3.841) AS differs_5pct
+FROM agg g CROSS JOIN arms a
+"""
+
+
+@register(
+    "logrank_test_arms",
+    oracle=_LOGRANK_ORACLE,
+    tags=("analytics", "survival", "hypothesis-test", "stats"),
+)
+def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the two hash arms' churn
+    survival — the hypothesis-test companion to kaplan_meier_retention
+    (KM draws the curves; this says whether they DIFFER, censoring
+    handled correctly where a naive mean-lifetime t-test is biased):
+    at each distinct lifetime, observed arm-1 deaths vs the expected
+    share d·n1/n under the null, pooled into the standard chi-square
+    with hypergeometric variance, against the literal 5% critical
+    value (3.841, 1 df).
+
+    Plan shape: same economics as the KM query — one user-grain
+    aggregation (the only corpus shuffle), a lifetime-day-grain census,
+    reverse-cumulative at-risk counts via day-grain windows (calendar-
+    bounded), and a 1-row fold."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("user_id") % 2).alias("arm"),
+        F.unix_micros("ts").alias("t"),
+    )
+    horizon = F.broadcast(ev.agg(F.max("t").alias("h")))
+    life = ev.groupBy("user_id").agg(
+        F.max("arm").alias("arm"),
+        ((F.max("t") - F.min("t")) / F.lit(86400000000))
+        .cast("long")
+        .alias("days"),
+        F.max("t").alias("last_t"),
+    )
+    obs = life.crossJoin(horizon).select(
+        "arm",
+        "days",
+        F.when(
+            F.col("last_t") >= F.col("h") - _KM_CENSOR_US, 0
+        ).otherwise(1).alias("event"),
+    )
+    times = obs.groupBy(F.col("days").alias("t")).agg(
+        F.sum("event").cast("double").alias("d"),
+        F.count(F.lit(1)).cast("double").alias("removed"),
+        F.sum(F.when(F.col("arm") == 1, F.col("event")).otherwise(0))
+        .cast("double")
+        .alias("d1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("removed1"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = times.select(
+        "t",
+        "d",
+        "d1",
+        F.sum("removed").over(w).alias("n_risk"),
+        F.sum("removed1").over(w).alias("n1_risk"),
+    )
+    frac = F.col("n1_risk") / F.col("n_risk")
+    terms = risk.where((F.col("d") > 0) & (F.col("n_risk") > 1)).select(
+        "d1",
+        (F.col("d") * frac).alias("e1"),
+        (
+            F.col("d")
+            * frac
+            * (1 - frac)
+            * (F.col("n_risk") - F.col("d"))
+            / (F.col("n_risk") - 1)
+        ).alias("v"),
+    )
+    agg = terms.agg(
+        F.sum("d1").alias("o1"), F.sum("e1").alias("e1"), F.sum("v").alias("v")
+    )
+    arms = F.broadcast(
+        life.agg(
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_treat"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_ctrl"),
+        )
+    )
+    chi2 = (F.col("o1") - F.col("e1")) ** 2 / F.col("v")
+    return agg.crossJoin(arms).select(
+        "n_treat",
+        "n_ctrl",
+        F.col("o1").cast("long").alias("observed_events_treat"),
+        F.round("e1", 4).alias("expected_events_treat"),
+        F.round(chi2, 4).alias("logrank_chi2"),
+        (chi2 > 3.841).alias("differs_5pct"),
+    )
