@@ -172,6 +172,8 @@ _NEVER_SAMPLED_FIRST = (
     "user_automation_signals",
     "bigram_distribution_audit",
     "logrank_test_arms",
+    "cmh_stratified_association",
+    "price_index_fisher",
 )
 
 

@@ -4544,3 +4544,210 @@ def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel stratified 2x2 association test
+# ---------------------------------------------------------------------------
+
+_CMH_ORACLE = """
+WITH base AS (
+    SELECT c.c_nationkey AS stratum,
+           CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS x,
+           CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+cells AS (
+    SELECT stratum,
+           sum(x * y)::DOUBLE AS a,
+           sum(x)::DOUBLE AS n1,
+           sum(1 - x)::DOUBLE AS n0,
+           sum(y)::DOUBLE AS m1,
+           sum(1 - y)::DOUBLE AS m0,
+           count(*)::DOUBLE AS n
+    FROM base GROUP BY stratum
+),
+terms AS (
+    SELECT a, n1 * m1 / n AS e,
+           n1 * n0 * m1 * m0 / (n * n * (n - 1)) AS v
+    FROM cells WHERE n > 1
+),
+agg AS (
+    SELECT count(*)::BIGINT AS n_strata,
+           sum(a) AS sa, sum(e) AS se, sum(v) AS sv
+    FROM terms
+)
+SELECT n_strata,
+       sa::BIGINT AS observed_exposed_cases,
+       round(se, 4) AS expected_exposed_cases,
+       round(power(abs(sa - se) - 0.5, 2) / sv, 4) AS cmh_chi2,
+       (power(abs(sa - se) - 0.5, 2) / sv > 3.841) AS assoc_5pct
+FROM agg
+"""
+
+
+@register(
+    "cmh_stratified_association",
+    oracle=_CMH_ORACLE,
+    tags=("stats", "hypothesis-test", "stratified"),
+)
+def cmh_stratified_association(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test (continuity-corrected, 1 df) for
+    the segment→urgent-priority association ACROSS nation strata — the
+    confounder-adjusted version of the plain chi-square: a pooled 2×2
+    can show association that is pure Simpson's-paradox mixing, while
+    CMH compares observed vs expected WITHIN each stratum and pools
+    the per-stratum hypergeometric variances. The third rung of the
+    adjusted-comparison ladder (DiD removes time trends, propensity
+    stratification balances continuous covariates, CMH handles a
+    categorical confounder exactly).
+
+    Plan shape: one broadcast fact-dim join, one stratum-grain
+    conditional aggregation (the only corpus shuffle), arithmetic on
+    the |strata|-row cell table, 1-row fold."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    base = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        F.col("c_nationkey").alias("stratum"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias(
+            "x"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    cells = base.groupBy("stratum").agg(
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("a"),
+        F.sum("x").cast("double").alias("n1"),
+        F.sum(1 - F.col("x")).cast("double").alias("n0"),
+        F.sum("y").cast("double").alias("m1"),
+        F.sum(1 - F.col("y")).cast("double").alias("m0"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    terms = cells.where(F.col("n") > 1).select(
+        "a",
+        (F.col("n1") * F.col("m1") / F.col("n")).alias("e"),
+        (
+            F.col("n1")
+            * F.col("n0")
+            * F.col("m1")
+            * F.col("m0")
+            / (F.col("n") * F.col("n") * (F.col("n") - 1))
+        ).alias("v"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("a").alias("sa"),
+        F.sum("e").alias("se"),
+        F.sum("v").alias("sv"),
+    )
+    chi2 = F.pow(F.abs(F.col("sa") - F.col("se")) - 0.5, 2) / F.col("sv")
+    return agg.select(
+        "n_strata",
+        F.col("sa").cast("long").alias("observed_exposed_cases"),
+        F.round("se", 4).alias("expected_exposed_cases"),
+        F.round(chi2, 4).alias("cmh_chi2"),
+        (chi2 > 3.841).alias("assoc_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indices (base year vs next year)
+# ---------------------------------------------------------------------------
+
+_PI_ORACLE = """
+WITH li AS (
+    SELECT l.l_partkey AS part,
+           year(o.o_orderdate) AS yr,
+           l.l_extendedprice, l.l_quantity
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+yrs AS (SELECT min(yr) AS y0 FROM li),
+py AS (
+    SELECT part, yr,
+           sum(l_extendedprice) / sum(l_quantity) AS p,
+           sum(l_quantity) AS q
+    FROM li GROUP BY part, yr
+),
+paired AS (
+    SELECT b.part, b.p AS p0, b.q AS q0, c.p AS p1, c.q AS q1
+    FROM py b
+    JOIN py c ON c.part = b.part AND c.yr = b.yr + 1
+    CROSS JOIN yrs WHERE b.yr = yrs.y0
+)
+SELECT count(*)::BIGINT AS n_parts,
+       round(sum(p1 * q0) / sum(p0 * q0), 6) AS laspeyres,
+       round(sum(p1 * q1) / sum(p0 * q1), 6) AS paasche,
+       round(sqrt((sum(p1 * q0) / sum(p0 * q0))
+                  * (sum(p1 * q1) / sum(p0 * q1))), 6) AS fisher
+FROM paired
+"""
+
+
+@register(
+    "price_index_fisher",
+    oracle=_PI_ORACLE,
+    tags=("analytics", "index", "economics"),
+)
+def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher ideal price indices between the
+    corpus's base year and the following year — the canonical
+    "did prices or volumes move" decomposition a revenue YoY number
+    hides: Laspeyres weights price relatives by BASE-year quantities
+    (overstates inflation under substitution), Paasche by CURRENT-year
+    quantities (understates it), Fisher is their geometric mean (the
+    superlative index national accounts use). Parts must trade in both
+    years (the matched-basket rule).
+
+    Plan shape: one fact join + one (part, year) aggregation — the
+    only corpus shuffles; the index arithmetic runs on the part-grain
+    paired table and folds to one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    base = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_partkey").alias("part"),
+        "yr",
+        "l_extendedprice",
+        "l_quantity",
+    )
+    py = base.groupBy("part", "yr").agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        F.sum("l_quantity").alias("q"),
+    )
+    y0 = F.broadcast(base.agg(F.min("yr").alias("y0")))
+    b = py.alias("b")
+    c = py.alias("c")
+    paired = (
+        b.crossJoin(y0)
+        .where(F.col("b.yr") == F.col("y0"))
+        .join(
+            c,
+            (F.col("c.part") == F.col("b.part"))
+            & (F.col("c.yr") == F.col("b.yr") + 1),
+        )
+        .select(
+            F.col("b.p").alias("p0"),
+            F.col("b.q").alias("q0"),
+            F.col("c.p").alias("p1"),
+            F.col("c.q").alias("q1"),
+        )
+    )
+    lasp = F.sum(F.col("p1") * F.col("q0")) / F.sum(
+        F.col("p0") * F.col("q0")
+    )
+    paas = F.sum(F.col("p1") * F.col("q1")) / F.sum(
+        F.col("p0") * F.col("q1")
+    )
+    return paired.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
