@@ -174,6 +174,7 @@ _NEVER_SAMPLED_FIRST = (
     "logrank_test_arms",
     "cmh_stratified_association",
     "price_index_fisher",
+    "learning_curve_logreg",
 )
 
 

@@ -1858,3 +1858,160 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("strength").desc(), F.col("supp_key").asc())
         .limit(_BT_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Learning curve: the quality classifier trained on growing subsets
+# ---------------------------------------------------------------------------
+
+_LC_FRACS = ((1, "25pct"), (2, "50pct"), (4, "100pct"))  # doc_id % 4 < k
+
+
+def _lc_features_sql() -> str:
+    return """
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           1.0 AS x0,
+           n_chars / 1000.0 AS x1,
+           len(string_split(text, ' ')) / 100.0 AS x2,
+           length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+               / length(text)::DOUBLE AS x3,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / length(text)::DOUBLE AS x4
+    FROM documents"""
+
+
+def _lc_oracle() -> str:
+    xs = [f"x{j}" for j in range(_N_FEATURES)]
+    blocks, rows = [], []
+    for mod, label in _LC_FRACS:
+        sfx = f"m{mod}"
+        prev = f"w0_{sfx}"
+        blocks.append(
+            f"""tr_{sfx} AS (
+    SELECT * FROM features WHERE doc_id % 4 < {mod}
+),
+w0_{sfx} AS (SELECT {', '.join(f'0.0 AS w{j}' for j in range(_N_FEATURES))})"""
+        )
+        for i in range(1, N_ITERS + 1):
+            margin = " + ".join(
+                f"w.w{j} * f.{x}" for j, x in enumerate(xs)
+            )
+            grads = ",\n           ".join(
+                f"round(w.w{j} - {LR} * sum((1.0 / (1.0 + exp(-({margin})))"
+                f" - f.y) * f.{x}) / count(*), {_ROUND}) AS w{j}"
+                for j, x in enumerate(xs)
+            )
+            blocks.append(
+                f"""w{i}_{sfx} AS (
+    SELECT {grads}
+    FROM tr_{sfx} f CROSS JOIN {prev} w
+    GROUP BY {', '.join(f'w.w{j}' for j in range(_N_FEATURES))}
+)"""
+            )
+            prev = f"w{i}_{sfx}"
+        margin = " + ".join(f"w.w{j} * f.x{j}" for j in range(_N_FEATURES))
+        rows.append(
+            f"""SELECT '{label}' AS subset,
+       (SELECT count(*) FROM tr_{sfx})::BIGINT AS n_train,
+       round(avg(CASE WHEN (({margin}) > 0) = (f.y = 1.0)
+                      THEN 1.0 ELSE 0.0 END), 6) AS full_corpus_accuracy
+FROM features f CROSS JOIN {prev} w"""
+        )
+    return (
+        "WITH features AS ({feat}),\n".format(feat=_lc_features_sql())
+        + ",\n".join(blocks)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\n) ORDER BY n_train"
+    )
+
+
+@register(
+    "learning_curve_logreg",
+    oracle=_lc_oracle(),
+    tags=("ml", "iterative", "eval", "diagnostics"),
+)
+def learning_curve_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve of the in-engine quality classifier: the SAME
+    3-step quantized GD trajectory trained on deterministic 25% / 50%
+    / 100% subsets (doc_id mod 4 buckets — reproducible, disjointly
+    nested) and evaluated on the FULL corpus — the "would more data
+    help" diagnostic every data-acquisition decision should start
+    from (a flat curve says buy better labels or features, a steep one
+    says buy data). Subset trajectories are fully hash-checked like
+    the parent classifier's.
+
+    Plan shape: the feature projection is cached once and shared by
+    all three trainings AND the shared evaluation scan; each training
+    iteration stays a 5-double map-side gradient agg (now over the
+    subset filter, which Catalyst pushes into the cached scan). Nine
+    gradient aggs + three eval folds total, corpus never shuffles."""
+    feats_df = load_table(spark, sf_dir, "documents")
+    text_len = F.length("text").cast("double")
+    feats = feats_df.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (F.size(F.split("text", " ", -1)) / 100.0).alias("x2"),
+        (
+            F.length(F.regexp_replace("text", r"[^.,!?;:]", "")) / text_len
+        ).alias("x3"),
+        (F.length(F.regexp_replace("text", r"[^0-9]", "")) / text_len).alias(
+            "x4"
+        ),
+    ).cache()
+    xs = [f"x{j}" for j in range(_N_FEATURES)]
+    out = None
+    for mod, label in _LC_FRACS:
+        tr = feats.where(F.col("doc_id") % 4 < mod)
+        w = spark.range(1).select(
+            *[F.lit(0.0).alias(f"w{j}") for j in range(_N_FEATURES)]
+        )
+        for _ in range(N_ITERS):
+            joined = tr.crossJoin(F.broadcast(w))
+            margin = sum(
+                (F.col(f"w{j}") * F.col(x) for j, x in enumerate(xs)),
+                F.lit(0.0),
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            w = joined.groupBy(
+                *[f"w{j}" for j in range(_N_FEATURES)]
+            ).agg(
+                *[
+                    F.sum((p - F.col("y")) * F.col(x)).alias(f"g{j}")
+                    for j, x in enumerate(xs)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            ).select(
+                *[
+                    F.round(
+                        F.col(f"w{j}") - LR * F.col(f"g{j}") / F.col("n"),
+                        _ROUND,
+                    ).alias(f"w{j}")
+                    for j in range(_N_FEATURES)
+                ]
+            )
+        n_train = F.broadcast(
+            tr.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+        )
+        margin = sum(
+            (F.col(f"w{j}") * F.col(x) for j, x in enumerate(xs)),
+            F.lit(0.0),
+        )
+        correct = F.when(
+            (margin > 0) == (F.col("y") == 1.0), 1.0
+        ).otherwise(0.0)
+        row = (
+            feats.crossJoin(F.broadcast(w))
+            .agg(F.round(F.avg(correct), 6).alias("full_corpus_accuracy"))
+            .crossJoin(n_train)
+            .select(
+                F.lit(label).alias("subset"),
+                "n_train",
+                "full_corpus_accuracy",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_train")
