@@ -175,6 +175,7 @@ _NEVER_SAMPLED_FIRST = (
     "cmh_stratified_association",
     "price_index_fisher",
     "learning_curve_logreg",
+    "drop_column_importance",
 )
 
 

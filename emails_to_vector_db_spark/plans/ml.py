@@ -2015,3 +2015,154 @@ def learning_curve_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("n_train")
+
+
+# ---------------------------------------------------------------------------
+# Drop-column feature importance for the quality classifier
+# ---------------------------------------------------------------------------
+
+_FI_FEATURES = (1, 2, 3, 4)  # x0 is the bias; never dropped
+_FI_NAMES = {1: "chars_per_1k", 2: "tokens_per_100", 3: "punct_frac", 4: "digit_frac"}
+
+
+def _fi_oracle() -> str:
+    xs = [f"x{j}" for j in range(_N_FEATURES)]
+    blocks, rows = [], []
+    variants = [(0, "full")] + [(j, _FI_NAMES[j]) for j in _FI_FEATURES]
+    for drop, label in variants:
+        sfx = f"d{drop}"
+
+        def col(j: int) -> str:
+            return "0.0" if (drop != 0 and j == drop) else f"f.x{j}"
+
+        prev = f"w0_{sfx}"
+        blocks.append(
+            f"w0_{sfx} AS (SELECT "
+            + ", ".join(f"0.0 AS w{j}" for j in range(_N_FEATURES))
+            + ")"
+        )
+        for i in range(1, N_ITERS + 1):
+            margin = " + ".join(
+                f"w.w{j} * {col(j)}" for j in range(_N_FEATURES)
+            )
+            grads = ",\n           ".join(
+                f"round(w.w{j} - {LR} * sum((1.0 / (1.0 + exp(-({margin})))"
+                f" - f.y) * {col(j)}) / count(*), {_ROUND}) AS w{j}"
+                for j in range(_N_FEATURES)
+            )
+            blocks.append(
+                f"""w{i}_{sfx} AS (
+    SELECT {grads}
+    FROM features f CROSS JOIN {prev} w
+    GROUP BY {', '.join(f'w.w{j}' for j in range(_N_FEATURES))}
+)"""
+            )
+            prev = f"w{i}_{sfx}"
+        margin = " + ".join(
+            f"w.w{j} * {col(j)}" for j in range(_N_FEATURES)
+        )
+        rows.append(
+            f"""SELECT '{label}' AS variant,
+       round(avg(CASE WHEN (({margin}) > 0) = (f.y = 1.0)
+                      THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM features f CROSS JOIN {prev} w"""
+        )
+    union = "\nUNION ALL\n".join(rows)
+    block_sql = ",\n".join(blocks)
+    return f"""
+WITH features AS ({_sql_features()}),
+{block_sql},
+accs AS ({union}),
+base AS (SELECT accuracy AS acc0 FROM accs WHERE variant = 'full')
+SELECT a.variant, a.accuracy,
+       round(b.acc0 - a.accuracy, 6) AS importance
+FROM accs a CROSS JOIN base b
+ORDER BY importance DESC, a.variant ASC
+"""
+
+
+@register(
+    "drop_column_importance",
+    oracle=_fi_oracle(),
+    tags=("ml", "iterative", "eval", "diagnostics"),
+)
+def drop_column_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-column (leave-one-covariate-out) feature importance for
+    the quality classifier: RETRAIN the same 3-step quantized GD with
+    each feature zeroed (zeroing kills its gradient, so the weight
+    stays 0 — exactly feature removal) and report the full-corpus
+    accuracy drop vs the full model — the honest importance measure
+    (unlike weight magnitudes, it accounts for the remaining features
+    COMPENSATING, which is what correlated features do). Five fully
+    hash-checked trajectories.
+
+    Plan shape: one cached feature projection feeds fifteen 5-double
+    gradient aggs and five eval folds; every stage is map-side
+    combinable and the corpus never shuffles."""
+    feats = _spark_features(spark, sf_dir).cache()
+    xs = [f"x{j}" for j in range(_N_FEATURES)]
+    variants = [(0, "full")] + [(j, _FI_NAMES[j]) for j in _FI_FEATURES]
+    accs = None
+    for drop, label in variants:
+
+        def col(j: int) -> F.Column:
+            if drop != 0 and j == drop:
+                return F.lit(0.0)
+            return F.col(f"x{j}")
+
+        w = spark.range(1).select(
+            *[F.lit(0.0).alias(f"w{j}") for j in range(_N_FEATURES)]
+        )
+        for _ in range(N_ITERS):
+            joined = feats.crossJoin(F.broadcast(w))
+            margin = sum(
+                (F.col(f"w{j}") * col(j) for j in range(_N_FEATURES)),
+                F.lit(0.0),
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            w = joined.groupBy(
+                *[f"w{j}" for j in range(_N_FEATURES)]
+            ).agg(
+                *[
+                    F.sum((p - F.col("y")) * col(j)).alias(f"g{j}")
+                    for j in range(_N_FEATURES)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            ).select(
+                *[
+                    F.round(
+                        F.col(f"w{j}") - LR * F.col(f"g{j}") / F.col("n"),
+                        _ROUND,
+                    ).alias(f"w{j}")
+                    for j in range(_N_FEATURES)
+                ]
+            )
+        margin = sum(
+            (F.col(f"w{j}") * col(j) for j in range(_N_FEATURES)),
+            F.lit(0.0),
+        )
+        correct = F.when(
+            (margin > 0) == (F.col("y") == 1.0), 1.0
+        ).otherwise(0.0)
+        row = (
+            feats.crossJoin(F.broadcast(w))
+            .agg(F.round(F.avg(correct), 6).alias("accuracy"))
+            .select(F.lit(label).alias("variant"), "accuracy")
+        )
+        accs = row if accs is None else accs.unionByName(row)
+    base = F.broadcast(
+        accs.where(F.col("variant") == "full").select(
+            F.col("accuracy").alias("acc0")
+        )
+    )
+    return (
+        accs.crossJoin(base)
+        .select(
+            "variant",
+            "accuracy",
+            F.round(F.col("acc0") - F.col("accuracy"), 6).alias(
+                "importance"
+            ),
+        )
+        .orderBy(F.col("importance").desc(), F.col("variant").asc())
+    )
