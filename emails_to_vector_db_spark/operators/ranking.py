@@ -117,6 +117,40 @@ def distributed_row_number(
     )
 
 
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    k: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+    pins: list | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = SQL-standard ``ntile(k)`` under the TOTAL
+    order ``order_cols`` without a single-partition window: the global
+    rank comes from :func:`distributed_row_number`, and the bucket is
+    ntile's closed form — with q = n div k and r = n mod k, the first
+    r buckets take q+1 rows and the rest q, so
+    bucket(rn) = ceil(rn/(q+1)) while rn <= r*(q+1),
+    else r + ceil((rn - r*(q+1))/q). Bit-identical to the window form
+    for any n, k (CaseWhen evaluates branches lazily, so the q=0 case
+    when n < k never divides by zero)."""
+    ranked = distributed_row_number(
+        df, order_cols, "__rn", num_partitions, pins
+    )
+    n = F.broadcast(ranked.agg(F.max("__rn").cast("long").alias("__n")))
+    q = F.floor(F.col("__n") / k)
+    r = F.col("__n") - q * k
+    big = r * (q + 1)
+    bucket = F.when(
+        F.col("__rn") <= big, F.ceil(F.col("__rn") / (q + 1))
+    ).otherwise(r + F.ceil((F.col("__rn") - big) / q))
+    return (
+        ranked.crossJoin(n)
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__rn", "__n")
+    )
+
+
 def distributed_prefix_agg(
     df: DataFrame,
     order_cols: list[Column],

@@ -915,11 +915,16 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     most recent, most frequent, highest spend), reported as segment
     sizes — the 64-cell base layer of lifecycle marketing.
 
-    Plan: one customer aggregation, then three exact ntile windows
-    over the customer table with deterministic id tiebreaks (same
-    global-sort caveat and approx-boundary scale path as
-    orders_equi_depth_histogram).
+    Plan: one customer aggregation, then three exact quartile codings
+    with deterministic id tiebreaks, each through
+    operators/ranking.py::distributed_ntile (customer tables are
+    unbounded-grain — no single-partition ntile window; the _approx
+    sibling remains the even cheaper percentile-boundary path).
     """
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.datediff(
@@ -929,15 +934,23 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    coded = cust.select(
-        (
-            F.ntile(4).over(r_w) * 100
-            + F.ntile(4).over(f_w) * 10
-            + F.ntile(4).over(m_w)
-        ).alias("rfm_code")
+    coded = distributed_ntile(
+        distributed_ntile(
+            distributed_ntile(
+                cust,
+                [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+                4,
+                "r",
+            ),
+            [F.col("frequency").desc(), F.col("o_custkey").asc()],
+            4,
+            "f",
+        ),
+        [F.col("monetary").desc(), F.col("o_custkey").asc()],
+        4,
+        "m",
+    ).select(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("rfm_code")
     )
     return coded.groupBy("rfm_code").agg(
         F.count(F.lit(1)).alias("n_customers")
@@ -1899,25 +1912,33 @@ def inventory_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     head/tail split the heavy-hitter sketches formalize
     probabilistically; this is its exact form).
 
-    Plan shape: a per-part revenue aggregate, a part-grain ranking
-    window for the cumulative share (the exact head/tail contract —
-    the documented part-table-sized ceiling, with the heavy-hitters
-    sketch as the named streaming-scale stand-in), then a 3-row
-    rollup."""
+    Plan shape: a per-part revenue aggregate, then the cumulative
+    share through operators/ranking.py::distributed_prefix_agg (part
+    tables are unbounded-grain — no single-partition running-sum
+    window; the heavy-hitters sketch remains the named streaming-scale
+    stand-in for the contract itself), then a 3-row rollup."""
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_prefix_agg,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(
             F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("r")
     )
-    w = Window.orderBy(F.col("r").desc(), F.col("pk").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    prefixed = distributed_prefix_agg(
+        rev,
+        [F.col("r").desc(), F.col("pk").asc()],
+        sums=[("r", "cum_r")],
     )
-    wall = Window.partitionBy()
-    ranked = rev.select(
+    # the grand total re-aggregates the PREFIX output (persisted by the
+    # helper), not the upstream fact aggregate — one lineitem pass
+    tot = F.broadcast(prefixed.agg(F.sum("r").alias("tot")))
+    ranked = prefixed.crossJoin(tot).select(
         "r",
-        (F.sum("r").over(w) / F.sum("r").over(wall)).alias("cum_share"),
-        F.sum("r").over(wall).alias("tot"),
+        (F.col("cum_r") / F.col("tot")).alias("cum_share"),
+        "tot",
     )
     classed = ranked.select(
         F.when(F.col("cum_share") <= _ABC_A, "A")
@@ -2112,15 +2133,23 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FS_TOP = 20
 _FS_BAL_TOL = 0.25
+# Sorted-neighborhood window (Hernández & Stolfo 1995): records within
+# W-1 positions of each other in (name, rec_id) order are candidate
+# pairs. The name perturbation touches only the LAST character, so a
+# dirtied twin sorts at most ~10 ranks from its base (the other last-
+# digit names plus their at-most-two twins) at ANY corpus size — W=16
+# keeps every true pair co-windowed while the pair space stays exactly
+# n*(W-1): linear in the data, unlike a fixed-cardinality block key
+# whose occupancy (and pair space) grows with the corpus.
+_FS_WINDOW = 16
 
 _FS_ORACLE = f"""
 WITH recs AS (
     SELECT c_custkey * 10 AS rec_id, c_custkey AS base,
-           c_nationkey, c_custkey % 97 AS blk,
            c_name AS name, c_mktsegment AS seg, c_acctbal AS bal
     FROM customer
     UNION ALL
-    SELECT c_custkey * 10 + 1, c_custkey, c_nationkey, c_custkey % 97,
+    SELECT c_custkey * 10 + 1, c_custkey,
            CASE WHEN c_custkey % 3 = 0
                 THEN substr(c_name, 1, length(c_name) - 1) || 'X'
                 ELSE c_name END,
@@ -2130,16 +2159,17 @@ WITH recs AS (
                 THEN c_acctbal + 0.5 ELSE c_acctbal END
     FROM customer WHERE c_custkey % 7 = 0
 ),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY name, rec_id) AS rn FROM recs
+),
 pairs AS (
     SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
            (a.base = b.base) AS is_match,
            (a.name = b.name) AS name_eq,
            (a.seg = b.seg) AS seg_eq,
            (abs(a.bal - b.bal) <= {_FS_BAL_TOL}) AS bal_eq
-    FROM recs a JOIN recs b
-      ON a.c_nationkey = b.c_nationkey
-     AND a.blk = b.blk
-     AND a.rec_id < b.rec_id
+    FROM ranked a JOIN ranked b
+      ON b.rn > a.rn AND b.rn <= a.rn + {_FS_WINDOW - 1}
 ),
 mu AS (
     SELECT
@@ -2183,29 +2213,37 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically-dirtied customer registry: every 7th customer
     gains a perturbed twin (name tail, mktsegment, balance each
     flipped on independent key residues), candidate pairs come from
-    BLOCKING on (nation, custkey mod 97 — the stand-in for a stable
-    block key like a postcode; perturbations never touch it, so true
-    pairs always co-block) — and each pair is scored by the
-    log-likelihood-ratio weight Σ ln(m_f/u_f) over its
-    field-agreement vector. m/u are estimated from the labeled-by-
-    construction pairs with Laplace smoothing (+0.5/+1 — keeps
-    perfectly-separating fields like the unique name finite), the
-    supervised variant of the EM fit real linkage runs;
-    entity_canonical_groups is the exact-key sibling, this is the
-    NOISY-field one. Top-{_FS_TOP} pairs by weight: the decision list
-    a clerical-review threshold cuts.
+    SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo 1995): rank all
+    records by (name, rec_id) and pair those within {_FS_WINDOW - 1}
+    positions — the perturbation only rewrites the last name
+    character, so twins sort adjacently and every true pair
+    co-windows, while the candidate space is exactly n*{_FS_WINDOW - 1}
+    (LINEAR in the corpus; the round-5 mod-97 block key's occupancy
+    grew with the data, quadratic pair space — this is its scale-real
+    replacement). Each pair is scored by the log-likelihood-ratio
+    weight Σ ln(m_f/u_f) over its field-agreement vector; m/u are
+    estimated from the labeled-by-construction pairs with Laplace
+    smoothing (+0.5/+1 — keeps perfectly-separating fields like the
+    unique name finite), the supervised variant of the EM fit real
+    linkage runs; entity_canonical_groups is the exact-key sibling,
+    this is the NOISY-field one. Top-{_FS_TOP} pairs by weight: the
+    decision list a clerical-review threshold cuts.
 
-    Plan shape: the self-join is EQUI on the block key (shuffle both
-    sides on (nation, residue) — never all-pairs; block occupancy is
-    the operator's own audit, join_key_skew_report's job); the m/u fit
-    is one 1-row aggregate broadcast back; scoring is map-side; the
-    decision list is TakeOrderedAndProject."""
+    Plan shape: the global name rank runs through
+    operators/ranking.py::distributed_row_number (record tables are
+    corpus-grain — no single-partition sort); neighbors materialize
+    via an explode of the {_FS_WINDOW - 1} rank offsets and ONE equi
+    self-join on the shifted rank; the m/u fit is one 1-row aggregate
+    broadcast back; scoring is map-side; the decision list is
+    TakeOrderedAndProject."""
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_row_number,
+    )
+
     c = load_table(spark, sf_dir, "customer")
     base = c.select(
         (F.col("c_custkey") * 10).alias("rec_id"),
         F.col("c_custkey").alias("base"),
-        "c_nationkey",
-        (F.col("c_custkey") % 97).alias("blk"),
         F.col("c_name").alias("name"),
         F.col("c_mktsegment").alias("seg"),
         F.col("c_acctbal").alias("bal"),
@@ -2213,8 +2251,6 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin = c.where(F.col("c_custkey") % 7 == 0).select(
         (F.col("c_custkey") * 10 + 1).alias("rec_id"),
         F.col("c_custkey").alias("base"),
-        "c_nationkey",
-        (F.col("c_custkey") % 97).alias("blk"),
         F.when(
             F.col("c_custkey") % 3 == 0,
             F.concat(
@@ -2232,14 +2268,20 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal"),
     )
     recs = base.unionByName(twin)
-    a, b = recs.alias("a"), recs.alias("b")
+    ranked = distributed_row_number(
+        recs, [F.col("name").asc(), F.col("rec_id").asc()], "rn"
+    )
+    offsets = spark.range(1, _FS_WINDOW).select(
+        F.col("id").cast("int").alias("d")
+    )
+    a = (
+        ranked.crossJoin(F.broadcast(offsets))
+        .withColumn("rn_b", F.col("rn") + F.col("d"))
+        .alias("a")
+    )
+    b = ranked.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.rec_id") < F.col("b.rec_id")),
-        )
+        a.join(b, F.col("a.rn_b") == F.col("b.rn"))
         .select(
             F.col("a.rec_id").alias("rec_a"),
             F.col("b.rec_id").alias("rec_b"),

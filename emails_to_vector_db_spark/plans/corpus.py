@@ -1727,20 +1727,25 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline can run.
 
     Plan shape: one token census (the corpus-scale pass), a
-    vocabulary-sized ranking window, and a 1-row moment aggregate for
-    the closed-form fit. The vocab rank window is the
-    operators/ranking.py distributed-rank territory at web scale; at
-    any tested scale the vocabulary is orders smaller than the
-    corpus."""
+    vocabulary-sized DISTRIBUTED rank (operators/ranking.py — range-
+    partition by (f desc, tok), local row_number, broadcast offsets;
+    web-scale vocabularies with IDs/typos reach 1e8+ types, so the
+    rank must never collapse to one partition), and a 1-row moment
+    aggregate for the closed-form fit."""
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_row_number,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(TX.tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("double").alias("f"))
     )
-    w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
-    ranked = freq.select(
-        F.log(F.row_number().over(w)).alias("lr"),
+    ranked = distributed_row_number(
+        freq, [F.col("f").desc(), F.col("tok").asc()], "rank"
+    ).select(
+        F.log("rank").alias("lr"),
         F.log("f").alias("lf"),
     )
     m = ranked.agg(

@@ -1116,6 +1116,14 @@ def cosupply_degree_distribution(
 
 _KCORE_K = 80
 _KCORE_ROUNDS = 8
+# Broadcast the alive-node vector into the per-round semi-probes only
+# while it fits comfortably in an executor (1e7 longs ~ 80 MB); above
+# that, fall back to shuffle semi-joins — the knn_join_probe_cutover
+# pattern. The alive set STARTS at |all partkeys|, which exceeds any
+# broadcast limit at 100x, so round 1 of a web-scale run takes the
+# shuffle path and later rounds re-enter the broadcast path as peeling
+# shrinks the vector.
+_KCORE_BROADCAST_MAX_NODES = 10_000_000
 
 _KCORE_PAIRS_SQL = """
     SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -1190,16 +1198,23 @@ def kcore_part_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the corpus-scale stage is the one distinct part-pair
     extraction (the same priced-in basket self-join as
     market_basket_part_pairs); the symmetrized edge list is cached
-    ONCE. Each round ships only the ALIVE NODE VECTOR (broadcast into
-    two left-semi probes of the cached edges) and re-aggregates
-    degrees map-side — "ship the vector, not the graph", the
-    operators/pagerank.py discipline. ONE edge pass per round serves
-    both peeling and the stat row (the degree table's sum/2 IS the
-    surviving-pair count); the node-sized degree table is
-    localCheckpointed per round because each round references the
-    previous vector twice — without lineage truncation the logical
-    plan doubles per round (the hits_hubs_authorities re-execution
-    lesson, squared)."""
+    ONCE. Each round ships only the ALIVE NODE VECTOR into two
+    left-semi probes of the cached edges and re-aggregates degrees
+    map-side — "ship the vector, not the graph", the
+    operators/pagerank.py discipline. The probes CUT OVER on the
+    alive-set size (the knn_join_probe_cutover pattern): broadcast
+    semi-joins while the vector fits an executor
+    (_KCORE_BROADCAST_MAX_NODES), shuffle semi-joins above — the
+    alive set starts at |all partkeys|, which no broadcast survives
+    at 100x. ONE edge pass per round serves both peeling and the stat
+    row (the degree table's sum/2 IS the surviving-pair count, its
+    >=k row count the next alive size — a 1-row bounded aggregate
+    collected per round, which is also what drives the cutover); the
+    node-sized degree table is localCheckpointed per round because
+    each round references the previous vector twice — without lineage
+    truncation the logical plan doubles per round (the
+    hits_hubs_authorities re-execution lesson, squared). Both probe
+    paths are equivalence-tested in tests/test_graph.py."""
     from pyspark import StorageLevel
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1238,19 +1253,38 @@ def kcore_part_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # One edge pass per round, shared by peeling AND stats: the degree
     # table within alive_r already carries the surviving-pair count
-    # (sum of directed degrees / 2), so no separate edge probe per stat
-    # row — 9 edge passes total, not 17. Each round references the
-    # previous alive set TWICE (src and dst probes): without lineage
-    # truncation the logical plan doubles per round (2^8 nodes —
-    # Catalyst tree walks explode long before any data moves).
-    # localCheckpoint on the node-sized DEGREE table materializes it
-    # and CUTS the plan (persist alone dedups execution, not the
-    # logical tree); alive sets are cheap filters over it.
+    # (sum of directed degrees / 2) and the next alive size (its >=k
+    # row count) — one 1-row aggregate per round, collected so the
+    # NEXT round's probe strategy can depend on the alive count. Each
+    # round references the previous alive set TWICE (src and dst
+    # probes): without lineage truncation the logical plan doubles per
+    # round (2^8 nodes — Catalyst tree walks explode long before any
+    # data moves). localCheckpoint on the node-sized DEGREE table
+    # materializes it and CUTS the plan (persist alone dedups
+    # execution, not the logical tree); alive sets are cheap filters
+    # over it.
+    return _kcore_rounds(
+        spark, edges, _KCORE_K, _KCORE_ROUNDS, _KCORE_BROADCAST_MAX_NODES
+    )
+
+
+def _kcore_rounds(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    broadcast_max_nodes: int,
+) -> DataFrame:
+    """The peeling loop behind kcore_part_basket, parameterized on the
+    broadcast cutover so both probe paths are equivalence-testable.
+    ``edges`` must be the symmetrized (src, dst) list, already pinned.
+    """
     alive = (
         edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
-    out = None
-    for rnd in range(_KCORE_ROUNDS + 1):
+    n_alive = alive.count()
+    stat_rows: list[tuple[int, int, int]] = []
+    for rnd in range(rounds + 1):
         # round 0's alive set is ALL nodes by construction — the semi
         # probes would be no-ops, so degree-count the raw edge list.
         # (Deeper cascades would warrant delta-peeling: subtract each
@@ -1258,44 +1292,34 @@ def kcore_part_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-filtering all edges — the named refinement if peeling
         # depth ever dominates; at <=8 rounds the full refilter of the
         # cached list is one in-memory pass per round.)
-        filt = (
-            edges
-            if rnd == 0
-            else edges.join(
-                F.broadcast(alive.withColumnRenamed("node", "src")),
-                "src",
-                "left_semi",
-            ).join(
-                F.broadcast(alive.withColumnRenamed("node", "dst")),
-                "dst",
-                "left_semi",
+        if rnd == 0:
+            filt = edges
+        else:
+            probe_src = alive.withColumnRenamed("node", "src")
+            probe_dst = alive.withColumnRenamed("node", "dst")
+            if n_alive <= broadcast_max_nodes:
+                probe_src = F.broadcast(probe_src)
+                probe_dst = F.broadcast(probe_dst)
+            filt = edges.join(probe_src, "src", "left_semi").join(
+                probe_dst, "dst", "left_semi"
             )
-        )
         deg = (
             filt.groupBy("src")
             .agg(F.count(F.lit(1)).alias("c"))
             .localCheckpoint()
         )
-        stat = (
-            alive.agg(
-                F.count(F.lit(1)).cast("long").alias("n_alive_nodes")
-            )
-            .crossJoin(
-                deg.agg(
-                    (F.coalesce(F.sum("c"), F.lit(0)) / 2)
-                    .cast("long")
-                    .alias("n_alive_pairs")
-                )
-            )
-            .select(
-                F.lit(rnd).cast("int").alias("round"),
-                "n_alive_nodes",
-                "n_alive_pairs",
-            )
-        )
-        out = stat if out is None else out.unionByName(stat)
-        if rnd < _KCORE_ROUNDS:
-            alive = deg.where(F.col("c") >= _KCORE_K).select(
+        agg = deg.agg(
+            (F.coalesce(F.sum("c"), F.lit(0)) / 2)
+            .cast("long")
+            .alias("n_pairs"),
+            F.count(F.when(F.col("c") >= k, 1)).alias("n_next"),
+        ).collect()[0]
+        stat_rows.append((rnd, n_alive, agg["n_pairs"]))
+        if rnd < rounds:
+            alive = deg.where(F.col("c") >= k).select(
                 F.col("src").alias("node")
             )
-    return out.orderBy("round")
+            n_alive = agg["n_next"]
+    return spark.createDataFrame(
+        stat_rows, "round int, n_alive_nodes long, n_alive_pairs long"
+    ).orderBy("round")

@@ -682,24 +682,30 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the Gini coefficient of the key-frequency distribution (0 =
     perfectly even partitions, →1 = one key owns the shuffle).
 
-    Plan: one corpus-scale key-count aggregation; everything after —
-    the ascending-frequency ranking and the Gini fold — runs over the
-    KEY table (|distinct keys| rows, a single-partition window at
-    fixture scale; at a billion keys the same report comes from a
-    sampled or sketched key histogram, which is also how AQE's skew
-    detector sees the world).
+    Plan: one corpus-scale key-count aggregation; the ascending-
+    frequency ranking over the KEY table runs through
+    operators/ranking.py::distributed_row_number (key tables reach
+    billions of rows at web scale — user ids, URLs — so the rank must
+    not collapse to one partition), and the grand totals come from a
+    1-row broadcast aggregate instead of unbounded windows.
     """
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_row_number,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     keyed = li.groupBy(F.col("l_suppkey").alias("k")).agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )
-    w_rank = Window.orderBy(F.col("c").asc(), F.col("k").asc())
-    w_all = Window.partitionBy()
-    ranked = (
-        keyed.withColumn("i", F.row_number().over(w_rank))
-        .withColumn("nk", F.count(F.lit(1)).over(w_all))
-        .withColumn("tot", F.sum("c").over(w_all))
+    with_rank = distributed_row_number(
+        keyed, [F.col("c").asc(), F.col("k").asc()], "i"
     )
+    tots = F.broadcast(
+        with_rank.agg(
+            F.max("i").cast("long").alias("nk"), F.sum("c").alias("tot")
+        )
+    )
+    ranked = with_rank.crossJoin(tots)
     return ranked.agg(
         F.max("nk").cast("long").alias("n_keys"),
         F.round(

@@ -1064,11 +1064,14 @@ def conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the model is the same ONE-moment-pass closed form as
     ols_price_model, quantized at 6dp on both sides so residual
-    rankings can't drift; the order-statistic qhat is a sort over the
-    CALIBRATION split only (split-conformal needs just a bounded
-    calibration sample at 100 TB — that bound is the method, not a
-    compromise); coverage is one conditional aggregate over test. Three
-    filtered passes over the fact table, nothing wide shuffles."""
+    rankings can't drift; the order-statistic qhat runs through
+    operators/ranking.py::distributed_row_number — range-partition the
+    calibration residuals, rank locally, broadcast per-partition
+    offsets — so the calibration split (25% of the fact table) never
+    collapses into a single-partition Window.orderBy sort; coverage is
+    one conditional aggregate over test. Ties in r don't threaten
+    determinism: the VALUE at global sort position k is unique however
+    equal residuals are ordered among themselves."""
     li = load_table(spark, sf_dir, "lineitem")
     x1, x2, y = (
         F.col("l_quantity"),
@@ -1102,11 +1105,14 @@ def conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(b)
         .select(resid.alias("r"))
     )
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_row_number,
+    )
+
     nc = F.broadcast(calib.agg(F.count(F.lit(1)).alias("n")))
-    rn = F.row_number().over(Window.orderBy("r"))
+    ranked = distributed_row_number(calib, [F.col("r").asc()], "rn")
     q = F.broadcast(
-        calib.withColumn("rn", rn)
-        .crossJoin(nc)
+        ranked.crossJoin(nc)
         .where(
             F.col("rn")
             == F.ceil((F.col("n") + 1) * _CONF_TARGET).cast("long")

@@ -1403,8 +1403,11 @@ def tfidf_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= (0.05N)² local pairs and hot stop terms emit NONE, which is
     what keeps the join sub-quadratic at corpus scale (raise the cut
     and the pair space, not the algorithm, is what grows). Dot
-    products group by the pair key; norms broadcast back onto the
-    20-row result."""
+    products group by the pair key. Norms RIDE IN THE POSTINGS ROWS
+    (one doc-partitioned window before the self-join), so cosine is
+    computed inside the pair aggregation itself — the pair-grain table
+    never joins a doc-grain table, broadcast or otherwise; at 100 TB
+    there is no doc-grain broadcast to OOM on."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = d.select(
         "doc_id",
@@ -1439,13 +1442,20 @@ def tfidf_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nrm = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
-    )
-    a, b = w.alias("a"), w.alias("b")
-    dots = (
+    # norms ride along in the postings rows: one doc-partitioned window
+    # (bounded per-doc grain) instead of a doc-grain norm table joined
+    # onto the pair-grain dots table later
+    wn = w.withColumn(
+        "nrm",
+        F.sqrt(
+            F.sum(F.col("w") * F.col("w")).over(
+                Window.partitionBy("doc_id")
+            )
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = wn.alias("a"), wn.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
@@ -1457,24 +1467,10 @@ def tfidf_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_shared_terms"),
-            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
-        )
-    )
-    na = nrm.select(
-        F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a")
-    )
-    nb = nrm.select(
-        F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b")
-    )
-    return (
-        dots.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_shared_terms",
             F.round(
-                F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6
+                F.sum(F.col("a.w") * F.col("b.w"))
+                / (F.max("a.nrm") * F.max("b.nrm")),
+                6,
             ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")

@@ -514,19 +514,28 @@ def orders_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed-width event_value_histogram: selectivity estimation needs
     equal-mass buckets, not equal-width ones.
 
-    ntile over a total order (o_orderkey tiebreak makes bucket
-    assignment deterministic at the boundaries). The global-order window
-    is the documented scale ceiling: at 100 TB the same result contract
-    comes from approx_percentile boundaries + a bucketing join, trading
-    exactness for a sort-free plan; exact ntile is kept here because the
-    oracle checks boundary placement bit-for-bit.
+    Exact ntile semantics over a total order (o_orderkey tiebreak makes
+    bucket assignment deterministic at the boundaries) WITHOUT the
+    single-partition ntile window:
+    operators/ranking.py::distributed_ntile — a distributed global
+    rank plus ntile's closed form, bit-identical to the oracle's ntile
+    at any scale, no corpus-grain sort anywhere. (approx_percentile
+    boundaries + a bucketing join remain the cheaper contract when
+    exact boundary placement isn't required.)
     """
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
     return (
-        orders.select(
-            "o_totalprice",
-            F.ntile(_EQUI_DEPTH_BUCKETS).over(w).alias("bucket"),
+        distributed_ntile(
+            orders,
+            [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+            _EQUI_DEPTH_BUCKETS,
+            "bucket",
         )
         .groupBy("bucket")
         .agg(
@@ -708,10 +717,17 @@ def order_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest batch).
 
     Plan: values collapse to a per-distinct-value histogram first (one
-    map-side-combinable groupBy), so the ECDF window runs over
-    |distinct values| rows — the same histogram-first discipline as
-    the AUC query; the final sup is a scalar fold.
+    map-side-combinable groupBy) — the same histogram-first discipline
+    as the AUC query; but order totals are NEAR-UNIQUE (the spearman
+    lesson), so the value grain is effectively row grain and the two
+    cumulative ECDF sums run through
+    operators/ranking.py::distributed_prefix_agg instead of a
+    single-partition window; the final sup is a scalar fold.
     """
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_prefix_agg,
+    )
+
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderpriority").isin(_KS_GROUP_A, _KS_GROUP_B)
     )
@@ -730,12 +746,16 @@ def order_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("na").alias("ta"), F.sum("nb").alias("tb")
         )
     )
-    w = Window.orderBy("v")
-    ecdf = hist.crossJoin(tot).select(
+    cum = distributed_prefix_agg(
+        hist,
+        [F.col("v").asc()],
+        sums=[("na", "ca"), ("nb", "cb")],
+    )
+    ecdf = cum.crossJoin(tot).select(
         "ta",
         "tb",
-        (F.sum("na").over(w) / F.col("ta")).alias("fa"),
-        (F.sum("nb").over(w) / F.col("tb")).alias("fb"),
+        (F.col("ca") / F.col("ta")).alias("fa"),
+        (F.col("cb") / F.col("tb")).alias("fb"),
     )
     return ecdf.agg(
         F.max("ta").cast("long").alias("n_a"),
@@ -1712,22 +1732,25 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n+1)/n over ascending-ranked revenues.
 
     Plan shape: the fact table reduces to one row per customer first
-    (map-side combinable); the ranking window runs over the
-    CUSTOMER-level aggregate — self-documented scale ceiling shared
-    with rfm_customer_segments, and like it the binned-Lorenz
-    (histogram) approximation is the named 100 TB fallback
-    (orders_equi_depth_approx precedent). Deterministic tie-break on
-    custkey pins the hash."""
+    (map-side combinable); the ascending-revenue rank runs through
+    operators/ranking.py::distributed_row_number (customer tables are
+    unbounded-grain — no single-partition sort), and the grand totals
+    come from a 1-row broadcast aggregate instead of unbounded
+    windows. Deterministic tie-break on custkey pins the hash."""
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_row_number,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
-    w = Window.orderBy(F.col("r").asc(), F.col("o_custkey").asc())
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "r",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("r").over(wall).alias("tot"),
+    tots = F.broadcast(
+        rev.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("r").alias("tot")
+        )
     )
+    ranked = distributed_row_number(
+        rev, [F.col("r").asc(), F.col("o_custkey").asc()], "i"
+    ).crossJoin(tots)
     g = ranked.agg(
         F.max("n").alias("n"),
         F.max("tot").alias("tot"),
@@ -2504,15 +2527,24 @@ def binned_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: customer revenues aggregate once; binning is
     arithmetic on a broadcast (min, max) row; the curve and its
     integral are windows over {_LORENZ_BINS} rows. The exact branch
-    (for the error column) keeps the documented customer-rank ceiling
-    — at true scale you drop that column and keep the bins."""
+    (for the error column) ranks through
+    operators/ranking.py::distributed_row_number — no customer-grain
+    single-partition sort even in the audit lane; at true scale you
+    drop that column and keep the bins."""
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_row_number,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
-    from pyspark import StorageLevel
-
-    rev = rev.persist(StorageLevel.MEMORY_AND_DISK)
+    # rank FIRST: distributed_row_number leaves its local-rank table
+    # persisted, and every later branch (range row, bins, totals, the
+    # exact rank-sum) reads that one cached customer-grain table
+    ranked = distributed_row_number(
+        rev, [F.col("r").asc(), F.col("o_custkey").asc()], "i"
+    )
     rng = F.broadcast(
-        rev.agg(F.min("r").alias("lo"), F.max("r").alias("hi"))
+        ranked.agg(F.min("r").alias("lo"), F.max("r").alias("hi"))
     )
     bin_col = F.least(
         F.lit(_LORENZ_BINS - 1),
@@ -2523,7 +2555,7 @@ def binned_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int"),
     )
     binned = (
-        rev.crossJoin(rng)
+        ranked.crossJoin(rng)
         .groupBy(bin_col.alias("bin"))
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
@@ -2547,13 +2579,10 @@ def binned_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("strip")
     ).agg(F.sum("strip").alias("area2"))
-    wr = Window.orderBy("r", "o_custkey")
-    exact = rev.select(
-        "r",
-        F.row_number().over(wr).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("r").over(wall).alias("tot"),
-    ).agg(
+    etot = F.broadcast(
+        ranked.agg(F.count(F.lit(1)).alias("n"), F.sum("r").alias("tot"))
+    )
+    exact = ranked.crossJoin(etot).agg(
         (
             2.0
             * F.sum(F.col("i") * F.col("r"))

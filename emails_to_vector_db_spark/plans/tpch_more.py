@@ -292,7 +292,10 @@ WHERE r.rn = 1
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15-shaped: the half-year revenue leader among suppliers (the
     classic view + max(total_revenue) formulated as a deterministic
-    rank-1 with a suppkey tiebreak)."""
+    rank-1 with a suppkey tiebreak). The rank-1 is orderBy().limit(1)
+    — TakeOrderedAndProject, a distributed partial top-k — not a
+    row_number window, which would single-partition the supplier-grain
+    revenue table."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1997-07-01"))
@@ -305,10 +308,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_rev")
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("total_rev").desc(), F.col("supplier_no").asc())
-    top = rev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    top = rev.orderBy(
+        F.col("total_rev").desc(), F.col("supplier_no").asc()
+    ).limit(1)
     s = _t(spark, sf_dir, "supplier")
     return top.join(
         F.broadcast(s), top.supplier_no == s.s_suppkey

@@ -40,3 +40,32 @@ def test_pagerank_uniform_on_regular_graph(spark):
     pr = _ranks(spark, edges, n_iters=5)
     for v in pr.values():
         assert pytest.approx(v, abs=1e-12) == 0.25
+
+
+def test_kcore_probe_paths_equivalent(spark):
+    """The broadcast-probe and shuffle-probe lanes of the k-core peel
+    must produce identical per-round trajectories — the cutover
+    (plans/graph.py::_KCORE_BROADCAST_MAX_NODES) only changes the
+    physical semi-join strategy, never the result."""
+    from emails_to_vector_db_spark.plans.graph import _kcore_rounds
+
+    # hand-built graph: a 5-clique (the 3-core) plus a path of pendants
+    # that peels away over several rounds
+    clique = [(i, j) for i in range(5) for j in range(5) if i != j]
+    chain = [(5, 0), (0, 5), (6, 5), (5, 6), (7, 6), (6, 7)]
+    edges = spark.createDataFrame(
+        clique + chain, "src long, dst long"
+    ).persist()
+    broadcast_path = _kcore_rounds(
+        spark, edges, k=3, rounds=4, broadcast_max_nodes=10**9
+    ).collect()
+    shuffle_path = _kcore_rounds(
+        spark, edges, k=3, rounds=4, broadcast_max_nodes=0
+    ).collect()
+    edges.unpersist()
+    rows = [tuple(r) for r in broadcast_path]
+    assert rows == [tuple(r) for r in shuffle_path]
+    # the trajectory does real multi-round peeling and lands on the
+    # 5-clique: 8 nodes -> ... -> 5 nodes, 10 undirected pairs
+    assert rows[0][1] == 8
+    assert rows[-1][1] == 5 and rows[-1][2] == 10

@@ -37,7 +37,11 @@ SHUFFLE_BUDGET = {
     "duplicate_ngram_coverage": 4,  # gram census + scoring join + 2 re-aggs
     "tfidf_cosine_topk_pairs": 7,  # tf agg + df/norm re-aggs + pair join
     "spatial_radius_join": 1,  # the 9-cell stencil equi-join; verify map-side
-    "kcore_part_basket": 19,  # pair extraction + 8 rounds x node-sized agg
+    # kcore's peel executes EAGERLY inside fn() (per-round 1-row collects
+    # drive the broadcast/shuffle probe cutover); the returned frame is a
+    # local 9-row stat table, so its lazily-countable shuffles are ~0.
+    # bench.py still times fn() itself, so the real cost stays measured.
+    "kcore_part_basket": 19,
     # + 9 stat-row aggs: per-round traffic is the |V|-sized degree table,
     # never the edge list (checkpointed vector, cached edges)
     "kmv_distinct_sketch": 3,  # (source,tok) distinct + rank + source agg
@@ -184,4 +188,27 @@ def test_scan_budget(spark, table, name):
     assert got <= SCAN_BUDGET[(table, name)], (
         f"{name}: {got} scans of {table}, budget "
         f"{SCAN_BUDGET[(table, name)]}"
+    )
+
+
+def test_tfidf_pairs_no_doc_grain_broadcast(spark):
+    """tfidf_cosine_topk_pairs must never broadcast a doc-grain table:
+    norms ride inside the postings rows (doc-partitioned window), so
+    no join in the plan is keyed on a doc id with a broadcast build
+    side. (AQE legitimately broadcasts the small TERM-keyed sides at
+    fixture scale — tok-keyed builds are fine; it would pick shuffle
+    joins for those at 100x. A doc_id/doc_a/doc_b-keyed broadcast is
+    the norm-table-onto-pairs antipattern that OOMs at scale.)"""
+    spark.catalog.clearCache()
+    df = REGISTRY["tfidf_cosine_topk_pairs"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    doc_keyed = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastHashJoin" in line
+        and re.search(r"BroadcastHashJoin \[[^\]]*doc", line)
+    ]
+    assert not doc_keyed, (
+        "doc-grain broadcast crept back into the tfidf pair plan:\n"
+        + "\n".join(doc_keyed)
     )

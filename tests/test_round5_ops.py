@@ -491,46 +491,42 @@ def test_bradley_terry_matches_literal_mm_replay(spark):
 
 
 def test_fellegi_sunter_weights_match_literal_replay(spark):
-    """The blocked m/u estimation and log-likelihood weights must match
-    a literal Python replay over the same dirtied registry."""
+    """The sorted-neighborhood m/u estimation and log-likelihood
+    weights must match a literal Python replay over the same dirtied
+    registry (rank by (name, rec_id), pair within the window), and the
+    window must actually capture every true pair."""
     import math as _math
+
+    from emails_to_vector_db_spark.plans.analytics import _FS_WINDOW
 
     cust = (
         load_table(spark, SF_ORACLE, "customer")
-        .select(
-            "c_custkey", "c_nationkey", "c_name", "c_mktsegment", "c_acctbal"
-        )
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
         .collect()
     )
     recs = []
     for r in cust:
         k = r["c_custkey"]
-        recs.append(
-            (k * 10, k, r["c_nationkey"], k % 97, r["c_name"],
-             r["c_mktsegment"], r["c_acctbal"])
-        )
+        recs.append((k * 10, k, r["c_name"], r["c_mktsegment"], r["c_acctbal"]))
         if k % 7 == 0:
             name = (
                 r["c_name"][:-1] + "X" if k % 3 == 0 else r["c_name"]
             )
             seg = "UNKNOWN" if k % 5 == 0 else r["c_mktsegment"]
             bal = r["c_acctbal"] + 0.5 if k % 2 == 0 else r["c_acctbal"]
-            recs.append((k * 10 + 1, k, r["c_nationkey"], k % 97, name, seg, bal))
-    import collections
-
-    blocks = collections.defaultdict(list)
-    for rec in recs:
-        blocks[(rec[2], rec[3])].append(rec)
+            recs.append((k * 10 + 1, k, name, seg, bal))
+    ordered = sorted(recs, key=lambda rec: (rec[2], rec[0]))
     pairs = []
-    for rows in blocks.values():
-        rows.sort()
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                a, b = rows[i], rows[j]
-                pairs.append(
-                    (a[0], b[0], a[1] == b[1], a[4] == b[4],
-                     a[5] == b[5], abs(a[6] - b[6]) <= 0.25)
-                )
+    for i, a in enumerate(ordered):
+        for b in ordered[i + 1 : i + _FS_WINDOW]:
+            pairs.append(
+                (a[0], b[0], a[1] == b[1], a[2] == b[2],
+                 a[3] == b[3], abs(a[4] - b[4]) <= 0.25)
+            )
+    # recall audit: every base/twin pair must co-window
+    n_twins = sum(1 for rec in recs if rec[0] % 10 == 1)
+    n_true_cowindowed = sum(1 for p in pairs if p[2])
+    assert n_true_cowindowed == n_twins
     nm = sum(1 for p in pairs if p[2])
     nu = len(pairs) - nm
 
