@@ -994,10 +994,13 @@ def mrr_recall_retrieval_eval(
     and precision@10, with same-source-as-query as the relevance oracle
     — the set-based evaluation legs beside the graded nDCG. One
     broadcast 1-row query, one corpus scan scoring similarity and
-    relevance together, one global ranking window that immediately
-    aggregates to a single row (at 100 TB: rank only the top-k via
-    TakeOrderedAndProject for MRR/precision, and count total relevant
-    in the same scan for the recall denominator)."""
+    relevance together — and NO global ranking window: the first
+    relevant hit comes from a TakeOrderedAndProject(1) over the
+    relevant rows, its global rank from one count of the rows that
+    sort strictly before it (broadcast the 1-row champion back), the
+    top-{_MRR_K} hits from TakeOrderedAndProject({_MRR_K}), and the
+    recall denominator from the same counting aggregate. Every stage
+    is a bounded top-k or a 1-row aggregate at any corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     base = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
@@ -1019,21 +1022,39 @@ def mrr_recall_retrieval_eval(
             .alias("rel"),
         )
     )
-    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-    ranked = scored.withColumn("pos", F.row_number().over(w))
+    from pyspark import StorageLevel
+
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     rel1 = F.col("rel") == 1
-    hit = rel1 & (F.col("pos") <= _MRR_K)
-    return ranked.agg(
+    # the first relevant hit: TakeOrdered(1) over the relevant rows,
+    # then its global rank = 1 + |rows sorting strictly before it|
+    champ = F.broadcast(
+        scored.where(rel1)
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .select(F.col("sim").alias("bs"), F.col("vec_id").alias("bv"))
+    )
+    before = (F.col("sim") > F.col("bs")) | (
+        (F.col("sim") == F.col("bs")) & (F.col("vec_id") < F.col("bv"))
+    )
+    counts = scored.crossJoin(champ).agg(
+        (1 + F.count(F.when(before, 1))).alias("first_rel_rank"),
+        F.count(F.when(rel1, 1)).alias("n_rel"),
+    )
+    topk = F.broadcast(
+        scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(_MRR_K)
+        .agg(F.sum("rel").alias("n_hits"))
+    )
+    return counts.crossJoin(topk).select(
         F.lit(_PROBE_ID).cast("long").alias("query_id"),
-        F.min(F.when(rel1, F.col("pos"))).alias("first_rel_rank"),
-        F.round(1.0 / F.min(F.when(rel1, F.col("pos"))), 6).alias("mrr"),
+        F.col("first_rel_rank"),
+        F.round(1.0 / F.col("first_rel_rank"), 6).alias("mrr"),
         F.round(
-            F.count(F.when(hit, 1)).cast("double")
-            / F.count(F.when(rel1, 1)),
-            6,
+            F.col("n_hits").cast("double") / F.col("n_rel"), 6
         ).alias("recall_at_k"),
         F.round(
-            F.count(F.when(hit, 1)).cast("double") / _MRR_K, 6
+            F.col("n_hits").cast("double") / _MRR_K, 6
         ).alias("precision_at_k"),
     )
 
