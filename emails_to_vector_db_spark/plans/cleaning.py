@@ -876,3 +876,251 @@ def exact_quota_stratified_sample(
         F.min("doc_id").alias("min_doc"),
         F.sum("doc_id").alias("doc_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differential privacy: Laplace-mechanism noisy release of per-source counts
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 0.5
+_DP_SPACE = 1152921504606846976.0  # 2^60, the portable md5-hash range
+
+_DP_ORACLE = f"""
+WITH counts AS (
+    SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source
+),
+noised AS (
+    SELECT source, n,
+           ('0x' || substr(md5('dp:' || source), 1, 15))::BIGINT
+               / {_DP_SPACE} - 0.5 AS u
+    FROM counts
+)
+SELECT source,
+       {_DP_EPS}::DOUBLE AS epsilon,
+       round(greatest(0.0,
+           n - (1.0 / {_DP_EPS}) * sign(u)
+               * ln(greatest(1e-15, 1.0 - 2.0 * abs(u)))), 2)
+           AS noisy_n_docs
+FROM noised
+"""
+
+
+@register(
+    "dp_noisy_source_counts",
+    oracle=_DP_ORACLE,
+    tags=("privacy", "dp", "release"),
+)
+def dp_noisy_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism differentially-private release of per-source
+    document counts (Dwork et al. 2006): count queries have L1
+    sensitivity 1, so adding Laplace(1/epsilon) noise gives an
+    epsilon-DP release — the MECHANISM leg of the privacy lane, beside
+    the k-anonymity / l-diversity / t-closeness AUDITS (those measure
+    re-identification risk of a release; this actually produces a
+    protected one). Noise is inverse-CDF sampled from the same salted
+    60-bit md5 uniform every deterministic sampler in this engine uses
+    (u -> -b*sign(u-.5)*ln(1-2|u-.5|)), which is what makes the
+    release itself oracle-checkable; swap the salt input for a true
+    RNG in production — the plan is identical. Negative releases clamp
+    at 0 (post-processing preserves DP).
+
+    Plan shape: one map-side-combinable count aggregate; the noise is
+    a scan-time expression on the SOURCE-cardinality result. Zero
+    extra shuffles at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    u = (
+        TX.md5_long(F.concat(F.lit("dp:"), F.col("source"))).cast("double")
+        / _DP_SPACE
+        - 0.5
+    )
+    lap = (
+        (1.0 / _DP_EPS)
+        * F.signum(u)
+        * F.log(F.greatest(F.lit(1e-15), 1.0 - 2.0 * F.abs(u)))
+    )
+    return counts.select(
+        "source",
+        F.lit(_DP_EPS).alias("epsilon"),
+        F.round(
+            F.greatest(F.lit(0.0), F.col("n") - lap), 2
+        ).alias("noisy_n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split contamination matrix (shingle overlap between train/val/test)
+# ---------------------------------------------------------------------------
+
+_XSPLIT_N = 5  # shingle width in tokens
+
+_XSPLIT_ORACLE = f"""
+WITH assigned AS (
+    SELECT doc_id, text,
+           CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                     % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT split, gram
+    FROM (
+        SELECT split,
+               unnest(CASE WHEN len({_TOKENS_SQL}) < {_XSPLIT_N} THEN []::VARCHAR[]
+                   ELSE list_transform(
+                       generate_series(1, len({_TOKENS_SQL}) - {_XSPLIT_N - 1}),
+                       i -> array_to_string(({_TOKENS_SQL})[i:i+{_XSPLIT_N - 1}], ' '))
+                   END) AS gram
+        FROM assigned
+    )
+),
+flags AS (
+    SELECT gram,
+           max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+           max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS in_val,
+           max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+    FROM grams GROUP BY gram
+),
+m AS (
+    SELECT sum(in_train)::BIGINT AS n_train, sum(in_val)::BIGINT AS n_val,
+           sum(in_test)::BIGINT AS n_test,
+           sum(in_train * in_val)::BIGINT AS tv,
+           sum(in_train * in_test)::BIGINT AS tt,
+           sum(in_val * in_test)::BIGINT AS vt
+    FROM flags
+)
+SELECT * FROM (
+    SELECT 'train' AS split_a, 'val' AS split_b, tv AS n_shared_grams,
+           round(tv / (n_train + n_val - tv)::DOUBLE, 6) AS jaccard,
+           round(tv / least(n_train, n_val)::DOUBLE, 6)
+               AS smaller_side_hit_rate
+    FROM m
+    UNION ALL
+    SELECT 'train', 'test', tt,
+           round(tt / (n_train + n_test - tt)::DOUBLE, 6),
+           round(tt / least(n_train, n_test)::DOUBLE, 6)
+    FROM m
+    UNION ALL
+    SELECT 'val', 'test', vt,
+           round(vt / (n_val + n_test - vt)::DOUBLE, 6),
+           round(vt / least(n_val, n_test)::DOUBLE, 6)
+    FROM m
+)
+ORDER BY split_a, split_b
+"""
+
+
+@register(
+    "split_contamination_matrix",
+    oracle=_XSPLIT_ORACLE,
+    tags=("cleaning", "contamination", "split", "ngram"),
+)
+def split_contamination_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-split contamination matrix: {_XSPLIT_N}-token shingle
+    overlap between the train/val/test assignments (the SAME salted-md5
+    split as dataset_split_assignment, so this audits the split the
+    engine actually produces). benchmark_decontamination checks the
+    corpus against an EXTERNAL eval set; this checks the corpus against
+    ITSELF — near-duplicate documents landing on opposite sides of a
+    random split silently inflate held-out metrics, and the
+    smaller-side hit rate is the number that predicts the inflation.
+
+    Plan shape: one tokenize+shingle census into DISTINCT (split, gram)
+    (the corpus shuffle, map-side combinable), one gram-grain flag
+    aggregate, one 1-row matrix fold emitted as 3 rows. No pair join
+    anywhere — the matrix is sums of flag products."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    grams = (
+        d.select(
+            split.alias("split"),
+            F.explode(
+                TX.shingles(TX.tokens("text"), n=_XSPLIT_N)
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    flags = grams.groupBy("gram").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "in_train"
+        ),
+        F.max(F.when(F.col("split") == "val", 1).otherwise(0)).alias(
+            "in_val"
+        ),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+            "in_test"
+        ),
+    )
+    m = flags.agg(
+        F.sum("in_train").alias("n_train"),
+        F.sum("in_val").alias("n_val"),
+        F.sum("in_test").alias("n_test"),
+        F.sum(F.col("in_train") * F.col("in_val")).alias("tv"),
+        F.sum(F.col("in_train") * F.col("in_test")).alias("tt"),
+        F.sum(F.col("in_val") * F.col("in_test")).alias("vt"),
+    )
+
+    # the 3 matrix rows explode out of the ONE 1-row aggregate — a
+    # union of three selects over m would re-run the census per branch
+    def cell(a, b, shared, na, nb):
+        return F.struct(
+            F.lit(a).alias("split_a"),
+            F.lit(b).alias("split_b"),
+            F.col(shared).alias("n_shared_grams"),
+            F.col(na).alias("na"),
+            F.col(nb).alias("nb"),
+        )
+
+    return (
+        m.select(
+            F.explode(
+                F.array(
+                    cell("train", "val", "tv", "n_train", "n_val"),
+                    cell("train", "test", "tt", "n_train", "n_test"),
+                    cell("val", "test", "vt", "n_val", "n_test"),
+                )
+            ).alias("c")
+        )
+        .select(
+            F.col("c.split_a").alias("split_a"),
+            F.col("c.split_b").alias("split_b"),
+            F.col("c.n_shared_grams").alias("n_shared_grams"),
+            F.round(
+                F.col("c.n_shared_grams")
+                / (
+                    F.col("c.na") + F.col("c.nb") - F.col("c.n_shared_grams")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("c.n_shared_grams")
+                / F.least(F.col("c.na"), F.col("c.nb")).cast("double"),
+                6,
+            ).alias("smaller_side_hit_rate"),
+        )
+        .orderBy("split_a", "split_b")
+    )

@@ -2444,3 +2444,104 @@ def bigram_distribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_continuations_total").desc(), F.col("history").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained token budget: epochs-per-source plan under a repeat cap
+# ---------------------------------------------------------------------------
+
+_EPOCH_BUDGET_X = 4.0  # total training-token budget, as a multiple of corpus
+_EPOCH_MAX = 4.0  # repeat ceiling per source (returns decay beyond ~4 epochs)
+
+_EPOCH_ORACLE = f"""
+WITH per_source AS (
+    SELECT source, sum(len({_TOKENS_SQL}))::DOUBLE AS src_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT sum(src_tokens) AS t FROM per_source),
+with_p AS (
+    SELECT source, src_tokens, src_tokens / tot.t AS p
+    FROM per_source CROSS JOIN tot
+),
+qs AS (SELECT sum(pow(p, {_ALPHA})) AS qsum FROM with_p),
+planned AS (
+    SELECT w.source, w.src_tokens,
+           pow(w.p, {_ALPHA}) / q.qsum AS share,
+           (pow(w.p, {_ALPHA}) / q.qsum) * tot.t * {_EPOCH_BUDGET_X}
+               AS target_tokens
+    FROM with_p w CROSS JOIN qs q CROSS JOIN tot
+)
+SELECT source,
+       src_tokens::BIGINT AS src_tokens,
+       round(share, 6) AS target_share,
+       round(target_tokens / src_tokens, 4) AS epochs_needed,
+       round(least({_EPOCH_MAX}, target_tokens / src_tokens), 4)
+           AS epochs_used,
+       round(least({_EPOCH_MAX} * src_tokens, target_tokens), 2)
+           AS effective_tokens,
+       round(greatest(0.0, target_tokens - {_EPOCH_MAX} * src_tokens), 2)
+           AS shortfall_tokens
+FROM planned
+"""
+
+
+@register(
+    "token_budget_epoch_plan",
+    oracle=_EPOCH_ORACLE,
+    tags=("corpus", "mixing", "budget", "scaling"),
+)
+def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained training plan (the Muennighoff et al. 2023
+    regime): given a total token budget of {_EPOCH_BUDGET_X}x the
+    corpus and the alpha={_ALPHA} mixing shares, how many EPOCHS of
+    each source does the run consume — capped at {_EPOCH_MAX} repeats
+    (past which repeated tokens stop buying loss), with the per-source
+    shortfall the cap leaves unfilled. This turns the mixing POLICIES
+    (source_mixing_weights, alpha_mixing_weights) into the executable
+    repeat plan a dataloader consumes, and the shortfall column is the
+    acquisition wishlist: where new data, not more compute, is the
+    binding constraint.
+
+    Plan shape: one token-count scan into the source-cardinality
+    aggregate (persisted — three tiny derivations read it), two 1-row
+    broadcast normalizers, arithmetic on |sources| rows. Zero extra
+    corpus passes at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = (
+        d.groupBy("source")
+        .agg(
+            F.sum(
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            )
+            .cast("double")
+            .alias("src_tokens")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = F.broadcast(per_source.agg(F.sum("src_tokens").alias("t")))
+    with_p = per_source.crossJoin(tot).withColumn(
+        "p", F.col("src_tokens") / F.col("t")
+    )
+    qs = F.broadcast(
+        with_p.agg(F.sum(F.pow("p", F.lit(_ALPHA))).alias("qsum"))
+    )
+    share = F.pow("p", F.lit(_ALPHA)) / F.col("qsum")
+    target = share * F.col("t") * _EPOCH_BUDGET_X
+    return with_p.crossJoin(qs).select(
+        "source",
+        F.col("src_tokens").cast("long").alias("src_tokens"),
+        F.round(share, 6).alias("target_share"),
+        F.round(target / F.col("src_tokens"), 4).alias("epochs_needed"),
+        F.round(
+            F.least(F.lit(_EPOCH_MAX), target / F.col("src_tokens")), 4
+        ).alias("epochs_used"),
+        F.round(
+            F.least(_EPOCH_MAX * F.col("src_tokens"), target), 2
+        ).alias("effective_tokens"),
+        F.round(
+            F.greatest(
+                F.lit(0.0), target - _EPOCH_MAX * F.col("src_tokens")
+            ),
+            2,
+        ).alias("shortfall_tokens"),
+    )

@@ -234,9 +234,10 @@ def test_markov_accuracy_bounds_and_model_shape(spark):
 
 
 def test_registry_contract_hygiene():
-    """The driver-contract surfaces stay consistent: every rotation
-    name resolves to a registered query (a typo would silently waste a
-    driver sampling slot), every bench query carries a pinned shuffle
+    """The driver-contract surfaces stay consistent: the rotation is
+    provably registry-minus-driver-green (derived from the
+    CORRECTNESS_r*.json union — a hand-maintained list could typo away
+    a sampling slot), every bench query carries a pinned shuffle
     budget (a new bench=True query must not dodge the plan gate), and
     every budgeted name is still benched (dead budgets rot)."""
     import importlib.util
@@ -248,7 +249,13 @@ def test_registry_contract_hygiene():
     )
     se = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(se)
-    assert [n for n in se._NEVER_SAMPLED_FIRST if n not in REGISTRY] == []
+    ordered = se._ordered_names()
+    assert set(ordered) == set(REGISTRY)
+    green = se._driver_green_names()
+    n_backlog = len(set(REGISTRY) - green)
+    # never-driver-green names occupy exactly the head of the ordering
+    assert all(n not in green for n in ordered[:n_backlog])
+    assert all(n in green for n in ordered[n_backlog:])
     bench = {n for n, s in REGISTRY.items() if s.bench}
     assert sorted(bench - set(SHUFFLE_BUDGET)) == []
     assert sorted(set(SHUFFLE_BUDGET) - bench) == []
