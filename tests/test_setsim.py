@@ -277,3 +277,33 @@ def test_distributed_helpers_release_input_pin(spark):
     assert n_cached() - base == 1
     pins[0].unpersist()
     assert n_cached() - base == 0
+
+
+def test_distributed_ntile_matches_global_window(spark):
+    """distributed_ntile == ntile(k).over(Window.orderBy(...)) exactly,
+    across bucket counts that exercise every closed-form branch: k
+    dividing n evenly, k with a remainder (the first r buckets take one
+    extra row), k > n (each row its own bucket), and k = 1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    for n, k in [(120, 8), (123, 8), (7, 16), (50, 1), (97, 13)]:
+        rows = [(i, (i * 11) % 17) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v int").repartition(6)
+        order = [F.col("v").asc(), F.col("id").asc()]
+        expected = {
+            (r["id"], r["b"])
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy(*order))
+            ).collect()
+        }
+        got = {
+            (r["id"], r["b"])
+            for r in distributed_ntile(df, order, k, "b").collect()
+        }
+        spark.catalog.clearCache()
+        assert got == expected, f"ntile mismatch at n={n}, k={k}"
