@@ -2545,3 +2545,195 @@ def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("shortfall_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets per source
+# ---------------------------------------------------------------------------
+
+_CCNET_BUCKETS = 3
+
+_CCNET_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok),
+tot AS (SELECT sum(n)::DOUBLE AS total FROM freq),
+scored AS (
+    SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(-ln(f.n::DOUBLE / tt.total)), 6) AS avg_nll
+    FROM toks t JOIN freq f USING (tok) CROSS JOIN tot tt
+    GROUP BY t.doc_id
+),
+bucketed AS (
+    SELECT d.source, s.n_tokens, s.avg_nll,
+           ntile({_CCNET_BUCKETS}) OVER (
+               PARTITION BY d.source ORDER BY s.avg_nll ASC, s.doc_id ASC
+           ) AS bucket
+    FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT source,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       round(avg(avg_nll), 6) AS mean_nll
+FROM bucketed
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=_CCNET_ORACLE,
+    tags=("cleaning", "quality", "ccnet", "lm"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's SELECTION step (Wenzek et al. 2020), not just its score:
+    within each source, rank documents by unigram-LM log-perplexity and
+    cut head/middle/tail terciles — head is what CCNet keeps, tail is
+    what it drops, and the per-bucket token mass is the number that
+    says how much data each policy choice gains or costs per source.
+    unigram_perplexity_scores surfaces the worst documents; this turns
+    the same score into the bucketed curation decision.
+
+    Plan shape: the two-pass LM score (train census + scoring join,
+    the unigram_perplexity_scores shape), then ONE source-partitioned
+    ntile window — partitioned by source, so it scales as any grouped
+    window does (the skew ceiling is the largest single source, the
+    standard AQE story), never a global sort. Ranking keys on the
+    6dp-ROUNDED score (the rm3 lesson): cross-engine float-sum noise
+    cannot flip tercile boundaries."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    freq_base = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    freq = freq_base.crossJoin(
+        F.broadcast(
+            freq_base.agg(F.sum("n").cast("double").alias("total"))
+        )
+    )
+    scored = (
+        _scoring_join(toks, freq, "tok")
+        .withColumn(
+            "nll", -F.log(F.col("n").cast("double") / F.col("total"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_nll").asc(), F.col("doc_id").asc()
+    )
+    bucketed = (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .withColumn("bucket", F.ntile(_CCNET_BUCKETS).over(w))
+    )
+    label = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    return bucketed.groupBy("source", label.alias("ppl_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("avg_nll"), 6).alias("mean_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: tokens needed to cover X% of corpus mass
+# ---------------------------------------------------------------------------
+
+_VC_THRESHOLDS = (0.5, 0.75, 0.9, 0.95, 0.99)
+
+_VC_ORACLE = f"""
+WITH freq AS (
+    SELECT tok, count(*)::DOUBLE AS n
+    FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+    GROUP BY tok
+),
+tot AS (
+    SELECT sum(n) AS total, count(*)::BIGINT AS vocab_full FROM freq
+),
+ranked AS (
+    SELECT n,
+           row_number() OVER (ORDER BY n DESC, tok ASC) AS rk,
+           sum(n) OVER (ORDER BY n DESC, tok ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM freq
+)
+SELECT t.thr::DOUBLE AS coverage_target,
+       min(r.rk)::BIGINT AS vocab_size,
+       max(tt.vocab_full) AS vocab_full,
+       round(min(r.rk) / max(tt.vocab_full)::DOUBLE, 6) AS vocab_fraction
+FROM (SELECT unnest([{", ".join(str(t) for t in _VC_THRESHOLDS)}]) AS thr) t
+JOIN ranked r ON true
+CROSS JOIN tot tt
+WHERE r.cum / tt.total >= t.thr
+GROUP BY t.thr
+"""
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=_VC_ORACLE,
+    tags=("corpus", "tokenizer", "vocabulary"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design curve: how many vocabulary types (ranked by
+    frequency) cover 50/75/90/95/99% of corpus token mass — the number
+    that sizes a word-level vocab, prices the OOV tail a subword
+    tokenizer must absorb, and pairs with zipf_slope_fit (the slope
+    says the tail is heavy; this says exactly what the tail costs).
+
+    Plan shape: one token census; the frequency rank AND the running
+    mass both come from ONE pass of the operators/ranking.py two-pass
+    helpers over the vocabulary table (corpus-grain at web scale — no
+    single-partition window); each threshold then reduces to a min-rank
+    aggregate over the qualifying suffix. The threshold fan-out is a
+    5-row broadcast."""
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_prefix_agg,
+        distributed_row_number,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    order = [F.col("n").desc(), F.col("tok").asc()]
+    ranked = distributed_prefix_agg(
+        distributed_row_number(freq, order, "rk"), order, sums=[("n", "cum")]
+    )
+    tot = F.broadcast(
+        ranked.agg(
+            F.sum("n").alias("total"),
+            F.max("rk").cast("long").alias("vocab_full"),
+        )
+    )
+    thr = F.broadcast(
+        d.sparkSession.createDataFrame(
+            [(t,) for t in _VC_THRESHOLDS], "thr double"
+        )
+    )
+    return (
+        ranked.crossJoin(tot)
+        .crossJoin(thr)
+        .where(F.col("cum") / F.col("total") >= F.col("thr"))
+        .groupBy(F.col("thr").alias("coverage_target"))
+        .agg(
+            F.min("rk").cast("long").alias("vocab_size"),
+            F.max("vocab_full").alias("vocab_full"),
+            F.round(
+                F.min("rk") / F.max("vocab_full").cast("double"), 6
+            ).alias("vocab_fraction"),
+        )
+    )

@@ -841,3 +841,154 @@ def dup_cluster_size_histogram(
         .cast("long")
         .alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware survivor selection per near-dup cluster (keep-best, not first)
+# ---------------------------------------------------------------------------
+
+_SURV_EN_SQL = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS["en"])
+
+_SURVIVOR_ORACLE = f"""
+WITH RECURSIVE docs AS ({_DOCS_CHAIN_SQL}),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                    i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END) AS sh
+    FROM docs
+),
+m AS (
+    SELECT doc_id,
+           list_transform(sh, s -> md5(s)) AS m0,
+           list_transform(sh, s -> md5('1|' || s)) AS m1
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, {_minhash_sql_sig(2)} AS sig FROM m
+),
+bands AS (
+    SELECT doc_id, sig, b.band_idx,
+           md5(sig[b.band_idx * 2 + 1] || '|' || sig[b.band_idx * 2 + 2]) AS band_hash
+    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b FROM cand
+    WHERE list_sum(list_transform(generate_series(1, 8),
+            i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1.0 ELSE 0.0 END)) / 8.0
+          >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+walk(id, label) AS (
+    SELECT id, id AS label FROM nodes
+    UNION
+    SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (
+    SELECT id AS doc_id, min(label)::BIGINT AS component_id
+    FROM walk GROUP BY id
+),
+q AS (
+    SELECT doc_id,
+           round(least(len({_TOKENS_SQL}) / 100.0, 1.0) * 0.4
+                 + least((len(list_filter({_TOKENS_SQL},
+                       x -> x IN ({_SURV_EN_SQL})))::DOUBLE
+                       / greatest(len({_TOKENS_SQL}), 1)) * 5.0, 1.0) * 0.4
+                 + (1.0 - least((length(regexp_replace(text,
+                       '[^.,!?;:''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1)) * 4.0, 1.0)) * 0.2,
+                 6) AS quality
+    FROM docs
+),
+ranked AS (
+    SELECT c.component_id, c.doc_id, q.quality,
+           row_number() OVER (PARTITION BY c.component_id
+                              ORDER BY q.quality DESC, c.doc_id ASC) AS rk
+    FROM comp c JOIN q USING (doc_id)
+)
+SELECT component_id,
+       count(*)::BIGINT AS n_members,
+       max(CASE WHEN rk = 1 THEN doc_id END)::BIGINT AS survivor_doc,
+       max(CASE WHEN rk = 1 THEN quality END) AS survivor_quality,
+       round(min(quality), 6) AS min_quality
+FROM ranked GROUP BY component_id
+"""
+
+
+@register(
+    "dedup_quality_survivors",
+    oracle=_SURVIVOR_ORACLE,
+    tags=("dedup", "quality", "survivorship"),
+)
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy for near-dup clusters: keep the HIGHEST-
+    QUALITY member, not the lowest id — per cluster (the same MinHash-
+    LSH + connected-components family as near_dup_components), rank
+    members by the composite quality score (doc_quality_scores'
+    formula) and emit the survivor beside the cluster's quality floor.
+    Min-id survivorship silently keeps whichever copy was crawled
+    first; a curation pipeline wants the cleanest copy, and the
+    (survivor_quality, min_quality) spread is the evidence the policy
+    changes outcomes.
+
+    Plan shape: the pair family and min-label closure are the priced-in
+    near_dup_components stages; quality is a scan-time expression;
+    survivor selection is a CLUSTER-partitioned rank (bounded by the
+    largest dup cluster, never global) keyed on the 6dp-ROUNDED score
+    so cross-engine float noise cannot flip survivors."""
+    from pyspark.sql import Window
+
+    from emails_to_vector_db_spark.operators.components import (
+        connected_components,
+    )
+    from emails_to_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_chained_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    )
+    tok = TX.tokens("text")
+    quality = F.round(
+        F.least(F.size(tok) / 100.0, F.lit(1.0)) * 0.4
+        + F.least(
+            TX.stopword_ratio(tok, TX.LANG_STOPWORDS["en"]) * 5.0,
+            F.lit(1.0),
+        )
+        * 0.4
+        + (1.0 - F.least(TX.punct_ratio("text") * 4.0, F.lit(1.0))) * 0.2,
+        6,
+    )
+    q = docs.select("doc_id", quality.alias("quality"))
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = comp.join(q, "doc_id").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return ranked.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+            "survivor_doc"
+        ),
+        F.max(F.when(F.col("rk") == 1, F.col("quality"))).alias(
+            "survivor_quality"
+        ),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+    )

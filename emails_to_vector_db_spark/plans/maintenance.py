@@ -986,3 +986,146 @@ def table_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction plan (the OPTIMIZE bin-packing step, as a query)
+# ---------------------------------------------------------------------------
+
+_COMPACT_VERSION = 1
+_COMPACT_TARGET_ROWS = 150  # per output bin (stand-in for a byte target)
+_COMPACT_MAX_BUCKET = 12
+
+
+def _ensure_fragmented_copy(sf_dir: str) -> str:
+    """Write documents' doc_ids into a deliberately FRAGMENTED parquet
+    directory (one file per log2 size class: part-01 has ~2 rows,
+    part-09 ~256 — the geometric small-file spread ingest jobs leave
+    behind), staleness-guarded against fixture regeneration. File
+    membership is a pure doc_id formula, which is what lets the DuckDB
+    oracle recompute the identical plan from the documents VIEW while
+    the engine reads the actual files."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        root, "spark-warehouse", f"fragments_v{_COMPACT_VERSION}", sf
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(src):
+        return d
+    import math
+    import shutil
+
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    ids = sorted(
+        pq.read_table(src, columns=["doc_id"])["doc_id"].to_pylist()
+    )
+    buckets: dict[int, list[int]] = {}
+    for i in ids:
+        b = min(_COMPACT_MAX_BUCKET, int(math.floor(math.log2(i + 2))))
+        buckets.setdefault(b, []).append(i)
+    for b, rows in buckets.items():
+        pq.write_table(
+            pa.table({"doc_id": pa.array(sorted(rows), pa.int64())}),
+            os.path.join(d, f"part-{b:02d}.parquet"),
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+_COMPACT_ORACLE = f"""
+WITH files AS (
+    SELECT 'part-' || lpad(least({_COMPACT_MAX_BUCKET},
+               floor(log2(doc_id + 2)))::BIGINT::VARCHAR, 2, '0')
+               || '.parquet' AS fname,
+           count(*)::BIGINT AS n_rows
+    FROM documents GROUP BY 1
+),
+planned AS (
+    SELECT fname, n_rows,
+           floor((sum(n_rows) OVER (ORDER BY fname
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_rows) / {_COMPACT_TARGET_ROWS})::BIGINT AS bin_id
+    FROM files
+)
+SELECT bin_id,
+       count(*)::BIGINT AS n_files,
+       sum(n_rows)::BIGINT AS total_rows,
+       sum(CASE WHEN n_rows < {_COMPACT_TARGET_ROWS} / 2 THEN 1 ELSE 0 END)
+           ::BIGINT AS n_small_files,
+       min(fname) AS first_file,
+       max(fname) AS last_file
+FROM planned GROUP BY bin_id
+"""
+
+
+@register(
+    "small_file_compaction_plan",
+    oracle=_COMPACT_ORACLE,
+    tags=("maintenance", "compaction", "files"),
+)
+def small_file_compaction_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE's bin-packing step as a queryable plan: list the actual
+    parquet files of a (deliberately fragmented) table, count rows per
+    file via input_file_name(), and pack files in name order into
+    target-sized compaction bins by exclusive prefix sum — each output
+    row is one rewrite task (its file range, row total, and how many
+    sub-half-target smalls it merges). Small-file sprawl is THE
+    operational tax of streaming/micro-batch ingest at warehouse scale;
+    this is the planner half of the fix (the executor half is a
+    coalesce-write per bin, the zorder_layout_spans sibling).
+
+    The fragmented directory is derived write-once per scale factor
+    (staleness-guarded); file membership is a pure doc_id formula, so
+    the DuckDB oracle recomputes the identical plan from the documents
+    VIEW — a hash match proves both the planner arithmetic AND that the
+    physical files hold exactly the rows the formula claims.
+
+    Plan shape: one scan of the fragmented table aggregating by
+    input_file_name (map-side combinable; file-grain output), the
+    prefix sum through operators/ranking.py::distributed_prefix_agg
+    (file lists reach millions at warehouse scale — no single-partition
+    window even here), then a bin-grain aggregate."""
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_prefix_agg,
+    )
+
+    frag_dir = _ensure_fragmented_copy(sf_dir)
+    files = (
+        spark.read.parquet(frag_dir)
+        .select(
+            F.regexp_extract(
+                F.input_file_name(), r"[^/]+$", 0
+            ).alias("fname")
+        )
+        .groupBy("fname")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    planned = distributed_prefix_agg(
+        files, [F.col("fname").asc()], sums=[("n_rows", "cum_rows")]
+    ).withColumn(
+        "bin_id",
+        F.floor(
+            (F.col("cum_rows") - F.col("n_rows")) / _COMPACT_TARGET_ROWS
+        ),
+    )
+    return planned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("total_rows"),
+        F.sum(
+            (F.col("n_rows") < _COMPACT_TARGET_ROWS / 2).cast("long")
+        ).alias("n_small_files"),
+        F.min("fname").alias("first_file"),
+        F.max("fname").alias("last_file"),
+    )
