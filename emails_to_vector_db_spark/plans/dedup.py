@@ -992,3 +992,519 @@ def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.min("quality"), 6).alias("min_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking: gear-style boundaries + stability proof vs fixed
+# ---------------------------------------------------------------------------
+
+_CDC_DIV = 16  # boundary when gram-hash % DIV == 0 -> ~DIV-token chunks
+_CDC_GRAM = 4  # rolling window width (token-level)
+_CDC_FIXED_W = 16  # the fixed-window strawman's chunk width
+_CDC_OFFSET = 300_000
+_CDC_SPACE = 1152921504606846976  # 2^60, the portable md5-hash range
+
+_CDC_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_CDC_OFFSET}, 'zzprependtoken ' || text
+    FROM documents WHERE doc_id < {_N_PLANT}
+),
+toks AS (
+    SELECT doc_id, tok, pos
+    FROM (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok,
+               generate_subscripts({_TOKENS_SQL}, 1) AS pos,
+               {_TOKENS_SQL} AS arr
+        FROM docs
+    )
+),
+flagged AS (
+    SELECT t.doc_id, t.tok, t.pos,
+           CASE WHEN t.pos >= {_CDC_GRAM}
+                 AND ('0x' || substr(md5(array_to_string(
+                        a.arr[t.pos - {_CDC_GRAM - 1}:t.pos], ' ')), 1, 15))
+                     ::BIGINT % {_CDC_DIV} = 0
+                THEN 1 ELSE 0 END AS boundary
+    FROM toks t
+    JOIN (SELECT doc_id, {_TOKENS_SQL} AS arr FROM docs) a USING (doc_id)
+),
+chunked AS (
+    SELECT doc_id, tok, pos,
+           coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cdc_chunk,
+           (pos - 1) // {_CDC_FIXED_W} AS fixed_chunk
+    FROM flagged
+),
+cdc_fps AS (
+    SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS fp,
+           count(*)::BIGINT AS chunk_len
+    FROM chunked GROUP BY doc_id, cdc_chunk
+),
+fixed_fps AS (
+    SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+    FROM chunked GROUP BY doc_id, fixed_chunk
+),
+cdc_stab AS (
+    SELECT a.doc_id,
+           avg(CASE WHEN b.fp IS NOT NULL THEN 1.0 ELSE 0.0 END) AS frac
+    FROM cdc_fps a
+    LEFT JOIN cdc_fps b
+      ON b.doc_id = a.doc_id + {_CDC_OFFSET} AND b.fp = a.fp
+    WHERE a.doc_id < {_N_PLANT}
+    GROUP BY a.doc_id
+),
+fixed_stab AS (
+    SELECT a.doc_id,
+           avg(CASE WHEN b.fp IS NOT NULL THEN 1.0 ELSE 0.0 END) AS frac
+    FROM fixed_fps a
+    LEFT JOIN fixed_fps b
+      ON b.doc_id = a.doc_id + {_CDC_OFFSET} AND b.fp = a.fp
+    WHERE a.doc_id < {_N_PLANT}
+    GROUP BY a.doc_id
+),
+corpus AS (
+    SELECT count(*)::BIGINT AS n_chunks,
+           round(avg(chunk_len), 4) AS mean_chunk_len
+    FROM cdc_fps WHERE doc_id < {_CDC_OFFSET}
+)
+SELECT c.n_chunks, c.mean_chunk_len,
+       round((SELECT avg(frac) FROM cdc_stab), 6) AS cdc_shared_frac,
+       round((SELECT avg(frac) FROM fixed_stab), 6) AS fixed_shared_frac,
+       (SELECT avg(frac) FROM cdc_stab)
+           > (SELECT avg(frac) FROM fixed_stab) AS cdc_more_stable
+FROM corpus c
+"""
+
+
+@register(
+    "cdc_chunk_stability",
+    oracle=_CDC_ORACLE,
+    tags=("dedup", "chunking", "cdc", "storage"),
+)
+def cdc_chunk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/gear-hash family,
+    token-level): a chunk boundary falls after token i whenever the
+    hash of the {_CDC_GRAM}-gram ending at i is ≡ 0 mod {_CDC_DIV} —
+    boundaries depend on CONTENT, not position. The query proves the
+    property that makes CDC the storage-dedup standard IN-RESULT: for
+    every planted document a token is PREPENDED (the worst case for
+    positional chunking), and the shared-chunk-fingerprint fraction is
+    computed under both schemes — fixed {_CDC_FIXED_W}-token windows
+    shift every boundary (shared fraction ~0), CDC boundaries resync
+    after the first cut (shared fraction stays high), and the
+    cdc_more_stable column asserts the comparison inside the hash-
+    checked result. document_chunking is the fixed-window RAG splitter;
+    this is the dedup-friendly alternative for chunk-level storage
+    and delta-sync.
+
+    Plan shape: positions explode once per scheme-shared pass; the
+    boundary flag is a scan-time expression over the per-position
+    gram; chunk ids are a DOC-partitioned running sum (bounded by
+    document length, never corpus grain); fingerprints are per-(doc,
+    chunk) aggregates with order pinned by array_sort-inside-row; the
+    stability joins are fingerprint-keyed equi-joins on the planted
+    subset only."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.unionByName(
+        d.where(F.col("doc_id") < _N_PLANT).select(
+            (F.col("doc_id") + _CDC_OFFSET).alias("doc_id"),
+            F.concat(F.lit("zzprependtoken "), F.col("text")).alias("text"),
+        )
+    )
+    toks = docs.select(
+        "doc_id",
+        TX.tokens("text").alias("arr"),
+    ).select(
+        "doc_id",
+        F.posexplode(F.col("arr")).alias("pos0", "tok"),
+        F.col("arr"),
+    )
+    pos = F.col("pos0") + 1
+    gram = F.array_join(
+        F.slice(F.col("arr"), F.col("pos0") - (_CDC_GRAM - 2), _CDC_GRAM),
+        " ",
+    )
+    boundary = F.when(
+        (pos >= _CDC_GRAM)
+        & (TX.md5_long(gram) % _CDC_DIV == 0),
+        1,
+    ).otherwise(0)
+    from pyspark.sql import Window
+
+    flagged = toks.select(
+        "doc_id", "tok", pos.alias("pos"), boundary.alias("boundary")
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = flagged.select(
+        "doc_id",
+        "tok",
+        "pos",
+        F.coalesce(F.sum("boundary").over(w_cum), F.lit(0)).alias(
+            "cdc_chunk"
+        ),
+        ((F.col("pos") - 1) / _CDC_FIXED_W).cast("long").alias(
+            "fixed_chunk"
+        ),
+    )
+    from pyspark import StorageLevel
+
+    chunked = chunked.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def fps(chunk_col: str) -> DataFrame:
+        return chunked.groupBy("doc_id", chunk_col).agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("fp"),
+            F.count(F.lit(1)).alias("chunk_len"),
+        )
+
+    cdc_fps = fps("cdc_chunk").persist(StorageLevel.MEMORY_AND_DISK)
+    fixed_fps = fps("fixed_chunk")
+
+    def stability(fp_df: DataFrame) -> DataFrame:
+        a = fp_df.where(F.col("doc_id") < _N_PLANT).alias("a")
+        b = fp_df.where(F.col("doc_id") >= _CDC_OFFSET).select(
+            (F.col("doc_id") - _CDC_OFFSET).alias("doc_id"),
+            F.col("fp").alias("fp_b"),
+        ).alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("a.fp") == F.col("b.fp_b")),
+                "left",
+            )
+            .groupBy("a.doc_id")
+            .agg(
+                F.avg(
+                    F.when(F.col("fp_b").isNotNull(), 1.0).otherwise(0.0)
+                ).alias("frac")
+            )
+            .agg(F.avg("frac").alias("mean_frac"))
+        )
+    corpus = cdc_fps.where(F.col("doc_id") < _CDC_OFFSET).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.round(F.avg("chunk_len"), 4).alias("mean_chunk_len"),
+    )
+    cdc_s = F.broadcast(
+        stability(cdc_fps).withColumnRenamed("mean_frac", "cdc_f")
+    )
+    fixed_s = F.broadcast(
+        stability(fixed_fps).withColumnRenamed("mean_frac", "fixed_f")
+    )
+    return (
+        corpus.crossJoin(cdc_s)
+        .crossJoin(fixed_s)
+        .select(
+            "n_chunks",
+            "mean_chunk_len",
+            F.round("cdc_f", 6).alias("cdc_shared_frac"),
+            F.round("fixed_f", 6).alias("fixed_shared_frac"),
+            (F.col("cdc_f") > F.col("fixed_f")).alias("cdc_more_stable"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-dup matrix: which sources' crawls overlap
+# ---------------------------------------------------------------------------
+
+_XSRC_ORACLE = f"""
+WITH docs AS ({_DOCS_NEAR_SQL}),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                    i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END) AS sh
+    FROM docs
+),
+m AS (
+    SELECT doc_id,
+           list_transform(sh, s -> md5(s)) AS m0,
+           list_transform(sh, s -> md5('1|' || s)) AS m1
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, {_minhash_sql_sig(2)} AS sig FROM m
+),
+bands AS (
+    SELECT doc_id, sig, b.band_idx,
+           md5(sig[b.band_idx * 2 + 1] || '|' || sig[b.band_idx * 2 + 2]) AS band_hash
+    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b,
+           list_sum(list_transform(generate_series(1, 8),
+               i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1.0 ELSE 0.0 END))
+               / 8.0 AS est
+    FROM cand
+    WHERE list_sum(list_transform(generate_series(1, 8),
+            i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1.0 ELSE 0.0 END)) / 8.0
+          >= 0.5
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_pairs,
+       round(avg(p.est), 6) AS mean_est_jaccard
+FROM pairs p
+JOIN docs da ON da.doc_id = p.id_a
+JOIN docs db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "near_dup_cross_source_matrix",
+    oracle=_XSRC_ORACLE,
+    tags=("dedup", "provenance", "matrix"),
+)
+def near_dup_cross_source_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Provenance view of the near-dup graph: the (source_a, source_b)
+    matrix of MinHash-LSH duplicate pairs — the diagonal is each
+    crawl's internal redundancy, the off-diagonal names which SOURCES
+    re-crawl each other's content (the signal that decides whether to
+    drop a whole overlapping source before paying per-document dedup
+    at 100 TB). Same 8-hash/4-band family as minhash_lsh_near_dups;
+    pair endpoints joined back to their sources and aggregated to the
+    |sources|² grain.
+
+    Plan shape: the pair family is the priced-in LSH stage; the
+    source joins are doc-keyed equi-joins onto the PAIR table (pair
+    cardinality is banding-bounded); the matrix aggregate is tiny."""
+    from emails_to_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("est_jaccard"), 6).alias("mean_est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH S-curve audit: empirical candidacy rate vs the banding theory
+# ---------------------------------------------------------------------------
+
+_SCURVE_SAMPLE = 200  # sample docs (plus their planted variants)
+# graded-similarity plants: prefix truncations at these fractions give
+# pairs all along the Jaccard axis, so every S-curve bin has mass
+_SCURVE_FRACS = ((400_000, 0.75), (500_000, 0.5), (600_000, 0.25))
+
+_SCURVE_VARIANTS_SQL = "\n    UNION ALL\n".join(
+    f"""    SELECT doc_id + {off},
+           array_to_string(({{toks}})[1:greatest(3,
+               ceil(len({{toks}}) * {frac})::BIGINT)], ' ')
+    FROM documents WHERE doc_id < {_N_PLANT}"""
+    for off, frac in _SCURVE_FRACS
+).format(toks=_TOKENS_SQL)
+
+_SCURVE_ORACLE = f"""
+WITH sample AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < {_SCURVE_SAMPLE}
+    UNION ALL
+    SELECT doc_id + {_DUP_OFFSET}, text || ' zzduptoken'
+    FROM documents WHERE doc_id < {_N_PLANT}
+    UNION ALL
+{_SCURVE_VARIANTS_SQL}
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                    i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END) AS sh
+    FROM sample
+),
+toks AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*)::DOUBLE AS sz FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS i
+    FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT i.id_a, i.id_b, i.i / (sa.sz + sb.sz - i.i) AS s
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+),
+m AS (
+    SELECT doc_id,
+           list_transform(sh, s -> md5(s)) AS m0,
+           list_transform(sh, s -> md5('1|' || s)) AS m1
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, {_minhash_sql_sig(2)} AS sig FROM m
+),
+bands AS (
+    SELECT doc_id, b.band_idx,
+           md5(sig[b.band_idx * 2 + 1] || '|' || sig[b.band_idx * 2 + 2]) AS band_hash
+    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+binned AS (
+    SELECT least(9, floor(j.s * 10))::BIGINT AS sim_bin,
+           CASE WHEN c.id_a IS NOT NULL THEN 1.0 ELSE 0.0 END AS is_cand
+    FROM jac j
+    LEFT JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b
+)
+SELECT sim_bin,
+       count(*)::BIGINT AS n_pairs,
+       round(avg(is_cand), 6) AS empirical_candidate_rate,
+       round(1.0 - pow(1.0 - pow((sim_bin + 0.5) / 10.0, 2), 4), 6)
+           AS theoretical_rate
+FROM binned GROUP BY sim_bin
+"""
+
+
+@register(
+    "minhash_scurve_audit",
+    oracle=_SCURVE_ORACLE,
+    tags=("dedup", "lsh", "audit", "minhash"),
+)
+def minhash_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter audit for the MinHash-LSH banding scheme: over a
+    deterministic {_SCURVE_SAMPLE}-doc sample (plus the planted dups,
+    which populate the high-similarity bins), compute every pair's
+    EXACT shingle Jaccard, mark which pairs the 4-band x 2-row scheme
+    actually surfaces as candidates, and report the empirical candidacy
+    rate per similarity bin beside the theoretical S-curve
+    1-(1-s^r)^b. Reading the two columns together is how you pick
+    (b, r) before a 100 TB dedup run: the crossover bin is the
+    effective threshold, the low-bin empirical rate is the wasted-
+    verification cost, the high-bin rate the recall. ann_lsh_recall_
+    audit does this for the hyperplane family; this audits the set
+    family with exact ground truth (pairs sharing zero shingles carry
+    probability ~0 and are excluded by construction).
+
+    Plan shape: the sample bound caps the exact all-pairs stage at
+    sample² (the audit's own contract — ground truth is only ever
+    computed on a sample); candidacy reuses the production banding;
+    everything downstream is bin-grain."""
+    from emails_to_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sample = d.where(F.col("doc_id") < _SCURVE_SAMPLE).unionByName(
+        d.where(F.col("doc_id") < _N_PLANT).select(
+            (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzduptoken")).alias("text"),
+        )
+    )
+    arr = TX.tokens("text")
+    for off, frac in _SCURVE_FRACS:
+        sample = sample.unionByName(
+            d.where(F.col("doc_id") < _N_PLANT).select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                F.array_join(
+                    F.slice(
+                        arr,
+                        1,
+                        F.greatest(
+                            F.lit(3),
+                            F.ceil(F.size(arr) * frac).cast("int"),
+                        ),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+    toks = sample.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.shingles(TX.tokens("text"), n=3))
+        ).alias("s"),
+    )
+    from pyspark import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("sz")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb"))
+    jac = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))).alias(
+                "s"
+            ),
+        )
+    )
+    cand = minhash_lsh_pairs(
+        sample, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.0
+    ).select("id_a", "id_b", F.lit(1.0).alias("is_cand"))
+    binned = jac.join(cand, ["id_a", "id_b"], "left").select(
+        F.least(F.lit(9), F.floor(F.col("s") * 10))
+        .cast("long")
+        .alias("sim_bin"),
+        F.coalesce("is_cand", F.lit(0.0)).alias("is_cand"),
+    )
+    mid = (F.col("sim_bin") + 0.5) / 10.0
+    return binned.groupBy("sim_bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("is_cand"), 6).alias("empirical_candidate_rate"),
+        F.round(
+            1.0 - F.pow(1.0 - F.pow(mid, F.lit(2.0)), F.lit(4.0)), 6
+        ).alias("theoretical_rate"),
+    )

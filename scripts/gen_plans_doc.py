@@ -141,6 +141,24 @@ SHOWCASE = [
         "mapInPandas decode→bilinear-resize lane: ArrowEvalPython over "
         "independent images, zero shuffle.",
     ),
+    (
+        "orders_equi_depth_histogram",
+        "distributed_ntile: range exchange + per-partition row_number + "
+        "broadcast offsets + the ntile closed form — exact ntile "
+        "semantics with no single-partition sort.",
+    ),
+    (
+        "tfidf_cosine_topk_pairs",
+        "Norms stamped into the postings rows by a doc-partitioned "
+        "window BEFORE the self-join: the pair-grain aggregate emits "
+        "cosine directly and never joins a doc-grain table.",
+    ),
+    (
+        "fellegi_sunter_linkage",
+        "Sorted-neighborhood blocking: distributed name rank, 15-offset "
+        "explode, ONE equi self-join on the shifted rank — candidate "
+        "space linear in the corpus.",
+    ),
 ]
 
 
