@@ -307,3 +307,25 @@ def test_distributed_ntile_matches_global_window(spark):
         }
         spark.catalog.clearCache()
         assert got == expected, f"ntile mismatch at n={n}, k={k}"
+
+
+def test_distributed_ntile_no_single_partition_window(spark):
+    """The distributed ntile plan must not contain an unpartitioned
+    Window — same guard as distributed_row_number."""
+    from pyspark.sql import functions as F
+
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    bucketed = distributed_ntile(
+        df, [F.col("k").asc(), F.col("id").asc()], 4
+    )
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "__pid" in line, f"unpartitioned window: {line}"
