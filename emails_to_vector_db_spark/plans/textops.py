@@ -557,3 +557,150 @@ def language_purity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(mixed).cast("long").alias("n_mixed"),
         F.round(F.avg(mixed.cast("double")), 6).alias("mixed_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter ablation matrix: per-filter, per-source token retention
+# ---------------------------------------------------------------------------
+
+_FA_MIN_TOK = 30  # length floor (binds on ~1/4 of the fixture)
+_FA_STOP_MIN = 0.04  # stopword-ratio floor (natural-language gate)
+_FA_DUP2_MAX = 0.15  # the Gopher dup-2-gram ceiling (gopher_repetition)
+
+_FA_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents
+),
+g AS (
+    SELECT doc_id, source, len(toks) AS n_tok,
+           len(list_filter(toks, x -> x IN ({_EN_SQL})))::DOUBLE
+               / greatest(len(toks), 1) AS stop_ratio,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS grams
+    FROM t
+),
+flags AS (
+    SELECT source, n_tok,
+           n_tok >= {_FA_MIN_TOK} AS f_len,
+           stop_ratio >= {_FA_STOP_MIN} AS f_stop,
+           len(list_filter(
+                   list_transform(grams,
+                       x -> len(list_filter(grams, y -> y = x))),
+                   c -> c >= 2))::DOUBLE / greatest(len(grams), 1)
+               <= {_FA_DUP2_MAX} AS f_rep
+    FROM g
+),
+longf AS (
+    SELECT source, n_tok, 'min_length' AS filter, f_len AS keep FROM flags
+    UNION ALL
+    SELECT source, n_tok, 'stopword_floor', f_stop FROM flags
+    UNION ALL
+    SELECT source, n_tok, 'repetition', f_rep FROM flags
+    UNION ALL
+    SELECT source, n_tok, 'all', f_len AND f_stop AND f_rep FROM flags
+)
+SELECT filter, source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(sum(CASE WHEN keep THEN n_tok ELSE 0 END)::DOUBLE
+             / greatest(sum(n_tok), 1), 6) AS token_retention
+FROM longf GROUP BY filter, source
+"""
+
+
+@register(
+    "filter_ablation_matrix",
+    oracle=_FA_ORACLE,
+    tags=("text", "quality", "curation", "ablation"),
+)
+def filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision table: each quality filter applied
+    INDEPENDENTLY (length floor, stopword-ratio floor, the Gopher
+    dup-2-gram repetition ceiling) plus their conjunction, reported as
+    per-source document and TOKEN retention — before committing a
+    filter stack at 100 TB you read exactly this matrix to see which
+    rule costs which source how much data (a filter that silently
+    deletes 40% of one source's tokens is a mixing decision, not a
+    hygiene step). doc_quality_scores blends these signals into one
+    number; this keeps them separate and prices them.
+
+    Plan shape: every flag is a SCAN-LOCAL array expression (the
+    gopher_repetition discipline — zero shuffles to compute); the long
+    format is a 4-way per-row explode; the only exchange is the final
+    (filter, source)-grain aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("source", toks.alias("toks"))
+    grams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(
+        "source",
+        F.size("toks").alias("n_tok"),
+        TX.stopword_ratio(F.col("toks"), _EN).alias("stop_ratio"),
+        grams.alias("grams"),
+    )
+    dup_frac = F.size(
+        F.filter(
+            F.transform(
+                F.col("grams"),
+                lambda x: F.size(
+                    F.filter(F.col("grams"), lambda y: y == x)
+                ),
+            ),
+            lambda c: c >= 2,
+        )
+    ).cast("double") / F.greatest(F.size("grams"), F.lit(1))
+    flags = g.select(
+        "source",
+        "n_tok",
+        (F.col("n_tok") >= _FA_MIN_TOK).alias("f_len"),
+        (F.col("stop_ratio") >= _FA_STOP_MIN).alias("f_stop"),
+        (dup_frac <= _FA_DUP2_MAX).alias("f_rep"),
+    )
+    longf = flags.select(
+        "source",
+        "n_tok",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("min_length").alias("filter"),
+                    F.col("f_len").alias("keep"),
+                ),
+                F.struct(
+                    F.lit("stopword_floor").alias("filter"),
+                    F.col("f_stop").alias("keep"),
+                ),
+                F.struct(
+                    F.lit("repetition").alias("filter"),
+                    F.col("f_rep").alias("keep"),
+                ),
+                F.struct(
+                    F.lit("all").alias("filter"),
+                    (
+                        F.col("f_len") & F.col("f_stop") & F.col("f_rep")
+                    ).alias("keep"),
+                ),
+            )
+        ).alias("e"),
+    )
+    return longf.groupBy(
+        F.col("e.filter").alias("filter"), "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("e.keep").cast("long")).alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("e.keep"), F.col("n_tok")).otherwise(0))
+            .cast("double")
+            / F.greatest(F.sum("n_tok"), F.lit(1)),
+            6,
+        ).alias("token_retention"),
+    )
