@@ -1851,14 +1851,29 @@ def cold_start_popularity_hitrate(
     n_test = F.broadcast(
         test.agg(F.countDistinct("okey").alias("n_test_baskets"))
     )
-    return per_basket.crossJoin(n_test).agg(
-        F.max("n_test_baskets").alias("n_test_baskets"),
-        F.count(F.lit(1)).alias("n_cold_baskets"),
-        F.round(
-            F.count(F.lit(1)).cast("double") / F.max("n_test_baskets"), 6
-        ).alias("cold_basket_frac"),
-        F.sum("hit").cast("long").alias("n_hits"),
-        F.round(F.avg("hit"), 6).alias("cold_hitrate"),
+    # aggregate FIRST, attach the totals after: an ungrouped aggregate
+    # over an empty per_basket still yields its one row (count 0), so a
+    # fixture with no cold customers reports (n, 0, 0.0, null, null)
+    # exactly like the oracle's scalar subqueries — crossJoin before
+    # the agg would collapse the empty case to zero rows instead
+    return (
+        per_basket.agg(
+            F.count(F.lit(1)).alias("n_cold_baskets"),
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.round(F.avg("hit"), 6).alias("cold_hitrate"),
+        )
+        .crossJoin(n_test)
+        .select(
+            "n_test_baskets",
+            "n_cold_baskets",
+            F.round(
+                F.col("n_cold_baskets").cast("double")
+                / F.col("n_test_baskets"),
+                6,
+            ).alias("cold_basket_frac"),
+            "n_hits",
+            "cold_hitrate",
+        )
     )
 
 
