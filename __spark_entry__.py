@@ -45,8 +45,11 @@ def _driver_green_names() -> set[str]:
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
-            rows = json.load(open(path))
+            with open(path) as fh:
+                rows = json.load(fh)
         except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(rows, dict):
             continue
         for name, res in rows.items():
             if (

@@ -1887,14 +1887,16 @@ _ABC_B = 0.95
 _ABC_ORACLE = f"""
 WITH rev AS (
     SELECT l_partkey AS pk,
-           sum(l_extendedprice * (1 - l_discount)) AS r
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 6)
+                AS DECIMAL(38, 6)) AS r
     FROM lineitem GROUP BY l_partkey
 ),
 ranked AS (
     SELECT pk, r,
-           sum(r) OVER (ORDER BY r DESC, pk ASC
+           CAST(sum(r) OVER (ORDER BY r DESC, pk ASC
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               / sum(r) OVER () AS cum_share
+                AS DOUBLE)
+               / CAST(sum(r) OVER () AS DOUBLE) AS cum_share
     FROM rev
 ),
 classed AS (
@@ -1906,8 +1908,9 @@ classed AS (
 )
 SELECT abc_class,
        count(*)::BIGINT AS n_parts,
-       round(sum(r), 2) AS revenue,
-       round(sum(r) / (SELECT sum(r) FROM rev), 6) AS revenue_share
+       round(CAST(sum(r) AS DOUBLE), 2) AS revenue,
+       round(CAST(sum(r) AS DOUBLE)
+             / (SELECT CAST(sum(r) AS DOUBLE) FROM rev), 6) AS revenue_share
 FROM classed
 GROUP BY abc_class
 """
@@ -1937,10 +1940,18 @@ def inventory_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
+    # quantize per-part revenue to an exact decimal BEFORE the prefix
+    # sum: decimal addition is associative, so the running sum (and the
+    # A/B/C threshold comparison) is bit-identical no matter where the
+    # range-partition / AQE boundaries land — a double running sum is
+    # not, and a part within an ulp of the 0.8/0.95 cut could flip class
     rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        ).alias("r")
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("r")
     )
     prefixed = distributed_prefix_agg(
         rev,
@@ -1952,7 +1963,9 @@ def inventory_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = F.broadcast(prefixed.agg(F.sum("r").alias("tot")))
     ranked = prefixed.crossJoin(tot).select(
         "r",
-        (F.col("cum_r") / F.col("tot")).alias("cum_share"),
+        (
+            F.col("cum_r").cast("double") / F.col("tot").cast("double")
+        ).alias("cum_share"),
         "tot",
     )
     classed = ranked.select(
@@ -1965,8 +1978,10 @@ def inventory_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.sum("r"), 2).alias("revenue"),
-        F.round(F.sum("r") / F.max("tot"), 6).alias("revenue_share"),
+        F.round(F.sum("r").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.sum("r").cast("double") / F.max("tot").cast("double"), 6
+        ).alias("revenue_share"),
     )
 
 

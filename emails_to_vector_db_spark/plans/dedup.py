@@ -1123,8 +1123,17 @@ def cdc_chunk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("arr"),
     )
     pos = F.col("pos0") + 1
+    # clamp the slice start to 1: for the first _CDC_GRAM-1 tokens the
+    # raw start would be 0 (slice throws) or negative (reads from the
+    # array END) — those rows are discarded by the pos >= _CDC_GRAM
+    # guard below, but the expression must be safe under ANY evaluation
+    # order, not rely on the conjunction short-circuiting first
     gram = F.array_join(
-        F.slice(F.col("arr"), F.col("pos0") - (_CDC_GRAM - 2), _CDC_GRAM),
+        F.slice(
+            F.col("arr"),
+            F.greatest(F.lit(1), F.col("pos0") - (_CDC_GRAM - 2)),
+            _CDC_GRAM,
+        ),
         " ",
     )
     boundary = F.when(

@@ -1028,17 +1028,28 @@ def mrr_recall_retrieval_eval(
     rel1 = F.col("rel") == 1
     # the first relevant hit: TakeOrdered(1) over the relevant rows,
     # then its global rank = 1 + |rows sorting strictly before it|
-    champ = F.broadcast(
+    # champion = TakeOrdered(1) over the relevant rows — but attached
+    # via a left join onto a literal 1-row frame so an EMPTY relevant
+    # set still yields one (NULL, NULL) champion row: a bare crossJoin
+    # against the empty limit(1) frame would drop every scored row and
+    # silently report rank 1 instead of the oracle's NULL metrics
+    champ_top = (
         scored.where(rel1)
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(1)
         .select(F.col("sim").alias("bs"), F.col("vec_id").alias("bv"))
     )
+    champ = F.broadcast(
+        spark.range(1).join(champ_top, F.lit(True), "left").drop("id")
+    )
     before = (F.col("sim") > F.col("bs")) | (
         (F.col("sim") == F.col("bs")) & (F.col("vec_id") < F.col("bv"))
     )
     counts = scored.crossJoin(champ).agg(
-        (1 + F.count(F.when(before, 1))).alias("first_rel_rank"),
+        F.when(
+            F.max("bv").isNotNull(),
+            1 + F.count(F.when(before, 1)),
+        ).alias("first_rel_rank"),
         F.count(F.when(rel1, 1)).alias("n_rel"),
     )
     topk = F.broadcast(
