@@ -1351,49 +1351,29 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode-degenerate text that corpus-LEVEL dedup never sees because
     the repetition is internal to one document.
 
-    Plan shape: entirely SCAN-LOCAL array expressions — 2-grams via an
-    index transform over the token array, per-position counts via a
-    nested filter — so the operator is embarrassingly parallel with
-    ZERO shuffles at any corpus size (compare span_exact_dedup, whose
-    spans must shuffle corpus-wide by construction). The per-document
-    cost is O(L^2) in token count, bounded by the max document length;
-    for megabyte documents the explode+groupBy(doc_id, gram)
-    formulation (one doc-partitioned shuffle) replaces the quadratic
-    array scan — same semantics, the standard long-doc fallback."""
+    Plan shape: operators/repetition.py::bigram_repetition_stats —
+    SCAN-LOCAL array expressions (2-grams via an index transform,
+    per-position counts via a nested filter; zero shuffles) for
+    documents up to REP_CUTOVER_TOKENS, and the linear explode +
+    groupBy(doc_id, gram) census above it, so a single megabyte
+    document can never pin an executor core on the O(L^2) array scan.
+    Cross-path equivalence is pinned by
+    tests/test_repetition_cutover.py."""
+    from emails_to_vector_db_spark.operators.repetition import (
+        bigram_repetition_stats,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     d = docs.select("doc_id", toks.alias("toks"))
-    grams = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("toks"), i),
-                F.element_at(F.col("toks"), i + 1),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = d.select("doc_id", F.size("toks").alias("n_tok"), grams.alias("grams"))
-    cpos = F.transform(
-        F.col("grams"),
-        lambda x: F.size(F.filter(F.col("grams"), lambda y: y == x)),
+    stats = bigram_repetition_stats(d)
+    top_frac = 2.0 * F.col("max_gram_count") / F.col("n_tok")
+    dup_frac = F.col("dup_gram_slots").cast("double") / F.greatest(
+        F.col("n_bi"), F.lit(1)
     )
-    m = g.select(
+    return stats.select(
         "doc_id",
-        "n_tok",
-        F.size("grams").alias("n_bi"),
-        cpos.alias("cpos"),
-    )
-    top_frac = (
-        2.0 * F.coalesce(F.array_max("cpos"), F.lit(0)) / F.col("n_tok")
-    )
-    dup_frac = F.size(
-        F.filter(F.col("cpos"), lambda c: c >= 2)
-    ).cast("double") / F.greatest(F.col("n_bi"), F.lit(1))
-    return m.select(
-        "doc_id",
-        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_tok").alias("n_tok"),
         F.round(top_frac, 6).alias("top_2gram_frac"),
         F.round(dup_frac, 6).alias("dup_2gram_frac"),
         (

@@ -624,42 +624,30 @@ def filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     hygiene step). doc_quality_scores blends these signals into one
     number; this keeps them separate and prices them.
 
-    Plan shape: every flag is a SCAN-LOCAL array expression (the
-    gopher_repetition discipline — zero shuffles to compute); the long
-    format is a 4-way per-row explode; the only exchange is the final
-    (filter, source)-grain aggregate."""
+    Plan shape: the length/stopword flags are SCAN-LOCAL array
+    expressions; the repetition flag comes from
+    operators/repetition.py::bigram_repetition_stats (scan-local up to
+    REP_CUTOVER_TOKENS tokens, linear explode census above — the
+    gopher_repetition cutover, so megabyte documents can't pin a core
+    on the O(L^2) array scan); the long format is a 4-way per-row
+    explode; the final exchange is the (filter, source)-grain
+    aggregate."""
+    from emails_to_vector_db_spark.operators.repetition import (
+        bigram_repetition_stats,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    base = d.select("source", toks.alias("toks"))
-    grams = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("toks"), i),
-                F.element_at(F.col("toks"), i + 1),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = base.select(
-        "source",
-        F.size("toks").alias("n_tok"),
-        TX.stopword_ratio(F.col("toks"), _EN).alias("stop_ratio"),
-        grams.alias("grams"),
+    base = d.select("doc_id", "source", toks.alias("toks")).withColumn(
+        "stop_ratio", TX.stopword_ratio(F.col("toks"), _EN)
     )
-    dup_frac = F.size(
-        F.filter(
-            F.transform(
-                F.col("grams"),
-                lambda x: F.size(
-                    F.filter(F.col("grams"), lambda y: y == x)
-                ),
-            ),
-            lambda c: c >= 2,
-        )
-    ).cast("double") / F.greatest(F.size("grams"), F.lit(1))
-    flags = g.select(
+    stats = bigram_repetition_stats(
+        base, carry=("source", "stop_ratio")
+    )
+    dup_frac = F.col("dup_gram_slots").cast("double") / F.greatest(
+        F.col("n_bi"), F.lit(1)
+    )
+    flags = stats.select(
         "source",
         "n_tok",
         (F.col("n_tok") >= _FA_MIN_TOK).alias("f_len"),

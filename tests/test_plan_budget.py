@@ -89,7 +89,11 @@ SHUFFLE_BUDGET = {
     "sliding_window_counts": 1,
     "tfidf_idf_top30": 2,
     "unigram_perplexity_scores": 3,  # LM train agg + vocab total + doc agg
-    "gopher_repetition_filters": 0,  # pure scan-local array expressions
+    # raised 0 -> 2 for the long-doc cutover (r6 verdict task): the
+    # explode-census branch adds its gram groupBy + per-doc join; the
+    # short-doc branch stays scan-local, and at fixture scale the long
+    # branch is empty (the exchanges move zero rows)
+    "gopher_repetition_filters": 2,
     "naive_bayes_lang_classifier": 10,  # train aggs + scoring agg + argmax window + confusion (vocab/doc-sized)
     "rm3_query_expansion": 14,  # 3 pruned passes + tiny model/weight re-aggs (pre-AQE count; runtime converts several to broadcast)
     "binary_quantized_knn": 2,  # stats row agg + shortlist-rerank join (pre-AQE; broadcast at runtime)

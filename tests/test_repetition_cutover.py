@@ -1,0 +1,145 @@
+"""Cross-path equivalence + plan guards for the bigram-repetition
+long-document cutover (operators/repetition.py).
+
+The array form is O(L²) per document; the explode census is linear.
+Both must compute IDENTICAL statistics, the router must send every
+document above the cutover to the census, and the quadratic array
+expression must never run without the cutover filter above it.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.operators.repetition import (
+    REP_CUTOVER_TOKENS,
+    bigram_repetition_stats,
+)
+
+_BIG = 10**9  # cutover high enough that everything takes the array path
+
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, d.split()) for i, d in enumerate(docs)],
+        "doc_id long, toks array<string>",
+    )
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+HAND_DOCS = [
+    "",  # single empty token after split semantics upstream; here: []
+    "one",  # no grams
+    "a b",  # one gram
+    "a b a b a b a b",  # heavy repetition: 'a b' x4 + 'b a' x3
+    "w x y z w x y z q",  # partial repeats
+    "u v " * 20,  # pure loop
+    " ".join(f"t{i}" for i in range(50)),  # all-distinct grams
+    "p q p q r s r s p q",  # mixed
+]
+
+
+def test_hand_docs_equivalence(spark):
+    """Array path and explode path agree on handcrafted edge docs."""
+    df = _docs_df(spark, HAND_DOCS)
+    via_array = bigram_repetition_stats(df, cutover_tokens=_BIG)
+    via_explode = bigram_repetition_stats(df, cutover_tokens=0)
+    assert _collect(via_array) == _collect(via_explode)
+
+
+def test_random_docs_equivalence_across_cutover(spark):
+    """Seeded random docs straddling a small cutover: the mixed-route
+    result equals the pure-array reference row for row."""
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab => many dup grams
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for _ in range(60)
+    ]
+    df = _docs_df(spark, docs)
+    mixed = bigram_repetition_stats(df, cutover_tokens=15)
+    reference = bigram_repetition_stats(df, cutover_tokens=_BIG)
+    assert _collect(mixed) == _collect(reference)
+
+
+def test_carry_columns_ride_both_paths(spark):
+    rows = [
+        (1, "s1", 0.5, "a b a b".split()),
+        (2, "s2", 0.1, " ".join(["x y"] * 30).split()),  # 60 tokens
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, sr double, toks array<string>"
+    )
+    out = bigram_repetition_stats(
+        df, carry=("source", "sr"), cutover_tokens=10
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["source"] == "s1" and by_id[1]["sr"] == 0.5
+    assert by_id[2]["source"] == "s2" and by_id[2]["sr"] == 0.1
+    # doc 2 (60 tokens, cutover 10) went through the census: 'x y' x30
+    # and 'y x' x29 -> max 30, every one of the 59 slots duplicated
+    assert by_id[2]["max_gram_count"] == 30
+    assert by_id[2]["dup_gram_slots"] == 59
+    assert by_id[2]["n_bi"] == 59
+
+
+def test_long_doc_takes_linear_path(spark):
+    """A 60k-token document MUST route to the explode census at the
+    default cutover — on the array path this would be ~3.6e9 string
+    comparisons (minutes), on the census it is instant. Values are
+    checked against the closed form of the periodic document."""
+    n = 60_000
+    toks = ["a", "b", "c"] * (n // 3)
+    df = spark.createDataFrame(
+        [(1, toks)], "doc_id long, toks array<string>"
+    )
+    row = bigram_repetition_stats(df).collect()[0]
+    # grams: 'a b' and 'b c' x 20000 each, 'c a' x 19999
+    assert row["n_tok"] == n
+    assert row["n_bi"] == n - 1
+    assert row["max_gram_count"] == 20_000
+    assert row["dup_gram_slots"] == n - 1
+
+
+@pytest.mark.parametrize("name", ["gopher_repetition_filters"])
+def test_registry_hash_unchanged_vs_oracle(spark, name):
+    """The cutover refactor must not move the registered query's values
+    at fixture scale (the oracle replay in test_oracle_parity.py is the
+    full gate; this is the fast inline check on the touched query)."""
+    from emails_to_vector_db_spark.plans import REGISTRY
+    from tests.conftest import SF_ORACLE, duck_con, rows_match
+
+    df = REGISTRY[name].fn(spark, SF_ORACLE)
+    duck = duck_con(SF_ORACLE).execute(REGISTRY[name].oracle).fetchall()
+    ok, why = rows_match(df, duck)
+    assert ok, why
+
+
+def test_plan_guard_quadratic_scan_gated(spark):
+    """Reintroduction guard: the optimized plan must (a) contain the
+    explode census branch and (b) only evaluate the quadratic
+    transform/filter expression under a `size(...) <= cutover` filter.
+    If the union ever collapses back to a single unguarded array scan,
+    one or both assertions fail."""
+    df = _docs_df(spark, HAND_DOCS)
+    out = bigram_repetition_stats(df, cutover_tokens=21)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate explode" in plan, (
+        "explode census branch disappeared from the cutover plan"
+    )
+    assert "<= 21)" in plan and "> 21)" in plan, (
+        "cutover routing filters disappeared from the plan"
+    )
+    # the quadratic expression (a lambda filter nested inside a lambda
+    # transform) appears in the SHORT branch only; the long branch must
+    # carry no nested-lambda count expression
+    import re
+
+    branches = re.split(r"\bUnion\b", plan, maxsplit=1)
+    assert len(branches) == 2, "expected a Union of the two routes"
