@@ -1,5 +1,6 @@
 from emails_to_vector_db_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
+    minhash_lsh_component_edges,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,

@@ -98,21 +98,16 @@ def lsh_band_hashes(sig_col: Column, n_bands: int, rows_per_band: int) -> Column
     return F.array(*[band(b) for b in range(n_bands)])
 
 
-def minhash_lsh_pairs(
+def _minhash_signatures(
     df: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_hashes: int = 8,
-    n_bands: int = 4,
-    shingle_n: int = 3,
-    threshold: float = 0.5,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    n_bands: int,
+    shingle_n: int,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via MinHash LSH banding, scored by
-    the estimated Jaccard (fraction of matching signature components).
-
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ threshold.
-    """
+    """(id, sig, bands) MinHash signature frame shared by the pair and
+    component-edge forms."""
     if n_hashes % 4:
         raise ValueError("n_hashes must be a multiple of 4 (4 per md5 pass)")
     if n_bands < 1 or n_hashes % n_bands:
@@ -138,16 +133,17 @@ def minhash_lsh_pairs(
     for m in range(n_md5):
         comps.extend(minhash_components(F.col(f"m{m}")))
     sig = md5_df.select(id_col, F.array(*comps).alias("sig"))
-    sig = sig.withColumn(
+    return sig.withColumn(
         "bands", lsh_band_hashes(F.col("sig"), n_bands, rows_per_band)
     )
-    # Persist: the LSH self-join consumes this twice and Spark does not
-    # reuse the exchange across differently-aliased sides — without this
-    # the whole shingle→md5→signature pipeline runs twice. Tiny payload
-    # (id + n_hashes short strings per row); spills to disk if not.
-    from pyspark import StorageLevel
 
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+
+def _banded_verified_pairs(
+    sig: DataFrame, id_col: str, n_hashes: int, threshold: float
+) -> DataFrame:
+    """Banded LSH self-join + signature-agreement verification over a
+    PERSISTED (id, sig, bands) frame: (id_a, id_b, est_jaccard) with
+    id_a < id_b and est ≥ threshold."""
     # Explode to (band_idx, band_hash) and self-join within buckets only.
     # posexplode_OUTER on purpose: the non-outer form makes Catalyst infer a
     # `size(bands) > 0` filter and push the whole signature expression tree
@@ -185,6 +181,109 @@ def minhash_lsh_pairs(
         cand.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash LSH banding, scored by
+    the estimated Jaccard (fraction of matching signature components).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ threshold.
+    Within-bucket emission is quadratic in bucket size BY CONTRACT (the
+    pairs are the output); consumers that only need duplicate CLUSTERS
+    must use minhash_lsh_component_edges instead, which collapses
+    signature-identical groups before pairing.
+    """
+    sig = _minhash_signatures(
+        df, id_col, text_col, n_hashes, n_bands, shingle_n
+    )
+    # Persist: the LSH self-join consumes this twice and Spark does not
+    # reuse the exchange across differently-aliased sides — without this
+    # the whole shingle→md5→signature pipeline runs twice. Tiny payload
+    # (id + n_hashes short strings per row); spills to disk if not.
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    return _banded_verified_pairs(sig, id_col, n_hashes, threshold)
+
+
+def minhash_lsh_component_edges(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Edge list (src, dst) whose connected components are IDENTICAL to
+    components over ``minhash_lsh_pairs`` with the same parameters —
+    with O(n) emission per signature-identical group instead of the
+    pair form's O(n²) within-bucket blow-up.
+
+    Soundness: est_jaccard is a pure function of the two signatures,
+    and two docs with IDENTICAL signatures (a) share every band bucket,
+    so the pair form always makes them candidates, and (b) score
+    est = 1.0 ≥ threshold, so the pair form always links them. A
+    signature-identical group is therefore always a clique in the
+    verified pair graph, and any verified edge from one member holds
+    for every member. Collapsing each group to its min-id
+    representative (star edges, O(n) per group) and running the banded
+    verified pair join among REPRESENTATIVES only yields a graph with
+    the same connected components. Duplicate-heavy corpora — exact
+    twins, boilerplate mirrors, the replicated sf10 worst case — are
+    exactly where within-bucket pair listing went quadratic; they
+    collapse to one representative here. Docs with no shingles have
+    all-NULL signatures and never pair in either form; they are
+    EXCLUDED from grouping rather than spuriously linked through a
+    shared null fingerprint. Equivalence and the no-all-pairs guard
+    live in tests/test_dedup_star_edges.py.
+    """
+    from pyspark import StorageLevel
+
+    sig = _minhash_signatures(
+        df, id_col, text_col, n_hashes, n_bands, shingle_n
+    )
+    sig = sig.withColumn(
+        "sig_fp",
+        F.when(
+            ~F.exists("sig", lambda x: x.isNull()),
+            F.md5(F.concat_ws("|", "sig")),
+        ),
+    )
+    # Persist BEFORE the null filter: PushDownPredicates substitutes a
+    # filter condition through projections with NO cost check (unlike
+    # CollapseProject), so `where(sig_fp IS NOT NULL)` placed below the
+    # cache would inline the entire md5-signature tree into a scan-level
+    # filter and recompute it per row (measured 6x the signature cost at
+    # sf10). Filtering the cached relation costs one null check per row.
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    valid = sig.where(F.col("sig_fp").isNotNull())
+    groups = valid.groupBy("sig_fp").agg(F.min(id_col).alias("rep"))
+    star = (
+        valid.select(id_col, "sig_fp")
+        .join(groups, "sig_fp")
+        .where(F.col(id_col) != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col(id_col).alias("dst"))
+    )
+    reps = valid.join(
+        groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rep_pairs = _banded_verified_pairs(reps, id_col, n_hashes, threshold)
+    return star.unionByName(
+        rep_pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
     )
 
 

@@ -690,18 +690,25 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-id; dedup is then `where(doc_id != component_id)`. The planted
     orig->dup->dup-of-dup chains require real transitive closure. The
     DuckDB oracle replays the identical signature family plus a recursive
-    min-label closure, so the full pipeline is hash-checked."""
+    min-label closure, so the full pipeline is hash-checked.
+
+    Scale shape: edges come from minhash_lsh_component_edges —
+    signature-identical groups collapse to star edges around a min-id
+    representative (O(n) per group, provably component-equivalent to
+    the all-pairs form), so a duplicate-heavy corpus never pays
+    quadratic within-bucket pair emission on the clustering path."""
     from emails_to_vector_db_spark.operators.components import (
         connected_components,
     )
-    from emails_to_vector_db_spark.operators.dedup import minhash_lsh_pairs
+    from emails_to_vector_db_spark.operators.dedup import (
+        minhash_lsh_component_edges,
+    )
 
     docs = _docs_with_chained_dups(spark, sf_dir)
-    pairs = minhash_lsh_pairs(
-        docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5
-    )
     comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        minhash_lsh_component_edges(
+            docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5
+        )
     )
     return comp.select(
         F.col("id").alias("doc_id"), F.col("component").alias("component_id")
@@ -943,24 +950,28 @@ def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (survivor_quality, min_quality) spread is the evidence the policy
     changes outcomes.
 
-    Plan shape: the pair family and min-label closure are the priced-in
-    near_dup_components stages; quality is a scan-time expression;
-    survivor selection is a CLUSTER-partitioned rank (bounded by the
-    largest dup cluster, never global) keyed on the 6dp-ROUNDED score
-    so cross-engine float noise cannot flip survivors."""
+    Plan shape: the star-edge family (minhash_lsh_component_edges —
+    signature-identical groups collapse before pairing, so the
+    clustering path never pays quadratic within-bucket emission) and
+    min-label closure are the priced-in near_dup_components stages;
+    quality is a scan-time expression; survivor selection is a
+    CLUSTER-partitioned rank (bounded by the largest dup cluster,
+    never global) keyed on the 6dp-ROUNDED score so cross-engine
+    float noise cannot flip survivors."""
     from pyspark.sql import Window
 
     from emails_to_vector_db_spark.operators.components import (
         connected_components,
     )
-    from emails_to_vector_db_spark.operators.dedup import minhash_lsh_pairs
+    from emails_to_vector_db_spark.operators.dedup import (
+        minhash_lsh_component_edges,
+    )
 
     docs = _docs_with_chained_dups(spark, sf_dir)
-    pairs = minhash_lsh_pairs(
-        docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5
-    )
     comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        minhash_lsh_component_edges(
+            docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5
+        )
     ).select(
         F.col("id").alias("doc_id"), F.col("component").alias("component_id")
     )

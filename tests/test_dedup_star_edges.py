@@ -1,0 +1,131 @@
+"""Star-edge component equivalence + no-all-pairs guards for the
+MinHash-LSH clustering path (operators/dedup.py::
+minhash_lsh_component_edges).
+
+The pair form emits O(n²) edges inside a bucket of n twins; the
+component-edge form collapses signature-identical groups to a min-id
+representative (star edges, O(n)) and pairs representatives only. The
+two must produce IDENTICAL connected components — and a clique of k
+identical docs must emit exactly k-1 edges, which is the guard that
+fails loudly if all-pairs emission ever creeps back onto the
+clustering path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.operators.components import (
+    connected_components,
+)
+from emails_to_vector_db_spark.operators.dedup import (
+    minhash_lsh_component_edges,
+    minhash_lsh_pairs,
+)
+
+_KW = dict(n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _components(spark, edges_df):
+    return sorted(
+        tuple(r) for r in connected_components(edges_df).collect()
+    )
+
+
+def _pair_edges(docs):
+    return minhash_lsh_pairs(docs, **_KW).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+
+
+def _mixed_corpus():
+    """Exact-twin groups, chained near-dups, singletons, shingle-less."""
+    rng = random.Random(42)
+    vocab = [f"word{i}" for i in range(200)]
+    rows = []
+    did = 0
+
+    def sentence(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    # 3 exact-twin groups of sizes 12, 5, 2
+    for size in (12, 5, 2):
+        text = sentence(30)
+        for _ in range(size):
+            rows.append((did, text))
+            did += 1
+    # 4 chained near-dup families: orig -> light edit -> heavier edit
+    for _ in range(4):
+        base = sentence(40).split()
+        rows.append((did, " ".join(base)))
+        did += 1
+        v1 = base[:-2] + ["tailedit", "tokens"]
+        rows.append((did, " ".join(v1)))
+        did += 1
+        v2 = v1[:-4] + ["second", "round", "of", "edits"]
+        rows.append((did, " ".join(v2)))
+        did += 1
+    # 10 unrelated singletons
+    for _ in range(10):
+        rows.append((did, sentence(25)))
+        did += 1
+    # 3 shingle-less docs (<3 tokens): all-NULL signatures, no edges
+    for short in ("a", "b c", "x"):
+        rows.append((did, short))
+        did += 1
+    return rows
+
+
+def test_components_identical_to_pair_form(spark):
+    docs = _df(spark, _mixed_corpus())
+    via_pairs = _components(spark, _pair_edges(docs))
+    via_star = _components(
+        spark, minhash_lsh_component_edges(docs, **_KW)
+    )
+    assert via_star == via_pairs
+    assert len(via_star) > 20  # the fixture actually links things
+
+
+def test_clique_emits_linear_edges(spark):
+    """50 identical docs: pair form emits C(50,2)=1225 edges, the
+    clustering path must emit exactly 49 star edges — the loud guard
+    against all-pairs emission returning to the CC path."""
+    text = " ".join(f"tok{i}" for i in range(25))
+    docs = _df(spark, [(i, text) for i in range(50)])
+    star = minhash_lsh_component_edges(docs, **_KW)
+    assert star.count() == 49
+    assert minhash_lsh_pairs(docs, **_KW).count() == 1225
+    # and the components still name min-id as the label for all 50
+    comp = connected_components(star).collect()
+    assert len(comp) == 50
+    assert {r["component"] for r in comp} == {0}
+
+
+def test_shingleless_docs_never_linked(spark):
+    """Docs with <3 tokens have all-NULL signatures: the pair form never
+    candidates them; the star form must not link them through a shared
+    null fingerprint."""
+    docs = _df(
+        spark, [(1, "a"), (2, "b"), (3, "x y"), (4, "solo pair of")]
+    )
+    assert minhash_lsh_component_edges(docs, **_KW).count() == 0
+
+
+def test_registry_queries_hash_unchanged(spark):
+    """The two switched registry queries still match their oracles at
+    fixture scale (fast inline check; test_oracle_parity.py is the full
+    gate)."""
+    from emails_to_vector_db_spark.plans import REGISTRY
+    from tests.conftest import SF_SMOKE, duck_con, rows_match
+
+    for name in ("near_dup_components", "dedup_quality_survivors"):
+        df = REGISTRY[name].fn(spark, SF_SMOKE)
+        duck = duck_con(SF_SMOKE).execute(REGISTRY[name].oracle).fetchall()
+        ok, why = rows_match(df, duck)
+        assert ok, f"{name}: {why}"
