@@ -2233,39 +2233,15 @@ ORDER BY w DESC, rec_a, rec_b
 LIMIT {_FS_TOP}
 """
 
-@register(
-    "fellegi_sunter_linkage",
-    oracle=_FS_ORACLE,
-    tags=("analytics", "linkage", "dedup", "entity-resolution"),
-)
-def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter probabilistic record linkage (1969) over a
-    deterministically-dirtied customer registry: every 7th customer
-    gains a perturbed twin (name tail, mktsegment, balance each
-    flipped on independent key residues), candidate pairs come from
-    SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo 1995): rank all
-    records by (name, rec_id) and pair those within {_FS_WINDOW - 1}
-    positions — the perturbation only rewrites the last name
-    character, so twins sort adjacently and every true pair
-    co-windows, while the candidate space is exactly n*{_FS_WINDOW - 1}
-    (LINEAR in the corpus; the round-5 mod-97 block key's occupancy
-    grew with the data, quadratic pair space — this is its scale-real
-    replacement). Each pair is scored by the log-likelihood-ratio
-    weight Σ ln(m_f/u_f) over its field-agreement vector; m/u are
-    estimated from the labeled-by-construction pairs with Laplace
-    smoothing (+0.5/+1 — keeps perfectly-separating fields like the
-    unique name finite), the supervised variant of the EM fit real
-    linkage runs; entity_canonical_groups is the exact-key sibling,
-    this is the NOISY-field one. Top-{_FS_TOP} pairs by weight: the
-    decision list a clerical-review threshold cuts.
+def _fs_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs for fellegi_sunter_linkage.
 
-    Plan shape: the global name rank runs through
-    operators/ranking.py::distributed_row_number (record tables are
-    corpus-grain — no single-partition sort); neighbors materialize
-    via an explode of the {_FS_WINDOW - 1} rank offsets and ONE equi
-    self-join on the shifted rank; the m/u fit is one 1-row aggregate
-    broadcast back; scoring is map-side; the decision list is
-    TakeOrderedAndProject."""
+    Exposed as a helper so tests/test_dedup_star_edges.py can assert the
+    LINEAR candidate contract at two scales: with n records and window W
+    the pair count is EXACTLY n*(W-1) - W*(W-1)/2 (each rank pairs with
+    the next W-1 ranks, truncated at the tail) — a fixed-cardinality
+    block key (the round-5 mod-97 regression) would make it quadratic
+    in n and fail the formula immediately."""
     from emails_to_vector_db_spark.operators.ranking import (
         distributed_row_number,
     )
@@ -2310,21 +2286,52 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("a")
     )
     b = ranked.alias("b")
-    pairs = (
-        a.join(b, F.col("a.rn_b") == F.col("b.rn"))
-        .select(
-            F.col("a.rec_id").alias("rec_a"),
-            F.col("b.rec_id").alias("rec_b"),
-            (F.col("a.base") == F.col("b.base")).alias("is_match"),
-            (F.col("a.name") == F.col("b.name")).alias("name_eq"),
-            (F.col("a.seg") == F.col("b.seg")).alias("seg_eq"),
-            (
-                F.abs(F.col("a.bal") - F.col("b.bal")) <= _FS_BAL_TOL
-            ).alias("bal_eq"),
-        )
-        .persist()
+    return a.join(b, F.col("a.rn_b") == F.col("b.rn")).select(
+        F.col("a.rec_id").alias("rec_a"),
+        F.col("b.rec_id").alias("rec_b"),
+        (F.col("a.base") == F.col("b.base")).alias("is_match"),
+        (F.col("a.name") == F.col("b.name")).alias("name_eq"),
+        (F.col("a.seg") == F.col("b.seg")).alias("seg_eq"),
+        (
+            F.abs(F.col("a.bal") - F.col("b.bal")) <= _FS_BAL_TOL
+        ).alias("bal_eq"),
     )
 
+
+@register(
+    "fellegi_sunter_linkage",
+    oracle=_FS_ORACLE,
+    tags=("analytics", "linkage", "dedup", "entity-resolution"),
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (1969) over a
+    deterministically-dirtied customer registry: every 7th customer
+    gains a perturbed twin (name tail, mktsegment, balance each
+    flipped on independent key residues), candidate pairs come from
+    SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo 1995): rank all
+    records by (name, rec_id) and pair those within {_FS_WINDOW - 1}
+    positions — the perturbation only rewrites the last name
+    character, so twins sort adjacently and every true pair
+    co-windows, while the candidate space is exactly n*{_FS_WINDOW - 1}
+    (LINEAR in the corpus; the round-5 mod-97 block key's occupancy
+    grew with the data, quadratic pair space — this is its scale-real
+    replacement). Each pair is scored by the log-likelihood-ratio
+    weight Σ ln(m_f/u_f) over its field-agreement vector; m/u are
+    estimated from the labeled-by-construction pairs with Laplace
+    smoothing (+0.5/+1 — keeps perfectly-separating fields like the
+    unique name finite), the supervised variant of the EM fit real
+    linkage runs; entity_canonical_groups is the exact-key sibling,
+    this is the NOISY-field one. Top-{_FS_TOP} pairs by weight: the
+    decision list a clerical-review threshold cuts.
+
+    Plan shape: the global name rank runs through
+    operators/ranking.py::distributed_row_number (record tables are
+    corpus-grain — no single-partition sort); neighbors materialize
+    via an explode of the {_FS_WINDOW - 1} rank offsets and ONE equi
+    self-join on the shifted rank; the m/u fit is one 1-row aggregate
+    broadcast back; scoring is map-side; the decision list is
+    TakeOrderedAndProject."""
+    pairs = _fs_candidate_pairs(spark, sf_dir).persist()
     def _m(flag):
         return (
             F.sum(F.when(F.col("is_match") & F.col(flag), 1).otherwise(0))

@@ -1018,6 +1018,7 @@ ORDER BY split_a, split_b
     "split_contamination_matrix",
     oracle=_XSPLIT_ORACLE,
     tags=("cleaning", "contamination", "split", "ngram"),
+    bench=True,
 )
 def split_contamination_matrix(
     spark: SparkSession, sf_dir: str

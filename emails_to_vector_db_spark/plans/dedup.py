@@ -938,6 +938,7 @@ FROM ranked GROUP BY component_id
     "dedup_quality_survivors",
     oracle=_SURVIVOR_ORACLE,
     tags=("dedup", "quality", "survivorship"),
+    bench=True,
 )
 def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship policy for near-dup clusters: keep the HIGHEST-
@@ -1094,6 +1095,7 @@ FROM corpus c
     "cdc_chunk_stability",
     oracle=_CDC_ORACLE,
     tags=("dedup", "chunking", "cdc", "storage"),
+    bench=True,
 )
 def cdc_chunk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (the rsync/LBFS/gear-hash family,

@@ -1072,6 +1072,7 @@ FROM planned GROUP BY bin_id
     "small_file_compaction_plan",
     oracle=_COMPACT_ORACLE,
     tags=("maintenance", "compaction", "files"),
+    bench=True,
 )
 def small_file_compaction_plan(
     spark: SparkSession, sf_dir: str

@@ -612,6 +612,7 @@ FROM longf GROUP BY filter, source
     "filter_ablation_matrix",
     oracle=_FA_ORACLE,
     tags=("text", "quality", "curation", "ablation"),
+    bench=True,
 )
 def filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation decision table: each quality filter applied

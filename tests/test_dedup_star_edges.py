@@ -117,6 +117,34 @@ def test_shingleless_docs_never_linked(spark):
     assert minhash_lsh_component_edges(docs, **_KW).count() == 0
 
 
+def test_fellegi_sunter_candidate_space_linear(spark):
+    """Regression net for the round-5 fixed-cardinality block key:
+    sorted-neighborhood candidates must number EXACTLY
+    n*(W-1) - W*(W-1)/2 at every scale (each rank pairs with the next
+    W-1 ranks, truncated at the tail). A mod-k block key makes the
+    count quadratic in n and fails this formula at the larger scale
+    immediately."""
+    from emails_to_vector_db_spark.plans.analytics import (
+        _FS_WINDOW,
+        _fs_candidate_pairs,
+    )
+    from emails_to_vector_db_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE, SF_SMOKE
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        cust = load_table(spark, sf, "customer")
+        n = (
+            cust.count()
+            + cust.where(F.col("c_custkey") % 7 == 0).count()
+        )
+        w = _FS_WINDOW
+        expect = n * (w - 1) - w * (w - 1) // 2
+        got = _fs_candidate_pairs(spark, sf).count()
+        assert got == expect, (
+            f"{sf}: {got} candidate pairs, linear contract says {expect}"
+        )
+
+
 def test_registry_queries_hash_unchanged(spark):
     """The two switched registry queries still match their oracles at
     fixture scale (fast inline check; test_oracle_parity.py is the full

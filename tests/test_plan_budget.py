@@ -37,6 +37,7 @@ SHUFFLE_BUDGET = {
     "duplicate_ngram_coverage": 4,  # gram census + scoring join + 2 re-aggs
     "tfidf_cosine_topk_pairs": 7,  # tf agg + df/norm re-aggs + pair join
     "spatial_radius_join": 1,  # the 9-cell stencil equi-join; verify map-side
+    "spatial_radius_topk": 1,  # stencil join + per-point window (id_a grain)
     # kcore's peel executes EAGERLY inside fn() (per-round 1-row collects
     # drive the broadcast/shuffle probe cutover); the returned frame is a
     # local 9-row stat table, so its lazily-countable shuffles are ~0.
@@ -98,6 +99,12 @@ SHUFFLE_BUDGET = {
     "rm3_query_expansion": 14,  # 3 pruned passes + tiny model/weight re-aggs (pre-AQE count; runtime converts several to broadcast)
     "binary_quantized_knn": 2,  # stats row agg + shortlist-rerank join (pre-AQE; broadcast at runtime)
     "source_token_kl": 6,  # token census + per-source cells + grid re-aggs
+    # round-7 promotions (the r6 flagships, verdict task 6)
+    "cdc_chunk_stability": 9,  # 2 scheme explodes x (doc-grain window + fp agg) + stability joins
+    "dedup_quality_survivors": 1,  # star-edge CC is driver-side below cutover; survivor rank rides one exchange
+    "split_contamination_matrix": 2,  # distinct (split, gram) census + matrix agg
+    "filter_ablation_matrix": 3,  # repetition-cutover branch (empty at fixture scale) + final agg
+    "small_file_compaction_plan": 4,  # file-grain agg + distributed prefix pack passes
     "adamic_adar_link_prediction": 11,  # edge extraction + edge-list-local joins/aggs (edge-list-sized, pre-AQE count)
 }
 
