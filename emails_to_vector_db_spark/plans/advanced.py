@@ -774,12 +774,20 @@ def spatial_radius_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is the O(n²) all-pairs form, so the hash match proves
     the bounded plan loses nothing inside the radius.
 
-    Plan shape: one home-cell assignment per point, the 9-cell
-    neighbor-stencil equi-join (constant fan-out), exact distance
-    verify map-side, then a PER-POINT window rank — partition grain is
-    one point's radius-r candidates (locally dense regions bound it,
-    the same skew story as the join itself), never the corpus. No
-    global sort: the result is keyed, not ordered."""
+    Plan shape: operators/spatial.py::radius_topk — a TWO-PHASE
+    adaptive grid. Phase 1 probes a FINE r/4 stencil; a point with
+    ≥ k neighbors inside r/4 is provably exact from fine candidates
+    alone (its kth-nearest is ≤ r/4 away, everything outside r/4 is
+    strictly farther), at 1/16 the coarse candidate cost — and dense
+    regions, exactly where the coarse stencil's candidates explode,
+    are exactly where points satisfy. Phase 2 escalates ONLY the
+    unsatisfied (sparse-neighborhood) points to the full cell-side-r
+    stencil. Per-point window rank grain is one point's candidates,
+    never the corpus; no global sort — the result is keyed, not
+    ordered. Phase-split exactness is pinned against a brute-force
+    reference in tests/test_spatial_topk.py."""
+    from emails_to_vector_db_spark.operators.spatial import radius_topk
+
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id")
     )
@@ -796,69 +804,10 @@ def spatial_radius_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / _SR_SPACE
         )
 
-    r = _SR_RADIUS
-    pts = c.select(
-        "id",
-        coord("x").alias("x"),
-        coord("y").alias("y"),
-    ).select(
-        "id",
-        "x",
-        "y",
-        F.floor(F.col("x") / r).cast("long").alias("cx"),
-        F.floor(F.col("y") / r).cast("long").alias("cy"),
-    )
-    from pyspark import StorageLevel
-
-    pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
-    )
-    probe = pts.select(
-        F.col("id").alias("id_a"),
-        F.col("x").alias("xa"),
-        F.col("y").alias("ya"),
-        F.explode(offsets).alias("o"),
-        "cx",
-        "cy",
-    ).select(
+    pts = c.select("id", coord("x").alias("x"), coord("y").alias("y"))
+    return radius_topk(pts, _SR_RADIUS, _SR_TOPK).select(
         "id_a",
-        "xa",
-        "ya",
-        (F.col("cx") + F.col("o.dx")).alias("cx"),
-        (F.col("cy") + F.col("o.dy")).alias("cy"),
-    )
-    home = pts.select(
-        F.col("id").alias("id_b"),
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-        "cx",
-        "cy",
-    )
-    dx = F.col("xa") - F.col("xb")
-    dy = F.col("ya") - F.col("yb")
-    d2 = dx * dx + dy * dy
-    from pyspark.sql import Window
-
-    cand = (
-        probe.join(home, ["cx", "cy"])
-        .where((F.col("id_a") != F.col("id_b")) & (d2 <= F.lit(r * r)))
-        .select("id_a", "id_b", d2.alias("d2"))
-    )
-    w = Window.partitionBy("id_a").orderBy(
-        F.col("d2").asc(), F.col("id_b").asc()
-    )
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _SR_TOPK)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.sqrt("d2"), 6).alias("dist"),
-            F.col("rk").cast("long").alias("rk"),
-        )
+        "id_b",
+        F.round(F.sqrt("d2"), 6).alias("dist"),
+        F.col("rk").cast("long").alias("rk"),
     )

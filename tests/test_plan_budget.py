@@ -37,7 +37,10 @@ SHUFFLE_BUDGET = {
     "duplicate_ngram_coverage": 4,  # gram census + scoring join + 2 re-aggs
     "tfidf_cosine_topk_pairs": 7,  # tf agg + df/norm re-aggs + pair join
     "spatial_radius_join": 1,  # the 9-cell stencil equi-join; verify map-side
-    "spatial_radius_topk": 1,  # stencil join + per-point window (id_a grain)
+    # two-phase adaptive grid: fine window + sat-id anti-join + coarse
+    # window (1 -> 4 when the escalation path was added; bought sf10
+    # 134.8s -> 18.3s)
+    "spatial_radius_topk": 4,
     # kcore's peel executes EAGERLY inside fn() (per-round 1-row collects
     # drive the broadcast/shuffle probe cutover); the returned frame is a
     # local 9-row stat table, so its lazily-countable shuffles are ~0.
