@@ -27,6 +27,90 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # Recorded baseline: BENCH_r01.json / BASELINE.md "Recorded baseline" —
 # 16 headline queries at sf0.1 on local[32]. Newly-benched queries are
 # excluded from the ratio (no recorded number to compare against).
+# Full-set reference: the round-7 clean run (74 bench queries, sf0.1,
+# local[32], best-of-three per query) — BASELINE.md "Round-7 full-set
+# reference". Unlike the 16-query r01 subset above, this covers the
+# whole bench surface, so regressions in queries added after round 1
+# are visible. The runtime ratio is computed over the intersection so
+# future additions don't skew it.
+RECORDED_SF01_R07_TOTAL = 86.347
+RECORDED_SF01_R07 = {
+    "adaboost_stumps": 2.181,
+    "adamic_adar_link_prediction": 3.071,
+    "alpha_mixing_weights": 0.649,
+    "asof_last_click_before_purchase": 0.427,
+    "benchmark_decontamination": 1.171,
+    "binary_quantized_knn": 1.421,
+    "bm25_topk": 1.078,
+    "bpe_segmentation_stats": 1.085,
+    "bucketed_colocated_join": 0.365,
+    "bytes_per_token_by_source": 0.256,
+    "cdc_chunk_stability": 1.603,
+    "changepoint_detection": 1.301,
+    "cohort_retention_matrix": 0.394,
+    "containment_near_supersets": 3.582,
+    "curation_pipeline_e2e": 0.906,
+    "dedup_quality_survivors": 2.911,
+    "doc_quality_scores": 0.384,
+    "doc_token_stats": 0.284,
+    "duplicate_ngram_coverage": 1.959,
+    "embedding_jl_projection_pairs": 0.578,
+    "embedding_near_dups_lsh": 0.975,
+    "embedding_pca_topvar": 0.324,
+    "event_funnel_conversion": 0.421,
+    "exact_dedup_groups": 0.247,
+    "filter_ablation_matrix": 1.979,
+    "gopher_repetition_filters": 2.792,
+    "hard_negative_mining": 0.353,
+    "hash_embed_knn": 0.68,
+    "heavy_hitter_terms": 0.482,
+    "hourly_event_counts": 0.156,
+    "incremental_mv_refresh": 0.271,
+    "ivfadc_ann_topk": 0.68,
+    "kcore_part_basket": 6.74,
+    "kmv_distinct_sketch": 0.296,
+    "kneser_ney_bigram_scores": 1.904,
+    "knn_join_multi_probe": 0.589,
+    "knn_join_probe_cutover": 2.75,
+    "knn_topk_l2": 0.399,
+    "label_centroid_norm_pandas": 0.369,
+    "lang_id_confusion": 0.672,
+    "logreg_quality_classifier": 1.254,
+    "minhash_lsh_near_dups": 0.919,
+    "mips_topk_augmented": 0.373,
+    "naive_bayes_lang_classifier": 0.81,
+    "near_dup_components": 2.237,
+    "ngram_novelty_scores": 1.373,
+    "pq_ann_topk": 0.797,
+    "prefix_filter_jaccard_join": 2.722,
+    "psi_value_drift": 0.522,
+    "q10_returned_item_customers": 0.661,
+    "q1_pricing_summary": 0.328,
+    "q21_suppliers_kept_orders_waiting": 0.844,
+    "q3_shipping_priority": 0.664,
+    "q5_local_supplier_volume": 0.654,
+    "q6_forecast_revenue": 0.189,
+    "q7_volume_shipping": 0.755,
+    "q9_product_type_profit": 0.713,
+    "rfm_customer_segments_approx": 1.151,
+    "rm3_query_expansion": 3.221,
+    "semantic_dedup_prune": 0.693,
+    "simhash_near_dups": 0.869,
+    "skyline_pareto_parts": 1.932,
+    "sliding_window_counts": 0.294,
+    "small_file_compaction_plan": 0.791,
+    "softmax_lang_classifier": 2.088,
+    "source_token_kl": 0.409,
+    "span_exact_dedup": 0.977,
+    "spatial_radius_join": 0.801,
+    "spatial_radius_topk": 1.23,
+    "split_contamination_matrix": 4.268,
+    "tfidf_cosine_topk_pairs": 1.088,
+    "tfidf_idf_top30": 0.251,
+    "unigram_perplexity_scores": 0.646,
+    "winnowing_fingerprint_pairs": 1.138,
+}
+
 RECORDED_SF01_TOTAL = 23.207
 RECORDED_SF01 = {
     "asof_last_click_before_purchase": 2.129,
@@ -97,6 +181,19 @@ def main() -> None:
                 f"# vs recorded sf0.1 baseline ({len(common)} queries): "
                 f"{payload['baseline_ratio']}x (recorded {rec:.1f}s, "
                 f"now {now:.1f}s)",
+                file=sys.stderr,
+            )
+        # full-set ratio vs the round-7 reference run (covers the whole
+        # bench surface, not just the r01 16-query subset)
+        common7 = [n for n in timings if n in RECORDED_SF01_R07]
+        rec7 = sum(RECORDED_SF01_R07[n] for n in common7)
+        now7 = sum(timings[n] for n in common7)
+        if rec7 > 0:
+            payload["full_set_ratio"] = round(now7 / rec7, 3)
+            print(
+                f"# vs r07 full-set reference ({len(common7)} queries): "
+                f"{payload['full_set_ratio']}x (recorded {rec7:.1f}s, "
+                f"now {now7:.1f}s)",
                 file=sys.stderr,
             )
     print(json.dumps(payload))
