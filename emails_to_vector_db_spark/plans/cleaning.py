@@ -1125,3 +1125,142 @@ def split_contamination_matrix(
         )
         .orderBy("split_a", "split_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: quantify cross-split duplicate leakage per policy
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKETS = 10  # bucket 0 -> test, 1 -> val, 2..9 -> train (80/10/10)
+
+_LEAK_AUDIT_ORACLE = f"""
+WITH docs AS ({{exact_sql}}),
+keyed AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM docs
+),
+assigned AS (
+    SELECT 'doc_id_hash' AS policy, fp,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+               % {_SPLIT_BUCKETS} AS bucket
+    FROM keyed
+    UNION ALL
+    SELECT 'cluster_hash' AS policy, fp,
+           ('0x' || substr(fp, 1, 8))::BIGINT % {_SPLIT_BUCKETS} AS bucket
+    FROM keyed
+),
+split_of AS (
+    SELECT policy, fp,
+           CASE bucket WHEN 0 THEN 'test' WHEN 1 THEN 'val'
+                ELSE 'train' END AS split
+    FROM assigned
+),
+cl AS (
+    SELECT policy, fp,
+           count(*) AS n_docs,
+           count(DISTINCT split) AS n_splits
+    FROM split_of GROUP BY policy, fp
+)
+SELECT policy,
+       count(*)::BIGINT AS n_clusters,
+       sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)::BIGINT
+           AS straddle_clusters,
+       sum(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END)::BIGINT
+           AS leaked_docs
+FROM cl
+GROUP BY policy
+ORDER BY policy
+"""
+
+
+@register(
+    "split_leakage_audit",
+    oracle=None,  # bound below once the fixture SQL is imported
+    tags=("cleaning", "splits", "leakage", "dedup", "audit"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantify cross-split duplicate leakage as DATA, per assignment
+    policy: assign every document to train/val/test twice — once by the
+    raw doc-id hash (the leaky policy ``dataset_split_assignment``
+    uses) and once by the exact-dedup cluster key (the normalized-text
+    md5, so all copies share a bucket) — then report, per policy, how
+    many duplicate clusters straddle ≥2 splits and how many documents
+    sit in a straddling cluster. The cluster-keyed row is provably
+    (0, 0); the doc-id row PRICES the leakage that policy would cause
+    on this corpus. Complements ``leakage_safe_split`` (which builds
+    the safe near-dup-keyed assignment): this one measures, engine-side,
+    what the safe variant buys — the audit you run BEFORE trusting any
+    externally-supplied split column.
+
+    100 TB story: both assignments are scan-local md5 expressions (no
+    shuffle); the audit is one cluster-grain groupBy per policy —
+    map-side combinable, hot clusters collapse before the shuffle —
+    and a 2-row final aggregate. No joins, no windows.
+    """
+    from emails_to_vector_db_spark.plans.dedup import _docs_with_exact_dups
+
+    docs = _docs_with_exact_dups(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id", TX.fingerprint("text").alias("fp")
+    )
+
+    def _bucket(col):
+        return F.conv(F.substring(col, 1, 8), 16, 10).cast(
+            "long"
+        ) % _SPLIT_BUCKETS
+
+    def _split(bucket):
+        return (
+            F.when(bucket == 0, F.lit("test"))
+            .when(bucket == 1, F.lit("val"))
+            .otherwise(F.lit("train"))
+        )
+
+    by_id = keyed.select(
+        F.lit("doc_id_hash").alias("policy"),
+        "fp",
+        _split(_bucket(F.md5(F.col("doc_id").cast("string")))).alias("split"),
+    )
+    by_cluster = keyed.select(
+        F.lit("cluster_hash").alias("policy"),
+        "fp",
+        _split(_bucket(F.col("fp"))).alias("split"),
+    )
+    cl = (
+        by_id.unionByName(by_cluster)
+        .groupBy("policy", "fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+    )
+    straddling = F.col("n_splits") > 1
+    return (
+        cl.groupBy("policy")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(straddling.cast("long")).alias("straddle_clusters"),
+            F.sum(F.when(straddling, F.col("n_docs")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("leaked_docs"),
+        )
+        .orderBy("policy")
+    )
+
+
+def _bind_leak_audit_oracle() -> None:
+    """Late-bind the oracle (the fixture SQL lives in dedup.py; binding
+    at import time here avoids a module-level circular import)."""
+    from dataclasses import replace
+
+    from emails_to_vector_db_spark.plans.dedup import _DOCS_EXACT_SQL
+    from emails_to_vector_db_spark.plans.registry import REGISTRY
+
+    spec = REGISTRY["split_leakage_audit"]
+    REGISTRY["split_leakage_audit"] = replace(
+        spec, oracle=_LEAK_AUDIT_ORACLE.format(exact_sql=_DOCS_EXACT_SQL)
+    )
+
+
+_bind_leak_audit_oracle()

@@ -173,6 +173,169 @@ def span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rolling-window exact-substring dedup (Lee et al. 2021 semantics)
+# ---------------------------------------------------------------------------
+
+_SSW = 16  # tokens per rolling window (stride 1)
+_SSW_TOP = 20
+
+_SSW_ORACLE = f"""
+WITH docs AS ({_DOCS_CHAIN_SQL}),
+toks AS (
+    SELECT doc_id, {_TOKENS_SQL} AS w FROM docs
+),
+wins AS (
+    SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w) - {_SSW - 1}, 0))) AS pos
+    FROM toks
+),
+fps AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(w[pos:pos + {_SSW - 1}], ' ')) AS fp
+    FROM wins
+),
+dup_fps AS (
+    SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+),
+flagged AS (
+    SELECT doc_id, pos FROM fps WHERE fp IN (SELECT fp FROM dup_fps)
+),
+runs AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM flagged
+),
+run_lens AS (
+    SELECT doc_id, grp, count(*) AS run_len
+    FROM runs GROUP BY doc_id, grp
+),
+per_doc_dup AS (
+    SELECT doc_id,
+           sum(run_len) AS n_dup_windows,
+           max(run_len) AS max_run
+    FROM run_lens GROUP BY doc_id
+),
+meta AS (
+    SELECT doc_id, greatest(len(w) - {_SSW - 1}, 0) AS n_windows FROM toks
+)
+SELECT m.doc_id,
+       m.n_windows::BIGINT AS n_windows,
+       COALESCE(d.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       (CASE WHEN COALESCE(d.max_run, 0) > 0
+             THEN d.max_run + {_SSW - 1} ELSE 0 END)::BIGINT
+           AS max_dup_substring_tokens,
+       round(COALESCE(d.n_dup_windows, 0)
+             / greatest(m.n_windows, 1), 6) + 0.0 AS dup_window_frac
+FROM meta m LEFT JOIN per_doc_dup d ON m.doc_id = d.doc_id
+ORDER BY n_dup_windows DESC, m.doc_id ASC
+LIMIT {_SSW_TOP}
+"""
+
+
+@register(
+    "substring_window_dedup",
+    oracle=_SSW_ORACLE,
+    tags=("cleaning", "dedup", "substring", "rolling-window"),
+    bench=True,
+)
+def substring_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at rolling-window grain (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    overlapping 16-token window is fingerprinted, and a window is
+    duplicated if the same 16-gram appears in ≥2 DISTINCT documents.
+    Unlike ``span_exact_dedup``'s non-overlapping C4 spans, this is
+    alignment-invariant — a copied passage is caught wherever it starts
+    — which is the suffix-array contract the paper implements, expressed
+    as a distributed hash census instead of a suffix array. Per
+    document: window count, duplicated-window count, and the longest
+    duplicated run converted back to tokens (run + W - 1 ≈ the longest
+    substring shared verbatim with another document).
+
+    Plan shape, 100 TB story: stride-1 windows cost one shuffle row per
+    token (W× the span form's rows — the price of alignment
+    invariance, still linear in corpus size). The census is a
+    groupBy(fp, doc_id) → groupBy(fp) two-level exact distinct —
+    map-side combinable at both levels, so a boilerplate 16-gram
+    repeated millions of times collapses before the shuffle; the
+    flag-back is a semi join on the hash, never text. The only window
+    function is the gaps-and-islands run labeller, partitioned by
+    doc_id — per-document grain, bounded by document length, never
+    corpus grain.
+    """
+    docs = _docs_with_chained_dups(spark, sf_dir)
+    w = TX.tokens("text")
+    toks = docs.select("doc_id", w.alias("w"))
+    n_windows = F.greatest(F.size("w") - F.lit(_SSW - 1), F.lit(0))
+    meta = toks.select(
+        "doc_id", n_windows.cast("long").alias("n_windows")
+    )
+    fps = toks.where(F.size("w") >= _SSW).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(_SSW - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("w"), i, _SSW))
+                    ).alias("fp"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    # consumed by the census AND the flag-back semi join: persist the
+    # narrow (id, pos, hash) stream so the tokenize→window lineage runs
+    # once (rule 10, docs/SCALE_NOTES.md)
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    dup_fps = (
+        fps.groupBy("fp", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+    flagged = fps.join(dup_fps, "fp", "left_semi")
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    run_lens = (
+        flagged.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    per_doc_dup = run_lens.groupBy("doc_id").agg(
+        F.sum("run_len").alias("n_dup_windows"),
+        F.max("run_len").alias("max_run"),
+    )
+    out = meta.join(per_doc_dup, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce(F.col("n_dup_windows"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+        F.when(
+            F.coalesce(F.col("max_run"), F.lit(0)) > 0,
+            F.col("max_run") + F.lit(_SSW - 1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("max_dup_substring_tokens"),
+        (
+            F.round(
+                F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                / F.greatest(F.col("n_windows"), F.lit(1)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_window_frac"),
+    )
+    return out.orderBy(
+        F.col("n_dup_windows").desc(), F.col("doc_id").asc()
+    ).limit(_SSW_TOP)
+
+
+# ---------------------------------------------------------------------------
 # CCNet-style unigram-LM perplexity scoring
 # ---------------------------------------------------------------------------
 
@@ -1352,12 +1515,12 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repetition is internal to one document.
 
     Plan shape: operators/repetition.py::bigram_repetition_stats —
-    SCAN-LOCAL array expressions (2-grams via an index transform,
-    per-position counts via a nested filter; zero shuffles) for
-    documents up to REP_CUTOVER_TOKENS, and the linear explode +
+    a SCAN-LOCAL sorted-gram fold (zero shuffles, O(L log L)) for
+    documents up to REP_CUTOVER_TOKENS, and the explode +
     groupBy(doc_id, gram) census above it, so a single megabyte
-    document can never pin an executor core on the O(L^2) array scan.
-    Cross-path equivalence is pinned by
+    document never materializes its gram array in one row; the census
+    branch's scan is pruned to nothing on short-document corpora by
+    the pushable n_chars guard. Cross-path equivalence is pinned by
     tests/test_repetition_cutover.py."""
     from emails_to_vector_db_spark.operators.repetition import (
         bigram_repetition_stats,
@@ -1365,8 +1528,8 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    d = docs.select("doc_id", toks.alias("toks"))
-    stats = bigram_repetition_stats(d)
+    d = docs.select("doc_id", toks.alias("toks"), "n_chars")
+    stats = bigram_repetition_stats(d, chars_col="n_chars")
     top_frac = 2.0 * F.col("max_gram_count") / F.col("n_tok")
     dup_frac = F.col("dup_gram_slots").cast("double") / F.greatest(
         F.col("n_bi"), F.lit(1)

@@ -627,23 +627,23 @@ def filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the length/stopword flags are SCAN-LOCAL array
     expressions; the repetition flag comes from
-    operators/repetition.py::bigram_repetition_stats (scan-local up to
-    REP_CUTOVER_TOKENS tokens, linear explode census above — the
-    gopher_repetition cutover, so megabyte documents can't pin a core
-    on the O(L^2) array scan); the long format is a 4-way per-row
-    explode; the final exchange is the (filter, source)-grain
-    aggregate."""
+    operators/repetition.py::bigram_repetition_stats (scan-local
+    sorted-gram fold up to REP_CUTOVER_TOKENS tokens, explode census
+    above — the gopher_repetition cutover, with the pushable n_chars
+    guard pruning the census branch's scan); the long format is a
+    4-way per-row explode; the final exchange is the (filter,
+    source)-grain aggregate."""
     from emails_to_vector_db_spark.operators.repetition import (
         bigram_repetition_stats,
     )
 
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    base = d.select("doc_id", "source", toks.alias("toks")).withColumn(
-        "stop_ratio", TX.stopword_ratio(F.col("toks"), _EN)
-    )
+    base = d.select(
+        "doc_id", "source", toks.alias("toks"), "n_chars"
+    ).withColumn("stop_ratio", TX.stopword_ratio(F.col("toks"), _EN))
     stats = bigram_repetition_stats(
-        base, carry=("source", "stop_ratio")
+        base, carry=("source", "stop_ratio"), chars_col="n_chars"
     )
     dup_frac = F.col("dup_gram_slots").cast("double") / F.greatest(
         F.col("n_bi"), F.lit(1)

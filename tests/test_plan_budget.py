@@ -90,6 +90,7 @@ SHUFFLE_BUDGET = {
     "q9_product_type_profit": 1,
     "simhash_near_dups": 1,
     "span_exact_dedup": 2,  # fp census window + per-doc agg
+    "substring_window_dedup": 3,  # fp census + run-label/agg + meta join
     "sliding_window_counts": 1,
     "tfidf_idf_top30": 2,
     "unigram_perplexity_scores": 3,  # LM train agg + vocab total + doc agg

@@ -1,10 +1,11 @@
 """Cross-path equivalence + plan guards for the bigram-repetition
 long-document cutover (operators/repetition.py).
 
-The array form is O(L²) per document; the explode census is linear.
-Both must compute IDENTICAL statistics, the router must send every
-document above the cutover to the census, and the quadratic array
-expression must never run without the cutover filter above it.
+The array form is a scan-local sorted-gram fold; the explode census
+distributes a single huge document across partitions. Both must
+compute IDENTICAL statistics, the router must send every document
+above the cutover to the census, and the scan-local array expression
+must never run without the cutover filter above it.
 """
 
 from __future__ import annotations
@@ -123,10 +124,10 @@ def test_registry_hash_unchanged_vs_oracle(spark, name):
 
 def test_plan_guard_quadratic_scan_gated(spark):
     """Reintroduction guard: the optimized plan must (a) contain the
-    explode census branch and (b) only evaluate the quadratic
-    transform/filter expression under a `size(...) <= cutover` filter.
-    If the union ever collapses back to a single unguarded array scan,
-    one or both assertions fail."""
+    explode census branch and (b) only evaluate the scan-local fold
+    expression under a `size(...) <= cutover` filter. If the union
+    ever collapses back to a single unguarded array scan, one or both
+    assertions fail."""
     df = _docs_df(spark, HAND_DOCS)
     out = bigram_repetition_stats(df, cutover_tokens=21)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
@@ -143,3 +144,45 @@ def test_plan_guard_quadratic_scan_gated(spark):
 
     branches = re.split(r"\bUnion\b", plan, maxsplit=1)
     assert len(branches) == 2, "expected a Union of the two routes"
+
+
+def test_chars_guard_equivalence_even_with_lying_metadata(spark):
+    """chars_col is a routing HINT, never a correctness dependency:
+    an understated length (below 2*cutover for a genuinely long doc)
+    may only demote that doc to the array branch — results identical,
+    no row lost. NULL lengths fall back to token-count routing."""
+    rows = [
+        (1, "a b a b a b".split(), 11),         # honest short
+        (2, ("x y " * 20).split(), 159),        # honest long (40 toks)
+        (3, ("p q " * 20).split(), 3),          # LYING: long doc, tiny len
+        (4, ("m n " * 20).split(), None),       # NULL length
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, toks array<string>, n_chars long"
+    )
+    with_hint = bigram_repetition_stats(
+        df, cutover_tokens=10, chars_col="n_chars"
+    )
+    reference = bigram_repetition_stats(df, cutover_tokens=_BIG)
+    got = _collect(with_hint.drop("n_chars"))
+    assert len(got) == 4
+    assert got == _collect(reference.drop("n_chars"))
+
+
+def test_chars_guard_pushes_to_scan(tmp_path, spark):
+    """The whole point of chars_col: the long branch's parquet scan must
+    carry a pushed n_chars predicate so row-group stats prune the second
+    corpus scan on short-document corpora."""
+    df = spark.createDataFrame(
+        [(1, "a b c", 5)], "doc_id long, text string, n_chars long"
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.write.mode("overwrite").parquet(p)
+    d = spark.read.parquet(p).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks"), "n_chars"
+    )
+    out = bigram_repetition_stats(d, chars_col="n_chars")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert (
+        f"GreaterThan(n_chars,{2 * REP_CUTOVER_TOKENS})" in plan
+    ), "n_chars guard no longer reaches PushedFilters"

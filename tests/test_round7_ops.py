@@ -1,0 +1,88 @@
+"""Round-7 additions: rolling-window substring dedup (alignment
+invariance vs the non-overlapping span form) and leakage-safe split
+assignment (cluster-keyed split + honest straddle audit)."""
+
+from __future__ import annotations
+
+from emails_to_vector_db_spark.plans import REGISTRY
+
+from .conftest import SF_ORACLE
+
+
+def _mk_docs_dir(spark, tmp_path, rows):
+    """Write a minimal documents.parquet a plan fn can load via sf_dir."""
+    df = spark.createDataFrame(
+        [
+            (i, text, "en", "unit", len(text))
+            for i, text in rows
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def test_substring_window_alignment_invariance(spark, tmp_path):
+    """A 20-token passage copied at a DIFFERENT offset is caught by the
+    rolling-window form (stride 1): the shared run must cover all 5
+    window starts of the 20-token passage (20 - 16 + 1), i.e. longest
+    duplicated substring == 20 tokens exactly. Non-overlapping 8-token
+    spans would only match if the copy landed span-aligned."""
+    # doc_ids >= 50: the plan's chained-dup fixture plants whole-doc
+    # copies for doc_id < 50, which would flag every window
+    passage = " ".join(f"p{i}" for i in range(20))
+    a = "x0 x1 x2 " + passage + " y0 y1 y2 y3 y4"  # passage at offset 3
+    b = "z0 " + passage + " q0 q1 q2 q3 q4 q5 q6"  # passage at offset 1
+    filler = [
+        (100 + j, " ".join(f"f{j}_{i}" for i in range(30))) for j in range(3)
+    ]
+    sf = _mk_docs_dir(spark, tmp_path, [(51, a), (52, b)] + filler)
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["substring_window_dedup"].fn(spark, sf).collect()
+    }
+    for d in (51, 52):
+        assert out[d]["n_dup_windows"] == 5
+        assert out[d]["max_dup_substring_tokens"] == 20
+    for j in (100, 101, 102):
+        assert out[j]["n_dup_windows"] == 0
+        assert out[j]["max_dup_substring_tokens"] == 0
+
+
+def test_substring_window_within_doc_repeat_not_flagged(spark, tmp_path):
+    """Cross-doc contract: a 16-gram repeated twice INSIDE one document
+    (but nowhere else) is not a duplicate — the census counts distinct
+    documents, not occurrences."""
+    block = " ".join(f"r{i}" for i in range(16))
+    solo = block + " m0 m1 m2 " + block
+    sf = _mk_docs_dir(
+        spark,
+        tmp_path,
+        [(51, solo), (52, " ".join(f"o{i}" for i in range(40)))],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["substring_window_dedup"].fn(spark, sf).collect()
+    }
+    assert out[51]["n_dup_windows"] == 0
+
+
+def test_split_leakage_audit_prices_the_policies(spark):
+    """The audit measures leakage as data: the cluster-keyed policy is
+    provably leak-free (every copy shares its cluster's bucket), while
+    the raw doc-id policy must leak SOME of the 50 planted exact copies
+    across splits — and every straddling cluster contributes ≥2 docs."""
+    fn = REGISTRY["split_leakage_audit"].fn
+    rows = {r["policy"]: r for r in fn(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"doc_id_hash", "cluster_hash"}
+    safe, leaky = rows["cluster_hash"], rows["doc_id_hash"]
+    assert safe["straddle_clusters"] == 0
+    assert safe["leaked_docs"] == 0
+    assert leaky["straddle_clusters"] > 0
+    assert leaky["leaked_docs"] >= 2 * leaky["straddle_clusters"]
+    # both policies see the same cluster universe
+    assert safe["n_clusters"] == leaky["n_clusters"]
+    # deterministic: a second run returns identical numbers
+    rows2 = {r["policy"]: r for r in fn(spark, SF_ORACLE).collect()}
+    assert rows == rows2
