@@ -152,3 +152,149 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental crawl: snapshot diff classification
+# ---------------------------------------------------------------------------
+
+_DIFF_ADD_OFFSET = 500_000
+
+_DIFF_ORACLE = """
+WITH a AS (
+    SELECT doc_id, source, text,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+    FROM documents
+),
+buckets AS (
+    SELECT *,
+           ('0x' || substr(md5('snap:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 10 AS bk
+    FROM documents
+),
+b_raw AS (
+    SELECT doc_id, source,
+           CASE WHEN bk = 1 THEN text || ' zzrevised'
+                ELSE text END AS text
+    FROM buckets WHERE bk <> 0
+    UNION ALL
+    SELECT doc_id + 500000 AS doc_id, source, text || ' zznewdoc' AS text
+    FROM buckets WHERE bk = 2
+),
+b AS (
+    SELECT doc_id, source,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+    FROM b_raw
+),
+j AS (
+    SELECT COALESCE(b.source, a.source) AS source,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.fp <> b.fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COALESCE(b.n_tok, 0) - COALESCE(a.n_tok, 0) AS tok_delta
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT source,
+       sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT
+           AS n_added,
+       sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT
+           AS n_removed,
+       sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT
+           AS n_changed,
+       sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT
+           AS n_unchanged,
+       sum(tok_delta)::BIGINT AS token_delta
+FROM j
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=_DIFF_ORACLE,
+    tags=("curation", "incremental", "diff", "dedup"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot diff: classify every document across
+    two corpus snapshots as added / removed / content-changed /
+    unchanged (by normalized-text fingerprint, not raw text) and report
+    per-source counts plus the token delta. This is the operator that
+    makes a 100 TB re-crawl INCREMENTAL: downstream stages (embed,
+    dedup, index) re-process only the added+changed slice the diff
+    names, instead of the whole corpus. Snapshot B is derived
+    deterministically from the fixture (every 10th doc removed, one in
+    ten revised, one in ten spawning a brand-new doc) so the oracle
+    replays the identical diff.
+
+    100 TB story: one full-outer equi-join on doc_id — co-partitioned
+    and exchange-free when both snapshots are bucketed by doc_id (the
+    warehouse layout sources/warehouse.py::write_bucketed provides);
+    only (id, source, 32-char fp, n_tok) ride the join, never text;
+    classification is a scan-local CASE and the output is source-grain,
+    map-side combinable. No windows, no broadcast of anything
+    corpus-sized.
+    """
+    a = load_table(spark, sf_dir, "documents")
+    bk = TX.md5_long(F.col("doc_id").cast("string"), salt="snap:") % 10
+
+    def _fp_side(df: DataFrame, suffix: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id"),
+            F.col("source").alias(f"source_{suffix}"),
+            TX.fingerprint("text").alias(f"fp_{suffix}"),
+            TX.token_count("text").alias(f"n_tok_{suffix}"),
+        )
+
+    b_kept = a.where(bk != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            bk == 1,
+            F.concat(F.col("text"), F.lit(" zzrevised")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b_added = a.where(bk == 2).select(
+        (F.col("doc_id") + _DIFF_ADD_OFFSET).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" zznewdoc")).alias("text"),
+    )
+    fa = _fp_side(a, "a")
+    fb = _fp_side(b_kept.unionByName(b_added), "b")
+    j = fa.join(fb, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    classified = j.select(
+        F.coalesce(F.col("source_b"), F.col("source_a")).alias("source"),
+        status.alias("status"),
+        (
+            F.coalesce(F.col("n_tok_b"), F.lit(0))
+            - F.coalesce(F.col("n_tok_a"), F.lit(0))
+        ).alias("tok_delta"),
+    )
+    return (
+        classified.groupBy("source")
+        .agg(
+            F.sum((F.col("status") == "added").cast("long")).alias("n_added"),
+            F.sum((F.col("status") == "removed").cast("long")).alias(
+                "n_removed"
+            ),
+            F.sum((F.col("status") == "changed").cast("long")).alias(
+                "n_changed"
+            ),
+            F.sum((F.col("status") == "unchanged").cast("long")).alias(
+                "n_unchanged"
+            ),
+            F.sum("tok_delta").cast("long").alias("token_delta"),
+        )
+        .orderBy("source")
+    )

@@ -86,3 +86,22 @@ def test_split_leakage_audit_prices_the_policies(spark):
     # deterministic: a second run returns identical numbers
     rows2 = {r["policy"]: r for r in fn(spark, SF_ORACLE).collect()}
     assert rows == rows2
+
+
+def test_corpus_snapshot_diff_conservation(spark):
+    """The diff partitions both snapshots: removed+changed+unchanged
+    accounts for every snapshot-A doc, added+changed+unchanged for
+    every snapshot-B doc, and all four statuses occur on the fixture."""
+    from emails_to_vector_db_spark.sources.tables import load_table
+
+    rows = REGISTRY["corpus_snapshot_diff"].fn(spark, SF_ORACLE).collect()
+    n_a = load_table(spark, SF_ORACLE, "documents").count()
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in ("n_added", "n_removed", "n_changed", "n_unchanged")
+    }
+    assert all(v > 0 for v in tot.values())
+    assert tot["n_removed"] + tot["n_changed"] + tot["n_unchanged"] == n_a
+    # snapshot B = kept (changed+unchanged) + added
+    n_b = tot["n_added"] + tot["n_changed"] + tot["n_unchanged"]
+    assert n_b == n_a - tot["n_removed"] + tot["n_added"]
