@@ -62,18 +62,39 @@ def _driver_green_names() -> set[str]:
     return green
 
 
+# Queries REGISTERED this round: they yield their sample slots to names
+# that have been waiting in the backlog since earlier rounds (the union
+# math in _driver_green_names can't tell a week-old backlog entry from a
+# query added an hour ago — registration age isn't recorded anywhere —
+# so this is the one piece of rotation state that must be declared).
+# Emptied/refreshed each round; stale entries are harmless (a green name
+# sorts to the tail regardless).
+_NEW_THIS_ROUND = (
+    "spatial_radius_topk",
+    "substring_window_dedup",
+    "split_leakage_audit",
+    "corpus_snapshot_diff",
+    "epoch_shuffle_decorrelation",
+)
+
+
 def _ordered_names() -> list[str]:
-    """Never-driver-sampled names first (registry order), then the green ones.
+    """Never-driver-sampled names first (oldest first, registry order
+    within an age class), then the green ones.
 
     The driver samples the FIRST ~50 of queries() order each round, so this
     ordering rotates the remaining backlog into the CORRECTNESS window
     automatically: once a name turns green it falls to the tail and the next
-    never-sampled name takes its slot. All registry queries pass the identical
-    oracle gate in tests/test_oracle_parity.py regardless of order.
+    never-sampled name takes its slot. Names registered THIS round queue
+    behind the pre-existing backlog so they can't crowd out longer-waiting
+    entries. All registry queries pass the identical oracle gate in
+    tests/test_oracle_parity.py regardless of order.
     """
     green = _driver_green_names()
-    head = [n for n in REGISTRY if n not in green]
-    return head + [n for n in REGISTRY if n in green]
+    fresh = set(_NEW_THIS_ROUND)
+    backlog = [n for n in REGISTRY if n not in green and n not in fresh]
+    new = [n for n in REGISTRY if n not in green and n in fresh]
+    return backlog + new + [n for n in REGISTRY if n in green]
 
 
 

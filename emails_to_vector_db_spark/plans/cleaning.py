@@ -1264,3 +1264,98 @@ def _bind_leak_audit_oracle() -> None:
 
 
 _bind_leak_audit_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Epoch-seeded training-order shuffle: reproducibility + decorrelation
+# ---------------------------------------------------------------------------
+
+# md5_long yields 60-bit uniforms; decile = key / 2^60 * 10
+_SHUF_SCALE = 2**60
+_SHUF_DECILES = 10
+
+_SHUFFLE_ORACLE = f"""
+WITH keys AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('epoch:0:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               AS k0,
+           ('0x' || substr(md5('epoch:1:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               AS k1
+    FROM documents
+),
+cells AS (
+    SELECT CAST(floor(k0 * {_SHUF_DECILES}.0 / {_SHUF_SCALE}) AS BIGINT)
+               AS decile_e0,
+           CAST(floor(k1 * {_SHUF_DECILES}.0 / {_SHUF_SCALE}) AS BIGINT)
+               AS decile_e1,
+           count(*) AS n
+    FROM keys GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS total FROM cells)
+SELECT decile_e0, decile_e1, n::BIGINT AS n,
+       round(total / {_SHUF_DECILES * _SHUF_DECILES}.0, 6) + 0.0
+           AS expected,
+       round(pow(n - total / {_SHUF_DECILES * _SHUF_DECILES}.0, 2)
+             / (total / {_SHUF_DECILES * _SHUF_DECILES}.0), 6) + 0.0
+           AS chi2_term
+FROM cells, tot
+ORDER BY decile_e0, decile_e1
+"""
+
+
+@register(
+    "epoch_shuffle_decorrelation",
+    oracle=_SHUFFLE_ORACLE,
+    tags=("cleaning", "shuffle", "training-order", "reproducibility"),
+)
+def epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-seeded training-order shuffle, audited: training loaders
+    order each epoch by a seeded content hash (md5("epoch:e:" || id)) —
+    reproducible across runs and engines with NO materialized
+    permutation — and this query verifies the property the seed must
+    buy: epoch orders are statistically INDEPENDENT. Both epochs' sort
+    keys map scan-locally to position deciles (the keys are uniform
+    60-bit integers, so the decile is pure arithmetic — no rank, no
+    window, no shuffle of the corpus); the 10×10 joint census should be
+    uniform, and each cell's chi² term is emitted so the consumer can
+    sum them against the χ²₉₉ critical value. A failed audit (mass on
+    the diagonal) means epochs replay the same order — the silent
+    curriculum bug this catches before a 100 TB training run.
+
+    100 TB story: two md5s + arithmetic per row at scan time, one
+    100-cell groupBy (map-side combinable), a broadcast 1-row total.
+    Nothing corpus-sized ever shuffles or sorts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+
+    def _decile(salt: str):
+        k = TX.md5_long(did, salt=salt)
+        return F.floor(
+            k * F.lit(float(_SHUF_DECILES)) / F.lit(float(_SHUF_SCALE))
+        ).cast("long")
+
+    cells = (
+        d.select(
+            _decile("epoch:0:").alias("decile_e0"),
+            _decile("epoch:1:").alias("decile_e1"),
+        )
+        .groupBy("decile_e0", "decile_e1")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(F.sum("n").alias("total"))
+    n_cells = float(_SHUF_DECILES * _SHUF_DECILES)
+    exp = F.col("total") / F.lit(n_cells)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "decile_e0",
+            "decile_e1",
+            F.col("n").cast("long").alias("n"),
+            (F.round(exp, 6) + F.lit(0.0)).alias("expected"),
+            (
+                F.round(F.pow(F.col("n") - exp, 2) / exp, 6) + F.lit(0.0)
+            ).alias("chi2_term"),
+        )
+        .orderBy("decile_e0", "decile_e1")
+    )

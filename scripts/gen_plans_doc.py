@@ -159,6 +159,25 @@ SHOWCASE = [
         "explode, ONE equi self-join on the shifted rank — candidate "
         "space linear in the corpus.",
     ),
+    (
+        "gopher_repetition_filters",
+        "Long-document cutover union: scan-local sorted-gram FOLD branch "
+        "(one F.aggregate, zero shuffle) for short docs; explode census "
+        "branch whose scan carries the pushed n_chars guard — at this "
+        "fixture the long branch prunes to zero row groups.",
+    ),
+    (
+        "substring_window_dedup",
+        "Rolling 16-token window dedup: stride-1 fingerprints, two-level "
+        "map-side-combinable distinct census, semi-join flag-back, "
+        "doc-grain gaps-and-islands run labelling.",
+    ),
+    (
+        "corpus_snapshot_diff",
+        "Incremental-crawl diff: ONE full-outer join on doc_id carrying "
+        "only (id, source, fp, n_tok); classification scan-local; "
+        "source-grain aggregate.",
+    ),
 ]
 
 

