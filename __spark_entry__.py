@@ -75,6 +75,7 @@ _NEW_THIS_ROUND = (
     "split_leakage_audit",
     "corpus_snapshot_diff",
     "epoch_shuffle_decorrelation",
+    "incremental_lsh_dedup",
 )
 
 

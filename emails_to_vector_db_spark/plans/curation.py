@@ -217,6 +217,7 @@ ORDER BY source
     "corpus_snapshot_diff",
     oracle=_DIFF_ORACLE,
     tags=("curation", "incremental", "diff", "dedup"),
+    bench=True,
 )
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: classify every document across

@@ -1314,33 +1314,119 @@ def near_dup_cross_source_matrix(
     pair endpoints joined back to their sources and aggregated to the
     |sources|² grain.
 
-    Plan shape: the pair family is the priced-in LSH stage; the
-    source joins are doc-keyed equi-joins onto the PAIR table (pair
-    cardinality is banding-bounded); the matrix aggregate is tiny."""
-    from emails_to_vector_db_spark.operators.dedup import minhash_lsh_pairs
+    Plan shape — signature-GROUP counting, never pair listing: the
+    deliverable is COUNTS (and an est mean), and both are exact at
+    group grain because candidacy and est are pure functions of the two
+    signatures — docs sharing a signature share every band and every
+    est, so a verified group pair (A, B) contributes n_A × n_B doc
+    pairs at one est, a signature-identical group contributes C(n, 2)
+    internal pairs at est 1.0 (per-source split via a gid-grain
+    self-join, bounded by sources-per-signature), and only group
+    REPRESENTATIVES enter the band join. On duplicate-heavy corpora
+    this pays multiplicity once (map-side groupBy) instead of squared
+    (the pair join): 82s → see SCALE_NOTES at the 100×-replicated
+    sf10 stress. The est mean is exact in both forms (est is k/8,
+    binary-exact; the weighted mean is the same sum), so the sf0.01
+    oracle — which replays the doc-grain pair form — hash-matches."""
+    from pyspark import StorageLevel
+
+    from emails_to_vector_db_spark.operators.dedup import (
+        _minhash_signatures,
+    )
 
     docs = _docs_with_near_dups(spark, sf_dir)
-    pairs = minhash_lsh_pairs(
-        docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5
+    sig = (
+        _minhash_signatures(
+            docs.select("doc_id", "text"), "doc_id", "text", 8, 4, 3
+        )
+        .withColumn(
+            "gid",
+            # null-guarded group fingerprint: no-shingle docs never pair
+            # in the doc-grain form and must not share an md5('') group
+            F.when(
+                ~F.exists("sig", lambda x: x.isNull()),
+                F.md5(F.concat_ws("|", "sig")),
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    src = docs.select("doc_id", "source")
-    sa = src.select(
-        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    sgrp = (
+        sig.where(F.col("gid").isNotNull())
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("gid", "source")
+        .agg(
+            F.first("sig").alias("sig"),  # identical within the group
+            F.first("bands").alias("bands"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sb = src.select(
-        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    # same-signature contributions: est exactly 1.0
+    diag = sgrp.where(F.col("n") >= 2).select(
+        F.col("source").alias("source_a"),
+        F.col("source").alias("source_b"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("contrib"),
+        F.lit(1.0).alias("est"),
     )
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .groupBy(
+    ga = sgrp.select("gid", F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    gb = sgrp.select("gid", F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    same_gid_cross = (
+        ga.join(gb, "gid")
+        .where(F.col("src_a") < F.col("src_b"))
+        .select(
+            F.col("src_a").alias("source_a"),
+            F.col("src_b").alias("source_b"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("contrib"),
+            F.lit(1.0).alias("est"),
+        )
+    )
+    # cross-signature: band-join the gid representatives, verify est,
+    # then expand each verified group pair by its per-source counts
+    ggrp = sgrp.groupBy("gid").agg(
+        F.first("sig").alias("sig"), F.first("bands").alias("bands")
+    )
+    banded = ggrp.select(
+        "gid",
+        "sig",
+        F.posexplode_outer("bands").alias("band_idx", "band_hash"),
+    )
+    right = banded.select(
+        F.col("gid").alias("gid_b"),
+        F.col("sig").alias("sig_b"),
+        "band_idx",
+        "band_hash",
+    )
+    est = F.aggregate(
+        F.zip_with(
+            "sig", "sig_b", lambda x, y: F.when(x == y, 1.0).otherwise(0.0)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.lit(8.0)
+    gp = (
+        banded.join(right, ["band_idx", "band_hash"])
+        .where(F.col("gid") < F.col("gid_b"))
+        .dropDuplicates(["gid", "gid_b"])
+        .withColumn("est", est)
+        .where(F.col("est") >= 0.5)
+        .select("gid", "gid_b", "est")
+    )
+    cross_gid = (
+        gp.join(ga, "gid")
+        .join(gb.withColumnRenamed("gid", "gid_b"), "gid_b")
+        .select(
             F.least("src_a", "src_b").alias("source_a"),
             F.greatest("src_a", "src_b").alias("source_b"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("contrib"),
+            "est",
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.avg("est_jaccard"), 6).alias("mean_est_jaccard"),
-        )
+    )
+    contribs = diag.unionByName(same_gid_cross).unionByName(cross_gid)
+    return contribs.groupBy("source_a", "source_b").agg(
+        F.sum("contrib").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("est") * F.col("contrib")) / F.sum("contrib"), 6
+        ).alias("mean_est_jaccard"),
     )
 
 
@@ -1529,4 +1615,346 @@ def minhash_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             1.0 - F.pow(1.0 - F.pow(mid, F.lit(2.0)), F.lit(4.0)), 6
         ).alias("theoretical_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH dedup: delta docs vs a persisted band index
+# ---------------------------------------------------------------------------
+
+_INC_ADD1 = 500_000
+_INC_ADD2 = 600_000
+_INC_ADD3 = 700_000
+_INC_THRESH = 0.5
+
+_INC_DELTA_SQL = f"""
+    SELECT doc_id, text || ' zzrevised' AS text
+    FROM buckets WHERE bk = 1
+    UNION ALL
+    SELECT doc_id + {_INC_ADD1} AS doc_id, text || ' zznewdoc' AS text
+    FROM buckets WHERE bk = 2
+    UNION ALL
+    SELECT doc_id + {_INC_ADD2} AS doc_id, text || ' zznewdoc zzx' AS text
+    FROM buckets WHERE bk = 2
+    UNION ALL
+    SELECT doc_id + {_INC_ADD3} AS doc_id,
+           concat_ws(' ',
+               'nv' || substr(md5('n:' || doc_id::VARCHAR), 1, 4),
+               'nv' || substr(md5('n:' || doc_id::VARCHAR), 5, 4),
+               'nv' || substr(md5('n:' || doc_id::VARCHAR), 9, 4),
+               'nv' || substr(md5('n:' || doc_id::VARCHAR), 13, 4),
+               'nv' || substr(md5('n:' || doc_id::VARCHAR), 17, 4),
+               'nv' || substr(md5('n:' || doc_id::VARCHAR), 21, 4)) AS text
+    FROM buckets WHERE bk = 3
+"""
+
+_INC_SIG_CHAIN = f"""
+sh AS (
+    SELECT side, doc_id,
+           list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                    i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END) AS sh
+    FROM tagged
+),
+m AS (
+    SELECT side, doc_id,
+           list_transform(sh, s -> md5(s)) AS m0,
+           list_transform(sh, s -> md5('1|' || s)) AS m1
+    FROM sh
+),
+sig AS (
+    SELECT side, doc_id, {{sql_sig}} AS sig FROM m
+),
+bands AS (
+    SELECT side, doc_id, sig, b.band_idx,
+           md5(sig[b.band_idx * 2 + 1] || '|' || sig[b.band_idx * 2 + 2])
+               AS band_hash
+    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+)
+"""
+
+_INC_ORACLE = f"""
+WITH buckets AS (
+    SELECT doc_id, text,
+           ('0x' || substr(md5('snap:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 10 AS bk
+    FROM documents
+),
+delta AS ({_INC_DELTA_SQL}),
+tagged AS (
+    SELECT 'i' AS side, doc_id, text FROM documents
+    UNION ALL
+    SELECT 'd' AS side, doc_id, text FROM delta
+),
+{_INC_SIG_CHAIN.format(sql_sig="{sql_sig}")},
+est_i AS (
+    SELECT DISTINCT d.doc_id, i.doc_id AS matched_id,
+           list_sum(list_transform(generate_series(1, 8),
+                k -> CASE WHEN d.sig[k] = i.sig[k] THEN 1.0 ELSE 0.0 END))
+               / 8.0 AS est
+    FROM bands d JOIN bands i
+      ON d.band_idx = i.band_idx AND d.band_hash = i.band_hash
+    WHERE d.side = 'd' AND i.side = 'i'
+),
+m_i AS (
+    SELECT doc_id, count(*) AS n_index_matches, max(est) AS best_i
+    FROM est_i WHERE est >= {_INC_THRESH} GROUP BY doc_id
+),
+est_d AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           list_sum(list_transform(generate_series(1, 8),
+                k -> CASE WHEN a.sig[k] = b.sig[k] THEN 1.0 ELSE 0.0 END))
+               / 8.0 AS est
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    WHERE a.side = 'd' AND b.side = 'd'
+),
+sym_d AS (
+    SELECT id_a AS doc_id, est FROM est_d WHERE est >= {_INC_THRESH}
+    UNION ALL
+    SELECT id_b AS doc_id, est FROM est_d WHERE est >= {_INC_THRESH}
+),
+m_d AS (
+    SELECT doc_id, count(*) AS n_delta_matches, max(est) AS best_d
+    FROM sym_d GROUP BY doc_id
+)
+SELECT dd.doc_id,
+       COALESCE(m_i.n_index_matches, 0)::BIGINT AS n_index_matches,
+       COALESCE(m_d.n_delta_matches, 0)::BIGINT AS n_delta_matches,
+       round(greatest(COALESCE(m_i.best_i, 0.0),
+                      COALESCE(m_d.best_d, 0.0)), 6) + 0.0 AS best_est,
+       (COALESCE(m_i.n_index_matches, 0) + COALESCE(m_d.n_delta_matches, 0)
+            = 0) AS is_novel
+FROM (SELECT doc_id FROM delta) dd
+LEFT JOIN m_i ON dd.doc_id = m_i.doc_id
+LEFT JOIN m_d ON dd.doc_id = m_d.doc_id
+ORDER BY dd.doc_id
+"""
+
+
+def _delta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental slice: the snapshot-diff fixture's changed docs
+    (salted-md5 bucket 1, ' zzrevised' suffix) plus TWO spawned docs per
+    bucket-2 doc — near-dups of their source AND of each other, so both
+    match sides (vs-index and within-delta) are exercised."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bk = TX.md5_long(F.col("doc_id").cast("string"), salt="snap:") % 10
+    changed = d.where(bk == 1).select(
+        "doc_id", F.concat("text", F.lit(" zzrevised")).alias("text")
+    )
+    add1 = d.where(bk == 2).select(
+        (F.col("doc_id") + _INC_ADD1).alias("doc_id"),
+        F.concat("text", F.lit(" zznewdoc")).alias("text"),
+    )
+    add2 = d.where(bk == 2).select(
+        (F.col("doc_id") + _INC_ADD2).alias("doc_id"),
+        F.concat("text", F.lit(" zznewdoc zzx")).alias("text"),
+    )
+    # genuinely novel content (md5-derived token soup, vocab disjoint
+    # from the corpus) so the is_novel routing flag fires both ways
+    nmd5 = F.md5(F.concat(F.lit("n:"), F.col("doc_id").cast("string")))
+    novel = d.where(bk == 3).select(
+        (F.col("doc_id") + _INC_ADD3).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("nv"), F.substring(nmd5, k, 4))
+                for k in (1, 5, 9, 13, 17, 21)
+            ],
+        ).alias("text"),
+    )
+    return changed.unionByName(add1).unionByName(add2).unionByName(novel)
+
+
+@register(
+    "incremental_lsh_dedup",
+    oracle=_INC_ORACLE.format(sql_sig=_minhash_sql_sig(2)),
+    tags=("dedup", "minhash", "lsh", "incremental"),
+    bench=True,
+)
+def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup: sign ONLY the delta (the snapshot
+    diff's added+changed docs) and probe its band hashes against the
+    corpus band index plus the delta itself — per delta doc: how many
+    index near-dups, how many within-delta near-dups, the best estimated
+    Jaccard, and the is_novel routing flag an ingest pipeline branches
+    on. This is what dedup looks like at 100 TB steady state: the corpus
+    was signed once, ingest re-signs nothing but the day's slice.
+
+    Plan shape: the delta is shingled/signed once and persisted; both
+    sides then collapse to SIGNATURE GROUPS (identical signatures share
+    every band and every est, so match counts against a group are its
+    cardinality — the star-edge argument applied to counting), and the
+    band probes join group REPRESENTATIVES only. On duplicate-heavy
+    corpora this is the difference between paying duplicate
+    multiplicity once (in a map-side-combinable groupBy) and paying it
+    squared (in the band join): 155.6s → 39.6s at the 100×-replicated
+    sf10 stress (the remainder is the linear inline index-signing pass). The index signatures are recomputed inline here so the
+    DuckDB oracle can replay everything from the raw table — the
+    production path reads the persisted band store instead
+    (pipeline/store.py), which changes the scan, not the join. Both
+    probes carry only 8-component signatures — text never crosses a
+    shuffle.
+    """
+    from pyspark import StorageLevel
+
+    from emails_to_vector_db_spark.operators.dedup import (
+        _minhash_signatures,
+    )
+
+    index_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    delta = _delta_docs(spark, sf_dir)
+    # Signature-GROUP probing (the star-edge insight applied to match
+    # counting): docs with identical signatures share every band and
+    # every est, so probe one representative per group and multiply by
+    # group size. On duplicate-heavy corpora (the 100×-replicated
+    # stress fixture: every doc has ~100 signature-identical twins)
+    # doc-grain probing pays multiplicity² in the band join
+    # (measured 155.6s at sf10); group-grain pays multiplicity once, in
+    # the groupBy (39.6s, remainder = linear index signing). Results provably identical — the sf0.01
+    # oracle replays the doc-grain pair form.
+    # all-NULL signatures (docs with no shingles) must NOT collapse to
+    # a shared md5('') group — they never pair in the doc-grain form
+    # (null band hashes never join); guard the fingerprint like
+    # minhash_lsh_component_edges does, and filter the PERSISTED
+    # relation (a filter below the persist would push the whole
+    # signature tree into a scan-level filter — the star-edge lesson)
+    gid = F.when(
+        ~F.exists("sig", lambda x: x.isNull()),
+        F.md5(F.concat_ws("|", "sig")),
+    )
+    sig_d = (
+        _minhash_signatures(delta, "doc_id", "text", 8, 4, 3)
+        .withColumn("gid", gid)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dgrp = (
+        sig_d.where(F.col("gid").isNotNull())
+        .groupBy("gid")
+        .agg(
+            F.first("sig").alias("sig"),  # identical within the group
+            F.first("bands").alias("bands"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig_i = (
+        _minhash_signatures(index_docs, "doc_id", "text", 8, 4, 3)
+        .withColumn("gid", gid)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    igrp = (
+        sig_i.where(F.col("gid").isNotNull())
+        .groupBy("gid")
+        .agg(
+            F.first("sig").alias("sig"),
+            F.first("bands").alias("bands"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+    def _banded(grp: DataFrame, tag: str) -> DataFrame:
+        return grp.select(
+            F.col("gid").alias(f"gid_{tag}"),
+            F.col("sig").alias(f"sig_{tag}"),
+            F.col("n").alias(f"n_{tag}"),
+            F.posexplode_outer("bands").alias("band_idx", "band_hash"),
+        )
+
+    def _est8(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) / F.lit(8.0)
+
+    # delta groups -> index groups (no id ordering: the id spaces
+    # legitimately overlap — a changed doc vs its own indexed old
+    # version IS a match); each verified group pair contributes the
+    # whole index group's cardinality to every delta group member
+    cand_i = (
+        _banded(dgrp, "d")
+        .join(_banded(igrp, "i"), ["band_idx", "band_hash"])
+        .dropDuplicates(["gid_d", "gid_i"])
+        .withColumn("est", _est8(F.col("sig_d"), F.col("sig_i")))
+        .where(F.col("est") >= _INC_THRESH)
+    )
+    m_i = cand_i.groupBy("gid_d").agg(
+        F.sum("n_i").alias("n_index_matches"),
+        F.max("est").alias("best_i"),
+    )
+    # within-delta, cross-group: verified representative pairs, each
+    # contributing the OTHER group's cardinality to both sides
+    bd = _banded(dgrp, "d")
+    cand_dd = (
+        bd.join(
+            bd.select(
+                F.col("gid_d").alias("gid_e"),
+                F.col("sig_d").alias("sig_e"),
+                F.col("n_d").alias("n_e"),
+                "band_idx",
+                "band_hash",
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .where(F.col("gid_d") < F.col("gid_e"))
+        .dropDuplicates(["gid_d", "gid_e"])
+        .withColumn("est", _est8(F.col("sig_d"), F.col("sig_e")))
+        .where(F.col("est") >= _INC_THRESH)
+    )
+    sym_d = cand_dd.select(
+        "gid_d", F.col("n_e").alias("n_other"), "est"
+    ).unionByName(
+        cand_dd.select(
+            F.col("gid_e").alias("gid_d"),
+            F.col("n_d").alias("n_other"),
+            "est",
+        )
+    )
+    m_d = sym_d.groupBy("gid_d").agg(
+        F.sum("n_other").alias("n_cross"),
+        F.max("est").alias("best_cross"),
+    )
+    grp_stats = (
+        dgrp.select("gid", "n")
+        .join(m_i.withColumnRenamed("gid_d", "gid"), "gid", "left")
+        .join(m_d.withColumnRenamed("gid_d", "gid"), "gid", "left")
+    )
+    # own-group members are signature-identical delta twins: n-1
+    # matches at est exactly 1.0
+    n_i_ = F.coalesce(F.col("n_index_matches"), F.lit(0)).cast("long")
+    n_d_ = (
+        F.coalesce(F.col("n_cross"), F.lit(0)) + (F.col("n") - 1)
+    ).cast("long")
+    best = F.greatest(
+        F.coalesce(F.col("best_i"), F.lit(0.0)),
+        F.coalesce(F.col("best_cross"), F.lit(0.0)),
+        F.when(F.col("n") >= 2, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    per_group = grp_stats.select(
+        "gid",
+        n_i_.alias("n_index_matches"),
+        n_d_.alias("n_delta_matches"),
+        (F.round(best, 6) + F.lit(0.0)).alias("best_est"),
+    )
+    # LEFT join: a null-gid delta doc (no shingles) still belongs in
+    # the routing manifest — zero matches, novel by definition
+    n_im = F.coalesce(F.col("n_index_matches"), F.lit(0)).cast("long")
+    n_dm = F.coalesce(F.col("n_delta_matches"), F.lit(0)).cast("long")
+    return (
+        sig_d.select("doc_id", "gid")
+        .join(per_group, "gid", "left")
+        .select(
+            "doc_id",
+            n_im.alias("n_index_matches"),
+            n_dm.alias("n_delta_matches"),
+            (F.coalesce(F.col("best_est"), F.lit(0.0)) + F.lit(0.0)).alias(
+                "best_est"
+            ),
+            ((n_im + n_dm) == 0).alias("is_novel"),
+        )
+        .orderBy("doc_id")
     )

@@ -135,3 +135,25 @@ def test_epoch_shuffle_decorrelation_audit(spark):
         .count()
     )
     assert same == n_docs  # all mass diagonal -> audit would explode
+
+
+def test_incremental_lsh_dedup_routing(spark):
+    """Delta routing contract: changed docs (salted bucket 1) must match
+    their own indexed old version; the spawned twins (bucket 2) must
+    match within the delta; md5-soup docs (bucket 3, disjoint vocab)
+    must come out is_novel — the three branches an incremental ingest
+    pipeline takes."""
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["incremental_lsh_dedup"].fn(spark, SF_ORACLE).collect()
+    }
+    assert rows, "empty delta"
+    changed = [r for i, r in rows.items() if i < 500_000]
+    twins = [r for i, r in rows.items() if 500_000 <= i < 700_000]
+    novel = [r for i, r in rows.items() if i >= 700_000]
+    assert changed and twins and novel
+    assert all(r["n_index_matches"] >= 1 for r in changed)
+    assert all(not r["is_novel"] for r in changed)
+    assert all(r["n_delta_matches"] >= 1 for r in twins)
+    assert all(r["is_novel"] for r in novel)
+    assert all(r["best_est"] == 0.0 for r in novel)
