@@ -76,6 +76,7 @@ _NEW_THIS_ROUND = (
     "corpus_snapshot_diff",
     "epoch_shuffle_decorrelation",
     "incremental_lsh_dedup",
+    "ivf_rebalance_plan",
 )
 
 

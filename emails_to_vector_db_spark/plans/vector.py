@@ -1524,3 +1524,147 @@ def embedding_distance_histogram(
             F.round(F.max("dist"), 6).alias("max_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index maintenance: list rebalance plan
+# ---------------------------------------------------------------------------
+
+_REB_SPLIT_X = 2  # occupancy > 2x target -> split
+_REB_MERGE_DIV = 4  # occupancy < target/4 -> merge into nearest list
+
+
+def _centroid_merge_targets(cents: list[list[float]]) -> list[int]:
+    """Nearest-other-centroid id per list, precomputed in Python from
+    the SAME persisted literals both engines embed — so no cross-engine
+    float-summation-order risk can flip a near-tie (ties break on cid)."""
+    out = []
+    for i, ci in enumerate(cents):
+        best = None
+        for j, cj in enumerate(cents):
+            if j == i:
+                continue
+            d = sum((a - b) * (a - b) for a, b in zip(ci, cj, strict=True))
+            if best is None or d < best[0] or (d == best[0] and j < best[1]):
+                best = (d, j)
+        out.append(best[1])
+    return out
+
+
+def _rebalance_oracle() -> str:
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)))
+    k = len(cents)
+    values = ", ".join(f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents))
+    merges = ", ".join(
+        f"({i}, {m})" for i, m in enumerate(_centroid_merge_targets(cents))
+    )
+    return f"""
+WITH cents AS (
+    SELECT * FROM (VALUES {values}) AS t(cid, c)
+),
+mt AS (
+    SELECT * FROM (VALUES {merges}) AS t(cid, nearest)
+),
+base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+base_assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_distance(b.v, c.c) ASC, c.cid ASC
+               ) AS rnk
+        FROM base b CROSS JOIN cents c
+    ) WHERE rnk = 1
+),
+counts AS (
+    SELECT c.cid, count(b.vec_id) AS n
+    FROM cents c LEFT JOIN base_assign b ON b.cid = c.cid
+    GROUP BY c.cid
+),
+tot AS (SELECT sum(n) AS total FROM counts)
+SELECT c.cid::BIGINT AS cid,
+       c.n::BIGINT AS n_vecs,
+       round(c.n * {k}.0 / t.total, 6) + 0.0 AS occ_ratio,
+       CASE WHEN c.n * {k} > {_REB_SPLIT_X} * t.total THEN 'split'
+            WHEN c.n * {k} * {_REB_MERGE_DIV} < t.total THEN 'merge'
+            ELSE 'keep' END AS action,
+       (CASE WHEN c.n * {k} > {_REB_SPLIT_X} * t.total
+             THEN (c.n * {k} + t.total - 1) // t.total
+             ELSE 1 END)::BIGINT AS split_parts,
+       (CASE WHEN c.n * {k} * {_REB_MERGE_DIV} < t.total THEN m.nearest
+             ELSE -1 END)::BIGINT AS merge_into
+FROM counts c CROSS JOIN tot t JOIN mt m ON m.cid = c.cid
+ORDER BY c.cid
+"""
+
+
+@register(
+    "ivf_rebalance_plan",
+    oracle=_rebalance_oracle(),
+    tags=("vector", "ann", "ivf", "maintenance"),
+)
+def ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance planning — the ANN sibling of
+    small_file_compaction_plan: per inverted list, occupancy vs the
+    uniform target, and the rebalance action a maintenance job would
+    execute (SPLIT a list hotter than 2× target into ceil(n/target)
+    parts; MERGE a list colder than target/4 into its nearest
+    neighboring list; KEEP otherwise). Skewed lists are how IVF indexes
+    rot: a hot list makes every probe touching it scan-heavy, an
+    empty list wastes an nprobe slot — this query prices the rot and
+    emits the executable plan. Thresholds compare INTEGER products
+    (n·k vs x·total), so no float boundary can flip an action between
+    engines; merge targets are precomputed from the same persisted
+    centroid literals both engines embed.
+
+    100 TB story: one scan-local argmin assignment over the literal
+    (broadcast-sized) quantizer — the same expression the search path
+    uses — one k-row count aggregate (map-side combinable), a broadcast
+    1-row total, and k²-sized Python-side merge-target arithmetic at
+    plan-build time. Nothing corpus-sized shuffles.
+    """
+    from emails_to_vector_db_spark.operators.ivf import assign_centroid
+
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf_dir)))
+    k = len(cents)
+    merges = _centroid_merge_targets(cents)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        assign_centroid(F.col("embedding"), cents).alias("cid")
+    )
+    counts_obs = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    cent_meta = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(merges)], "cid int, nearest int"
+    )
+    counts = cent_meta.join(counts_obs, "cid", "left").select(
+        "cid", "nearest", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    c = counts.crossJoin(F.broadcast(tot))
+    nk = F.col("n") * F.lit(k)
+    is_split = nk > F.lit(_REB_SPLIT_X) * F.col("total")
+    is_merge = nk * F.lit(_REB_MERGE_DIV) < F.col("total")
+    return c.select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("n").cast("long").alias("n_vecs"),
+        (F.round(nk.cast("double") / F.col("total"), 6) + F.lit(0.0)).alias(
+            "occ_ratio"
+        ),
+        F.when(is_split, F.lit("split"))
+        .when(is_merge, F.lit("merge"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(
+            is_split,
+            F.expr(f"(n * {k} + total - 1) div total"),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("split_parts"),
+        F.when(is_merge, F.col("nearest"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("merge_into"),
+    ).orderBy("cid")

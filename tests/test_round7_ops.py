@@ -157,3 +157,44 @@ def test_incremental_lsh_dedup_routing(spark):
     assert all(r["n_delta_matches"] >= 1 for r in twins)
     assert all(r["is_novel"] for r in novel)
     assert all(r["best_est"] == 0.0 for r in novel)
+
+
+def test_ivf_rebalance_plan_invariants_and_skew(spark, tmp_path):
+    """Fixture invariants (every list present, counts partition the
+    corpus, keep-rows neutral) + a skewed corpus where one list absorbs
+    everything: that list must SPLIT into ~k parts and the starved
+    lists must MERGE into a real neighbor (never themselves)."""
+    from pyspark.sql import functions as F
+
+    from emails_to_vector_db_spark.sources.tables import load_table
+
+    fn = REGISTRY["ivf_rebalance_plan"].fn
+    rows = fn(spark, SF_ORACLE).collect()
+    n_emb = load_table(spark, SF_ORACLE, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_emb
+    assert {r["cid"] for r in rows} == set(range(len(rows)))
+    for r in rows:
+        if r["action"] == "keep":
+            assert r["split_parts"] == 1 and r["merge_into"] == -1
+
+    # skew: every vector becomes a copy of one embedding -> one hot list
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    one = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("e")
+    )
+    skewed = emb.crossJoin(F.broadcast(one)).select(
+        "vec_id", F.col("e").alias("embedding"), "label"
+    )
+    skewed.write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    srows = fn(spark, str(tmp_path)).collect()
+    hot = [r for r in srows if r["action"] == "split"]
+    cold = [r for r in srows if r["action"] == "merge"]
+    k = len(srows)
+    assert len(hot) == 1
+    assert hot[0]["n_vecs"] == n_emb
+    assert hot[0]["split_parts"] == k
+    assert len(cold) == k - 1
+    for r in cold:
+        assert r["merge_into"] != -1 and r["merge_into"] != r["cid"]
