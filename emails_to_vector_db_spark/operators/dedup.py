@@ -170,18 +170,40 @@ def _banded_verified_pairs(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.aggregate(
-        F.zip_with(
-            "sig_a", "sig_b", lambda a, b: F.when(a == b, 1.0).otherwise(0.0)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) / F.lit(float(n_hashes))
+    est = signature_est("sig_a", "sig_b", n_hashes)
     return (
         cand.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+
+def signature_gid(sig_col: str = "sig"):
+    """Null-guarded signature-group fingerprint: md5 over the joined
+    components, NULL when any component is NULL (docs with no shingles
+    never pair in the doc-grain form — null band hashes never join —
+    so they must not collapse into a shared md5('') group). All
+    group-grain consumers (component edges, cross-source counting, the
+    incremental probe) share this one definition."""
+    return F.when(
+        ~F.exists(sig_col, lambda x: x.isNull()),
+        F.md5(F.concat_ws("|", sig_col)),
+    )
+
+
+def signature_est(sig_a, sig_b, n_hashes: int):
+    """Estimated Jaccard between two signatures: fraction of agreeing
+    components — the SAME expression _banded_verified_pairs scores
+    with, parameterized on n_hashes (a hardcoded divisor silently
+    breaks every consumer the day the signature width changes)."""
+    return F.aggregate(
+        F.zip_with(
+            sig_a, sig_b, lambda x, y: F.when(x == y, 1.0).otherwise(0.0)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(n_hashes))
 
 
 def minhash_lsh_pairs(
@@ -254,13 +276,7 @@ def minhash_lsh_component_edges(
     sig = _minhash_signatures(
         df, id_col, text_col, n_hashes, n_bands, shingle_n
     )
-    sig = sig.withColumn(
-        "sig_fp",
-        F.when(
-            ~F.exists("sig", lambda x: x.isNull()),
-            F.md5(F.concat_ws("|", "sig")),
-        ),
-    )
+    sig = sig.withColumn("sig_fp", signature_gid("sig"))
     # Persist BEFORE the null filter: PushDownPredicates substitutes a
     # filter condition through projections with NO cost check (unlike
     # CollapseProject), so `where(sig_fp IS NOT NULL)` placed below the

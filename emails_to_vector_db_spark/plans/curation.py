@@ -158,10 +158,14 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental crawl: snapshot diff classification
 # ---------------------------------------------------------------------------
 
-_DIFF_ADD_OFFSET = 500_000
-
 _DIFF_ORACLE = """
-WITH a AS (
+WITH bounds AS (
+    -- synthetic ids must clear the live id range at ANY corpus size;
+    -- a fixed offset collides once the corpus outgrows it
+    SELECT ((max(doc_id) // 10000000) + 1) * 10000000 AS ofs
+    FROM documents
+),
+a AS (
     SELECT doc_id, source, text,
            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
@@ -179,7 +183,8 @@ b_raw AS (
                 ELSE text END AS text
     FROM buckets WHERE bk <> 0
     UNION ALL
-    SELECT doc_id + 500000 AS doc_id, source, text || ' zznewdoc' AS text
+    SELECT doc_id + (SELECT ofs FROM bounds) AS doc_id, source,
+           text || ' zznewdoc' AS text
     FROM buckets WHERE bk = 2
 ),
 b AS (
@@ -241,10 +246,23 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     a = load_table(spark, sf_dir, "documents")
     bk = TX.md5_long(F.col("doc_id").cast("string"), salt="snap:") % 10
+    # synthetic ids must clear the live id range at ANY corpus size —
+    # a fixed offset collides once the corpus outgrows it
+    ofs = F.broadcast(
+        a.agg(
+            F.expr(
+                "((max(doc_id) div 10000000) + 1) * 10000000"
+            ).alias("ofs")
+        )
+    )
 
     def _fp_side(df: DataFrame, suffix: str) -> DataFrame:
+        # presence flag, NOT fp nullability: a NULL-text doc has a NULL
+        # fp on both sides and must still classify by side presence
+        # (mirrors the oracle's a.doc_id/b.doc_id IS NULL keys)
         return df.select(
             F.col("doc_id"),
+            F.lit(True).alias(f"in_{suffix}"),
             F.col("source").alias(f"source_{suffix}"),
             TX.fingerprint("text").alias(f"fp_{suffix}"),
             TX.token_count("text").alias(f"n_tok_{suffix}"),
@@ -260,17 +278,21 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    b_added = a.where(bk == 2).select(
-        (F.col("doc_id") + _DIFF_ADD_OFFSET).alias("doc_id"),
-        "source",
-        F.concat(F.col("text"), F.lit(" zznewdoc")).alias("text"),
+    b_added = (
+        a.where(bk == 2)
+        .crossJoin(ofs)
+        .select(
+            (F.col("doc_id") + F.col("ofs")).alias("doc_id"),
+            "source",
+            F.concat(F.col("text"), F.lit(" zznewdoc")).alias("text"),
+        )
     )
     fa = _fp_side(a, "a")
     fb = _fp_side(b_kept.unionByName(b_added), "b")
     j = fa.join(fb, "doc_id", "full_outer")
     status = (
-        F.when(F.col("fp_a").isNull(), F.lit("added"))
-        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("removed"))
         .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )

@@ -1331,7 +1331,9 @@ def near_dup_cross_source_matrix(
     from pyspark import StorageLevel
 
     from emails_to_vector_db_spark.operators.dedup import (
+        _banded_verified_pairs,
         _minhash_signatures,
+        signature_gid,
     )
 
     docs = _docs_with_near_dups(spark, sf_dir)
@@ -1339,15 +1341,7 @@ def near_dup_cross_source_matrix(
         _minhash_signatures(
             docs.select("doc_id", "text"), "doc_id", "text", 8, 4, 3
         )
-        .withColumn(
-            "gid",
-            # null-guarded group fingerprint: no-shingle docs never pair
-            # in the doc-grain form and must not share an md5('') group
-            F.when(
-                ~F.exists("sig", lambda x: x.isNull()),
-                F.md5(F.concat_ws("|", "sig")),
-            ),
-        )
+        .withColumn("gid", signature_gid("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sgrp = (
@@ -1385,31 +1379,12 @@ def near_dup_cross_source_matrix(
     ggrp = sgrp.groupBy("gid").agg(
         F.first("sig").alias("sig"), F.first("bands").alias("bands")
     )
-    banded = ggrp.select(
-        "gid",
-        "sig",
-        F.posexplode_outer("bands").alias("band_idx", "band_hash"),
-    )
-    right = banded.select(
-        F.col("gid").alias("gid_b"),
-        F.col("sig").alias("sig_b"),
-        "band_idx",
-        "band_hash",
-    )
-    est = F.aggregate(
-        F.zip_with(
-            "sig", "sig_b", lambda x, y: F.when(x == y, 1.0).otherwise(0.0)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) / F.lit(8.0)
-    gp = (
-        banded.join(right, ["band_idx", "band_hash"])
-        .where(F.col("gid") < F.col("gid_b"))
-        .dropDuplicates(["gid", "gid_b"])
-        .withColumn("est", est)
-        .where(F.col("est") >= 0.5)
-        .select("gid", "gid_b", "est")
+    # gid-grain verified pairs ride the SAME banding+verify operator the
+    # doc-grain family uses (id_col is just the group key here)
+    gp = _banded_verified_pairs(ggrp, "gid", 8, 0.5).select(
+        F.col("id_a").alias("gid"),
+        F.col("id_b").alias("gid_b"),
+        F.col("est_jaccard").alias("est"),
     )
     cross_gid = (
         gp.join(ga, "gid")
@@ -1622,22 +1597,23 @@ def minhash_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental LSH dedup: delta docs vs a persisted band index
 # ---------------------------------------------------------------------------
 
-_INC_ADD1 = 500_000
-_INC_ADD2 = 600_000
-_INC_ADD3 = 700_000
+# synthetic delta ids ride multiples of a derived base that clears the
+# live id range at any corpus size (a fixed offset collides once the
+# corpus outgrows it — the sf10 stress corpus already did)
+_INC_BASE_SQL = "(SELECT ((max(doc_id) // 10000000) + 1) * 10000000 FROM documents)"
 _INC_THRESH = 0.5
 
 _INC_DELTA_SQL = f"""
     SELECT doc_id, text || ' zzrevised' AS text
     FROM buckets WHERE bk = 1
     UNION ALL
-    SELECT doc_id + {_INC_ADD1} AS doc_id, text || ' zznewdoc' AS text
+    SELECT doc_id + {_INC_BASE_SQL} AS doc_id, text || ' zznewdoc' AS text
     FROM buckets WHERE bk = 2
     UNION ALL
-    SELECT doc_id + {_INC_ADD2} AS doc_id, text || ' zznewdoc zzx' AS text
+    SELECT doc_id + 2 * {_INC_BASE_SQL} AS doc_id, text || ' zznewdoc zzx' AS text
     FROM buckets WHERE bk = 2
     UNION ALL
-    SELECT doc_id + {_INC_ADD3} AS doc_id,
+    SELECT doc_id + 3 * {_INC_BASE_SQL} AS doc_id,
            concat_ws(' ',
                'nv' || substr(md5('n:' || doc_id::VARCHAR), 1, 4),
                'nv' || substr(md5('n:' || doc_id::VARCHAR), 5, 4),
@@ -1740,22 +1716,29 @@ def _delta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     match sides (vs-index and within-delta) are exercised."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bk = TX.md5_long(F.col("doc_id").cast("string"), salt="snap:") % 10
+    ofs = F.broadcast(
+        d.agg(
+            F.expr("((max(doc_id) div 10000000) + 1) * 10000000").alias(
+                "ofs"
+            )
+        )
+    )
     changed = d.where(bk == 1).select(
         "doc_id", F.concat("text", F.lit(" zzrevised")).alias("text")
     )
-    add1 = d.where(bk == 2).select(
-        (F.col("doc_id") + _INC_ADD1).alias("doc_id"),
+    add1 = d.where(bk == 2).crossJoin(ofs).select(
+        (F.col("doc_id") + F.col("ofs")).alias("doc_id"),
         F.concat("text", F.lit(" zznewdoc")).alias("text"),
     )
-    add2 = d.where(bk == 2).select(
-        (F.col("doc_id") + _INC_ADD2).alias("doc_id"),
+    add2 = d.where(bk == 2).crossJoin(ofs).select(
+        (F.col("doc_id") + 2 * F.col("ofs")).alias("doc_id"),
         F.concat("text", F.lit(" zznewdoc zzx")).alias("text"),
     )
     # genuinely novel content (md5-derived token soup, vocab disjoint
     # from the corpus) so the is_novel routing flag fires both ways
     nmd5 = F.md5(F.concat(F.lit("n:"), F.col("doc_id").cast("string")))
-    novel = d.where(bk == 3).select(
-        (F.col("doc_id") + _INC_ADD3).alias("doc_id"),
+    novel = d.where(bk == 3).crossJoin(ofs).select(
+        (F.col("doc_id") + 3 * F.col("ofs")).alias("doc_id"),
         F.concat_ws(
             " ",
             *[
@@ -1800,7 +1783,10 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     from emails_to_vector_db_spark.operators.dedup import (
+        _banded_verified_pairs,
         _minhash_signatures,
+        signature_est,
+        signature_gid,
     )
 
     index_docs = load_table(spark, sf_dir, "documents").select(
@@ -1822,13 +1808,9 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash_lsh_component_edges does, and filter the PERSISTED
     # relation (a filter below the persist would push the whole
     # signature tree into a scan-level filter — the star-edge lesson)
-    gid = F.when(
-        ~F.exists("sig", lambda x: x.isNull()),
-        F.md5(F.concat_ws("|", "sig")),
-    )
     sig_d = (
         _minhash_signatures(delta, "doc_id", "text", 8, 4, 3)
-        .withColumn("gid", gid)
+        .withColumn("gid", signature_gid("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dgrp = (
@@ -1843,7 +1825,7 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig_i = (
         _minhash_signatures(index_docs, "doc_id", "text", 8, 4, 3)
-        .withColumn("gid", gid)
+        .withColumn("gid", signature_gid("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     igrp = (
@@ -1864,13 +1846,6 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode_outer("bands").alias("band_idx", "band_hash"),
         )
 
-    def _est8(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ) / F.lit(8.0)
-
     # delta groups -> index groups (no id ordering: the id spaces
     # legitimately overlap — a changed doc vs its own indexed old
     # version IS a match); each verified group pair contributes the
@@ -1879,40 +1854,32 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _banded(dgrp, "d")
         .join(_banded(igrp, "i"), ["band_idx", "band_hash"])
         .dropDuplicates(["gid_d", "gid_i"])
-        .withColumn("est", _est8(F.col("sig_d"), F.col("sig_i")))
+        .withColumn("est", signature_est("sig_d", "sig_i", 8))
         .where(F.col("est") >= _INC_THRESH)
     )
     m_i = cand_i.groupBy("gid_d").agg(
         F.sum("n_i").alias("n_index_matches"),
         F.max("est").alias("best_i"),
     )
-    # within-delta, cross-group: verified representative pairs, each
+    # within-delta, cross-group: verified representative pairs from the
+    # SAME banding+verify operator the doc-grain family uses, each pair
     # contributing the OTHER group's cardinality to both sides
-    bd = _banded(dgrp, "d")
-    cand_dd = (
-        bd.join(
-            bd.select(
-                F.col("gid_d").alias("gid_e"),
-                F.col("sig_d").alias("sig_e"),
-                F.col("n_d").alias("n_e"),
-                "band_idx",
-                "band_hash",
-            ),
-            ["band_idx", "band_hash"],
-        )
-        .where(F.col("gid_d") < F.col("gid_e"))
-        .dropDuplicates(["gid_d", "gid_e"])
-        .withColumn("est", _est8(F.col("sig_d"), F.col("sig_e")))
-        .where(F.col("est") >= _INC_THRESH)
+    sizes = dgrp.select("gid", "n")
+    pairs_dd = _banded_verified_pairs(dgrp, "gid", 8, _INC_THRESH).select(
+        F.col("id_a").alias("gid_a"),
+        F.col("id_b").alias("gid_b"),
+        F.col("est_jaccard").alias("est"),
     )
-    sym_d = cand_dd.select(
-        "gid_d", F.col("n_e").alias("n_other"), "est"
-    ).unionByName(
-        cand_dd.select(
-            F.col("gid_e").alias("gid_d"),
-            F.col("n_d").alias("n_other"),
-            "est",
-        )
+    sym_d = pairs_dd.join(
+        sizes.select(F.col("gid").alias("gid_b"), F.col("n").alias("n_other")),
+        "gid_b",
+    ).select(F.col("gid_a").alias("gid_d"), "n_other", "est").unionByName(
+        pairs_dd.join(
+            sizes.select(
+                F.col("gid").alias("gid_a"), F.col("n").alias("n_other")
+            ),
+            "gid_a",
+        ).select(F.col("gid_b").alias("gid_d"), "n_other", "est")
     )
     m_d = sym_d.groupBy("gid_d").agg(
         F.sum("n_other").alias("n_cross"),

@@ -148,9 +148,11 @@ def test_incremental_lsh_dedup_routing(spark):
         for r in REGISTRY["incremental_lsh_dedup"].fn(spark, SF_ORACLE).collect()
     }
     assert rows, "empty delta"
-    changed = [r for i, r in rows.items() if i < 500_000]
-    twins = [r for i, r in rows.items() if 500_000 <= i < 700_000]
-    novel = [r for i, r in rows.items() if i >= 700_000]
+    # delta ids ride multiples of the derived base (10M at fixture ids)
+    base = 10_000_000
+    changed = [r for i, r in rows.items() if i < base]
+    twins = [r for i, r in rows.items() if base <= i < 3 * base]
+    novel = [r for i, r in rows.items() if i >= 3 * base]
     assert changed and twins and novel
     assert all(r["n_index_matches"] >= 1 for r in changed)
     assert all(not r["is_novel"] for r in changed)
