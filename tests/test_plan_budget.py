@@ -89,8 +89,8 @@ SHUFFLE_BUDGET = {
     "q7_volume_shipping": 1,
     "q9_product_type_profit": 1,
     "simhash_near_dups": 1,
-    "corpus_snapshot_diff": 4,  # one full-outer join + source agg
-    "incremental_lsh_dedup": 10,  # 2 sig groupBys, 2 band probes, stats joins
+    "corpus_snapshot_diff": 5,  # derived-offset 1-row agg + full-outer join + source agg
+    "incremental_lsh_dedup": 13,  # derived-offset agg + 2 sig groupBys, 2 band probes, stats joins
     "span_exact_dedup": 2,  # fp census window + per-doc agg
     "substring_window_dedup": 3,  # fp census + run-label/agg + meta join
     "sliding_window_counts": 1,
