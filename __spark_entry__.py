@@ -67,16 +67,15 @@ def _driver_green_names() -> set[str]:
 # math in _driver_green_names can't tell a week-old backlog entry from a
 # query added an hour ago — registration age isn't recorded anywhere —
 # so this is the one piece of rotation state that must be declared).
-# Emptied/refreshed each round; stale entries are harmless (a green name
-# sorts to the tail regardless).
-_NEW_THIS_ROUND = (
-    "spatial_radius_topk",
-    "substring_window_dedup",
-    "split_leakage_audit",
-    "corpus_snapshot_diff",
-    "epoch_shuffle_decorrelation",
-    "incremental_lsh_dedup",
-    "ivf_rebalance_plan",
+# Emptied/refreshed each round. Staleness fails LOUDLY via
+# tests/test_rotation_state.py: every name here must be absent from all
+# CORRECTNESS_r*.json (a green name in this tuple means a past round's
+# entries were never retired, quietly demoting the older backlog).
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    # round 8 registrations
+    "minhash_near_dup_groups",
+    "embedding_near_dup_groups",
+    "cuped_variance_reduction_approx",
 )
 
 

@@ -270,9 +270,23 @@ def minhash_lsh_component_edges(
     EXCLUDED from grouping rather than spuriously linked through a
     shared null fingerprint. Equivalence and the no-all-pairs guard
     live in tests/test_dedup_star_edges.py.
+
+    ``threshold`` must be ≤ 1.0: star edges link signature-identical
+    twins unconditionally (their est is exactly 1.0), so a threshold
+    above 1.0 — where the pair form emits NOTHING — would silently
+    break the components-identical contract. Persisted intermediates
+    (the signature frame, the representative set) live until the
+    session's next ``spark.catalog.clearCache()``; callers own cache
+    lifecycle because the returned DataFrame is lazy over them.
     """
     from pyspark import StorageLevel
 
+    if threshold > 1.0:
+        raise ValueError(
+            f"threshold ({threshold}) must be <= 1.0: signature-identical "
+            "groups link at est exactly 1.0, so the star-edge form is only "
+            "components-equivalent to the pair form on that range"
+        )
     sig = _minhash_signatures(
         df, id_col, text_col, n_hashes, n_bands, shingle_n
     )

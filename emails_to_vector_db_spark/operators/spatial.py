@@ -99,6 +99,13 @@ def radius_topk(
     ranked by (d2 asc, id_b asc) — identical rows to the single-phase
     stencil + per-point window form, at a fraction of the candidate
     cost in dense regions (see module docstring for the proof).
+
+    Cache lifecycle: the returned DataFrame is LAZY over two persisted
+    intermediates (the points and the fine-phase survivors) — they
+    cannot be unpersisted here without recomputing the whole fine
+    phase at action time. Callers that invoke this repeatedly in a
+    long-lived session own the cleanup (``spark.catalog.clearCache()``
+    after the consuming action — the bench.py / driver pattern).
     """
     pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
     rf = r / fine_factor

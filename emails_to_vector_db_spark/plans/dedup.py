@@ -157,6 +157,144 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+_MINHASH_GROUPS_ORACLE = f"""
+WITH docs AS ({_DOCS_NEAR_SQL}),
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                    i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END) AS sh
+    FROM docs
+),
+m AS (
+    SELECT doc_id,
+           list_transform(sh, s -> md5(s)) AS m0,
+           list_transform(sh, s -> md5('1|' || s)) AS m1
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, {_minhash_sql_sig(2)} AS sig FROM m
+),
+g AS (
+    SELECT sig, min(doc_id) AS rep, count(*)::BIGINT AS n
+    FROM sig
+    WHERE len(list_filter(sig, x -> x IS NULL)) = 0
+    GROUP BY sig
+),
+rbands AS (
+    SELECT g.rep, g.sig, g.n, b.band_idx,
+           md5(g.sig[b.band_idx * 2 + 1] || '|' || g.sig[b.band_idx * 2 + 2])
+               AS band_hash
+    FROM g, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+cand AS (
+    SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+           a.sig AS sig_a, b.sig AS sig_b, a.n AS n_a, b.n AS n_b
+    FROM rbands a JOIN rbands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.rep < b.rep
+),
+crossed AS (
+    SELECT rep_a, rep_b, (n_a * n_b)::BIGINT AS n_pairs,
+           list_sum(list_transform(generate_series(1, 8),
+                i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1.0 ELSE 0.0 END))
+               / 8.0 AS est
+    FROM cand
+)
+SELECT rep_a, rep_b, n_pairs, round(est, 6) AS est_jaccard
+FROM crossed WHERE est >= 0.5
+UNION ALL
+SELECT rep AS rep_a, rep AS rep_b,
+       ((n * (n - 1)) // 2)::BIGINT AS n_pairs,
+       1.0 AS est_jaccard
+FROM g WHERE n >= 2
+"""
+
+
+@register(
+    "minhash_near_dup_groups",
+    oracle=_MINHASH_GROUPS_ORACLE,
+    tags=("dedup", "minhash", "lsh", "groups"),
+    bench=True,
+)
+def minhash_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUP-GRAIN condensed twin of minhash_lsh_near_dups — the
+    100-TB form of the near-dup relation. The pair form's within-bucket
+    listing is quadratic per signature-identical group on
+    duplicate-heavy corpora (the 100×-replicated sf10 stress: 260s);
+    this twin collapses each signature group to its min-id
+    representative and emits the SAME information losslessly condensed:
+    one (rep, rep, C(n,2), 1.0) row per signature-identical group of n
+    docs (identical signatures share every band and score est exactly
+    1.0 — always candidates, always verified), and one
+    (rep_a, rep_b, n_a·n_b, est) row per verified cross-signature group
+    pair (candidacy and est are pure functions of the two signatures,
+    so every member pair shares them — the proven
+    near_dup_cross_source_matrix rewrite at doc grain). Consumers that
+    genuinely need the doc-grain explosion join group membership back
+    locally; count-shaped consumers never pay the quadratic.
+
+    Plan shape: one signature pass, a map-side-combinable gid groupBy
+    (multiplicity paid ONCE), and the banded self-join among
+    REPRESENTATIVES only — per-bucket work scales with distinct
+    signatures, not documents. Equivalence to the pair form is pinned
+    in tests/test_dedup_star_edges.py."""
+    from pyspark import StorageLevel
+
+    from emails_to_vector_db_spark.operators.dedup import (
+        _banded_verified_pairs,
+        _minhash_signatures,
+        signature_gid,
+    )
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    sig = (
+        _minhash_signatures(
+            docs.select("doc_id", "text"), "doc_id", "text", 8, 4, 3
+        )
+        .withColumn("gid", signature_gid("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # all-NULL signatures (no shingles) never pair in the doc-grain
+    # form — exclude them from grouping (signature_gid yields NULL)
+    grp = (
+        sig.where(F.col("gid").isNotNull())
+        .groupBy("gid")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.first("sig").alias("sig"),  # identical within the group
+            F.first("bands").alias("bands"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    diag = grp.where(F.col("n") >= 2).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
+        F.lit(1.0).alias("est_jaccard"),
+    )
+    # the banded verify operator runs at REP grain — same code path as
+    # the pair form, quadratic only in distinct signatures per bucket
+    reps = grp.select("rep", "sig", "bands").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rep_pairs = _banded_verified_pairs(reps, "rep", 8, 0.5)
+    sizes_a = grp.select(F.col("rep").alias("id_a"), F.col("n").alias("n_a"))
+    sizes_b = grp.select(F.col("rep").alias("id_b"), F.col("n").alias("n_b"))
+    crossed = (
+        rep_pairs.join(sizes_a, "id_a")
+        .join(sizes_b, "id_b")
+        .select(
+            F.col("id_a").alias("rep_a"),
+            F.col("id_b").alias("rep_b"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+        )
+    )
+    return crossed.unionByName(diag)
+
+
 _JACCARD_ORACLE = f"""
 WITH docs AS ({_DOCS_NEAR_SQL}),
 sh AS (
@@ -524,6 +662,154 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_raw") >= 0.99)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+def _emb_groups_oracle() -> str:
+    """Group-grain condensation of _emb_lsh_oracle: byte-identical
+    (label, vector) groups collapse to their min-id representative
+    before the bucket join."""
+    planes = _emb_planes()
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}::DOUBLE[]) > 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {2**i})" for i in range(len(planes))]
+    )
+    return f"""
+WITH base AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_EMB_DUP_OFFSET} AS vec_id, label,
+           list_transform(embedding::DOUBLE[], x -> x * 2.0) AS v
+    FROM embeddings WHERE vec_id < {_EMB_N_PLANT}
+),
+g AS (
+    SELECT label, v, min(vec_id) AS rep, count(*)::BIGINT AS n
+    FROM base GROUP BY label, v
+),
+gb AS (
+    SELECT label, v, rep, n, ({bits})::BIGINT AS bucket FROM g
+),
+probes AS (
+    SELECT label, v, rep, n, unnest([{probes}]) AS probe_bucket FROM gb
+),
+cand AS (
+    SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+           a.v AS va, b.v AS vb, a.n AS n_a, b.n AS n_b
+    FROM probes a JOIN gb b
+      ON a.label = b.label AND a.probe_bucket = b.bucket
+     AND a.rep < b.rep
+)
+SELECT rep_a, rep_b, (n_a * n_b)::BIGINT AS n_pairs,
+       round(list_dot_product(va, vb)
+             / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)
+           AS cos_sim
+FROM cand
+WHERE list_dot_product(va, vb)
+      / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) >= 0.99
+UNION ALL
+SELECT rep AS rep_a, rep AS rep_b,
+       ((n * (n - 1)) // 2)::BIGINT AS n_pairs,
+       1.0 AS cos_sim
+FROM g WHERE n >= 2
+"""
+
+
+@register(
+    "embedding_near_dup_groups",
+    oracle=_emb_groups_oracle(),
+    tags=("dedup", "vector", "lsh", "cosine", "groups"),
+    bench=True,
+)
+def embedding_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUP-GRAIN condensed twin of embedding_near_dups_lsh — the
+    100-TB form of the embedding near-dup relation. Byte-identical
+    (label, vector) rows — exactly what replication, re-crawls, and
+    exact-dup documents produce at scale (the 100×-replicated sf10
+    stress: every vector has ~100 identical twins, 113s in the pair
+    form) — collapse to their min-id representative BEFORE the bucket
+    join: one (rep, rep, C(n,2), 1.0) row per identical group (cosine
+    of identical vectors is exactly 1 ≥ 0.99, and identical vectors
+    share every sign bucket — always candidates, always verified), and
+    one (rep_a, rep_b, n_a·n_b, cos) row per verified cross-group
+    candidate pair (bucket and cosine are pure functions of the two
+    vectors, shared by every member pair). Count-shaped consumers never
+    pay duplicate multiplicity squared; the doc-grain pair form remains
+    registered as the pairs-are-the-deliverable contract.
+
+    Plan shape: a map-side-combinable (label, vector) groupBy pays
+    multiplicity once, the sign-bucket + Hamming-1 multiprobe join runs
+    among REPRESENTATIVES only, vectors/norms computed once per group.
+    Equivalence to the pair form is pinned in
+    tests/test_dedup_star_edges.py."""
+    from pyspark import StorageLevel
+
+    from emails_to_vector_db_spark.functions.vector import dot, l2_norm
+    from emails_to_vector_db_spark.operators.similarity import lsh_bucket
+
+    planes = _emb_planes()
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") < _EMB_N_PLANT).select(
+        (F.col("vec_id") + _EMB_DUP_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 2.0
+        ).alias("v"),
+        "label",
+    )
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    ).unionByName(planted)
+    grp = (
+        base.groupBy("label", "v")
+        .agg(F.min("vec_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket", lsh_bucket(F.col("v"), planes).cast("long"))
+        .withColumn("norm", l2_norm(F.col("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    diag = grp.where(F.col("n") >= 2).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
+        F.lit(1.0).alias("cos_sim"),
+    )
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(2**i)) for i in range(len(planes))],
+    )
+    a = grp.select(
+        F.col("rep").alias("rep_a"),
+        F.col("label").alias("_lbl"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
+        F.col("n").alias("n_a"),
+        F.explode(probe_buckets).alias("probe_bucket"),
+    )
+    b = grp.select(
+        F.col("rep").alias("rep_b"),
+        F.col("label").alias("_lbl"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
+        F.col("n").alias("n_b"),
+        F.col("bucket").alias("probe_bucket"),
+    )
+    # distinct probe list × single right-side bucket: each group pair
+    # matches at most once (see embedding_near_dups_lsh_global)
+    cand = a.join(b, ["_lbl", "probe_bucket"]).where(
+        F.col("rep_a") < F.col("rep_b")
+    )
+    cos = dot("va", "vb") / (F.col("norm_a") * F.col("norm_b"))
+    crossed = (
+        cand.withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= 0.99)
+        .select(
+            "rep_a",
+            "rep_b",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+    )
+    return crossed.unionByName(diag)
+
 
 _EMB_NEAR_ORACLE = f"""
 WITH base AS (
@@ -1376,8 +1662,15 @@ def near_dup_cross_source_matrix(
     )
     # cross-signature: band-join the gid representatives, verify est,
     # then expand each verified group pair by its per-source counts
-    ggrp = sgrp.groupBy("gid").agg(
-        F.first("sig").alias("sig"), F.first("bands").alias("bands")
+    # persisted: _banded_verified_pairs consumes ggrp TWICE (both sides
+    # of the banded self-join), and Spark does not reuse the exchange
+    # across differently-aliased sides — unpersisted, the gid-grain
+    # groupBy recomputes per side (it reads from the cached sgrp, so
+    # this is perf-only, but it's the operator's stated contract)
+    ggrp = (
+        sgrp.groupBy("gid")
+        .agg(F.first("sig").alias("sig"), F.first("bands").alias("bands"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # gid-grain verified pairs ride the SAME banding+verify operator the
     # doc-grain family uses (id_col is just the group key here)
@@ -1778,7 +2071,10 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path reads the persisted band store instead
     (pipeline/store.py), which changes the scan, not the join. Both
     probes carry only 8-component signatures — text never crosses a
-    shuffle.
+    shuffle. Persisted intermediates (delta/index signature frames and
+    their group condensations) back the returned lazy DataFrame;
+    callers own cache cleanup (``spark.catalog.clearCache()`` after the
+    consuming action — the bench.py / driver pattern).
     """
     from pyspark import StorageLevel
 

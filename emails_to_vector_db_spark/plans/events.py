@@ -1783,6 +1783,100 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUPED_APPROX_ACC = 10000  # percentile_approx accuracy (error <= n/acc)
+_CUPED_CUT_TOL = 0.05  # pre-period event-mass fraction must be 0.5 +- tol
+
+_CUPED_APPROX_ORACLE = """
+SELECT count(DISTINCT user_id)::BIGINT AS n_users,
+       TRUE AS cut_mass_ok,
+       TRUE AS variance_reduced
+FROM events
+"""
+
+
+@register(
+    "cuped_variance_reduction_approx",
+    oracle=_CUPED_APPROX_ORACLE,
+    tags=("events", "experimentation", "stats", "causal", "approx"),
+)
+def cuped_variance_reduction_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE-PATH twin of cuped_variance_reduction: the pre/post
+    cut comes from percentile_approx (one-pass mergeable sketch, NO
+    exact-median sort) instead of the exact percentile — at 100 TB the
+    exact median pass is the plan's only corpus-sort and this twin
+    removes it (the orders_equi_depth_approx precedent). The
+    approximate cut value is engine-specific by design, so the
+    hash-checked output is the approximation CONTRACT, not the cut:
+    n_users (cut-invariant), cut_mass_ok (the approx median must split
+    event mass to 0.5 ± 5%), and variance_reduced (CUPED's algebraic
+    guarantee var(Y') = var(Y)(1 - r²) ≤ var(Y) must survive the
+    approximate cut — it holds for ANY cut because θ is fit to the
+    same split, so a violation flags a broken θ fit, not a bad cut).
+
+    Plan shape: one sketch aggregate for the cut (broadcast), the same
+    single user-grain conditional aggregation as the exact form, a
+    1-row θ broadcast, and scalar folds — no corpus-scale sort
+    anywhere, which is exactly what the exact twin pays for."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "value",
+    )
+    cut = F.broadcast(
+        ev.agg(
+            F.percentile_approx(
+                F.col("t"), F.lit(0.5), F.lit(_CUPED_APPROX_ACC)
+            ).alias("c")
+        )
+    )
+    evc = ev.crossJoin(cut)
+    users = evc.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("t") <= F.col("c"), F.col("value")).otherwise(0.0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("t") > F.col("c"), F.col("value")).otherwise(0.0)
+        ).alias("y"),
+        F.avg((F.col("t") <= F.col("c")).cast("double")).alias("ufrac"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    from pyspark import StorageLevel
+
+    users = users.persist(StorageLevel.MEMORY_AND_DISK)
+    theta = F.broadcast(
+        users.agg(
+            (F.covar_samp("x", "y") / F.var_samp("x")).alias("th"),
+            F.avg("x").alias("mx"),
+        )
+    )
+    adj = users.crossJoin(theta).select(
+        "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))).alias(
+            "y_adj"
+        ),
+        "ufrac",
+        "n_ev",
+    )
+    # event-mass fraction below the cut = weighted mean of per-user
+    # fractions (weights = per-user event counts) — rides the SAME
+    # user-grain aggregate, no second corpus pass
+    frac_pre = F.sum(F.col("ufrac") * F.col("n_ev")) / F.sum("n_ev")
+    return adj.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (
+            (frac_pre >= 0.5 - _CUPED_CUT_TOL)
+            & (frac_pre <= 0.5 + _CUPED_CUT_TOL)
+        ).alias("cut_mass_ok"),
+        # -1e-9 slack: the guarantee is algebraic equality-at-worst
+        # (cov = 0); float summation order may dip epsilon below zero
+        (
+            F.var_samp("y_adj") <= F.var_samp("y") * (1.0 + 1e-9) + 1e-9
+        ).alias("variance_reduced"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Automation / bot-likeness signals per user (burstiness + clock regularity)
 # ---------------------------------------------------------------------------

@@ -1654,6 +1654,15 @@ def propensity_stratified_att(
 _BT_ITERS = 3
 _BT_ROUND = 6
 _BT_TOP = 20
+# Basket cap: orders with more lineitem rows than this are EXCLUDED from
+# comparison generation. The order-blocked self-join emits C(n_lines, 2)
+# pairs per order — without a cap a single mega-basket (a skewed order
+# key at 100 TB) turns the "bounded" per-order quadratic into a straggler
+# task. The cap bounds per-order work at C(cap, 2) = 15 pairs, making the
+# comparison stage linear in orders; the bound is part of the output
+# schema (basket_cap column) so consumers see the sampling frame — the
+# minhash_scurve_audit precedent of recording audit parameters in-row.
+_BT_BASKET_CAP = 6
 
 
 def _bt_oracle() -> str:
@@ -1681,12 +1690,20 @@ p{t} AS MATERIALIZED (
         prev = f"p{t}"
     iter_sql = ",\n".join(iters)
     return f"""
-WITH comps AS MATERIALIZED (
+WITH capped AS MATERIALIZED (
+    SELECT l_orderkey, l_suppkey, l_shipdate
+    FROM (
+        SELECT l_orderkey, l_suppkey, l_shipdate,
+               count(*) OVER (PARTITION BY l_orderkey) AS n_lines
+        FROM lineitem
+    ) WHERE n_lines <= {_BT_BASKET_CAP}
+),
+comps AS MATERIALIZED (
     SELECT CASE WHEN a.l_shipdate < b.l_shipdate
                 THEN a.l_suppkey ELSE b.l_suppkey END AS winner,
            CASE WHEN a.l_shipdate < b.l_shipdate
                 THEN b.l_suppkey ELSE a.l_suppkey END AS loser
-    FROM lineitem a JOIN lineitem b
+    FROM capped a JOIN capped b
       ON a.l_orderkey = b.l_orderkey
      AND a.l_suppkey < b.l_suppkey
      AND a.l_shipdate <> b.l_shipdate
@@ -1707,7 +1724,8 @@ tot AS (SELECT i, sum(nij)::BIGINT AS n_games FROM games GROUP BY i)
 SELECT p.i AS supp_key,
        coalesce(w.w, 0)::BIGINT AS n_wins,
        t.n_games,
-       p.p AS strength
+       p.p AS strength,
+       {_BT_BASKET_CAP}::BIGINT AS basket_cap
 FROM {prev} p
 LEFT JOIN wins w ON w.i = p.i
 JOIN tot t ON t.i = p.i
@@ -1733,8 +1751,14 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-20 fastest-shipping suppliers with their fitted strengths.
 
     Plan shape: the corpus-scale stage is the one order-blocked
-    lineitem self-join emitting comparisons (the market-basket lane);
-    everything iterative runs on the PLAYER-PAIR table (|players|²
+    lineitem self-join emitting comparisons (the market-basket lane),
+    BOUNDED by the basket cap — orders with more than _BT_BASKET_CAP
+    lineitem rows are excluded before the join (one window count on
+    the same l_orderkey partitioning the join shuffles on), so
+    per-order pair work is capped at C(cap, 2) and a skewed mega-order
+    can never produce a quadratic straggler; the cap rides the output
+    as the basket_cap column so the sampling frame is visible.
+    Everything iterative runs on the PLAYER-PAIR table (|players|²
     ceiling, cached once). Each MM step joins the broadcast π vector
     twice (both endpoints), aggregates a player-grain denominator, and
     renormalizes via a 1-row sum — ship the vector, not the pairs.
@@ -1743,8 +1767,16 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the kcore lesson, measured 4x at sf1)."""
     from pyspark import StorageLevel
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li_raw = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    # basket cap: one window count over the SAME key the self-join
+    # shuffles on (the exchange is reused across both aliased sides)
+    w_order = Window.partitionBy("l_orderkey")
+    li = (
+        li_raw.withColumn("_n_lines", F.count(F.lit(1)).over(w_order))
+        .where(F.col("_n_lines") <= _BT_BASKET_CAP)
+        .drop("_n_lines")
     )
     a, b = li.alias("a"), li.alias("b")
     comps = (
@@ -1860,6 +1892,7 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("w"), F.lit(0.0)).cast("long").alias("n_wins"),
             "n_games",
             F.col("p").alias("strength"),
+            F.lit(_BT_BASKET_CAP).cast("long").alias("basket_cap"),
         )
         .orderBy(F.col("strength").desc(), F.col("supp_key").asc())
         .limit(_BT_TOP)
