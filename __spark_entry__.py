@@ -76,6 +76,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "minhash_near_dup_groups",
     "embedding_near_dup_groups",
     "cuped_variance_reduction_approx",
+    "incremental_curation_e2e",
+    "order_value_bootstrap_ci_xxhash",
 )
 
 

@@ -1178,6 +1178,7 @@ ORDER BY policy
     "split_leakage_audit",
     oracle=None,  # bound below once the fixture SQL is imported
     tags=("cleaning", "splits", "leakage", "dedup", "audit"),
+    bench=True,
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantify cross-split duplicate leakage as DATA, per assignment
@@ -1307,6 +1308,7 @@ ORDER BY decile_e0, decile_e1
     "epoch_shuffle_decorrelation",
     oracle=_SHUFFLE_ORACLE,
     tags=("cleaning", "shuffle", "training-order", "reproducibility"),
+    bench=True,
 )
 def epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-seeded training-order shuffle, audited: training loaders

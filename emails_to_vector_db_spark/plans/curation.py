@@ -321,3 +321,274 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental curation, end-to-end: diff -> incremental dedup -> store plan
+# ---------------------------------------------------------------------------
+
+
+def _e2e_oracle() -> str:
+    """Replays the composed pipeline: snapshot-B delta (statuses are
+    derived BY CONSTRUCTION here, which is provably identical to the
+    Spark side's diff-join classification — an appended-token revision
+    always changes the normalized-text fingerprint, and spawned ids
+    exceed the live id range so they can only be 'added'; the
+    independent derivation makes the oracle a stronger check than
+    replaying the same join), then the full incremental-LSH routing
+    chain from _INC_ORACLE, then the store-action census."""
+    from emails_to_vector_db_spark.plans.dedup import (
+        _INC_BASE_SQL,
+        _INC_SIG_CHAIN,
+        _INC_THRESH,
+        _minhash_sql_sig,
+    )
+
+    soup = ", ".join(
+        f"'nv' || substr(md5('n:' || doc_id::VARCHAR), {k}, 4)"
+        for k in (1, 5, 9, 13, 17, 21)
+    )
+    return f"""
+WITH buckets AS (
+    SELECT doc_id, source, text,
+           ('0x' || substr(md5('snap:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 10 AS bk
+    FROM documents
+),
+delta AS (
+    SELECT doc_id, source, text || ' zzrevised' AS text,
+           'changed' AS status
+    FROM buckets WHERE bk = 1
+    UNION ALL
+    SELECT doc_id + {_INC_BASE_SQL} AS doc_id, source,
+           text || ' zznewdoc' AS text, 'added' AS status
+    FROM buckets WHERE bk = 2
+    UNION ALL
+    SELECT doc_id + 2 * {_INC_BASE_SQL} AS doc_id, source,
+           concat_ws(' ', {soup}) AS text, 'added' AS status
+    FROM buckets WHERE bk = 3
+),
+tagged AS (
+    SELECT 'i' AS side, doc_id, text FROM documents
+    UNION ALL
+    SELECT 'd' AS side, doc_id, text FROM delta
+),
+{_INC_SIG_CHAIN.format(sql_sig=_minhash_sql_sig(2))},
+est_i AS (
+    SELECT DISTINCT d.doc_id, i.doc_id AS matched_id,
+           list_sum(list_transform(generate_series(1, 8),
+                k -> CASE WHEN d.sig[k] = i.sig[k] THEN 1.0 ELSE 0.0 END))
+               / 8.0 AS est
+    FROM bands d JOIN bands i
+      ON d.band_idx = i.band_idx AND d.band_hash = i.band_hash
+    WHERE d.side = 'd' AND i.side = 'i'
+),
+m_i AS (
+    SELECT doc_id, count(*) AS n_index_matches
+    FROM est_i WHERE est >= {_INC_THRESH} GROUP BY doc_id
+),
+est_d AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           list_sum(list_transform(generate_series(1, 8),
+                k -> CASE WHEN a.sig[k] = b.sig[k] THEN 1.0 ELSE 0.0 END))
+               / 8.0 AS est
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    WHERE a.side = 'd' AND b.side = 'd'
+),
+sym_d AS (
+    SELECT id_a AS doc_id FROM est_d WHERE est >= {_INC_THRESH}
+    UNION ALL
+    SELECT id_b AS doc_id FROM est_d WHERE est >= {_INC_THRESH}
+),
+m_d AS (
+    SELECT doc_id, count(*) AS n_delta_matches FROM sym_d GROUP BY doc_id
+),
+routed AS (
+    SELECT d.source, d.status,
+           (COALESCE(m_i.n_index_matches, 0)
+            + COALESCE(m_d.n_delta_matches, 0) = 0) AS novel
+    FROM delta d
+    LEFT JOIN m_i ON d.doc_id = m_i.doc_id
+    LEFT JOIN m_d ON d.doc_id = m_d.doc_id
+),
+acts AS (
+    SELECT source,
+           CASE WHEN status = 'added' AND novel THEN 'append'
+                WHEN status = 'added' THEN 'skip_duplicate'
+                WHEN novel THEN 'update_rewrite'
+                ELSE 'update_touch' END AS action
+    FROM routed
+    UNION ALL
+    SELECT source, 'delete' AS action FROM buckets WHERE bk = 0
+)
+SELECT source,
+       sum(CASE WHEN action = 'delete' THEN 1 ELSE 0 END)::BIGINT
+           AS n_deletes,
+       sum(CASE WHEN action = 'append' THEN 1 ELSE 0 END)::BIGINT
+           AS n_appends,
+       sum(CASE WHEN action = 'skip_duplicate' THEN 1 ELSE 0 END)::BIGINT
+           AS n_dup_skips,
+       sum(CASE WHEN action = 'update_touch' THEN 1 ELSE 0 END)::BIGINT
+           AS n_touch_updates,
+       sum(CASE WHEN action = 'update_rewrite' THEN 1 ELSE 0 END)::BIGINT
+           AS n_rewrite_updates
+FROM acts GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "incremental_curation_e2e",
+    oracle=_e2e_oracle(),
+    tags=("curation", "incremental", "dedup", "pipeline", "e2e"),
+    bench=True,
+)
+def incremental_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state incremental pipeline as ONE composed lazy plan
+    (the curation_pipeline_e2e discipline applied to the round-7
+    incremental family): (1) snapshot DIFF classifies every doc across
+    two crawls by presence + normalized-text fingerprint — only
+    (id, presence, fp, source) cross the full-outer join, never text;
+    (2) the added+changed DELTA (and only the delta) is fetched, signed,
+    and routed by the signature-group incremental-LSH probe against the
+    already-signed corpus (_incremental_lsh_routing — the
+    incremental_lsh_dedup core); (3) the routing flags become the STORE
+    maintenance manifest: removed docs → delete, novel additions →
+    append, near-dup additions → skip_duplicate, revisions split into
+    update_touch (still near their indexed version — re-embed in place)
+    vs update_rewrite (novel content — full re-process). Output is the
+    per-source action census a 100 TB ingest job would execute against
+    pipeline/store.py (append/delete/compact).
+
+    At 100 TB: the diff join is doc_id-bucketed and exchange-free under
+    the warehouse layout, delta text crosses the wire exactly once
+    (into the signing repartition, delta-sized), the index side
+    re-signs nothing in production (persisted band store — the inline
+    signing here is oracle-replay cost, see incremental_lsh_dedup), and
+    every downstream stage runs at delta or source grain."""
+    from emails_to_vector_db_spark.plans.dedup import (
+        _incremental_lsh_routing,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bk = TX.md5_long(F.col("doc_id").cast("string"), salt="snap:") % 10
+    ofs = F.broadcast(
+        d.agg(
+            F.expr("((max(doc_id) div 10000000) + 1) * 10000000").alias(
+                "ofs"
+            )
+        )
+    )
+    # snapshot B: bk=0 removed, bk=1 revised, bk=2 spawns a near-dup
+    # doc, bk=3 spawns a genuinely novel doc (md5 token soup)
+    b_kept = d.where(bk != 0).select(
+        "doc_id",
+        "source",
+        F.when(bk == 1, F.concat("text", F.lit(" zzrevised")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spawn_near = d.where(bk == 2).crossJoin(ofs).select(
+        (F.col("doc_id") + F.col("ofs")).alias("doc_id"),
+        "source",
+        F.concat("text", F.lit(" zznewdoc")).alias("text"),
+    )
+    nmd5 = F.md5(F.concat(F.lit("n:"), F.col("doc_id").cast("string")))
+    spawn_novel = d.where(bk == 3).crossJoin(ofs).select(
+        (F.col("doc_id") + 2 * F.col("ofs")).alias("doc_id"),
+        "source",
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("nv"), F.substring(nmd5, k, 4))
+                for k in (1, 5, 9, 13, 17, 21)
+            ],
+        ).alias("text"),
+    )
+    snap_b = b_kept.unionByName(spawn_near).unionByName(spawn_novel)
+
+    # stage 1 — diff: presence + fingerprint only ride the join
+    fa = d.select(
+        "doc_id",
+        F.lit(True).alias("in_a"),
+        F.col("source").alias("source_a"),
+        TX.fingerprint("text").alias("fp_a"),
+    )
+    fb = snap_b.select(
+        "doc_id",
+        F.lit(True).alias("in_b"),
+        TX.fingerprint("text").alias("fp_b"),
+    )
+    j = fa.join(fb, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    from pyspark import StorageLevel
+
+    # persisted: the classification feeds THREE consumers (removed,
+    # delta, and — through delta — both the routing signatures and the
+    # action join); unpersisted, the corpus-scale full-outer join would
+    # re-execute per branch
+    classified = j.select(
+        "doc_id", "source_a", status.alias("status")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    removed = classified.where(F.col("status") == "removed").select(
+        F.col("source_a").alias("source"), F.lit("delete").alias("action")
+    )
+    # the delta slice fetches its text via a second doc_id-local join —
+    # text never crosses the full-outer exchange; persisted (delta-sized)
+    # because it feeds both the signing stage and the action join
+    delta = (
+        classified.where(F.col("status").isin("added", "changed"))
+        .select("doc_id", "status")
+        .join(snap_b, "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # stage 2 — incremental-LSH routing of the delta against the corpus
+    routing = _incremental_lsh_routing(
+        d.select("doc_id", "text"), delta.select("doc_id", "text")
+    )
+
+    # stage 3 — store-action manifest
+    action = (
+        F.when(
+            (F.col("status") == "added") & F.col("is_novel"), "append"
+        )
+        .when(F.col("status") == "added", "skip_duplicate")
+        .when(F.col("is_novel"), "update_rewrite")
+        .otherwise("update_touch")
+    )
+    acts = (
+        delta.select("doc_id", "status", "source")
+        .join(routing.select("doc_id", "is_novel"), "doc_id")
+        .select("source", action.alias("action"))
+        .unionByName(removed)
+    )
+    return (
+        acts.groupBy("source")
+        .agg(
+            F.sum((F.col("action") == "delete").cast("long")).alias(
+                "n_deletes"
+            ),
+            F.sum((F.col("action") == "append").cast("long")).alias(
+                "n_appends"
+            ),
+            F.sum((F.col("action") == "skip_duplicate").cast("long")).alias(
+                "n_dup_skips"
+            ),
+            F.sum((F.col("action") == "update_touch").cast("long")).alias(
+                "n_touch_updates"
+            ),
+            F.sum((F.col("action") == "update_rewrite").cast("long")).alias(
+                "n_rewrite_updates"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -2076,6 +2076,21 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     callers own cache cleanup (``spark.catalog.clearCache()`` after the
     consuming action — the bench.py / driver pattern).
     """
+    index_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    delta = _delta_docs(spark, sf_dir)
+    return _incremental_lsh_routing(index_docs, delta).orderBy("doc_id")
+
+
+def _incremental_lsh_routing(
+    index_docs: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """The routing core of incremental_lsh_dedup, reusable by composed
+    pipelines (incremental_curation_e2e): per delta doc —
+    (doc_id, n_index_matches, n_delta_matches, best_est, is_novel).
+    Both inputs are (doc_id, text); see the registered query's docstring
+    for the signature-group plan story."""
     from pyspark import StorageLevel
 
     from emails_to_vector_db_spark.operators.dedup import (
@@ -2085,10 +2100,6 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         signature_gid,
     )
 
-    index_docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
-    )
-    delta = _delta_docs(spark, sf_dir)
     # Signature-GROUP probing (the star-edge insight applied to match
     # counting): docs with identical signatures share every band and
     # every est, so probe one representative per group and multiply by
@@ -2219,5 +2230,4 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ((n_im + n_dm) == 0).alias("is_novel"),
         )
-        .orderBy("doc_id")
     )

@@ -1496,6 +1496,90 @@ def order_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOOT_XXH_ORACLE = f"""
+SELECT count(*)::BIGINT AS n_orders,
+       round(avg(o_totalprice), 2) AS mean_total,
+       TRUE AS ci_brackets_mean,
+       TRUE AS ci_width_positive,
+       {_BOOT_B}::BIGINT AS n_replicas
+FROM orders
+"""
+
+
+@register(
+    "order_value_bootstrap_ci_xxhash",
+    oracle=_BOOT_XXH_ORACLE,
+    tags=("stats", "bootstrap", "uncertainty", "approx"),
+)
+def order_value_bootstrap_ci_xxhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION-HASH twin of order_value_bootstrap_ci: the
+    per-(order, replica) uniform comes from xxhash64 — one 64-bit mix
+    per row, JVM-intrinsic — instead of md5 (a full cryptographic
+    digest per row, measured ~5× the per-row cost at sf1; see
+    docs/SCALE_NOTES.md). xxhash64 has no DuckDB twin, so the replicate
+    weights are engine-specific by design and the hash-checked output
+    is the bootstrap CONTRACT (the orders_equi_depth_approx pattern):
+    n_orders and the 2dp point mean (draw-invariant), plus the two
+    invariants any valid bootstrap CI of 32 Poisson replicas must
+    satisfy — it brackets the point mean and has positive width. The
+    md5 form stays registered as the oracle-exact twin.
+
+    Plan shape is IDENTICAL to the md5 form: one fact scan with the
+    replica dimension unrolled against a broadcast {_BOOT_B}-row range,
+    B partial sums shuffling, a B-row percentile tail."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    reps = o.crossJoin(
+        F.broadcast(spark.range(_BOOT_B).select(F.col("id").alias("b")))
+    ).withColumn(
+        "u",
+        F.pmod(
+            F.xxhash64(F.col("o_orderkey"), F.col("b")),
+            F.lit(4294967296),
+        ).cast("double")
+        / F.lit(4294967296.0),
+    )
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS_CDF[k], k).otherwise(w)
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")
+            ).alias("m")
+        )
+    )
+    pt = F.broadcast(
+        o.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.avg("o_totalprice").alias("mean_total"),
+        )
+    )
+    return (
+        means.crossJoin(pt)
+        .groupBy("n_orders", "mean_total")
+        .agg(
+            F.percentile(F.col("m"), F.lit(0.025)).alias("ci_lo"),
+            F.percentile(F.col("m"), F.lit(0.975)).alias("ci_hi"),
+        )
+        .select(
+            "n_orders",
+            F.round("mean_total", 2).alias("mean_total"),
+            (
+                (F.col("ci_lo") <= F.col("mean_total"))
+                & (F.col("mean_total") <= F.col("ci_hi"))
+            ).alias("ci_brackets_mean"),
+            (F.col("ci_hi") > F.col("ci_lo")).alias("ci_width_positive"),
+            F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Trailing-window z-score anomalies on the daily order series
 # ---------------------------------------------------------------------------

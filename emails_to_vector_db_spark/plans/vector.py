@@ -1604,6 +1604,7 @@ ORDER BY c.cid
     "ivf_rebalance_plan",
     oracle=_rebalance_oracle(),
     tags=("vector", "ann", "ivf", "maintenance"),
+    bench=True,
 )
 def ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index maintenance planning — the ANN sibling of
@@ -1628,12 +1629,40 @@ def ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emails_to_vector_db_spark.operators.ivf import assign_centroid
 
     cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf_dir)))
-    k = len(cents)
-    merges = _centroid_merge_targets(cents)
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = emb.select(
         assign_centroid(F.col("embedding"), cents).alias("cid")
     )
+    return _rebalance_actions(spark, assigned, cents)
+
+
+def ivf_rebalance_plan_from_index(
+    spark: SparkSession, assignments: DataFrame, cents: list[list[float]]
+) -> DataFrame:
+    """The PRODUCTION form of ivf_rebalance_plan: plan rebalance from
+    the PERSISTED index assignments — the (vec_id, cid) table an IVF
+    store writes at build/ingest time (the same artifact discipline as
+    the persisted quantizer in _ivf_centroids) — instead of re-running
+    the argmin quantization over the embeddings corpus. The registered
+    query keeps the inline assignment pass ONLY so the DuckDB oracle
+    can replay everything from the raw table (the incremental_lsh_dedup
+    pattern); at 100 TB maintenance never rescans or re-quantizes —
+    this path is one k-row count aggregate over cid, a 1-row total
+    broadcast, and k-sized action arithmetic. Action-identity with the
+    inline form and the no-embeddings-scan plan shape are pinned in
+    tests/test_ivf_bucketing.py."""
+    return _rebalance_actions(spark, assignments.select("cid"), cents)
+
+
+def _rebalance_actions(
+    spark: SparkSession, assigned: DataFrame, cents: list[list[float]]
+) -> DataFrame:
+    """Shared rebalance tail: cid occupancy counts → split/merge/keep
+    actions. ``assigned`` carries one cid row per indexed vector —
+    from the inline quantization (oracle-replayable form) or from the
+    persisted assignment store (production form)."""
+    k = len(cents)
+    merges = _centroid_merge_targets(cents)
     counts_obs = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
     cent_meta = spark.createDataFrame(
         [(i, m) for i, m in enumerate(merges)], "cid int, nearest int"

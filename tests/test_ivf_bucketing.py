@@ -170,3 +170,44 @@ def test_non_finite_centroid_raises_clear_error(spark):
         assign_centroid(
             F.col("embedding"), [[0.0, 1.0], [float("nan"), 2.0]]
         )
+
+
+def test_rebalance_store_path_matches_inline_and_skips_scan(spark, tmp_path):
+    """ivf_rebalance_plan_from_index (the production store-reading form)
+    must (a) produce action-identical rows to the registered inline form
+    and (b) carry NO embeddings-table scan and NO argmin quantization in
+    its physical plan — proving the registered query's inline assignment
+    pass is oracle-replay-only cost, not the maintenance path's."""
+    from emails_to_vector_db_spark.operators.ivf import assign_centroid
+    from emails_to_vector_db_spark.plans.vector import (
+        _embeddings_rows,
+        _ivf_centroids,
+        _ivf_k,
+        ivf_rebalance_plan_from_index,
+    )
+    from emails_to_vector_db_spark.plans import REGISTRY
+
+    sf = SF_SMOKE
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf)))
+    # the index store: (vec_id, cid) written once at build/ingest time
+    emb = load_table(spark, sf, "embeddings")
+    store = str(tmp_path / "ivf_assignments.parquet")
+    emb.select(
+        "vec_id", assign_centroid(F.col("embedding"), cents).alias("cid")
+    ).write.mode("overwrite").parquet(store)
+
+    assignments = spark.read.parquet(store)
+    from_store = ivf_rebalance_plan_from_index(spark, assignments, cents)
+    inline = REGISTRY["ivf_rebalance_plan"].fn(spark, sf)
+    assert sorted(map(tuple, from_store.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+    plan = from_store._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in plan, "store path rescanned the corpus"
+    # the argmin quantization is an aggregate over the centroid struct
+    # array; its fingerprint in the plan is the array_min/transform pair
+    assert "array_min" not in plan, "store path re-quantized inline"
+    # and the inline registered form DOES carry both (the oracle replay)
+    inline_plan = inline._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" in inline_plan

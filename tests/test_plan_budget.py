@@ -112,6 +112,18 @@ SHUFFLE_BUDGET = {
     "filter_ablation_matrix": 3,  # repetition-cutover branch (empty at fixture scale) + final agg
     "small_file_compaction_plan": 4,  # file-grain agg + distributed prefix pack passes
     "adamic_adar_link_prediction": 11,  # edge extraction + edge-list-local joins/aggs (edge-list-sized, pre-AQE count)
+    # round-8 promotions (the r7 flagships, verdict task 5) + the
+    # group-grain condensed near-dup twins
+    "minhash_near_dup_groups": 2,  # gid groupBy + rep band self-join; sizes ride broadcast
+    "embedding_near_dup_groups": 1,  # (label, vector) groupBy; probe join bucket-local
+    "split_leakage_audit": 4,  # 2 policy-grain (split,split) censuses + 2 tiny re-aggs
+    "epoch_shuffle_decorrelation": 4,  # 100-cell census + 3 tiny re-aggs; zero corpus sort
+    "ivf_rebalance_plan": 4,  # k-row count agg + total/action re-aggs (k-sized, pre-AQE)
+    # diff join + delta-slice text join + the incremental-LSH routing
+    # chain (~13, see incremental_lsh_dedup) + action joins/aggs; the
+    # corpus-scale diff and the delta are persisted so no branch
+    # re-executes them
+    "incremental_curation_e2e": 27,
 }
 
 
