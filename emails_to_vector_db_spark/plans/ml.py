@@ -1750,56 +1750,77 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp-quantized per step, the logreg trajectory discipline — produce
     the top-20 fastest-shipping suppliers with their fitted strengths.
 
-    Plan shape: the corpus-scale stage is the one order-blocked
-    lineitem self-join emitting comparisons (the market-basket lane),
-    BOUNDED by the basket cap — orders with more than _BT_BASKET_CAP
-    lineitem rows are excluded before the join (one window count on
-    the same l_orderkey partitioning the join shuffles on), so
-    per-order pair work is capped at C(cap, 2) and a skewed mega-order
-    can never produce a quadratic straggler; the cap rides the output
-    as the basket_cap column so the sampling frame is visible.
-    Everything iterative runs on the PLAYER-PAIR table (|players|²
-    ceiling, cached once). Each MM step joins the broadcast π vector
-    twice (both endpoints), aggregates a player-grain denominator, and
-    renormalizes via a 1-row sum — ship the vector, not the pairs.
-    The π vector is localCheckpointed per step (each step broadcasts
-    it twice; the execution tree would otherwise double per iteration
-    — the kcore lesson, measured 4x at sf1)."""
+    Plan shape: comparisons come from the BASKET-ARRAY form of the
+    market-basket lane, BOUNDED by the basket cap — a per-order line
+    count (map-side combinable) names the orders with at most
+    _BT_BASKET_CAP lineitem rows, the kept lines re-group into per-order
+    arrays on the SAME l_orderkey partitioning (exchange-reused), and
+    the ≤C(cap, 2) within-order pairs expand SCAN-LOCALLY from each
+    ≤cap-element array — no self-join, no window sort, and a skewed
+    mega-order can never produce a quadratic straggler or an unbounded
+    collect (the cap is enforced BEFORE the array build). The cap rides
+    the output as the basket_cap column so the sampling frame is
+    visible. Everything iterative runs on the PLAYER-PAIR table
+    (|players|² ceiling, cached once). Each MM step joins the broadcast
+    π vector twice (both endpoints), aggregates a player-grain
+    denominator, and renormalizes via a 1-row sum — ship the vector,
+    not the pairs. The π vector is localCheckpointed per step (each
+    step broadcasts it twice; the execution tree would otherwise double
+    per iteration — the kcore lesson, measured 4x at sf1)."""
     from pyspark import StorageLevel
 
     li_raw = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    # basket cap: one window count over the SAME key the self-join
-    # shuffles on (the exchange is reused across both aliased sides)
-    w_order = Window.partitionBy("l_orderkey")
-    li = (
-        li_raw.withColumn("_n_lines", F.count(F.lit(1)).over(w_order))
-        .where(F.col("_n_lines") <= _BT_BASKET_CAP)
-        .drop("_n_lines")
+    keep = (
+        li_raw.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= _BT_BASKET_CAP)
+        .select("l_orderkey")
     )
-    a, b = li.alias("a"), li.alias("b")
-    comps = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-            & (F.col("a.l_shipdate") != F.col("b.l_shipdate")),
+    baskets = (
+        li_raw.join(keep, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_suppkey").alias("s"),
+                    F.col("l_shipdate").alias("d"),
+                )
+            ).alias("items")
         )
-        .select(
-            F.when(
-                F.col("a.l_shipdate") < F.col("b.l_shipdate"),
-                F.col("a.l_suppkey"),
+    )
+    # unordered within-order line pairs, expanded scan-locally: element
+    # i against every later element (position pairs i<j enumerate each
+    # unordered pair exactly once — the a.supp<b.supp join predicate's
+    # role); same-supplier and same-date pairs drop as in the join form
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("items"), i + 2, F.size(F.col("items"))
+                    ),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
             )
-            .otherwise(F.col("b.l_suppkey"))
-            .alias("winner"),
-            F.when(
-                F.col("a.l_shipdate") < F.col("b.l_shipdate"),
-                F.col("b.l_suppkey"),
-            )
-            .otherwise(F.col("a.l_suppkey"))
-            .alias("loser"),
+        ),
+        lambda p: (p["a"]["s"] != p["b"]["s"])
+        & (p["a"]["d"] != p["b"]["d"]),
+    )
+    pr = baskets.select(F.explode(pair_structs).alias("p"))
+    comps = pr.select(
+        F.when(
+            F.col("p.a.d") < F.col("p.b.d"), F.col("p.a.s")
         )
+        .otherwise(F.col("p.b.s"))
+        .alias("winner"),
+        F.when(
+            F.col("p.a.d") < F.col("p.b.d"), F.col("p.b.s")
+        )
+        .otherwise(F.col("p.a.s"))
+        .alias("loser"),
     )
     # condense the corpus to the directed (winner, loser) win-count
     # table in ONE pass — wins and the symmetric game counts both
