@@ -78,6 +78,12 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "cuped_variance_reduction_approx",
     "incremental_curation_e2e",
     "order_value_bootstrap_ci_xxhash",
+    "loo_source_valuation",
+    "nb_self_influence",
+    "classifier_agreement_kappa",
+    "coreset_sensitivity_sample",
+    "template_dups_cross_lang",
+    "dup_rate_by_source_ci",
 )
 
 

@@ -40,5 +40,6 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     tokenizer,
     tpch_extra,
     tpch_more,
+    valuation,
     vector,
 )

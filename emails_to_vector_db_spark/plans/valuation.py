@@ -1,0 +1,971 @@
+"""Data valuation & curation-QA audits for a training-data pipeline.
+
+Operators a corpus team runs AFTER dedup/quality filtering to decide
+*what the data is worth* and *whether the filters agree with each
+other* (none exist in the reference, which ingests its 1,000-row CSV
+wholesale — ``rag.py:40-50``):
+
+- ``loo_source_valuation`` — leave-one-source-out data valuation: how
+  much does each candidate source contribute to held-out classifier
+  accuracy? The key scale move is that NO retraining happens: the
+  Naive-Bayes token census is computed ONCE and every leave-one-out
+  model is derived by count subtraction, with the per-source score
+  correction joined SPARSELY (only tokens the excluded source actually
+  contains ever enter the correction join).
+- ``nb_self_influence`` — memorization proxy: score every training doc
+  under the model WITH vs WITHOUT its own counts (exact doc-grain
+  exclusion, again pure count algebra — the classic self-influence
+  audit for spotting memorized/atypical examples).
+- ``classifier_agreement_kappa`` — Cohen's kappa between two
+  independent quality gates (length-based vs lexical-diversity-based):
+  the inter-rater reliability number a curation team watches before
+  trusting a single filter.
+- ``coreset_sensitivity_sample`` — sensitivity-sampled weighted coreset
+  over the embedding table (Bachem/Lucic/Krause style): one pass to
+  cost every point against k broadcast seed centroids, one bounded
+  sample whose weighted cost estimates the full corpus cost.
+- ``template_dups_cross_lang`` — Type-2 (template) duplicate mining:
+  canonicalize every document to its token-occurrence pattern (each
+  token instance → position of the token's FIRST occurrence), which is
+  invariant under any vocabulary substitution — the boilerplate /
+  machine-translated-contamination detector that exact and MinHash
+  dedup both miss by construction.
+- ``dup_rate_by_source_ci`` — per-source exact-duplication rate with a
+  Wilson 95% interval: the monitoring view that decides which sources
+  get a dedup pass first.
+
+Scale notes (100 TB)
+--------------------
+- Every operator is a constant number of token/embedding-grain
+  aggregations; no pair space anywhere. The LOO valuation's only
+  expansion is test-tokens × |langs| × (1 + sparse corrections) — the
+  candidate set is BOUNDED (top-{K} sources) and the correction join
+  is inner on the excluded source's vocabulary, so the full-corpus
+  token stream is scanned exactly once.
+- The template canonicalization is O(L log L) per document (explode +
+  doc-local min-position + ordered re-assembly), the same shape the
+  repetition cutover uses — never the O(L²) array_position expression.
+- The coreset costs are one broadcast-k crossJoin (k rows) and the
+  sample predicate is a deterministic md5 uniform, so both engines and
+  any two cluster runs pick the identical coreset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.functions import text as TX
+from emails_to_vector_db_spark.functions.vector import squared_l2
+from emails_to_vector_db_spark.plans.registry import register
+from emails_to_vector_db_spark.sources.tables import load_table
+
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out valuation
+# ---------------------------------------------------------------------------
+
+_LOO_K = 5  # candidate sources to value (top by train doc count)
+
+_LOO_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang, source, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+train_docs AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+cand AS (
+    SELECT source, count(*)::BIGINT AS nd_s
+    FROM train_docs GROUP BY source
+    ORDER BY count(*) DESC, source ASC LIMIT {_LOO_K}
+),
+models AS (
+    SELECT source AS msrc FROM cand
+    UNION ALL SELECT '__full__'
+),
+prior AS (
+    SELECT lang, count(*)::DOUBLE AS nd FROM train_docs GROUP BY lang
+),
+prior_s AS (
+    SELECT lang, source, count(*)::DOUBLE AS nd_ls
+    FROM train_docs WHERE source IN (SELECT source FROM cand)
+    GROUP BY lang, source
+),
+td AS (SELECT count(*)::DOUBLE AS td FROM train_docs),
+tot AS (SELECT lang, count(*)::DOUBLE AS tot_l FROM train GROUP BY lang),
+tot_s AS (
+    SELECT lang, source, count(*)::DOUBLE AS tot_ls
+    FROM train WHERE source IN (SELECT source FROM cand)
+    GROUP BY lang, source
+),
+vocab AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM train),
+gt AS (SELECT tok, count(*)::BIGINT AS g FROM train GROUP BY tok),
+gs AS (
+    SELECT tok, source, count(*)::BIGINT AS gsum
+    FROM train WHERE source IN (SELECT source FROM cand)
+    GROUP BY tok, source
+),
+uniq_s AS (
+    SELECT s.source, count(*)::DOUBLE AS u_s
+    FROM gs s JOIN gt t ON t.tok = s.tok
+    WHERE s.gsum = t.g GROUP BY s.source
+),
+cnt_g AS (
+    SELECT lang, tok, count(*)::BIGINT AS c FROM train GROUP BY lang, tok
+),
+cnt_s AS (
+    SELECT lang, source, tok, count(*)::BIGINT AS c_s
+    FROM train WHERE source IN (SELECT source FROM cand)
+    GROUP BY lang, source, tok
+),
+test_toks AS (
+    SELECT doc_id, lang AS actual_lang, tok FROM toks WHERE doc_id % 5 = 0
+),
+scored AS (
+    SELECT t.doc_id, t.actual_lang, l.lang, m.msrc,
+           sum(ln(coalesce(c.c, 0) - coalesce(cs.c_s, 0) + 1)) AS sum_ln,
+           count(*)::DOUBLE AS n_inst
+    FROM test_toks t
+    CROSS JOIN tot l
+    CROSS JOIN models m
+    LEFT JOIN cnt_g c ON c.lang = l.lang AND c.tok = t.tok
+    LEFT JOIN cnt_s cs
+      ON cs.lang = l.lang AND cs.tok = t.tok AND cs.source = m.msrc
+    GROUP BY t.doc_id, t.actual_lang, l.lang, m.msrc
+),
+post AS (
+    SELECT s.doc_id, s.actual_lang, s.lang, s.msrc,
+           s.sum_ln
+             - s.n_inst * ln(l.tot_l - coalesce(ts.tot_ls, 0)
+                             + v.v - coalesce(u.u_s, 0))
+             + ln((p.nd - coalesce(ps.nd_ls, 0))
+                  / (t.td - coalesce(cd.nd_s, 0))) AS score
+    FROM scored s
+    JOIN tot l ON l.lang = s.lang
+    JOIN prior p ON p.lang = s.lang
+    CROSS JOIN vocab v
+    CROSS JOIN td t
+    LEFT JOIN tot_s ts ON ts.lang = s.lang AND ts.source = s.msrc
+    LEFT JOIN prior_s ps ON ps.lang = s.lang AND ps.source = s.msrc
+    LEFT JOIN uniq_s u ON u.source = s.msrc
+    LEFT JOIN cand cd ON cd.source = s.msrc
+),
+pred AS (
+    SELECT doc_id, actual_lang, msrc, lang AS predicted,
+           row_number() OVER (
+               PARTITION BY doc_id, msrc
+               ORDER BY round(score, 6) DESC, lang ASC
+           ) AS rn
+    FROM post
+),
+acc AS (
+    SELECT msrc,
+           avg(CASE WHEN predicted = actual_lang THEN 1.0 ELSE 0.0 END)
+               AS acc
+    FROM pred WHERE rn = 1 GROUP BY msrc
+)
+SELECT c.source, c.nd_s AS n_train_docs,
+       round(af.acc, 4) AS acc_full,
+       round(al.acc, 4) AS acc_loo,
+       round((al.acc - af.acc) * 100, 2) AS delta_pp
+FROM cand c
+JOIN acc al ON al.msrc = c.source
+CROSS JOIN (SELECT acc FROM acc WHERE msrc = '__full__') af
+"""
+
+
+@register(
+    "loo_source_valuation",
+    oracle=_LOO_ORACLE,
+    tags=("valuation", "training-data", "nb", "loo"),
+)
+def loo_source_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation WITHOUT retraining: the NB
+    token census is computed once over the train split and every LOO
+    model is pure count subtraction — c_loo = c - c_source,
+    tot_loo = tot - tot_source, V_loo = V - |vocab unique to source| —
+    so valuing S candidate sources costs one corpus scan plus S
+    vocabulary-sized aggregates, never S retrains.
+
+    Plan shape at 100 TB: the held-out score for the FULL model is one
+    (doc, lang) aggregation of ln(c+1) terms; each LOO score is the
+    full score plus a SPARSE correction joined inner on (lang, tok)
+    against the excluded source's token counts — only test tokens that
+    the excluded source actually contains enter the correction, so the
+    expansion is bounded by the per-source vocabulary overlap, not by
+    |test| x |sources|. Candidates are bounded (top-{K} by train doc
+    count); the per-(lang, source) denominators and priors are
+    broadcast scalars. Precondition (documented, holds by fixture
+    construction): every (lang, candidate source) pair leaves >= 1
+    training doc after exclusion — LOO priors stay finite."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "source", F.explode(TX.tokens("text")).alias("tok")
+    )
+    train = toks.where(F.col("doc_id") % 5 != 0)
+    train_docs = docs.where(F.col("doc_id") % 5 != 0)
+    cand = (
+        train_docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("nd_s"))
+        .orderBy(F.col("nd_s").desc(), F.col("source").asc())
+        .limit(_LOO_K)
+    )
+    train_c = train.join(F.broadcast(cand.select("source")), "source")
+
+    prior = train_docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("nd")
+    )
+    prior_s = (
+        train_docs.join(F.broadcast(cand.select("source")), "source")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("double").alias("nd_ls"))
+    )
+    td = train_docs.agg(F.count(F.lit(1)).cast("double").alias("td"))
+    tot = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("tot_l")
+    )
+    tot_s = train_c.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("tot_ls")
+    )
+    vocab = train.agg(F.countDistinct("tok").cast("double").alias("v"))
+    gt = train.groupBy("tok").agg(F.count(F.lit(1)).alias("g"))
+    gs = train_c.groupBy("tok", "source").agg(
+        F.count(F.lit(1)).alias("gsum")
+    )
+    uniq_s = (
+        gs.join(gt, "tok")
+        .where(F.col("gsum") == F.col("g"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("double").alias("u_s"))
+    )
+    cnt_g = train.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    cnt_s = train_c.groupBy("lang", "source", "tok").agg(
+        F.count(F.lit(1)).alias("c_s")
+    )
+
+    test_toks = toks.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("lang").alias("actual_lang"), "tok"
+    )
+    # Base rows: one per (test token instance, lang) — the ONLY
+    # corpus-grain expansion; everything LOO rides on top of it.
+    base = (
+        test_toks.crossJoin(F.broadcast(tot.select("lang")))
+        .join(F.broadcast(cnt_g), ["lang", "tok"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    full_ll = base.groupBy("doc_id", "actual_lang", "lang").agg(
+        F.sum(F.log(F.col("c") + 1)).alias("sum_ln"),
+        F.count(F.lit(1)).cast("double").alias("n_inst"),
+    )
+    # Sparse LOO corrections: inner join on the excluded source's token
+    # counts — tokens the source never saw contribute exactly 0.
+    corr = (
+        base.join(F.broadcast(cnt_s), ["lang", "tok"])
+        .groupBy("doc_id", "actual_lang", "lang", "source")
+        .agg(
+            F.sum(
+                F.log(F.col("c") - F.col("c_s") + 1)
+                - F.log(F.col("c") + 1)
+            ).alias("corr_ln")
+        )
+    )
+
+    full_scored = (
+        full_ll.join(F.broadcast(tot), "lang")
+        .join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(td))
+        .select(
+            "doc_id",
+            "actual_lang",
+            "lang",
+            F.lit("__full__").alias("msrc"),
+            (
+                F.col("sum_ln")
+                - F.col("n_inst") * F.log(F.col("tot_l") + F.col("v"))
+                + F.log(F.col("nd") / F.col("td"))
+            ).alias("score"),
+        )
+    )
+    loo_scored = (
+        full_ll.crossJoin(F.broadcast(cand.select("source", "nd_s")))
+        .join(corr, ["doc_id", "actual_lang", "lang", "source"], "left")
+        .join(F.broadcast(tot), "lang")
+        .join(F.broadcast(prior), "lang")
+        .join(F.broadcast(tot_s), ["lang", "source"], "left")
+        .join(F.broadcast(prior_s), ["lang", "source"], "left")
+        .join(F.broadcast(uniq_s), "source", "left")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(td))
+        .select(
+            "doc_id",
+            "actual_lang",
+            "lang",
+            F.col("source").alias("msrc"),
+            (
+                F.col("sum_ln")
+                + F.coalesce(F.col("corr_ln"), F.lit(0.0))
+                - F.col("n_inst")
+                * F.log(
+                    F.col("tot_l")
+                    - F.coalesce(F.col("tot_ls"), F.lit(0.0))
+                    + F.col("v")
+                    - F.coalesce(F.col("u_s"), F.lit(0.0))
+                )
+                + F.log(
+                    (F.col("nd") - F.coalesce(F.col("nd_ls"), F.lit(0.0)))
+                    / (F.col("td") - F.col("nd_s").cast("double"))
+                )
+            ).alias("score"),
+        )
+    )
+    post = full_scored.unionByName(loo_scored)
+    w = Window.partitionBy("doc_id", "msrc").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("lang").asc()
+    )
+    pred = post.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    acc = pred.groupBy("msrc").agg(
+        F.avg(
+            F.when(F.col("lang") == F.col("actual_lang"), 1.0).otherwise(0.0)
+        ).alias("acc")
+    )
+    acc_full = F.broadcast(
+        acc.where(F.col("msrc") == "__full__").select(
+            F.col("acc").alias("accf")
+        )
+    )
+    return (
+        cand.join(acc, cand["source"] == acc["msrc"])
+        .crossJoin(acc_full)
+        .select(
+            "source",
+            F.col("nd_s").cast("long").alias("n_train_docs"),
+            F.round(F.col("accf"), 4).alias("acc_full"),
+            F.round(F.col("acc"), 4).alias("acc_loo"),
+            F.round((F.col("acc") - F.col("accf")) * 100, 2).alias(
+                "delta_pp"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# NB self-influence (memorization proxy)
+# ---------------------------------------------------------------------------
+
+_SI_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS tok FROM documents
+    WHERE doc_id % 5 <> 0
+),
+ndt AS (
+    SELECT doc_id, lang, tok, count(*)::BIGINT AS n_dt
+    FROM toks GROUP BY doc_id, lang, tok
+),
+cnt AS (SELECT lang, tok, sum(n_dt)::BIGINT AS c FROM ndt GROUP BY lang, tok),
+gt AS (SELECT tok, sum(n_dt)::BIGINT AS g FROM ndt GROUP BY tok),
+tot AS (SELECT lang, sum(n_dt)::DOUBLE AS tot_l FROM ndt GROUP BY lang),
+vocab AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM ndt),
+prior AS (
+    SELECT lang, count(*)::DOUBLE AS nd FROM documents
+    WHERE doc_id % 5 <> 0 GROUP BY lang
+),
+td AS (
+    SELECT count(*)::DOUBLE AS td FROM documents WHERE doc_id % 5 <> 0
+),
+per_doc AS (
+    SELECT n.doc_id, n.lang,
+           sum(n.n_dt)::DOUBLE AS n_d,
+           sum(n.n_dt * ln(c.c + 1)) AS incl_sum,
+           sum(n.n_dt * ln(c.c - n.n_dt + 1)) AS excl_sum,
+           sum(CASE WHEN g.g = n.n_dt THEN 1.0 ELSE 0.0 END) AS u_d
+    FROM ndt n
+    JOIN cnt c ON c.lang = n.lang AND c.tok = n.tok
+    JOIN gt g ON g.tok = n.tok
+    GROUP BY n.doc_id, n.lang
+),
+scored AS (
+    SELECT d.doc_id, d.lang,
+           d.n_d::BIGINT AS n_toks, d.u_d::BIGINT AS n_unique_toks,
+           round(
+               (d.incl_sum - d.n_d * ln(t.tot_l + v.v) + ln(p.nd / x.td))
+               - (d.excl_sum
+                  - d.n_d * ln(t.tot_l - d.n_d + v.v - d.u_d)
+                  + ln((p.nd - 1) / (x.td - 1))),
+               6
+           ) AS self_influence
+    FROM per_doc d
+    JOIN tot t ON t.lang = d.lang
+    JOIN prior p ON p.lang = d.lang
+    CROSS JOIN vocab v
+    CROSS JOIN td x
+)
+SELECT doc_id, lang, n_toks, n_unique_toks, self_influence
+FROM scored
+ORDER BY self_influence DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+@register(
+    "nb_self_influence",
+    oracle=_SI_ORACLE,
+    tags=("valuation", "memorization", "nb", "training-data"),
+)
+def nb_self_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization proxy via exact self-influence: every training doc
+    scored under the NB model WITH vs WITHOUT its own token counts —
+    the leave-THIS-doc-out model again derived by count subtraction
+    (c - n_dt per token, tot - n_d per class, vocab minus the doc's
+    corpus-unique tokens), so the audit is one token census plus one
+    (doc, tok)-grain join, not |corpus| retrains. Docs whose own
+    presence inflates their likelihood most (top-20) are the
+    atypical/memorized ones a curation pass inspects first.
+
+    Plan shape at 100 TB: ndt (per-doc token counts) is the single
+    corpus scan, map-side combinable; cnt/gt/tot are vocabulary-grain
+    aggregates joined back at (doc, tok) grain — doc-keyed shuffles
+    only, never a pair space; the final top-20 is
+    TakeOrderedAndProject on the rounded score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "lang", F.explode(TX.tokens("text")).alias("tok")
+    )
+    ndt = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("n_dt")
+    )
+    cnt = ndt.groupBy("lang", "tok").agg(F.sum("n_dt").alias("c"))
+    gt = ndt.groupBy("tok").agg(F.sum("n_dt").alias("g"))
+    tot = ndt.groupBy("lang").agg(
+        F.sum("n_dt").cast("double").alias("tot_l")
+    )
+    vocab = ndt.agg(F.countDistinct("tok").cast("double").alias("v"))
+    train_docs = docs.where(F.col("doc_id") % 5 != 0)
+    prior = train_docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("nd")
+    )
+    td = train_docs.agg(F.count(F.lit(1)).cast("double").alias("td"))
+
+    per_doc = (
+        ndt.join(cnt, ["lang", "tok"])
+        .join(gt, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n_dt").cast("double").alias("n_d"),
+            F.sum(F.col("n_dt") * F.log(F.col("c") + 1)).alias("incl_sum"),
+            F.sum(
+                F.col("n_dt") * F.log(F.col("c") - F.col("n_dt") + 1)
+            ).alias("excl_sum"),
+            F.sum(
+                F.when(F.col("g") == F.col("n_dt"), 1.0).otherwise(0.0)
+            ).alias("u_d"),
+        )
+    )
+    scored = (
+        per_doc.join(F.broadcast(tot), "lang")
+        .join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(td))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_d").cast("long").alias("n_toks"),
+            F.col("u_d").cast("long").alias("n_unique_toks"),
+            F.round(
+                (
+                    F.col("incl_sum")
+                    - F.col("n_d") * F.log(F.col("tot_l") + F.col("v"))
+                    + F.log(F.col("nd") / F.col("td"))
+                )
+                - (
+                    F.col("excl_sum")
+                    - F.col("n_d")
+                    * F.log(
+                        F.col("tot_l")
+                        - F.col("n_d")
+                        + F.col("v")
+                        - F.col("u_d")
+                    )
+                    + F.log((F.col("nd") - 1) / (F.col("td") - 1))
+                ),
+                6,
+            ).alias("self_influence"),
+        )
+    )
+    return scored.orderBy(
+        F.col("self_influence").desc(), F.col("doc_id").asc()
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Classifier agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+_KAPPA_ORACLE = f"""
+WITH feat AS (
+    SELECT doc_id,
+           len({_TOKENS_SQL}) AS tokcnt,
+           len(list_distinct({_TOKENS_SQL}))::DOUBLE
+               / len({_TOKENS_SQL}) AS div_ratio
+    FROM documents
+),
+gated AS (
+    SELECT doc_id,
+           CASE WHEN tokcnt >= 40 THEN 1 ELSE 0 END AS keep_a,
+           CASE WHEN div_ratio >= 0.45 AND tokcnt >= 25 THEN 1 ELSE 0 END
+               AS keep_b
+    FROM feat
+),
+cells AS (
+    SELECT count(*)::DOUBLE AS n,
+           sum(CASE WHEN keep_a = 1 AND keep_b = 1 THEN 1 ELSE 0 END)
+               ::BIGINT AS both_keep,
+           sum(CASE WHEN keep_a = 1 AND keep_b = 0 THEN 1 ELSE 0 END)
+               ::BIGINT AS a_only,
+           sum(CASE WHEN keep_a = 0 AND keep_b = 1 THEN 1 ELSE 0 END)
+               ::BIGINT AS b_only,
+           sum(CASE WHEN keep_a = 0 AND keep_b = 0 THEN 1 ELSE 0 END)
+               ::BIGINT AS both_drop
+    FROM gated
+)
+SELECT n::BIGINT AS n_docs, both_keep, a_only, b_only, both_drop,
+       round((both_keep + both_drop) / n, 4) AS po,
+       round(((both_keep + a_only) / n) * ((both_keep + b_only) / n)
+             + ((b_only + both_drop) / n) * ((a_only + both_drop) / n),
+             4) AS pe,
+       CASE
+           WHEN ((both_keep + a_only) / n) * ((both_keep + b_only) / n)
+                + ((b_only + both_drop) / n) * ((a_only + both_drop) / n)
+                >= 1.0 THEN 1.0
+           ELSE round(
+               ((both_keep + both_drop) / n
+                - (((both_keep + a_only) / n) * ((both_keep + b_only) / n)
+                   + ((b_only + both_drop) / n)
+                     * ((a_only + both_drop) / n)))
+               / (1.0
+                  - (((both_keep + a_only) / n) * ((both_keep + b_only) / n)
+                     + ((b_only + both_drop) / n)
+                       * ((a_only + both_drop) / n))),
+               4)
+       END AS kappa
+FROM cells
+"""
+
+
+@register(
+    "classifier_agreement_kappa",
+    oracle=_KAPPA_ORACLE,
+    tags=("valuation", "quality", "eval", "agreement"),
+)
+def classifier_agreement_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's kappa between two independent keep/drop quality gates —
+    gate A keeps long docs (>= 40 tokens), gate B keeps lexically
+    diverse docs (distinct/total token ratio >= 0.45 with a minimal
+    length floor). Since length and diversity anti-correlate in any
+    vocabulary-bounded corpus, the gates genuinely disagree and kappa
+    measures how much of their agreement is beyond chance — the
+    inter-rater reliability check a curation team runs before trusting
+    a single filter's keep set.
+
+    Plan shape at 100 TB: two scan-local boolean features, one 4-cell
+    census (map-side combinable), a 1-row output — no shuffle beyond
+    the final single-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = TX.tokens("text")
+    feat = docs.select(
+        F.size(arr).alias("tokcnt"),
+        (
+            F.size(F.array_distinct(arr)).cast("double") / F.size(arr)
+        ).alias("div_ratio"),
+    )
+    gated = feat.select(
+        F.when(F.col("tokcnt") >= 40, 1).otherwise(0).alias("keep_a"),
+        F.when(
+            (F.col("div_ratio") >= 0.45) & (F.col("tokcnt") >= 25), 1
+        )
+        .otherwise(0)
+        .alias("keep_b"),
+    )
+    cells = gated.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(
+            F.when((F.col("keep_a") == 1) & (F.col("keep_b") == 1), 1)
+            .otherwise(0)
+        ).alias("both_keep"),
+        F.sum(
+            F.when((F.col("keep_a") == 1) & (F.col("keep_b") == 0), 1)
+            .otherwise(0)
+        ).alias("a_only"),
+        F.sum(
+            F.when((F.col("keep_a") == 0) & (F.col("keep_b") == 1), 1)
+            .otherwise(0)
+        ).alias("b_only"),
+        F.sum(
+            F.when((F.col("keep_a") == 0) & (F.col("keep_b") == 0), 1)
+            .otherwise(0)
+        ).alias("both_drop"),
+    )
+    po = (F.col("both_keep") + F.col("both_drop")) / F.col("n")
+    pe = (
+        (F.col("both_keep") + F.col("a_only"))
+        / F.col("n")
+        * ((F.col("both_keep") + F.col("b_only")) / F.col("n"))
+    ) + (
+        (F.col("b_only") + F.col("both_drop"))
+        / F.col("n")
+        * ((F.col("a_only") + F.col("both_drop")) / F.col("n"))
+    )
+    return cells.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("both_keep").cast("long").alias("both_keep"),
+        F.col("a_only").cast("long").alias("a_only"),
+        F.col("b_only").cast("long").alias("b_only"),
+        F.col("both_drop").cast("long").alias("both_drop"),
+        F.round(po, 4).alias("po"),
+        F.round(pe, 4).alias("pe"),
+        F.when(pe >= 1.0, F.lit(1.0))
+        .otherwise(F.round((po - pe) / (1.0 - pe), 4))
+        .alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coreset sensitivity sample
+# ---------------------------------------------------------------------------
+
+_CS_K = 8  # seed centroids
+_CS_M = 64  # expected coreset size
+_CS_SPACE = 1152921504606846976.0  # 2^60, the portable md5-hash range
+
+_CS_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+    SELECT v AS s FROM e ORDER BY vec_id ASC LIMIT {_CS_K}
+),
+costs AS (
+    SELECT e.vec_id,
+           round(min(list_distance(e.v, s.s) * list_distance(e.v, s.s)),
+                 6) AS cost
+    FROM e CROSS JOIN seeds s GROUP BY e.vec_id
+),
+tot AS (SELECT sum(cost) AS sc, count(*)::DOUBLE AS n FROM costs),
+scored AS (
+    SELECT c.vec_id, c.cost,
+           least(1.0, {_CS_M} * (0.5 * c.cost / t.sc + 0.5 / t.n)) AS p,
+           ('0x' || substr(md5('coreset|' || c.vec_id), 1, 15))::BIGINT
+               / {_CS_SPACE} AS u
+    FROM costs c CROSS JOIN tot t
+),
+kept AS (
+    SELECT vec_id, cost, 1.0 / p AS w
+    FROM scored WHERE round(u, 7) < round(p, 7)
+)
+SELECT t.n::BIGINT AS n_points,
+       (SELECT count(*) FROM kept)::BIGINT AS coreset_n,
+       round((SELECT sum(w) FROM kept), 2) AS est_mass,
+       round((SELECT sum(w * cost) FROM kept) / t.sc, 3) AS cost_ratio
+FROM tot t
+"""
+
+
+@register(
+    "coreset_sensitivity_sample",
+    oracle=_CS_ORACLE,
+    tags=("valuation", "coreset", "sampling", "vector"),
+)
+def coreset_sensitivity_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sensitivity-sampled weighted coreset over the embedding table
+    (Bachem/Lucic/Krause): cost every point against k seed centroids,
+    sample point i with probability min(1, m*(cost_i/2*sum + 1/2n)) via
+    a deterministic md5 uniform, weight it 1/p_i. The output checks the
+    coreset CONTRACT: the weighted mass estimates n and the weighted
+    cost reproduces the corpus cost (cost_ratio ~ 1) — the unbiasedness
+    any downstream weighted-kmeans consumer relies on.
+
+    Plan shape at 100 TB: seeds are a k-row broadcast; costing is one
+    scan (crossJoin with k rows, min-aggregated map-side); the sample
+    predicate is scan-local off a 1-row broadcast total — the corpus
+    never shuffles. Costs are rounded to 6dp BEFORE the sums and the
+    membership comparison rounds both sides to 7dp, so the sampled set
+    is bit-identical across engines and cluster topologies."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seeds = F.broadcast(
+        e.orderBy(F.col("vec_id").asc())
+        .limit(_CS_K)
+        .select(F.col("embedding").alias("s"))
+    )
+    costs = (
+        e.crossJoin(seeds)
+        .select(
+            "vec_id", squared_l2("embedding", "s").alias("d2")
+        )
+        .groupBy("vec_id")
+        .agg(F.round(F.min("d2"), 6).alias("cost"))
+    )
+    tot = costs.agg(
+        F.sum("cost").alias("sc"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    scored = costs.crossJoin(F.broadcast(tot)).select(
+        "vec_id",
+        "cost",
+        "sc",
+        "n",
+        F.least(
+            F.lit(1.0),
+            _CS_M * (0.5 * F.col("cost") / F.col("sc") + 0.5 / F.col("n")),
+        ).alias("p"),
+        (
+            TX.md5_long(
+                F.concat(F.lit("coreset|"), F.col("vec_id").cast("string"))
+            ).cast("double")
+            / F.lit(_CS_SPACE)
+        ).alias("u"),
+    )
+    kept = scored.where(
+        F.round(F.col("u"), 7) < F.round(F.col("p"), 7)
+    ).select("cost", "sc", "n", (F.lit(1.0) / F.col("p")).alias("w"))
+    return kept.groupBy("sc", "n").agg(
+        F.count(F.lit(1)).alias("coreset_n"),
+        F.round(F.sum("w"), 2).alias("est_mass"),
+        F.round(F.sum(F.col("w") * F.col("cost")) / F.first("sc"), 3).alias(
+            "cost_ratio"
+        ),
+    ).select(
+        F.col("n").cast("long").alias("n_points"),
+        F.col("coreset_n").cast("long").alias("coreset_n"),
+        "est_mass",
+        "cost_ratio",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Template (Type-2) duplicate mining, cross-language
+# ---------------------------------------------------------------------------
+
+_TPL_OFFSET = 200_000
+
+_TPL_DOCS_SQL = f"""
+    SELECT doc_id, lang, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_TPL_OFFSET} AS doc_id,
+           't_' || lang AS lang,
+           array_to_string(
+               list_transform({_TOKENS_SQL},
+                              t -> 'x' || substr(md5(t), 1, 8)),
+               ' ') AS text
+    FROM documents WHERE doc_id % 7 = 3
+"""
+
+_TPL_ORACLE = f"""
+WITH docs2 AS ({_TPL_DOCS_SQL}),
+arr AS (
+    SELECT doc_id, lang, {_TOKENS_SQL} AS a FROM docs2
+),
+fp AS (
+    SELECT doc_id, lang, len(a)::BIGINT AS n_toks,
+           md5(array_to_string(
+               list_transform(a, x -> list_position(a, x)::VARCHAR),
+               ',')) AS tfp
+    FROM arr
+)
+SELECT tfp AS template_fp, count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       min(doc_id) AS rep_doc_id,
+       min(n_toks) AS template_len
+FROM fp
+GROUP BY tfp
+HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2
+"""
+
+
+@register(
+    "template_dups_cross_lang",
+    oracle=_TPL_ORACLE,
+    tags=("dedup", "template", "cross-lingual", "type-2"),
+)
+def template_dups_cross_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Type-2 (template) duplicate mining: every document is
+    canonicalized to its token-OCCURRENCE pattern — each token instance
+    maps to the 1-based position of that token's FIRST occurrence — so
+    two documents that are word-level bijections of each other (the
+    machine-translated / templated / boilerplate contamination that
+    exact dedup AND MinHash both miss by construction) share a
+    fingerprint. The fixture corpus has no natural cross-lingual twins,
+    so the query plants them deterministically (a UNION ALL both
+    engines run: an md5 word-bijection of every doc_id % 7 == 3 doc
+    under a 't_'-prefixed lang), then reports template classes spanning
+    >= 2 languages.
+
+    Plan shape at 100 TB: canonicalization is O(L log L) per document —
+    posexplode, doc-local min-position, ordered re-assembly (the
+    repetition-cutover shape, NEVER the O(L^2) array_position
+    expression); grouping is a fingerprint groupBy with no pair space.
+    Cited parity: the reference's dedup story is a pgvector exact-match
+    upsert (rag.py:52-58) — template-grain contamination is invisible
+    to it."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + _TPL_OFFSET).alias("doc_id"),
+        F.concat(F.lit("t_"), F.col("lang")).alias("lang"),
+        F.array_join(
+            F.transform(
+                TX.tokens("text"),
+                lambda t: F.concat(F.lit("x"), F.substring(F.md5(t), 1, 8)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    docs2 = d.select("doc_id", "lang", "text").unionByName(planted)
+    inst = docs2.select(
+        "doc_id",
+        "lang",
+        F.posexplode(TX.tokens("text")).alias("pos", "tok"),
+    )
+    fo = inst.groupBy("doc_id", "tok").agg(F.min("pos").alias("fpos"))
+    fp = (
+        inst.join(fo, ["doc_id", "tok"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "fpos"))
+                        ),
+                        lambda s: (s["fpos"] + 1).cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("tfp"),
+        )
+    )
+    return (
+        fp.groupBy("tfp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("rep_doc_id"),
+            F.min("n_toks").alias("template_len"),
+        )
+        .where((F.col("n_docs") >= 2) & (F.col("n_langs") >= 2))
+        .select(
+            F.col("tfp").alias("template_fp"),
+            "n_docs",
+            "n_langs",
+            "rep_doc_id",
+            "template_len",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source duplication rate with Wilson CI
+# ---------------------------------------------------------------------------
+
+_DR_OFFSET = 100_000
+_DR_N_PLANT = 50
+_DR_Z = 1.96
+
+_DR_ORACLE = f"""
+WITH docs2 AS (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_DR_OFFSET} AS doc_id, source, text
+    FROM documents WHERE doc_id < {_DR_N_PLANT}
+),
+fp AS (
+    SELECT source,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+    FROM docs2
+),
+per_src AS (
+    SELECT source, count(*)::DOUBLE AS n,
+           count(DISTINCT f)::DOUBLE AS d
+    FROM fp GROUP BY source
+)
+SELECT source, n::BIGINT AS n_docs, d::BIGINT AS n_distinct,
+       round((n - d) / n, 4) AS dup_rate,
+       round(greatest(0.0,
+           ((n - d) / n + {_DR_Z} * {_DR_Z} / (2 * n)
+            - {_DR_Z} * sqrt(((n - d) / n) * (1 - (n - d) / n) / n
+                             + {_DR_Z} * {_DR_Z} / (4 * n * n)))
+           / (1 + {_DR_Z} * {_DR_Z} / n)), 4) AS ci_lo,
+       round(least(1.0,
+           ((n - d) / n + {_DR_Z} * {_DR_Z} / (2 * n)
+            + {_DR_Z} * sqrt(((n - d) / n) * (1 - (n - d) / n) / n
+                             + {_DR_Z} * {_DR_Z} / (4 * n * n)))
+           / (1 + {_DR_Z} * {_DR_Z} / n)), 4) AS ci_hi
+FROM per_src
+"""
+
+
+@register(
+    "dup_rate_by_source_ci",
+    oracle=_DR_ORACLE,
+    tags=("dedup", "monitoring", "wilson", "source"),
+)
+def dup_rate_by_source_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication rate with a Wilson 95% interval —
+    the curation-ops monitoring view that ranks sources for the next
+    dedup pass, interval-aware so a 3-doc source with one twin doesn't
+    outrank a million-doc source at 2%. Duplicates are planted (the
+    plans/dedup.py convention: the fixture corpus is dup-free, so a
+    UNION ALL both engines run re-inserts the first {_DR_N_PLANT} docs
+    under shifted ids).
+
+    Plan shape at 100 TB: fingerprint is scan-local; the whole query is
+    one (source, fp)-grain distinct-count aggregate (partial-aggregated
+    map-side) and a source-grain census — output is |sources| rows, no
+    pair space, no sort."""
+    d = load_table(spark, sf_dir, "documents")
+    docs2 = d.select("doc_id", "source", "text").unionByName(
+        d.where(F.col("doc_id") < _DR_N_PLANT).select(
+            (F.col("doc_id") + _DR_OFFSET).alias("doc_id"),
+            "source",
+            "text",
+        )
+    )
+    per_src = (
+        docs2.select("source", TX.fingerprint("text").alias("f"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.countDistinct("f").cast("double").alias("d"),
+        )
+    )
+    p = (F.col("n") - F.col("d")) / F.col("n")
+    z2 = _DR_Z * _DR_Z
+    center = p + z2 / (2 * F.col("n"))
+    half = _DR_Z * F.sqrt(
+        p * (1 - p) / F.col("n") + z2 / (4 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z2 / F.col("n")
+    return per_src.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("d").cast("long").alias("n_distinct"),
+        F.round(p, 4).alias("dup_rate"),
+        F.round(F.greatest(F.lit(0.0), (center - half) / denom), 4).alias(
+            "ci_lo"
+        ),
+        F.round(F.least(F.lit(1.0), (center + half) / denom), 4).alias(
+            "ci_hi"
+        ),
+    )

@@ -1,0 +1,111 @@
+"""Invariants for the valuation/curation-audit operators beyond the
+oracle parity gate (which tests/test_oracle_parity.py applies to all
+six registered queries automatically)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.plans import REGISTRY
+from emails_to_vector_db_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_template_canonicalization_matches_array_expression(spark):
+    """The scalable explode+min-position canonical form must equal the
+    O(L^2) array_position reference expression doc-for-doc — the same
+    equivalence-pinning discipline as the repetition cutover."""
+    from emails_to_vector_db_spark.functions import text as TX
+
+    d = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    arr = TX.tokens("text")
+    # O(L^2) reference: token -> 1-based first-occurrence position.
+    ref = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    arr, lambda t: F.array_position(arr, t).cast("string")
+                ),
+                ",",
+            )
+        ).alias("tfp_ref"),
+    )
+    inst = d.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok")
+    )
+    fo = inst.groupBy("doc_id", "tok").agg(F.min("pos").alias("fpos"))
+    got = (
+        inst.join(fo, ["doc_id", "tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "fpos"))),
+                        lambda s: (s["fpos"] + 1).cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("tfp")
+        )
+    )
+    diff = (
+        ref.join(got, "doc_id")
+        .where(F.col("tfp_ref") != F.col("tfp"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_template_dups_detects_every_planted_bijection(spark):
+    """Each planted word-bijection twin must land in a template group
+    with its original: groups containing a planted id (>= 200000) must
+    also contain the source doc's template (rep <= original id)."""
+    out = (
+        REGISTRY["template_dups_cross_lang"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    )
+    assert len(out) > 0
+    # every planted doc (doc_id % 7 == 3) appears in some group whose
+    # representative is an ORIGINAL doc (templates are shared), so no
+    # group may consist solely of planted ids.
+    assert all(r["rep_doc_id"] < 200_000 for r in out)
+    assert all(r["n_langs"] >= 2 for r in out)
+
+
+def test_coreset_contract_bounds(spark):
+    """The sensitivity sample must be non-trivial and unbiased-ish:
+    weighted mass within 25% of n, weighted cost within 50% of the
+    true cost (loose bounds — the exact values are oracle-pinned)."""
+    row = (
+        REGISTRY["coreset_sensitivity_sample"]
+        .fn(spark, SF_ORACLE)
+        .collect()[0]
+    )
+    assert 0 < row["coreset_n"] < row["n_points"]
+    assert abs(row["est_mass"] - row["n_points"]) / row["n_points"] < 0.25
+    assert 0.5 < row["cost_ratio"] < 1.5
+
+
+def test_self_influence_output_is_sorted_and_positive(spark):
+    rows = REGISTRY["nb_self_influence"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    vals = [r["self_influence"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    # removing a doc's own counts can only lower its own likelihood
+    # (the prior shift is O(1/n) and dominated at fixture scale)
+    assert all(v > 0 for v in vals)
+
+
+def test_loo_valuation_covers_topk_sources(spark):
+    rows = REGISTRY["loo_source_valuation"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    assert len({r["source"] for r in rows}) == 5
+    accs = {r["acc_full"] for r in rows}
+    assert len(accs) == 1  # acc_full is a model-level scalar
