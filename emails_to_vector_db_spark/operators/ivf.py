@@ -304,3 +304,45 @@ def assign_centroids_arrow(
     return df.select("vec_id", vec_col).mapInPandas(
         assign, schema="vec_id bigint, cid int"
     )
+
+
+def min_cost_arrow(
+    df: "DataFrame",
+    seeds: list[list[float]],
+    vec_col: str = "embedding",
+    *,
+    round_dp: int = 6,
+):
+    """Min squared-L2 distance to a seed set, via the same BLAS
+    expansion as assign_centroids_arrow — the kmeans/coreset COSTING
+    lane (sensitivity sampling, inertia audits). Clamped at 0 (the
+    expansion's cancellation can go 1e-13 negative on exact matches)
+    and rounded to ``round_dp`` so the value is engine-portable.
+    Returns (vec_id, cost double)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(seeds, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    def cost(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                d = (
+                    (X * X).sum(axis=1)[:, None]
+                    + c_sq[None, :]
+                    - 2.0 * (X @ C.T)
+                )
+                c = np.round(np.maximum(d.min(axis=1), 0.0), round_dp)
+            else:
+                c = np.zeros(0, dtype="float64")
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "cost": c}
+            )
+
+    return df.select("vec_id", vec_col).mapInPandas(
+        cost, schema="vec_id bigint, cost double"
+    )

@@ -45,9 +45,10 @@ Scale notes (100 TB)
 - The template canonicalization is O(L log L) per document (explode +
   doc-local min-position + ordered re-assembly), the same shape the
   repetition cutover uses — never the O(L²) array_position expression.
-- The coreset costs are one broadcast-k crossJoin (k rows) and the
-  sample predicate is a deterministic md5 uniform, so both engines and
-  any two cluster runs pick the identical coreset.
+- The coreset costs are one BLAS Arrow pass against k driver-collected
+  seed literals and the sample predicate is a deterministic md5
+  uniform, so both engines and any two cluster runs pick the identical
+  coreset.
 """
 
 from __future__ import annotations
@@ -56,7 +57,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.functions import text as TX
-from emails_to_vector_db_spark.functions.vector import squared_l2
 from emails_to_vector_db_spark.plans.registry import register
 from emails_to_vector_db_spark.sources.tables import load_table
 
@@ -68,12 +68,19 @@ _TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
 
 _LOO_K = 5  # candidate sources to value (top by train doc count)
 
+_LOO_SPLIT_SQL = (
+    "('0x' || substr(md5('loo|' || doc_id), 1, 15))::BIGINT % 5"
+)
+
 _LOO_ORACLE = f"""
 WITH toks AS (
-    SELECT doc_id, lang, source, unnest({_TOKENS_SQL}) AS tok FROM documents
+    SELECT doc_id, lang, source, unnest({_TOKENS_SQL}) AS tok,
+           {_LOO_SPLIT_SQL} AS split FROM documents
 ),
-train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
-train_docs AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+train AS (SELECT * FROM toks WHERE split <> 0),
+train_docs AS (
+    SELECT * FROM documents WHERE {_LOO_SPLIT_SQL} <> 0
+),
 cand AS (
     SELECT source, count(*)::BIGINT AS nd_s
     FROM train_docs GROUP BY source
@@ -119,7 +126,7 @@ cnt_s AS (
     GROUP BY lang, source, tok
 ),
 test_toks AS (
-    SELECT doc_id, lang AS actual_lang, tok FROM toks WHERE doc_id % 5 = 0
+    SELECT doc_id, lang AS actual_lang, tok FROM toks WHERE split = 0
 ),
 scored AS (
     SELECT t.doc_id, t.actual_lang, l.lang, m.msrc,
@@ -178,6 +185,7 @@ CROSS JOIN (SELECT acc FROM acc WHERE msrc = '__full__') af
     "loo_source_valuation",
     oracle=_LOO_ORACLE,
     tags=("valuation", "training-data", "nb", "loo"),
+    bench=True,
 )
 def loo_source_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-source-out data valuation WITHOUT retraining: the NB
@@ -199,38 +207,68 @@ def loo_source_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction): every (lang, candidate source) pair leaves >= 1
     training doc after exclusion — LOO priors stay finite."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", "source", F.explode(TX.tokens("text")).alias("tok")
+    # Hash split, NOT doc_id % 5: the fixture derives source from
+    # doc_id % 20, so a modular split starves sources = 0 mod 5 of
+    # training docs entirely (see _EL_SPLIT_SQL note below).
+    split = (
+        TX.md5_long(F.concat(F.lit("loo|"), F.col("doc_id").cast("string")))
+        % 5
     )
-    train = toks.where(F.col("doc_id") % 5 != 0)
-    train_docs = docs.where(F.col("doc_id") % 5 != 0)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(TX.tokens("text")).alias("tok"),
+        split.alias("split"),
+    )
+    train = toks.where(F.col("split") != 0)
+    train_docs = docs.where(split != 0)
+    # ONE corpus-grain shuffle: the (lang, source, tok) token census.
+    # Every model table below (global counts, per-source counts, class
+    # totals, vocab sizes, unique-to-source vocab) derives from this
+    # cached vocabulary-grain frame — without it each derived table
+    # re-scanned and re-shuffled the exploded token stream (measured 57
+    # exchanges at sf0.01, most of them corpus-grain; now the corpus
+    # shuffles once and only census-grain re-aggregates remain).
+    from pyspark import StorageLevel
+
+    census = (
+        train.groupBy("lang", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("n_lst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dcen = (
+        train_docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs_ls"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cand = (
-        train_docs.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("nd_s"))
+        dcen.groupBy("source")
+        .agg(F.sum("n_docs_ls").alias("nd_s"))
         .orderBy(F.col("nd_s").desc(), F.col("source").asc())
         .limit(_LOO_K)
     )
-    train_c = train.join(F.broadcast(cand.select("source")), "source")
+    census_c = census.join(F.broadcast(cand.select("source")), "source")
 
-    prior = train_docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("double").alias("nd")
+    prior = dcen.groupBy("lang").agg(
+        F.sum("n_docs_ls").cast("double").alias("nd")
     )
     prior_s = (
-        train_docs.join(F.broadcast(cand.select("source")), "source")
+        dcen.join(F.broadcast(cand.select("source")), "source")
         .groupBy("lang", "source")
-        .agg(F.count(F.lit(1)).cast("double").alias("nd_ls"))
+        .agg(F.sum("n_docs_ls").cast("double").alias("nd_ls"))
     )
-    td = train_docs.agg(F.count(F.lit(1)).cast("double").alias("td"))
-    tot = train.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("double").alias("tot_l")
+    td = dcen.agg(F.sum("n_docs_ls").cast("double").alias("td"))
+    tot = census.groupBy("lang").agg(
+        F.sum("n_lst").cast("double").alias("tot_l")
     )
-    tot_s = train_c.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).cast("double").alias("tot_ls")
+    tot_s = census_c.groupBy("lang", "source").agg(
+        F.sum("n_lst").cast("double").alias("tot_ls")
     )
-    vocab = train.agg(F.countDistinct("tok").cast("double").alias("v"))
-    gt = train.groupBy("tok").agg(F.count(F.lit(1)).alias("g"))
-    gs = train_c.groupBy("tok", "source").agg(
-        F.count(F.lit(1)).alias("gsum")
+    vocab = census.agg(F.countDistinct("tok").cast("double").alias("v"))
+    gt = census.groupBy("tok").agg(F.sum("n_lst").alias("g"))
+    gs = census_c.groupBy("tok", "source").agg(
+        F.sum("n_lst").alias("gsum")
     )
     uniq_s = (
         gs.join(gt, "tok")
@@ -238,12 +276,12 @@ def loo_source_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("double").alias("u_s"))
     )
-    cnt_g = train.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
-    cnt_s = train_c.groupBy("lang", "source", "tok").agg(
-        F.count(F.lit(1)).alias("c_s")
+    cnt_g = census.groupBy("lang", "tok").agg(F.sum("n_lst").alias("c"))
+    cnt_s = census_c.groupBy("lang", "source", "tok").agg(
+        F.sum("n_lst").alias("c_s")
     )
 
-    test_toks = toks.where(F.col("doc_id") % 5 == 0).select(
+    test_toks = toks.where(F.col("split") == 0).select(
         "doc_id", F.col("lang").alias("actual_lang"), "tok"
     )
     # Base rows: one per (test token instance, lang) — the ONLY
@@ -693,28 +731,33 @@ def coreset_sensitivity_sample(
     cost reproduces the corpus cost (cost_ratio ~ 1) — the unbiasedness
     any downstream weighted-kmeans consumer relies on.
 
-    Plan shape at 100 TB: seeds are a k-row broadcast; costing is one
-    scan (crossJoin with k rows, min-aggregated map-side); the sample
-    predicate is scan-local off a 1-row broadcast total — the corpus
-    never shuffles. Costs are rounded to 6dp BEFORE the sums and the
+    Plan shape at 100 TB: seeds are k driver-collected literals (the
+    bounded kmeans-centroid precedent); costing is ONE scan through the
+    BLAS Arrow lane (operators/ivf.py::min_cost_arrow — a dgemm per
+    batch, not an interpreted per-element fold); the sample predicate
+    is scan-local off a 1-row broadcast total — the corpus never
+    shuffles. Costs are rounded to 6dp BEFORE the sums and the
     membership comparison rounds both sides to 7dp, so the sampled set
     is bit-identical across engines and cluster topologies."""
+    from emails_to_vector_db_spark.operators.ivf import min_cost_arrow
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    seeds = F.broadcast(
-        e.orderBy(F.col("vec_id").asc())
-        .limit(_CS_K)
-        .select(F.col("embedding").alias("s"))
+    # k-row driver collect (the kmeans.py:55 precedent): seeds become
+    # numpy literals so costing runs through the BLAS Arrow lane — the
+    # interpreted zip_with/aggregate fold took 12.9s at sf1 where one
+    # dgemm takes milliseconds (the assign_centroids_arrow lesson).
+    seed_rows = (
+        e.orderBy(F.col("vec_id").asc()).limit(_CS_K).collect()
     )
-    costs = (
-        e.crossJoin(seeds)
-        .select(
-            "vec_id", squared_l2("embedding", "s").alias("d2")
-        )
-        .groupBy("vec_id")
-        .agg(F.round(F.min("d2"), 6).alias("cost"))
-    )
+    seeds = [list(map(float, r["embedding"])) for r in seed_rows]
+    costs = min_cost_arrow(e, seeds)
+    # Persisted: consumed by BOTH the totals aggregate and the sample
+    # predicate — unpersisted, the costing pass runs twice.
+    from pyspark import StorageLevel
+
+    costs = costs.persist(StorageLevel.MEMORY_AND_DISK)
     tot = costs.agg(
         F.sum("cost").alias("sc"),
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -796,6 +839,7 @@ HAVING count(*) >= 2 AND count(DISTINCT lang) >= 2
     "template_dups_cross_lang",
     oracle=_TPL_ORACLE,
     tags=("dedup", "template", "cross-lingual", "type-2"),
+    bench=True,
 )
 def template_dups_cross_lang(
     spark: SparkSession, sf_dir: str
@@ -837,24 +881,33 @@ def template_dups_cross_lang(
         "lang",
         F.posexplode(TX.tokens("text")).alias("pos", "tok"),
     )
-    fo = inst.groupBy("doc_id", "tok").agg(F.min("pos").alias("fpos"))
-    fp = (
-        inst.join(fo, ["doc_id", "tok"])
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "fpos"))
-                        ),
-                        lambda s: (s["fpos"] + 1).cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("tfp"),
-        )
+    # Fused canonicalization: ONE (doc, tok) aggregate carries both the
+    # first-occurrence position and the token's full position list, so
+    # the instance stream is never shuffled a second time for a
+    # join-back (measured 44.0s -> the fused shape at sf1; the explode
+    # re-expands to instance grain map-side, already co-partitioned for
+    # the doc-grain aggregate that follows).
+    fo = inst.groupBy("doc_id", "lang", "tok").agg(
+        F.min("pos").alias("fpos"),
+        F.collect_list("pos").alias("poss"),
+    )
+    expanded = fo.select(
+        "doc_id",
+        "lang",
+        "fpos",
+        F.explode("poss").alias("pos"),
+    )
+    fp = expanded.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "fpos"))),
+                    lambda s: (s["fpos"] + 1).cast("string"),
+                ),
+                ",",
+            )
+        ).alias("tfp"),
     )
     return (
         fp.groupBy("tfp")
@@ -882,6 +935,329 @@ def template_dups_cross_lang(
 _DR_OFFSET = 100_000
 _DR_N_PLANT = 50
 _DR_Z = 1.96
+
+# ---------------------------------------------------------------------------
+# Canary extraction audit (secret-sharer, data-side)
+# ---------------------------------------------------------------------------
+
+_CAN_BASE = 300_000
+_CAN_N = 30  # canaries; copies class = id % 3 -> 1 / 8 / 64 copies
+
+_CAN_DOCS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT {_CAN_BASE} + i * 1000 + c AS doc_id,
+           'zzcanary' || i || ' secret' || i || ' '
+               || trim(repeat('pad ', 20 + (i % 4) * 20)) AS text
+    FROM (SELECT unnest(range({_CAN_N})) AS i),
+         (SELECT unnest(range(64)) AS c)
+    WHERE c < CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 8 ELSE 64 END
+"""
+
+_CAN_ORACLE = f"""
+WITH docs2 AS ({_CAN_DOCS_SQL}),
+canaries AS (
+    SELECT doc_id, text,
+           (doc_id - {_CAN_BASE}) // 1000 AS cid,
+           CASE ((doc_id - {_CAN_BASE}) // 1000) % 3
+               WHEN 0 THEN 1 WHEN 1 THEN 8 ELSE 64 END AS copies_class,
+           len({_TOKENS_SQL}) >= 40 AS pass_quality
+    FROM docs2 WHERE doc_id >= {_CAN_BASE}
+),
+dedup AS (
+    SELECT min(doc_id) AS keep_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM docs2 GROUP BY fp
+),
+flagged AS (
+    SELECT c.cid, c.copies_class, c.pass_quality,
+           (d.keep_id IS NOT NULL) AS survives_dedup
+    FROM canaries c
+    LEFT JOIN dedup d ON d.keep_id = c.doc_id
+)
+SELECT copies_class,
+       count(DISTINCT cid)::BIGINT AS n_canaries,
+       count(*)::BIGINT AS n_planted_copies,
+       sum(CASE WHEN pass_quality THEN 1 ELSE 0 END)::BIGINT
+           AS post_quality_no_dedup,
+       sum(CASE WHEN survives_dedup THEN 1 ELSE 0 END)::BIGINT
+           AS post_dedup,
+       sum(CASE WHEN survives_dedup AND pass_quality THEN 1 ELSE 0 END)
+           ::BIGINT AS post_dedup_quality
+FROM flagged
+GROUP BY copies_class
+"""
+
+
+@register(
+    "canary_extraction_audit",
+    oracle=_CAN_ORACLE,
+    tags=("valuation", "privacy", "memorization", "canary"),
+)
+def canary_extraction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secret-sharer canary audit, data-side: plant {_CAN_N} canary
+    documents at three replication rates (1 / 8 / 64 byte-identical
+    copies) and half-straddling the length quality gate, then measure
+    how many COPIES survive (a) the quality gate alone and (b) exact
+    dedup + quality. The point the numbers make: without dedup a
+    64-copy canary keeps all its copies (memorization risk scales with
+    replication), with dedup every canary collapses to at most one
+    surviving copy — the quantitative argument for dedup as a
+    memorization defence (Lee et al. 2022; Carlini et al.
+    secret-sharer, applied to the data pipeline instead of the model).
+
+    Plan shape at 100 TB: canary generation is a literal 100-ish-row
+    range product; the audit is the exact-dedup fingerprint groupBy
+    (map-side combinable) plus a canary-grain left join — no pair
+    space, output is 3 rows."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ids = spark.range(_CAN_N).select(F.col("id").alias("i"))
+    copies = spark.range(64).select(F.col("id").alias("c"))
+    want = (
+        F.when(F.col("i") % 3 == 0, 1)
+        .when(F.col("i") % 3 == 1, 8)
+        .otherwise(64)
+    )
+    canary_docs = (
+        ids.crossJoin(copies)
+        .where(F.col("c") < want)
+        .select(
+            (_CAN_BASE + F.col("i") * 1000 + F.col("c")).alias("doc_id"),
+            F.concat(
+                F.lit("zzcanary"),
+                F.col("i").cast("string"),
+                F.lit(" secret"),
+                F.col("i").cast("string"),
+                F.lit(" "),
+                F.trim(
+                    F.repeat(
+                        F.lit("pad "),
+                        (20 + (F.col("i") % 4) * 20).cast("int"),
+                    )
+                ),
+            ).alias("text"),
+        )
+    )
+    docs2 = d.unionByName(canary_docs)
+    dedup_keep = (
+        docs2.groupBy(TX.fingerprint("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    cid = ((F.col("doc_id") - _CAN_BASE) / 1000).cast("long")
+    canaries = docs2.where(F.col("doc_id") >= _CAN_BASE).select(
+        "doc_id",
+        cid.alias("cid"),
+        F.when(cid % 3 == 0, 1)
+        .when(cid % 3 == 1, 8)
+        .otherwise(64)
+        .alias("copies_class"),
+        (F.size(TX.tokens("text")) >= 40).alias("pass_quality"),
+    )
+    flagged = canaries.join(
+        dedup_keep,
+        canaries["doc_id"] == dedup_keep["keep_id"],
+        "left",
+    ).select(
+        "cid",
+        "copies_class",
+        "pass_quality",
+        F.col("keep_id").isNotNull().alias("survives_dedup"),
+    )
+    return flagged.groupBy("copies_class").agg(
+        F.countDistinct("cid").alias("n_canaries"),
+        F.count(F.lit(1)).alias("n_planted_copies"),
+        F.sum(F.when(F.col("pass_quality"), 1).otherwise(0)).alias(
+            "post_quality_no_dedup"
+        ),
+        F.sum(F.when(F.col("survives_dedup"), 1).otherwise(0)).alias(
+            "post_dedup"
+        ),
+        F.sum(
+            F.when(
+                F.col("survives_dedup") & F.col("pass_quality"), 1
+            ).otherwise(0)
+        ).alias("post_dedup_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Excess-loss mixture (DoReMi-style one-step reweighting)
+# ---------------------------------------------------------------------------
+
+_EL_ETA = 1.0
+
+# The held/train split MUST be hash-based, not doc_id % 5: the fixture
+# assigns source from doc_id % 20, so a modular split is perfectly
+# correlated with source (held-out would contain ONLY sources = 0 mod 5
+# and those sources would have zero training tokens).
+_EL_SPLIT_SQL = (
+    "('0x' || substr(md5('els|' || doc_id), 1, 15))::BIGINT % 5"
+)
+
+_EL_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source, unnest({_TOKENS_SQL}) AS tok,
+           {_EL_SPLIT_SQL} AS split FROM documents
+),
+train AS (SELECT * FROM toks WHERE split <> 0),
+held AS (SELECT * FROM toks WHERE split = 0),
+vocab AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM train),
+cg AS (SELECT tok, count(*)::BIGINT AS c FROM train GROUP BY tok),
+tg AS (SELECT count(*)::DOUBLE AS t FROM train),
+cs AS (
+    SELECT source, tok, count(*)::BIGINT AS c
+    FROM train GROUP BY source, tok
+),
+ts AS (SELECT source, count(*)::DOUBLE AS t FROM train GROUP BY source),
+ce AS (
+    SELECT h.source,
+           count(*)::DOUBLE AS n_held,
+           -avg(ln((coalesce(g.c, 0) + 1) / (tg.t + v.v))) AS ce_global,
+           -avg(ln((coalesce(s.c, 0) + 1)
+                   / (coalesce(ts.t, 0) + v.v))) AS ce_own
+    FROM held h
+    CROSS JOIN tg CROSS JOIN vocab v
+    LEFT JOIN cg g ON g.tok = h.tok
+    LEFT JOIN cs s ON s.tok = h.tok AND s.source = h.source
+    LEFT JOIN ts ON ts.source = h.source
+    GROUP BY h.source
+),
+share AS (
+    SELECT source, count(*)::DOUBLE AS n_train_toks
+    FROM train GROUP BY source
+),
+wts AS (
+    SELECT c.source, c.n_held, c.ce_global, c.ce_own,
+           s.n_train_toks / (SELECT sum(n_train_toks) FROM share) AS p,
+           exp({_EL_ETA} * round(c.ce_global - c.ce_own, 6)) AS boost
+    FROM ce c JOIN share s ON s.source = c.source
+)
+SELECT source,
+       n_held::BIGINT AS n_held_toks,
+       round(ce_global, 6) AS ce_global,
+       round(ce_own, 6) AS ce_own,
+       round(ce_global - ce_own, 6) AS excess,
+       round(p * boost / (SELECT sum(p * boost) FROM wts), 6)
+           AS mix_weight
+FROM wts
+"""
+
+
+@register(
+    "excess_loss_mixture",
+    oracle=_EL_ORACLE,
+    tags=("valuation", "mixing", "doremi", "training-data"),
+    bench=True,
+)
+def excess_loss_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style one-step domain reweighting: each source's
+    held-out excess loss — cross-entropy under the GLOBAL unigram LM
+    minus under its OWN-source LM (how much a shared model underserves
+    the domain) — drives a multiplicative-weights update
+    w ∝ share · exp(eta · excess), normalized into the next epoch's
+    mixture. The third mixing policy beside source_mixing_weights'
+    uniform-target capping and alpha_mixing_weights' temperature
+    flattening: this one is LOSS-driven, the DoReMi core signal,
+    computed in closed form from two token censuses instead of a proxy
+    model training run.
+
+    Plan shape at 100 TB: one train census at (tok) and (source, tok)
+    grain (map-side combinable), one held-out scan joined against the
+    two LM tables at token grain — doc text never crosses a shuffle;
+    the weight normalization is a |sources|-row aggregate. The excess
+    is rounded to 6dp BEFORE exp() so both engines exponentiate the
+    identical argument."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        TX.md5_long(F.concat(F.lit("els|"), F.col("doc_id").cast("string")))
+        % 5
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(TX.tokens("text")).alias("tok"),
+        split.alias("split"),
+    )
+    train = toks.where(F.col("split") != 0)
+    held = toks.where(F.col("split") == 0)
+    # ONE corpus-grain shuffle: the (source, tok) census; the global LM,
+    # totals, vocab and shares all derive from this cached frame (the
+    # loo_source_valuation discipline).
+    from pyspark import StorageLevel
+
+    census = (
+        train.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab = census.agg(F.countDistinct("tok").cast("double").alias("v"))
+    cg = census.groupBy("tok").agg(F.sum("n_st").alias("c_g"))
+    tg = census.agg(F.sum("n_st").cast("double").alias("t_g"))
+    cs = census.select(
+        "source", "tok", F.col("n_st").alias("c_s")
+    )
+    ts = census.groupBy("source").agg(
+        F.sum("n_st").cast("double").alias("t_s")
+    )
+    ce = (
+        held.join(F.broadcast(cg), "tok", "left")
+        .join(F.broadcast(cs), ["source", "tok"], "left")
+        .join(F.broadcast(ts), "source", "left")
+        .crossJoin(F.broadcast(tg))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_held"),
+            (
+                -F.avg(
+                    F.log(
+                        (F.coalesce(F.col("c_g"), F.lit(0)) + 1)
+                        / (F.col("t_g") + F.col("v"))
+                    )
+                )
+            ).alias("ce_global"),
+            (
+                -F.avg(
+                    F.log(
+                        (F.coalesce(F.col("c_s"), F.lit(0)) + 1)
+                        / (F.coalesce(F.col("t_s"), F.lit(0.0)) + F.col("v"))
+                    )
+                )
+            ).alias("ce_own"),
+        )
+    )
+    share = census.groupBy("source").agg(
+        F.sum("n_st").cast("double").alias("n_train_toks")
+    )
+    share_tot = share.agg(F.sum("n_train_toks").alias("tot_toks"))
+    wts = (
+        ce.join(share, "source")
+        .crossJoin(F.broadcast(share_tot))
+        .withColumn("p", F.col("n_train_toks") / F.col("tot_toks"))
+        .withColumn(
+            "boost",
+            F.exp(
+                _EL_ETA * F.round(F.col("ce_global") - F.col("ce_own"), 6)
+            ),
+        )
+    )
+    norm = wts.agg(F.sum(F.col("p") * F.col("boost")).alias("z"))
+    return (
+        wts.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            F.col("n_held").cast("long").alias("n_held_toks"),
+            F.round(F.col("ce_global"), 6).alias("ce_global"),
+            F.round(F.col("ce_own"), 6).alias("ce_own"),
+            F.round(F.col("ce_global") - F.col("ce_own"), 6).alias(
+                "excess"
+            ),
+            F.round(
+                F.col("p") * F.col("boost") / F.col("z"), 6
+            ).alias("mix_weight"),
+        )
+    )
 
 _DR_ORACLE = f"""
 WITH docs2 AS (

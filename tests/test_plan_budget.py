@@ -124,6 +124,15 @@ SHUFFLE_BUDGET = {
     # corpus-scale diff and the delta are persisted so no branch
     # re-executes them
     "incremental_curation_e2e": 27,
+    # r8 valuation flagships: ONE corpus-grain census each; the rest are
+    # vocabulary-grain re-aggregates (plus the bounded x-langs x-cand
+    # test-side expansion for loo). The uncached-plan print re-prints
+    # the persisted census subtree under every consumer (the
+    # prefix_filter convention: repeated subtrees counted) — the
+    # EXECUTED plan reads the cache: 10 exchanges for loo.
+    "loo_source_valuation": 59,
+    "excess_loss_mixture": 20,
+    "template_dups_cross_lang": 4,  # (doc,tok) agg + doc agg + fp groupBy
 }
 
 
