@@ -84,6 +84,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "coreset_sensitivity_sample",
     "template_dups_cross_lang",
     "dup_rate_by_source_ci",
+    "canary_extraction_audit",
+    "excess_loss_mixture",
+    "filter_shapley_attribution",
+    "paired_bootstrap_system_eval",
 )
 
 

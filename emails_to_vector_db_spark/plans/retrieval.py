@@ -1637,3 +1637,460 @@ def average_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ap_at_k",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Paired-bootstrap system comparison (BM25 vs dense retrieval)
+# ---------------------------------------------------------------------------
+
+_PB_Q = 20  # query probes (doc_ids 0..Q-1)
+_PB_K = 10  # AP cutoff
+_PB_B = 200  # bootstrap replicas
+# Impact-ordered postings pruning: the candidate join keeps only each
+# term's top-M docs by (tf desc, doc_id asc). Without it, a dense
+# shared vocabulary makes EVERY doc a candidate for every query —
+# measured 163s at sf10 (10M (qid, doc) groups); with the cap the
+# candidate space is bounded by |terms| x M per query at ANY corpus
+# size. df/idf/avgdl stay exact (computed on the UNPRUNED census);
+# the pruning is part of the operator contract and the oracle applies
+# the identical cap.
+_PB_POSTINGS_CAP = 256
+
+def _pb_w_sql() -> str:
+    from emails_to_vector_db_spark.plans.stats import _POIS_CDF
+
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN u < {p!r} THEN {k}" for k, p in enumerate(_POIS_CDF)
+        )
+        + f" ELSE {len(_POIS_CDF)} END"
+    )
+
+
+_PB_ORACLE = f"""
+WITH base AS (
+    SELECT d.doc_id, d.text, d.source, e.embedding::DOUBLE[] AS v
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+q AS (
+    SELECT doc_id AS qid, source AS qsrc, v AS qv, text AS qtext
+    FROM base WHERE doc_id < {_PB_Q}
+),
+toks AS (
+    SELECT doc_id, len({_TOKENS_SQL}) AS dl, unnest({_TOKENS_SQL}) AS term
+    FROM documents
+),
+stats AS (
+    SELECT count(*)::BIGINT AS n_docs,
+           avg(len({_TOKENS_SQL})) AS avgdl
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf, min(dl) AS dl
+    FROM toks GROUP BY doc_id, term
+),
+df_t AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+tfp AS (
+    SELECT doc_id, term, tf, dl
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY term ORDER BY tf DESC, doc_id ASC
+        ) AS rnk FROM tf
+    ) WHERE rnk <= {_PB_POSTINGS_CAP}
+),
+qterms AS (
+    SELECT qid,
+           unnest(list_distinct(regexp_split_to_array(trim(qtext),
+                                                      '\\s+'))) AS term
+    FROM q
+),
+bm AS (
+    SELECT qt.qid, t.doc_id,
+           sum(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({_K1} + 1))
+               / (t.tf + {_K1} * (1 - {_B} + {_B} * t.dl / s.avgdl))
+           ) AS score
+    FROM qterms qt
+    JOIN tfp t ON t.term = qt.term AND t.doc_id <> qt.qid
+    JOIN df_t d ON d.term = qt.term
+    CROSS JOIN stats s
+    GROUP BY qt.qid, t.doc_id
+),
+ra AS (
+    SELECT qid, doc_id,
+           row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(score, 6) DESC, doc_id ASC
+           ) AS rn
+    FROM bm
+),
+rel_a AS (
+    SELECT r.qid, r.rn,
+           CASE WHEN b.source = q.qsrc THEN 1 ELSE 0 END AS rel
+    FROM ra r
+    JOIN base b ON b.doc_id = r.doc_id
+    JOIN q ON q.qid = r.qid
+    WHERE r.rn <= {_PB_K}
+),
+rel_a_cum AS (
+    SELECT qid, rn, rel,
+           sum(rel) OVER (PARTITION BY qid ORDER BY rn
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM rel_a
+),
+ap_a2 AS (
+    SELECT qid, sum(rel * cum / rn) / {_PB_K} AS ap
+    FROM rel_a_cum GROUP BY qid
+),
+cos AS (
+    SELECT q.qid, b.doc_id,
+           list_dot_product(b.v, q.qv)
+             / (sqrt(list_dot_product(b.v, b.v))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS sim,
+           CASE WHEN b.source = q.qsrc THEN 1 ELSE 0 END AS rel
+    FROM base b CROSS JOIN q
+    WHERE b.doc_id <> q.qid
+),
+rb AS (
+    SELECT qid, rel,
+           row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(sim, 6) DESC, doc_id ASC
+           ) AS rn
+    FROM cos
+),
+rel_b AS (SELECT qid, rn, rel FROM rb WHERE rn <= {_PB_K}),
+rel_b_cum AS (
+    SELECT qid, rn, rel,
+           sum(rel) OVER (PARTITION BY qid ORDER BY rn
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM rel_b
+),
+ap_b2 AS (
+    SELECT qid, sum(rel * cum / rn) / {_PB_K} AS ap
+    FROM rel_b_cum GROUP BY qid
+),
+pairs AS (
+    SELECT q.qid,
+           coalesce(a.ap, 0.0) AS apa,
+           coalesce(b.ap, 0.0) AS apb
+    FROM q
+    LEFT JOIN ap_a2 a ON a.qid = q.qid
+    LEFT JOIN ap_b2 b ON b.qid = q.qid
+),
+reps AS (
+    SELECT p.qid, p.apa, p.apb, b.b,
+           (('0x' || substr(md5('pb|' || p.qid || ':' || b.b), 1, 8))
+               ::BIGINT) / 4294967296.0 AS u
+    FROM pairs p
+    CROSS JOIN (SELECT unnest(generate_series(0, {_PB_B - 1})) AS b) b
+),
+deltas AS (
+    SELECT b,
+           CASE WHEN sum(w) = 0 THEN 0.0
+                ELSE sum(w * (apa - apb)) / sum(w) END AS delta
+    FROM (SELECT qid, apa, apb, b, {{W_SQL}} AS w FROM reps)
+    GROUP BY b
+),
+pt AS (
+    SELECT count(*)::BIGINT AS n_queries,
+           avg(apa) AS ma, avg(apb) AS mb
+    FROM pairs
+)
+SELECT pt.n_queries,
+       round(pt.ma, 4) AS mean_ap_bm25,
+       round(pt.mb, 4) AS mean_ap_cosine,
+       round(pt.ma - pt.mb, 4) AS delta,
+       round(quantile_cont(d.delta, 0.025), 4) AS ci_lo,
+       round(quantile_cont(d.delta, 0.975), 4) AS ci_hi,
+       round(avg(CASE WHEN d.delta <= 0 THEN 1.0 ELSE 0.0 END), 4)
+           AS frac_delta_le0
+FROM deltas d CROSS JOIN pt
+GROUP BY pt.n_queries, pt.ma, pt.mb
+"""
+
+
+def _pb_oracle() -> str:
+    return _PB_ORACLE.replace("{W_SQL}", _pb_w_sql())
+
+
+@register(
+    "paired_bootstrap_system_eval",
+    oracle=_pb_oracle(),
+    tags=("retrieval", "eval", "bootstrap", "significance"),
+)
+def paired_bootstrap_system_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paired-bootstrap significance test between two retrieval systems
+    — BM25 (each probe doc's own tokens as the query) vs dense cosine —
+    on AP@{_PB_K} over {_PB_Q} queries with same-source relevance: the
+    system-comparison leg the eval suite lacked (per-system MRR/nDCG
+    exist; this answers "is A actually better than B, or is the gap
+    within query-resampling noise?"). {_PB_B} deterministic Poisson(1)
+    replicas reweight the QUERY set (pairs stay paired — the correct
+    unit of resampling for system comparison), the delta distribution
+    yields a 95% CI and the fraction of replicas where the sign flips.
+
+    Plan shape at 100 TB: the postings census (doc, term) is the one
+    corpus-grain shuffle (the tfidf family's ceiling discipline
+    applies); per-query candidate generation is an inverted-index join
+    against a broadcast {_PB_Q}-query term list; AP is a {_PB_K}-row
+    window per query; the bootstrap unrolls |queries| x {_PB_B} tiny
+    rows. Queries, not documents, bound the expensive dimension."""
+    from pyspark import StorageLevel
+
+    from emails_to_vector_db_spark.plans.stats import _POIS_CDF
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "text", "source", "embedding"
+    )
+    q = base.where(F.col("doc_id") < _PB_Q).select(
+        F.col("doc_id").alias("qid"),
+        F.col("source").alias("qsrc"),
+        F.col("embedding").alias("qv"),
+        F.col("text").alias("qtext"),
+    )
+    # Query-term pushdown (the bm25_topk design): collect the union of
+    # the Q queries' distinct terms (bounded by Q x max doc length) and
+    # prune every document's token array to it BEFORE exploding — on a
+    # real vocabulary only query-term postings are ever built; df/idf
+    # stay exact because pruning is BY TERM (every doc containing a
+    # query term survives for that term). The fixture's degenerate
+    # 31-word vocabulary makes this a no-op there (documented in
+    # SCALE_NOTES).
+    qterm_list = sorted(
+        {
+            t
+            for r in q.select(
+                F.array_distinct(TX.tokens("qtext")).alias("ts")
+            ).collect()
+            for t in r["ts"]
+        }
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(TX.tokens("text")).alias("dl"),
+        F.explode(
+            F.filter(TX.tokens("text"), lambda x: x.isin(*qterm_list))
+        ).alias("term"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(TX.tokens("text"))).alias("avgdl"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w_imp = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    tfp = (
+        tf.withColumn("rnk", F.row_number().over(w_imp))
+        .where(F.col("rnk") <= _PB_POSTINGS_CAP)
+        .drop("rnk")
+    )
+    qterms = q.select(
+        "qid", F.explode(F.array_distinct(TX.tokens("qtext"))).alias("term")
+    )
+    bm = (
+        tfp.join(F.broadcast(qterms), "term")
+        .where(F.col("doc_id") != F.col("qid"))
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    w_a = Window.partitionBy("qid").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("doc_id").asc()
+    )
+    ra = (
+        bm.withColumn("rn", F.row_number().over(w_a))
+        .where(F.col("rn") <= _PB_K)
+        .join(base.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(q.select("qid", "qsrc")), "qid")
+        .select(
+            "qid",
+            "rn",
+            F.when(F.col("source") == F.col("qsrc"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("qid")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ap_a = (
+        ra.withColumn("cum", F.sum("rel").over(w_cum))
+        .groupBy("qid")
+        .agg(
+            (F.sum(F.col("rel") * F.col("cum") / F.col("rn")) / _PB_K)
+            .alias("apa")
+        )
+    )
+    # Dense arm through the BLAS Arrow lane with MAP-SIDE top-k: each
+    # Arrow batch emits its local top-{_PB_K} per query under the exact
+    # global comparator (round(sim, 6) desc, doc_id asc) — top-k is
+    # closed under that total order, so the global top-k over batch
+    # champions is exact. This replaces a |corpus| x |queries|
+    # interpreted cosine fold AND its corpus-grain shuffle with one
+    # dgemm per batch and ~batches x Q x k champion rows (sf10: 60.7s
+    # -> the lane; the fold was the profile).
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(
+        q.select("qid", "qv").collect(), key=lambda r: r["qid"]
+    )  # bounded: Q rows (the kmeans-seed collect precedent)
+    qids_np = np.asarray([r["qid"] for r in q_rows], dtype=np.int64)
+    Qm = np.asarray(
+        [list(map(float, r["qv"])) for r in q_rows], dtype=np.float64
+    )
+    qn = np.sqrt((Qm * Qm).sum(axis=1))
+
+    def _topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            ids = pdf["doc_id"].values.astype(np.int64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            sims = np.round((X @ Qm.T) / (xn[:, None] * qn[None, :]), 6)
+            out_q, out_d, out_s = [], [], []
+            for j in range(len(qids_np)):
+                col = sims[:, j].copy()
+                col[ids == qids_np[j]] = -np.inf
+                order = np.lexsort((ids, -col))[: _PB_K]
+                out_q.extend([qids_np[j]] * len(order))
+                out_d.extend(ids[order])
+                out_s.extend(col[order])
+            yield pd.DataFrame(
+                {"qid": out_q, "doc_id": out_d, "sim": out_s}
+            )
+
+    lane = base.select("doc_id", "embedding").mapInPandas(
+        _topk, schema="qid bigint, doc_id bigint, sim double"
+    )
+    w_b = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("doc_id").asc()
+    )
+    rb = (
+        lane.withColumn("rn", F.row_number().over(w_b))
+        .where(F.col("rn") <= _PB_K)
+        .join(base.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(q.select("qid", "qsrc")), "qid")
+        .select(
+            "qid",
+            "rn",
+            F.when(F.col("source") == F.col("qsrc"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    ap_b = (
+        rb.withColumn("cum", F.sum("rel").over(w_cum))
+        .groupBy("qid")
+        .agg(
+            (F.sum(F.col("rel") * F.col("cum") / F.col("rn")) / _PB_K)
+            .alias("apb")
+        )
+    )
+    pairs = (
+        q.select("qid")
+        .join(ap_a, "qid", "left")
+        .join(ap_b, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("apa"), F.lit(0.0)).alias("apa"),
+            F.coalesce(F.col("apb"), F.lit(0.0)).alias("apb"),
+        )
+    )
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    reps = pairs.crossJoin(
+        F.broadcast(spark.range(_PB_B).select(F.col("id").alias("b")))
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.lit("pb|"),
+                        F.col("qid").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0),
+    )
+    wexpr = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        wexpr = F.when(F.col("u") < _POIS_CDF[k], k).otherwise(wexpr)
+    deltas = (
+        reps.withColumn("w", wexpr)
+        .groupBy("b")
+        .agg(
+            F.when(F.sum("w") == 0, 0.0)
+            .otherwise(
+                F.sum(F.col("w") * (F.col("apa") - F.col("apb")))
+                / F.sum("w")
+            )
+            .alias("delta")
+        )
+    )
+    pt = F.broadcast(
+        pairs.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.avg("apa").alias("ma"),
+            F.avg("apb").alias("mb"),
+        )
+    )
+    return deltas.crossJoin(pt).groupBy("n_queries", "ma", "mb").agg(
+        F.round(F.percentile(F.col("delta"), F.lit(0.025)), 4).alias(
+            "ci_lo"
+        ),
+        F.round(F.percentile(F.col("delta"), F.lit(0.975)), 4).alias(
+            "ci_hi"
+        ),
+        F.round(
+            F.avg(F.when(F.col("delta") <= 0, 1.0).otherwise(0.0)), 4
+        ).alias("frac_delta_le0"),
+    ).select(
+        "n_queries",
+        F.round(F.col("ma"), 4).alias("mean_ap_bm25"),
+        F.round(F.col("mb"), 4).alias("mean_ap_cosine"),
+        F.round(F.col("ma") - F.col("mb"), 4).alias("delta"),
+        "ci_lo",
+        "ci_hi",
+        "frac_delta_le0",
+    )

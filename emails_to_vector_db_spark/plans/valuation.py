@@ -1345,3 +1345,130 @@ def dup_rate_by_source_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter Shapley attribution
+# ---------------------------------------------------------------------------
+
+# Gate thresholds calibrated so the 2^3 coalition lattice is
+# non-degenerate on the fixture (each gate keeps 37-66% of docs).
+_FS_CPT_LO = 5.36
+_FS_CPT_HI = 5.61
+
+_FS_GATES_SQL = f"""
+    SELECT len({_TOKENS_SQL})::BIGINT AS tokcnt,
+           len({_TOKENS_SQL}) >= 40 AS ga,
+           (len(list_distinct({_TOKENS_SQL}))::DOUBLE
+              / len({_TOKENS_SQL}) >= 0.45
+            AND len({_TOKENS_SQL}) >= 25) AS gb,
+           (n_chars::DOUBLE / len({_TOKENS_SQL})
+              BETWEEN {_FS_CPT_LO} AND {_FS_CPT_HI}) AS gc
+    FROM documents
+"""
+
+_FS_ORACLE = f"""
+WITH g AS ({_FS_GATES_SQL}),
+c AS (
+    SELECT sum(tokcnt)::DOUBLE AS t,
+           sum(CASE WHEN ga THEN tokcnt ELSE 0 END)::DOUBLE AS ka,
+           sum(CASE WHEN gb THEN tokcnt ELSE 0 END)::DOUBLE AS kb,
+           sum(CASE WHEN gc THEN tokcnt ELSE 0 END)::DOUBLE AS kc,
+           sum(CASE WHEN ga AND gb THEN tokcnt ELSE 0 END)::DOUBLE AS kab,
+           sum(CASE WHEN ga AND gc THEN tokcnt ELSE 0 END)::DOUBLE AS kac,
+           sum(CASE WHEN gb AND gc THEN tokcnt ELSE 0 END)::DOUBLE AS kbc,
+           sum(CASE WHEN ga AND gb AND gc THEN tokcnt ELSE 0 END)::DOUBLE
+               AS kabc
+    FROM g
+)
+SELECT t::BIGINT AS total_tokens,
+       (t - kabc)::BIGINT AS removed_total,
+       round((2 * (t - ka) + (kb - kab) + (kc - kac)
+              + 2 * (kbc - kabc)) / 6.0, 4) AS phi_len,
+       round((2 * (t - kb) + (ka - kab) + (kc - kbc)
+              + 2 * (kac - kabc)) / 6.0, 4) AS phi_div,
+       round((2 * (t - kc) + (ka - kac) + (kb - kbc)
+              + 2 * (kab - kabc)) / 6.0, 4) AS phi_cpt
+FROM c
+"""
+
+
+@register(
+    "filter_shapley_attribution",
+    oracle=_FS_ORACLE,
+    tags=("valuation", "shapley", "quality", "attribution"),
+)
+def filter_shapley_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Shapley attribution of removed token mass across three
+    quality gates (length, lexical diversity, chars-per-token): with 3
+    players the coalition lattice has 2^3 = 8 cells, so the Shapley
+    value — each gate's fair share of the jointly-removed tokens,
+    accounting for overlap (a doc failing two gates is not
+    double-counted to either) — is computable in closed form from ONE
+    8-cell census. phi_len + phi_div + phi_cpt = removed_total exactly
+    (the Shapley efficiency axiom, which per-gate removal counts
+    violate). Completes the valuation family's attribution ladder:
+    sources (loo_source_valuation), documents (nb_self_influence),
+    filters (this).
+
+    Plan shape at 100 TB: three scan-local boolean gates, one
+    map-side-combinable 8-conditional-sum aggregate, a 1-row output —
+    no shuffle beyond the single-row agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = TX.tokens("text")
+    tokcnt = F.size(arr)
+    g = docs.select(
+        tokcnt.cast("long").alias("tokcnt"),
+        (tokcnt >= 40).alias("ga"),
+        (
+            (F.size(F.array_distinct(arr)).cast("double") / tokcnt >= 0.45)
+            & (tokcnt >= 25)
+        ).alias("gb"),
+        (F.col("n_chars").cast("double") / tokcnt).between(
+            _FS_CPT_LO, _FS_CPT_HI
+        ).alias("gc"),
+    )
+
+    def _mass(cond):
+        return F.sum(F.when(cond, F.col("tokcnt")).otherwise(0)).cast(
+            "double"
+        )
+
+    c = g.agg(
+        F.sum("tokcnt").cast("double").alias("t"),
+        _mass(F.col("ga")).alias("ka"),
+        _mass(F.col("gb")).alias("kb"),
+        _mass(F.col("gc")).alias("kc"),
+        _mass(F.col("ga") & F.col("gb")).alias("kab"),
+        _mass(F.col("ga") & F.col("gc")).alias("kac"),
+        _mass(F.col("gb") & F.col("gc")).alias("kbc"),
+        _mass(F.col("ga") & F.col("gb") & F.col("gc")).alias("kabc"),
+    )
+    t, ka, kb, kc = F.col("t"), F.col("ka"), F.col("kb"), F.col("kc")
+    kab, kac, kbc, kabc = (
+        F.col("kab"),
+        F.col("kac"),
+        F.col("kbc"),
+        F.col("kabc"),
+    )
+    return c.select(
+        t.cast("long").alias("total_tokens"),
+        (t - kabc).cast("long").alias("removed_total"),
+        F.round(
+            (2 * (t - ka) + (kb - kab) + (kc - kac) + 2 * (kbc - kabc))
+            / 6.0,
+            4,
+        ).alias("phi_len"),
+        F.round(
+            (2 * (t - kb) + (ka - kab) + (kc - kbc) + 2 * (kac - kabc))
+            / 6.0,
+            4,
+        ).alias("phi_div"),
+        F.round(
+            (2 * (t - kc) + (ka - kac) + (kb - kbc) + 2 * (kab - kabc))
+            / 6.0,
+            4,
+        ).alias("phi_cpt"),
+    )

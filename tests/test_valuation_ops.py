@@ -103,6 +103,67 @@ def test_self_influence_output_is_sorted_and_positive(spark):
     assert all(v > 0 for v in vals)
 
 
+def test_filter_shapley_efficiency_axiom(spark):
+    """The Shapley values must sum EXACTLY to the jointly-removed token
+    mass (efficiency axiom) — the property naive per-gate removal
+    counts violate on overlapping gates."""
+    row = (
+        REGISTRY["filter_shapley_attribution"]
+        .fn(spark, SF_ORACLE)
+        .collect()[0]
+    )
+    s = row["phi_len"] + row["phi_div"] + row["phi_cpt"]
+    assert abs(s - row["removed_total"]) < 0.01
+    assert 0 < row["removed_total"] < row["total_tokens"]
+    # each gate must have some marginal effect on this fixture
+    assert row["phi_len"] > 0 and row["phi_div"] > 0 and row["phi_cpt"] > 0
+
+
+def test_canary_audit_dedup_collapses_replication(spark):
+    """Dedup must collapse every canary to at most one surviving copy
+    regardless of replication rate; without dedup survivors scale with
+    the planted copy count."""
+    rows = {
+        r["copies_class"]: r
+        for r in REGISTRY["canary_extraction_audit"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    }
+    assert set(rows) == {1, 8, 64}
+    for rate, r in rows.items():
+        assert r["n_planted_copies"] == r["n_canaries"] * rate
+        assert r["post_dedup"] <= r["n_canaries"]
+        assert r["post_quality_no_dedup"] <= r["n_planted_copies"]
+    # replication shows up ONLY on the no-dedup path
+    assert (
+        rows[64]["post_quality_no_dedup"]
+        > rows[64]["post_dedup_quality"]
+    )
+
+
+def test_paired_bootstrap_ci_brackets_delta(spark):
+    row = (
+        REGISTRY["paired_bootstrap_system_eval"]
+        .fn(spark, SF_ORACLE)
+        .collect()[0]
+    )
+    assert row["n_queries"] == 20
+    assert row["ci_lo"] <= row["ci_hi"]
+    # the point delta should land inside (or on) the resampling CI
+    assert row["ci_lo"] - 0.05 <= row["delta"] <= row["ci_hi"] + 0.05
+    assert 0.0 <= row["frac_delta_le0"] <= 1.0
+
+
+def test_excess_loss_mixture_is_normalized(spark):
+    rows = REGISTRY["excess_loss_mixture"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    total = sum(r["mix_weight"] for r in rows)
+    assert abs(total - 1.0) < 0.001
+    # specialization: own-source LM should beat the global LM on
+    # held-out text for at least one source
+    assert any(r["excess"] > 0 for r in rows)
+
+
 def test_loo_valuation_covers_topk_sources(spark):
     rows = REGISTRY["loo_source_valuation"].fn(spark, SF_ORACLE).collect()
     assert len(rows) == 5
