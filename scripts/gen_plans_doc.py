@@ -178,6 +178,30 @@ SHOWCASE = [
         "only (id, source, fp, n_tok); classification scan-local; "
         "source-grain aggregate.",
     ),
+    (
+        "template_dups_cross_lang",
+        "Type-2 template dedup: fused (doc, tok) min-position aggregate "
+        "carries the position list (instance stream shuffles once), "
+        "fingerprint groupBy — no pair space.",
+    ),
+    (
+        "loo_source_valuation",
+        "LOO valuation without retraining: ONE (lang, source, tok) census "
+        "feeds every count-subtracted model table; sparse per-source "
+        "correction join bounded by the candidate set.",
+    ),
+    (
+        "coreset_sensitivity_sample",
+        "Sensitivity coreset: BLAS Arrow costing against k driver-"
+        "collected seed literals, scan-local deterministic sample "
+        "predicate off a 1-row broadcast total.",
+    ),
+    (
+        "paired_bootstrap_system_eval",
+        "System-comparison eval: impact-capped inverted-index candidate "
+        "join, map-side dense top-k lane, query-grain paired Poisson "
+        "bootstrap unrolled against a broadcast replica range.",
+    ),
 ]
 
 

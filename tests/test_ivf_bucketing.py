@@ -211,3 +211,39 @@ def test_rebalance_store_path_matches_inline_and_skips_scan(spark, tmp_path):
     # and the inline registered form DOES carry both (the oracle replay)
     inline_plan = inline._jdf.queryExecution().executedPlan().toString()
     assert "embeddings.parquet" in inline_plan
+
+
+def test_min_cost_arrow_matches_expression_fold(spark):
+    """The BLAS costing lane must agree with the exact zip_with fold at
+    the 6dp rounding both consumers use (the expansion's cancellation
+    is clamped at 0)."""
+    from pyspark.sql import functions as F
+
+    from emails_to_vector_db_spark.functions.vector import squared_l2
+    from emails_to_vector_db_spark.operators.ivf import min_cost_arrow
+    from emails_to_vector_db_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    e = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seed_rows = e.orderBy("vec_id").limit(4).collect()
+    seeds = [list(map(float, r["embedding"])) for r in seed_rows]
+    got = min_cost_arrow(e, seeds)
+    from emails_to_vector_db_spark.functions.vector import vector_lit
+
+    ref = e.select(
+        "vec_id",
+        F.round(
+            F.least(
+                *[squared_l2("embedding", vector_lit(s)) for s in seeds]
+            ),
+            6,
+        ).alias("cost_ref"),
+    )
+    diff = (
+        got.join(ref, "vec_id")
+        .where(F.abs(F.col("cost") - F.col("cost_ref")) > 1e-9)
+        .count()
+    )
+    assert diff == 0

@@ -442,8 +442,13 @@ def test_greedy_decode_matches_literal_python_chain(spark):
 def test_bradley_terry_matches_literal_mm_replay(spark):
     """The in-engine MM trajectory must equal Zermelo's update replayed
     literally in Python from the same comparison counts (3 iterations,
-    mean-1 normalization, 6dp quantization per step)."""
+    mean-1 normalization, 6dp quantization per step) — under the SAME
+    basket-cap sampling frame the engine applies (orders with more than
+    _BT_BASKET_CAP lineitem rows are excluded from the comparison
+    stage; the cap rides the output schema)."""
     import collections
+
+    from emails_to_vector_db_spark.plans.ml import _BT_BASKET_CAP
 
     li = (
         load_table(spark, SF_ORACLE, "lineitem")
@@ -456,6 +461,8 @@ def test_bradley_terry_matches_literal_mm_replay(spark):
     wins = collections.Counter()
     games = collections.Counter()
     for rows in by_order.values():
+        if len(rows) > _BT_BASKET_CAP:
+            continue
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
                 (sa, da), (sb, db) = rows[i], rows[j]
