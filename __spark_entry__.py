@@ -88,6 +88,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "excess_loss_mixture",
     "filter_shapley_attribution",
     "paired_bootstrap_system_eval",
+    "minhash_recall_precision_audit",
 )
 
 

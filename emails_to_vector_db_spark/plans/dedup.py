@@ -2231,3 +2231,255 @@ def _incremental_lsh_routing(
             ((n_im + n_dm) == 0).alias("is_novel"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash recall/precision audit vs exact Jaccard ground truth
+# ---------------------------------------------------------------------------
+
+_RPA_T = 0.5
+
+# Three planted difficulty tiers: one appended token (J ~ 0.93, easy),
+# fifteen appended tokens (J ~ 0.75, mid), and a 60%-prefix truncation
+# (J ~ 0.55, hugging the 0.5 threshold) — the last tier is where an
+# 8-hash MinHash estimate genuinely errs, so recall/precision are
+# informative rather than trivially 1.0.
+# Twin ids use a DERIVED offset (max(doc_id) + 1), never a fixed
+# constant — the round-7 snapshot-diff lesson: a fixed offset collides
+# with real ids once the corpus outgrows it.
+_RPA_DOCS_SQL = f"""
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT doc_id + o.off AS doc_id, source,
+           text || ' zzduptoken' AS text
+    FROM documents, (SELECT max(doc_id) + 1 AS off FROM documents) o
+    WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id + o.off AS doc_id, source,
+           text || ' ' || trim(repeat('zzpad ', 15)) AS text
+    FROM documents, (SELECT max(doc_id) + 1 AS off FROM documents) o
+    WHERE doc_id >= 50 AND doc_id < 100
+    UNION ALL
+    SELECT doc_id + o.off AS doc_id, source,
+           array_to_string(
+               ({_TOKENS_SQL})[1:greatest(len({_TOKENS_SQL}) * 3 // 5, 3)],
+               ' ') AS text
+    FROM documents, (SELECT max(doc_id) + 1 AS off FROM documents) o
+    WHERE doc_id >= 100 AND doc_id < 150
+"""
+
+
+def _rpa_docs(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    """Returns (docs_with_twins, off): twin ids ride a derived offset
+    (max(doc_id) + 1 — broadcast 1-row aggregate, no collect)."""
+    d = load_table(spark, sf_dir, "documents")
+    off = d.agg((F.max("doc_id") + 1).alias("off"))
+    db = d.crossJoin(F.broadcast(off))
+    arr = TX.tokens("text")
+    t1 = db.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + F.col("off")).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" zzduptoken")).alias("text"),
+    )
+    t2 = db.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + F.col("off")).alias("doc_id"),
+        "source",
+        F.concat(
+            F.col("text"), F.lit(" "), F.trim(F.repeat(F.lit("zzpad "), 15))
+        ).alias("text"),
+    )
+    t3 = db.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).select(
+        (F.col("doc_id") + F.col("off")).alias("doc_id"),
+        "source",
+        F.array_join(
+            F.slice(
+                arr,
+                1,
+                F.greatest(
+                    (F.size(arr) * 3 / 5).cast("int"), F.lit(3)
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    docs = (
+        d.select("doc_id", "source", "text")
+        .unionByName(t1)
+        .unionByName(t2)
+        .unionByName(t3)
+    )
+    return docs, off
+
+
+# The audit universe is a FIXED-SIZE sample (first {_RPA_SAMPLE}
+# original docs + every planted twin): exact ground truth is
+# block-quadratic, so the audit's work must stay constant as the
+# corpus grows — recall/precision estimated on a sample is the only
+# form that survives 100 TB (the dedup_quality_survivors pattern).
+_RPA_SAMPLE = 10_000
+
+_RPA_ORACLE = f"""
+WITH docs0 AS ({_RPA_DOCS_SQL}),
+docs AS (
+    SELECT * FROM docs0
+    WHERE doc_id < {_RPA_SAMPLE}
+       OR doc_id >= (SELECT max(doc_id) + 1 FROM documents)
+),
+sh AS (
+    SELECT source, doc_id,
+           list_distinct(CASE WHEN len({_TOKENS_SQL}) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len({_TOKENS_SQL}) - 2),
+                    i -> array_to_string(({_TOKENS_SQL})[i:i+2], ' ')) END) AS sh
+    FROM docs
+),
+truth AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)),
+                     1) >= {_RPA_T}
+),
+m AS (
+    SELECT doc_id,
+           list_transform(sh, s -> md5(s)) AS m0,
+           list_transform(sh, s -> md5('1|' || s)) AS m1
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, {_minhash_sql_sig(2)} AS sig FROM m
+),
+bands AS (
+    SELECT doc_id, sig, b.band_idx,
+           md5(sig[b.band_idx * 2 + 1] || '|' || sig[b.band_idx * 2 + 2])
+               AS band_hash
+    FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+),
+det AS (
+    SELECT id_a, id_b FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    WHERE list_sum(list_transform(generate_series(1, 8),
+            i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1.0 ELSE 0.0 END)) / 8.0
+          >= {_RPA_T}
+),
+srcmap AS (SELECT doc_id, source FROM docs),
+det_s AS (
+    SELECT d.id_a, d.id_b,
+           (sa.source = sb.source) AS in_block
+    FROM det d
+    JOIN srcmap sa ON sa.doc_id = d.id_a
+    JOIN srcmap sb ON sb.doc_id = d.id_b
+),
+j AS (
+    SELECT coalesce(t.t, 0) AS t, coalesce(d.d, 0) AS d
+    FROM (SELECT id_a, id_b, 1 AS t FROM truth) t
+    FULL JOIN (SELECT id_a, id_b, 1 AS d FROM det_s WHERE in_block) d
+      USING (id_a, id_b)
+),
+cnt AS (
+    SELECT sum(t)::BIGINT AS n_truth,
+           sum(d)::BIGINT AS n_detected,
+           sum(t * d)::BIGINT AS n_common
+    FROM j
+),
+crossb AS (
+    SELECT count(*)::BIGINT AS n_cross_block FROM det_s WHERE NOT in_block
+)
+SELECT c.n_truth, c.n_detected, c.n_common,
+       round(c.n_common / c.n_truth::DOUBLE, 4) AS recall,
+       round(c.n_common / c.n_detected::DOUBLE, 4) AS "precision",
+       x.n_cross_block
+FROM cnt c CROSS JOIN crossb x
+"""
+
+
+@register(
+    "minhash_recall_precision_audit",
+    oracle=_RPA_ORACLE,
+    tags=("dedup", "eval", "recall", "minhash"),
+)
+def minhash_recall_precision_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical recall/precision of the MinHash(8)+LSH near-dup
+    detector against EXACT 3-gram Jaccard ground truth at the same
+    threshold ({_RPA_T}) — the dedup analog of ivf_recall_audit /
+    ann_lsh_recall_audit: the analytic S-curve (minhash_scurve_audit)
+    predicts the collision probability, this measures what the banded
+    pipeline actually delivered on the planted corpus. The audit
+    universe is the same-source block space (where exact ground truth
+    is computable); detector hits that cross blocks are reported
+    separately rather than silently dropped.
+
+    Plan shape at 100 TB: ground truth is the blocked exact-Jaccard
+    join (quadratic per block — the audit is priced for a SAMPLED
+    block subset at scale, the dedup_quality_survivors pattern); the
+    detector side is the banded LSH pipeline unchanged; the comparison
+    is one full-outer join at pair grain, bounded by the two detector
+    outputs, then a 1-row census."""
+    docs, off = _rpa_docs(spark, sf_dir)
+    docs = docs.crossJoin(F.broadcast(off)).where(
+        (F.col("doc_id") < _RPA_SAMPLE) | (F.col("doc_id") >= F.col("off"))
+    ).drop("off")
+    truth = ngram_jaccard_pairs(
+        docs, block_col="source", shingle_n=3, threshold=_RPA_T
+    ).select("id_a", "id_b", F.lit(1).alias("t"))
+    det = minhash_lsh_pairs(
+        docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=_RPA_T
+    ).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    det_s = (
+        det.join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("src_a") == F.col("src_b")).alias("in_block"),
+        )
+    )
+    from pyspark import StorageLevel
+
+    det_s = det_s.persist(StorageLevel.MEMORY_AND_DISK)
+    det_in = det_s.where(F.col("in_block")).select(
+        "id_a", "id_b", F.lit(1).alias("d")
+    )
+    j = truth.join(det_in, ["id_a", "id_b"], "full").select(
+        F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+    )
+    cnt = j.agg(
+        F.sum("t").alias("n_truth"),
+        F.sum("d").alias("n_detected"),
+        F.sum(F.col("t") * F.col("d")).alias("n_common"),
+    )
+    crossb = det_s.where(~F.col("in_block")).agg(
+        F.count(F.lit(1)).alias("n_cross_block")
+    )
+    return cnt.crossJoin(F.broadcast(crossb)).select(
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_detected").cast("long").alias("n_detected"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round(
+            F.col("n_common") / F.col("n_truth").cast("double"), 4
+        ).alias("recall"),
+        F.round(
+            F.col("n_common") / F.col("n_detected").cast("double"), 4
+        ).alias("precision"),
+        F.col("n_cross_block").cast("long").alias("n_cross_block"),
+    )

@@ -170,3 +170,19 @@ def test_loo_valuation_covers_topk_sources(spark):
     assert len({r["source"] for r in rows}) == 5
     accs = {r["acc_full"] for r in rows}
     assert len(accs) == 1  # acc_full is a model-level scalar
+
+
+def test_minhash_audit_tiers_make_errors_visible(spark):
+    """The three planted difficulty tiers must produce a non-trivial
+    audit: every easy (one-token) twin pair is both truth and detected,
+    and the threshold-hugging tier makes recall or precision < 1."""
+    row = (
+        REGISTRY["minhash_recall_precision_audit"]
+        .fn(spark, SF_ORACLE)
+        .collect()[0]
+    )
+    assert row["n_truth"] >= 100  # tiers 1+2 are all true near-dups
+    assert row["n_common"] <= min(row["n_truth"], row["n_detected"])
+    assert 0.7 <= row["recall"] <= 1.0
+    assert 0.7 <= row["precision"] <= 1.0
+    assert row["recall"] < 1.0 or row["precision"] < 1.0
