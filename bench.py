@@ -111,6 +111,102 @@ RECORDED_SF01_R07 = {
     "winnowing_fingerprint_pairs": 1.138,
 }
 
+# Round-8 full-set reference: clean idle run post the round-8 additions
+# (86 bench queries incl. the 12 promotions), same best-of-three/noop
+# protocol, on the ROUND-8 regenerated fixtures — recorded because the
+# driver regenerates /root/testdata each round and cross-regeneration
+# comparisons carry fixture drift on top of host noise (BASELINE.md
+# "Round-8 full-set reference").
+RECORDED_SF01_R08_TOTAL = 107.067
+RECORDED_SF01_R08 = {
+    "adaboost_stumps": 1.79,
+    "adamic_adar_link_prediction": 2.58,
+    "alpha_mixing_weights": 0.562,
+    "asof_last_click_before_purchase": 0.31,
+    "benchmark_decontamination": 1.0,
+    "binary_quantized_knn": 1.087,
+    "bm25_topk": 1.104,
+    "bpe_segmentation_stats": 1.019,
+    "bucketed_colocated_join": 0.375,
+    "bytes_per_token_by_source": 0.219,
+    "cdc_chunk_stability": 1.468,
+    "changepoint_detection": 1.367,
+    "cohort_retention_matrix": 0.455,
+    "containment_near_supersets": 3.792,
+    "corpus_snapshot_diff": 0.62,
+    "curation_pipeline_e2e": 0.671,
+    "dedup_quality_survivors": 3.105,
+    "doc_quality_scores": 0.306,
+    "doc_token_stats": 0.213,
+    "duplicate_ngram_coverage": 1.791,
+    "embedding_jl_projection_pairs": 0.489,
+    "embedding_near_dup_groups": 1.056,
+    "embedding_near_dups_lsh": 0.993,
+    "embedding_pca_topvar": 0.307,
+    "epoch_shuffle_decorrelation": 0.361,
+    "event_funnel_conversion": 0.392,
+    "exact_dedup_groups": 0.228,
+    "excess_loss_mixture": 2.526,
+    "filter_ablation_matrix": 0.975,
+    "gopher_repetition_filters": 0.798,
+    "hard_negative_mining": 0.356,
+    "hash_embed_knn": 0.6,
+    "heavy_hitter_terms": 0.493,
+    "hourly_event_counts": 0.187,
+    "incremental_curation_e2e": 5.01,
+    "incremental_lsh_dedup": 3.943,
+    "incremental_mv_refresh": 0.297,
+    "ivf_rebalance_plan": 2.193,
+    "ivfadc_ann_topk": 1.073,
+    "kcore_part_basket": 9.667,
+    "kmv_distinct_sketch": 0.345,
+    "kneser_ney_bigram_scores": 1.909,
+    "knn_join_multi_probe": 0.39,
+    "knn_join_probe_cutover": 2.131,
+    "knn_topk_l2": 0.368,
+    "label_centroid_norm_pandas": 0.335,
+    "lang_id_confusion": 0.543,
+    "logreg_quality_classifier": 1.226,
+    "loo_source_valuation": 4.939,
+    "minhash_lsh_near_dups": 0.987,
+    "minhash_near_dup_groups": 1.621,
+    "mips_topk_augmented": 0.3,
+    "naive_bayes_lang_classifier": 0.804,
+    "near_dup_components": 2.052,
+    "ngram_novelty_scores": 1.27,
+    "pq_ann_topk": 0.541,
+    "prefix_filter_jaccard_join": 2.723,
+    "psi_value_drift": 0.541,
+    "q10_returned_item_customers": 0.589,
+    "q1_pricing_summary": 0.297,
+    "q21_suppliers_kept_orders_waiting": 0.862,
+    "q3_shipping_priority": 0.675,
+    "q5_local_supplier_volume": 0.643,
+    "q6_forecast_revenue": 0.174,
+    "q7_volume_shipping": 0.733,
+    "q9_product_type_profit": 0.622,
+    "rfm_customer_segments_approx": 0.984,
+    "rm3_query_expansion": 3.118,
+    "semantic_dedup_prune": 0.666,
+    "simhash_near_dups": 1.048,
+    "skyline_pareto_parts": 1.766,
+    "sliding_window_counts": 0.271,
+    "small_file_compaction_plan": 0.77,
+    "softmax_lang_classifier": 1.864,
+    "source_token_kl": 0.406,
+    "span_exact_dedup": 0.887,
+    "spatial_radius_join": 0.72,
+    "spatial_radius_topk": 0.948,
+    "split_contamination_matrix": 3.161,
+    "split_leakage_audit": 0.553,
+    "substring_window_dedup": 2.311,
+    "template_dups_cross_lang": 1.0,
+    "tfidf_cosine_topk_pairs": 1.283,
+    "tfidf_idf_top30": 0.228,
+    "unigram_perplexity_scores": 0.594,
+    "winnowing_fingerprint_pairs": 1.091,
+}
+
 RECORDED_SF01_TOTAL = 23.207
 RECORDED_SF01 = {
     "asof_last_click_before_purchase": 2.129,
@@ -185,6 +281,17 @@ def main() -> None:
             )
         # full-set ratio vs the round-7 reference run (covers the whole
         # bench surface, not just the r01 16-query subset)
+        common8 = [n for n in timings if n in RECORDED_SF01_R08]
+        rec8 = sum(RECORDED_SF01_R08[n] for n in common8)
+        now8 = sum(timings[n] for n in common8)
+        if rec8 > 0:
+            payload["r08_set_ratio"] = round(now8 / rec8, 3)
+            print(
+                f"# vs r08 full-set reference ({len(common8)} queries): "
+                f"{payload['r08_set_ratio']}x (recorded {rec8:.1f}s, "
+                f"now {now8:.1f}s)",
+                file=sys.stderr,
+            )
         common7 = [n for n in timings if n in RECORDED_SF01_R07]
         rec7 = sum(RECORDED_SF01_R07[n] for n in common7)
         now7 = sum(timings[n] for n in common7)
