@@ -49,6 +49,12 @@ Scale notes (100 TB)
   seed literals and the sample predicate is a deterministic md5
   uniform, so both engines and any two cluster runs pick the identical
   coreset.
+- Persisted intermediates (loo's base rows, the coreset costs) follow
+  the repo convention: callers own cache lifecycle — bench.py and the
+  driver clearCache() between queries.
+- Planted twins/canaries ride DERIVED id offsets (max(doc_id) + 1,
+  broadcast 1-row aggregate): fixed offsets collide with real ids once
+  the corpus outgrows them (the round-7 snapshot-diff lesson).
 """
 
 from __future__ import annotations
@@ -799,18 +805,20 @@ def coreset_sensitivity_sample(
 # Template (Type-2) duplicate mining, cross-language
 # ---------------------------------------------------------------------------
 
-_TPL_OFFSET = 200_000
-
+# Twin ids ride a DERIVED offset (max(doc_id) + 1) — a fixed offset
+# collides with real ids once the corpus outgrows it (the round-7
+# derived-offset lesson, applied fleet-wide to the planted twins).
 _TPL_DOCS_SQL = f"""
     SELECT doc_id, lang, text FROM documents
     UNION ALL
-    SELECT doc_id + {_TPL_OFFSET} AS doc_id,
+    SELECT doc_id + o.off AS doc_id,
            't_' || lang AS lang,
            array_to_string(
                list_transform({_TOKENS_SQL},
                               t -> 'x' || substr(md5(t), 1, 8)),
                ' ') AS text
-    FROM documents WHERE doc_id % 7 = 3
+    FROM documents, (SELECT max(doc_id) + 1 AS off FROM documents) o
+    WHERE doc_id % 7 = 3
 """
 
 _TPL_ORACLE = f"""
@@ -864,8 +872,11 @@ def template_dups_cross_lang(
     upsert (rag.py:52-58) — template-grain contamination is invisible
     to it."""
     d = load_table(spark, sf_dir, "documents")
-    planted = d.where(F.col("doc_id") % 7 == 3).select(
-        (F.col("doc_id") + _TPL_OFFSET).alias("doc_id"),
+    off = d.agg((F.max("doc_id") + 1).alias("off"))
+    planted = d.crossJoin(F.broadcast(off)).where(
+        F.col("doc_id") % 7 == 3
+    ).select(
+        (F.col("doc_id") + F.col("off")).alias("doc_id"),
         F.concat(F.lit("t_"), F.col("lang")).alias("lang"),
         F.array_join(
             F.transform(
@@ -932,7 +943,6 @@ def template_dups_cross_lang(
 # Per-source duplication rate with Wilson CI
 # ---------------------------------------------------------------------------
 
-_DR_OFFSET = 100_000
 _DR_N_PLANT = 50
 _DR_Z = 1.96
 
@@ -940,29 +950,34 @@ _DR_Z = 1.96
 # Canary extraction audit (secret-sharer, data-side)
 # ---------------------------------------------------------------------------
 
-_CAN_BASE = 300_000
 _CAN_N = 30  # canaries; copies class = id % 3 -> 1 / 8 / 64 copies
 
+# Canary ids ride a DERIVED base (max(doc_id) + 1), never a fixed
+# constant — a fixed 300k base collides with real ids once the corpus
+# outgrows it and the `doc_id >= base` canary selector would sweep in
+# real documents (the round-7 derived-offset lesson).
 _CAN_DOCS_SQL = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT {_CAN_BASE} + i * 1000 + c AS doc_id,
+    SELECT o.off + i * 1000 + c AS doc_id,
            'zzcanary' || i || ' secret' || i || ' '
                || trim(repeat('pad ', 20 + (i % 4) * 20)) AS text
     FROM (SELECT unnest(range({_CAN_N})) AS i),
-         (SELECT unnest(range(64)) AS c)
+         (SELECT unnest(range(64)) AS c),
+         (SELECT max(doc_id) + 1 AS off FROM documents) o
     WHERE c < CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 8 ELSE 64 END
 """
 
 _CAN_ORACLE = f"""
 WITH docs2 AS ({_CAN_DOCS_SQL}),
+off AS (SELECT max(doc_id) + 1 AS off FROM documents),
 canaries AS (
     SELECT doc_id, text,
-           (doc_id - {_CAN_BASE}) // 1000 AS cid,
-           CASE ((doc_id - {_CAN_BASE}) // 1000) % 3
+           (doc_id - o.off) // 1000 AS cid,
+           CASE ((doc_id - o.off) // 1000) % 3
                WHEN 0 THEN 1 WHEN 1 THEN 8 ELSE 64 END AS copies_class,
            len({_TOKENS_SQL}) >= 40 AS pass_quality
-    FROM docs2 WHERE doc_id >= {_CAN_BASE}
+    FROM docs2, off o WHERE doc_id >= o.off
 ),
 dedup AS (
     SELECT min(doc_id) AS keep_id,
@@ -1011,6 +1026,7 @@ def canary_extraction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable) plus a canary-grain left join — no pair
     space, output is 3 rows."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = d.agg((F.max("doc_id") + 1).alias("off"))
     ids = spark.range(_CAN_N).select(F.col("id").alias("i"))
     copies = spark.range(64).select(F.col("id").alias("c"))
     want = (
@@ -1021,8 +1037,9 @@ def canary_extraction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     canary_docs = (
         ids.crossJoin(copies)
         .where(F.col("c") < want)
+        .crossJoin(F.broadcast(off))
         .select(
-            (_CAN_BASE + F.col("i") * 1000 + F.col("c")).alias("doc_id"),
+            (F.col("off") + F.col("i") * 1000 + F.col("c")).alias("doc_id"),
             F.concat(
                 F.lit("zzcanary"),
                 F.col("i").cast("string"),
@@ -1044,15 +1061,19 @@ def canary_extraction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"))
         .select("keep_id")
     )
-    cid = ((F.col("doc_id") - _CAN_BASE) / 1000).cast("long")
-    canaries = docs2.where(F.col("doc_id") >= _CAN_BASE).select(
-        "doc_id",
-        cid.alias("cid"),
-        F.when(cid % 3 == 0, 1)
-        .when(cid % 3 == 1, 8)
-        .otherwise(64)
-        .alias("copies_class"),
-        (F.size(TX.tokens("text")) >= 40).alias("pass_quality"),
+    cid = ((F.col("doc_id") - F.col("off")) / 1000).cast("long")
+    canaries = (
+        docs2.crossJoin(F.broadcast(off))
+        .where(F.col("doc_id") >= F.col("off"))
+        .select(
+            "doc_id",
+            cid.alias("cid"),
+            F.when(cid % 3 == 0, 1)
+            .when(cid % 3 == 1, 8)
+            .otherwise(64)
+            .alias("copies_class"),
+            (F.size(TX.tokens("text")) >= 40).alias("pass_quality"),
+        )
     )
     flagged = canaries.join(
         dedup_keep,
@@ -1263,8 +1284,9 @@ _DR_ORACLE = f"""
 WITH docs2 AS (
     SELECT doc_id, source, text FROM documents
     UNION ALL
-    SELECT doc_id + {_DR_OFFSET} AS doc_id, source, text
-    FROM documents WHERE doc_id < {_DR_N_PLANT}
+    SELECT doc_id + o.off AS doc_id, source, text
+    FROM documents, (SELECT max(doc_id) + 1 AS off FROM documents) o
+    WHERE doc_id < {_DR_N_PLANT}
 ),
 fp AS (
     SELECT source,
@@ -1311,9 +1333,12 @@ def dup_rate_by_source_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side) and a source-grain census — output is |sources| rows, no
     pair space, no sort."""
     d = load_table(spark, sf_dir, "documents")
+    off = d.agg((F.max("doc_id") + 1).alias("off"))
     docs2 = d.select("doc_id", "source", "text").unionByName(
-        d.where(F.col("doc_id") < _DR_N_PLANT).select(
-            (F.col("doc_id") + _DR_OFFSET).alias("doc_id"),
+        d.crossJoin(F.broadcast(off))
+        .where(F.col("doc_id") < _DR_N_PLANT)
+        .select(
+            (F.col("doc_id") + F.col("off")).alias("doc_id"),
             "source",
             "text",
         )

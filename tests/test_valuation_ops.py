@@ -72,10 +72,17 @@ def test_template_dups_detects_every_planted_bijection(spark):
         .collect()
     )
     assert len(out) > 0
+    # planted twin ids ride the derived offset max(doc_id) + 1
+    off = (
+        load_table(spark, SF_ORACLE, "documents")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+        + 1
+    )
     # every planted doc (doc_id % 7 == 3) appears in some group whose
     # representative is an ORIGINAL doc (templates are shared), so no
     # group may consist solely of planted ids.
-    assert all(r["rep_doc_id"] < 200_000 for r in out)
+    assert all(r["rep_doc_id"] < off for r in out)
     assert all(r["n_langs"] >= 2 for r in out)
 
 
