@@ -89,6 +89,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "filter_shapley_attribution",
     "paired_bootstrap_system_eval",
     "minhash_recall_precision_audit",
+    "embedding_lsh_recall_audit",
 )
 
 

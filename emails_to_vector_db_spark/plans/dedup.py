@@ -2483,3 +2483,237 @@ def minhash_recall_precision_audit(
         ).alias("precision"),
         F.col("n_cross_block").cast("long").alias("n_cross_block"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-LSH recall/precision audit vs exact cosine ground truth
+# ---------------------------------------------------------------------------
+
+_ELA_T = 0.9
+_ELA_SAMPLE = 2_000  # audit universe: first N originals + every twin
+_ELA_N_PLANT = 99  # tier = vec_id % 3 -> alpha 0.2 / 0.45 / 0.7
+
+
+def _ela_docs(spark, sf_dir):
+    """Embeddings + three planted noise tiers: twin = v + alpha * w
+    where w is the SUCCESSOR vector (deterministic in both engines) and
+    alpha targets cos ~ 0.98 / 0.91 / 0.82 — above, straddling, and
+    below the {t} audit threshold. Twin ids ride the derived offset."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    off = emb.agg((F.max("vec_id") + 1).alias("off"))
+    succ = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("w")
+    )
+    alpha = (
+        F.when(F.col("vec_id") % 3 == 0, 0.2)
+        .when(F.col("vec_id") % 3 == 1, 0.45)
+        .otherwise(0.7)
+    )
+    # Two-step projection, deliberately: `alpha` references vec_id from
+    # OUTSIDE the zip_with lambda, and Spark resolves such outer refs
+    # against the projection's OUTPUT schema — in a single select that
+    # also renames vec_id to the twin id, the lambda silently picked the
+    # TWIN id's tier (caught by the oracle gate: every tier-0 twin got
+    # alpha 0.7). Build the mixed vector while vec_id still means the
+    # original id, rename after.
+    mixed = (
+        emb.where(F.col("vec_id") < _ELA_N_PLANT)
+        .join(succ, "vec_id")
+        .crossJoin(F.broadcast(off))
+        .select(
+            "vec_id",
+            "label",
+            "off",
+            F.zip_with(
+                "v", "w", lambda x, y: x + alpha * y
+            ).alias("v"),
+        )
+    )
+    planted = mixed.select(
+        (F.col("vec_id") + F.col("off")).alias("vec_id"), "label", "v"
+    )
+    base = emb.unionByName(planted)
+    return base.crossJoin(F.broadcast(off)).where(
+        (F.col("vec_id") < _ELA_SAMPLE) | (F.col("vec_id") >= F.col("off"))
+    ).drop("off")
+
+
+def _ela_oracle() -> str:
+    planes = _emb_planes()
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p}::DOUBLE[]) > 0"
+        f" THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {2**i})" for i in range(len(planes))]
+    )
+    return f"""
+WITH emb AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+off AS (SELECT max(vec_id) + 1 AS off FROM emb),
+planted AS (
+    SELECT a.vec_id + o.off AS vec_id, a.label,
+           list_transform(range(1, len(a.v) + 1),
+               i -> a.v[i] + (CASE a.vec_id % 3 WHEN 0 THEN 0.2
+                              WHEN 1 THEN 0.45 ELSE 0.7 END) * s.v[i])
+               AS v
+    FROM emb a
+    JOIN emb s ON s.vec_id = a.vec_id + 1
+    CROSS JOIN off o
+    WHERE a.vec_id < {_ELA_N_PLANT}
+),
+base AS (
+    SELECT * FROM (
+        SELECT * FROM emb UNION ALL SELECT * FROM planted
+    ), off o
+    WHERE vec_id < {_ELA_SAMPLE} OR vec_id >= o.off
+),
+truth AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM base a JOIN base b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= {_ELA_T}
+),
+bucketed AS (
+    SELECT vec_id, label, v, ({bits})::BIGINT AS bucket FROM base
+),
+probes AS (
+    SELECT vec_id, label, v, unnest([{probes}]) AS probe_bucket
+    FROM bucketed
+),
+det AS (
+    SELECT id_a, id_b FROM (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.v AS va, b.v AS vb
+        FROM probes a JOIN bucketed b
+          ON a.label = b.label AND a.probe_bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    )
+    WHERE list_dot_product(va, vb)
+          / (sqrt(list_dot_product(va, va))
+             * sqrt(list_dot_product(vb, vb))) >= {_ELA_T}
+),
+j AS (
+    SELECT coalesce(t.t, 0) AS t, coalesce(d.d, 0) AS d
+    FROM (SELECT id_a, id_b, 1 AS t FROM truth) t
+    FULL JOIN (SELECT id_a, id_b, 1 AS d FROM det) d
+      USING (id_a, id_b)
+)
+SELECT sum(t)::BIGINT AS n_truth,
+       sum(d)::BIGINT AS n_detected,
+       sum(t * d)::BIGINT AS n_common,
+       round(sum(t * d) / sum(t)::DOUBLE, 4) AS recall,
+       round(sum(t * d) / sum(d)::DOUBLE, 4) AS "precision"
+FROM j
+"""
+
+
+@register(
+    "embedding_lsh_recall_audit",
+    oracle=_ela_oracle(),
+    tags=("dedup", "vector", "eval", "recall"),
+)
+def embedding_lsh_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical recall/precision of the Hamming-1 multiprobe sign-LSH
+    near-dup detector against EXACT label-blocked cosine ground truth
+    at threshold {t} — completing the audit symmetry with
+    minhash_recall_precision_audit: the MinHash family is audited
+    against exact Jaccard, the embedding family against exact cosine.
+    Three planted noise tiers (cos ~ 0.98 / 0.91 / 0.82: above,
+    straddling, below threshold) make the numbers informative — at
+    cos ~ 0.91 a sign flips with probability theta/pi ~ 0.14 per
+    plane, so ~1/3 of borderline pairs land at Hamming distance >= 2
+    and the multiprobe provably misses them.
+
+    Plan shape at 100 TB: the audit universe is a FIXED-SIZE sample
+    (first {s} originals + all twins — exact ground truth is
+    block-quadratic); twin ids ride the derived offset; the detector
+    side is the standard bucketed multiprobe join; the comparison is
+    one bounded pair-grain full-outer join + a 1-row census."""
+    from emails_to_vector_db_spark.functions.vector import dot, l2_norm
+    from emails_to_vector_db_spark.operators.dedup import guard_block_sizes
+    from emails_to_vector_db_spark.operators.similarity import lsh_bucket
+
+    base = _ela_docs(spark, sf_dir)
+    guard_block_sizes(base, "label", 50_000)
+    from pyspark import StorageLevel
+
+    base = base.withColumn("norm", l2_norm("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cosab = dot("va", "vb") / (F.col("norm_a") * F.col("norm_b"))
+    ta = base.select(
+        F.col("label").alias("_l"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
+    )
+    tb = base.select(
+        F.col("label").alias("_l"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
+    )
+    truth = (
+        ta.join(tb, "_l")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosab >= _ELA_T)
+        .select("id_a", "id_b", F.lit(1).alias("t"))
+    )
+    planes = _emb_planes()
+    bucketed = base.withColumn(
+        "bucket", lsh_bucket(F.col("v"), planes).cast("long")
+    )
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(2**i))
+            for i in range(len(planes))
+        ],
+    )
+    pa = bucketed.select(
+        F.col("label").alias("_l"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
+        F.explode(probe_buckets).alias("pb"),
+    )
+    pb = bucketed.select(
+        F.col("label").alias("_l"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
+        F.col("bucket").alias("pb"),
+    )
+    det = (
+        pa.join(pb, ["_l", "pb"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(cosab >= _ELA_T)
+        .select("id_a", "id_b", F.lit(1).alias("d"))
+    )
+    j = truth.join(det, ["id_a", "id_b"], "full").select(
+        F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+    )
+    return j.agg(
+        F.sum("t").cast("long").alias("n_truth"),
+        F.sum("d").cast("long").alias("n_detected"),
+        F.sum(F.col("t") * F.col("d")).cast("long").alias("n_common"),
+        F.round(
+            F.sum(F.col("t") * F.col("d")) / F.sum("t").cast("double"), 4
+        ).alias("recall"),
+        F.round(
+            F.sum(F.col("t") * F.col("d")) / F.sum("d").cast("double"), 4
+        ).alias("precision"),
+    )

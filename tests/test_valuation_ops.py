@@ -193,3 +193,17 @@ def test_minhash_audit_tiers_make_errors_visible(spark):
     assert 0.7 <= row["recall"] <= 1.0
     assert 0.7 <= row["precision"] <= 1.0
     assert row["recall"] < 1.0 or row["precision"] < 1.0
+
+
+def test_embedding_lsh_audit_multiprobe_misses_borderline(spark):
+    """The sign-LSH multiprobe must show its real error profile on the
+    tiered plants: perfect precision (the verify step is exact) but
+    recall < 1 (borderline pairs land at Hamming distance >= 2)."""
+    row = (
+        REGISTRY["embedding_lsh_recall_audit"]
+        .fn(spark, SF_ORACLE)
+        .collect()[0]
+    )
+    assert row["precision"] == 1.0
+    assert 0.5 <= row["recall"] < 1.0
+    assert row["n_common"] == row["n_detected"] <= row["n_truth"]
