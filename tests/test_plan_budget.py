@@ -132,7 +132,9 @@ SHUFFLE_BUDGET = {
     # EXECUTED plan reads the cache: 10 exchanges for loo.
     "loo_source_valuation": 59,
     "excess_loss_mixture": 20,
-    "template_dups_cross_lang": 4,  # (doc,tok) agg + doc agg + fp groupBy
+    # (doc,tok) agg + doc agg + fp groupBy, + the 1-row derived-offset
+    # max(doc_id) aggregate (SinglePartition — the planted-twin id base)
+    "template_dups_cross_lang": 5,
 }
 
 
