@@ -72,24 +72,7 @@ def _driver_green_names() -> set[str]:
 # CORRECTNESS_r*.json (a green name in this tuple means a past round's
 # entries were never retired, quietly demoting the older backlog).
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # round 8 registrations
-    "minhash_near_dup_groups",
-    "embedding_near_dup_groups",
-    "cuped_variance_reduction_approx",
-    "incremental_curation_e2e",
-    "order_value_bootstrap_ci_xxhash",
-    "loo_source_valuation",
-    "nb_self_influence",
-    "classifier_agreement_kappa",
-    "coreset_sensitivity_sample",
-    "template_dups_cross_lang",
-    "dup_rate_by_source_ci",
-    "canary_extraction_audit",
-    "excess_loss_mixture",
-    "filter_shapley_attribution",
-    "paired_bootstrap_system_eval",
-    "minhash_recall_precision_audit",
-    "embedding_lsh_recall_audit",
+    # round 9 registrations (appended as they land this round)
 )
 
 
