@@ -73,6 +73,9 @@ def _driver_green_names() -> set[str]:
 # entries were never retired, quietly demoting the older backlog).
 _NEW_THIS_ROUND: tuple[str, ...] = (
     # round 9 registrations (appended as they land this round)
+    "bm25_topk_from_index",
+    "rm3_query_expansion_from_index",
+    "paired_bootstrap_from_index",
 )
 
 

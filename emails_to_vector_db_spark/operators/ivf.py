@@ -306,6 +306,21 @@ def assign_centroids_arrow(
     )
 
 
+def round_half_away(a, decimals: int = 6):
+    """SQL-compatible rounding for numpy arrays: half AWAY from zero.
+
+    ``np.round`` is banker's (half-to-even) while DuckDB ``round`` and
+    Spark ``F.round`` both round half away from zero — a value landing
+    exactly on a half-ulp boundary (possible under fixture regeneration)
+    would round differently and flip an oracle hash. Every Arrow lane
+    that rounds a value the oracle also rounds must use this, never
+    ``np.round``."""
+    import numpy as np
+
+    f = 10.0**decimals
+    return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
+
+
 def min_cost_arrow(
     df: "DataFrame",
     seeds: list[list[float]],
@@ -336,7 +351,9 @@ def min_cost_arrow(
                     + c_sq[None, :]
                     - 2.0 * (X @ C.T)
                 )
-                c = np.round(np.maximum(d.min(axis=1), 0.0), round_dp)
+                c = round_half_away(
+                    np.maximum(d.min(axis=1), 0.0), round_dp
+                )
             else:
                 c = np.zeros(0, dtype="float64")
             yield pd.DataFrame(

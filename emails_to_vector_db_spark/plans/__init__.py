@@ -30,6 +30,7 @@ from emails_to_vector_db_spark.plans import (  # noqa: F401,E402
     maintenance,
     ml,
     pipeline,
+    postings,
     reduction,
     relational,
     retrieval,

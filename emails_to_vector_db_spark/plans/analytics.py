@@ -755,7 +755,7 @@ CROSS JOIN n
     tags=("analytics", "association", "basket"),
 )
 def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association mining: part pairs co-ordered in ≥ {s}
+    """Market-basket association mining: part pairs co-ordered in ≥ 3
     baskets, with LIFT (observed co-support over the independence
     expectation) — the A-priori first pass and the classic
     recommendation signal, over order baskets instead of supplier

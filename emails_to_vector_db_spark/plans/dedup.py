@@ -1065,7 +1065,7 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled pair mining for contrastive embedding training: positives
     are the MinHash-LSH near-duplicate pairs (the same banded family as
     minhash_lsh_near_dups), negatives are a deterministic id-stride pair
-    per document (b = a + {stride}, inner join keeps only existing
+    per document (b = a + 7, inner join keeps only existing
     partners — no global ordering, no RNG) with an anti-join guard so an
     accidental near-dup can never be labeled negative.
 
@@ -2498,7 +2498,7 @@ def _ela_docs(spark, sf_dir):
     """Embeddings + three planted noise tiers: twin = v + alpha * w
     where w is the SUCCESSOR vector (deterministic in both engines) and
     alpha targets cos ~ 0.98 / 0.91 / 0.82 — above, straddling, and
-    below the {t} audit threshold. Twin ids ride the derived offset."""
+    below the 0.9 audit threshold. Twin ids ride the derived offset."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -2626,7 +2626,7 @@ def embedding_lsh_recall_audit(
 ) -> DataFrame:
     """Empirical recall/precision of the Hamming-1 multiprobe sign-LSH
     near-dup detector against EXACT label-blocked cosine ground truth
-    at threshold {t} — completing the audit symmetry with
+    at threshold 0.9 — completing the audit symmetry with
     minhash_recall_precision_audit: the MinHash family is audited
     against exact Jaccard, the embedding family against exact cosine.
     Three planted noise tiers (cos ~ 0.98 / 0.91 / 0.82: above,
@@ -2636,7 +2636,7 @@ def embedding_lsh_recall_audit(
     and the multiprobe provably misses them.
 
     Plan shape at 100 TB: the audit universe is a FIXED-SIZE sample
-    (first {s} originals + all twins — exact ground truth is
+    (first 2,000 originals + all twins — exact ground truth is
     block-quadratic); twin ids ride the derived offset; the detector
     side is the standard bucketed multiprobe join; the comparison is
     one bounded pair-grain full-outer join + a 1-row census."""

@@ -172,7 +172,7 @@ FROM ecount CROSS JOIN tri CROSS JOIN wedges
 )
 def cosupply_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global transitivity of the supplier co-supply
-    graph (an edge when two suppliers ship in >= {t} common orders) —
+    graph (an edge when two suppliers ship in >= 30 common orders) —
     the other canonical multi-join graph pass beside PageRank, and the
     classic benchmark for join-order/shuffle planning.
 

@@ -1656,6 +1656,40 @@ _PB_B = 200  # bootstrap replicas
 # the identical cap.
 _PB_POSTINGS_CAP = 256
 
+def _pb_base_q(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, q) for the paired-bootstrap eval: the doc+embedding join
+    and the first-{_PB_Q}-docs query frame. Shared by the inline-census
+    registered form and the postings-index twin (plans/postings.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "text", "source", "embedding"
+    )
+    q = base.where(F.col("doc_id") < _PB_Q).select(
+        F.col("doc_id").alias("qid"),
+        F.col("source").alias("qsrc"),
+        F.col("embedding").alias("qv"),
+        F.col("text").alias("qtext"),
+    )
+    return base, q
+
+
+def _pb_qterm_list(q: DataFrame) -> list[str]:
+    """Union of the Q queries' distinct terms — a bounded collect
+    (Q x max doc length) that drives the query-term pushdown."""
+    return sorted(
+        {
+            t
+            for r in q.select(
+                F.array_distinct(TX.tokens("qtext")).alias("ts")
+            ).collect()
+            for t in r["ts"]
+        }
+    )
+
+
 def _pb_w_sql() -> str:
     from emails_to_vector_db_spark.plans.stats import _POIS_CDF
 
@@ -1842,19 +1876,8 @@ def paired_bootstrap_system_eval(
     rows. Queries, not documents, bound the expensive dimension."""
     from pyspark import StorageLevel
 
-    from emails_to_vector_db_spark.plans.stats import _POIS_CDF
-
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
-        "doc_id", "text", "source", "embedding"
-    )
-    q = base.where(F.col("doc_id") < _PB_Q).select(
-        F.col("doc_id").alias("qid"),
-        F.col("source").alias("qsrc"),
-        F.col("embedding").alias("qv"),
-        F.col("text").alias("qtext"),
-    )
+    base, q = _pb_base_q(spark, sf_dir)
     # Query-term pushdown (the bm25_topk design): collect the union of
     # the Q queries' distinct terms (bounded by Q x max doc length) and
     # prune every document's token array to it BEFORE exploding — on a
@@ -1863,15 +1886,7 @@ def paired_bootstrap_system_eval(
     # query term survives for that term). The fixture's degenerate
     # 31-word vocabulary makes this a no-op there (documented in
     # SCALE_NOTES).
-    qterm_list = sorted(
-        {
-            t
-            for r in q.select(
-                F.array_distinct(TX.tokens("qtext")).alias("ts")
-            ).collect()
-            for t in r["ts"]
-        }
-    )
+    qterm_list = _pb_qterm_list(q)
     toks = docs.select(
         "doc_id",
         F.size(TX.tokens("text")).alias("dl"),
@@ -1897,14 +1912,33 @@ def paired_bootstrap_system_eval(
         .where(F.col("rnk") <= _PB_POSTINGS_CAP)
         .drop("rnk")
     )
+    enriched = tfp.join(F.broadcast(df_t), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    return _pb_tail(spark, base, q, enriched)
+
+
+def _pb_tail(
+    spark: SparkSession, base: DataFrame, q: DataFrame, enriched: DataFrame
+) -> DataFrame:
+    """Shared paired-bootstrap tail, parameterized over the LEXICAL
+    postings source: ``enriched`` carries (term, doc_id, tf, dl, df,
+    n_docs, avgdl) — built inline from the corpus census (the
+    oracle-replayable registered form) or read from the persisted
+    postings index (plans/postings.py, the production form). Everything
+    downstream — BM25 scoring, AP@k, the dense BLAS arm, the Poisson
+    replica deltas — is identical, so the two forms are row-identical
+    by construction."""
+    from pyspark import StorageLevel
+
+    from emails_to_vector_db_spark.plans.stats import _POIS_CDF
+
     qterms = q.select(
         "qid", F.explode(F.array_distinct(TX.tokens("qtext"))).alias("term")
     )
     bm = (
-        tfp.join(F.broadcast(qterms), "term")
+        enriched.join(F.broadcast(qterms), "term")
         .where(F.col("doc_id") != F.col("qid"))
-        .join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
         .groupBy("qid", "doc_id")
         .agg(
             F.sum(
@@ -1961,6 +1995,8 @@ def paired_bootstrap_system_eval(
     import numpy as np
     import pandas as pd
 
+    from emails_to_vector_db_spark.operators.ivf import round_half_away
+
     q_rows = sorted(
         q.select("qid", "qv").collect(), key=lambda r: r["qid"]
     )  # bounded: Q rows (the kmeans-seed collect precedent)
@@ -1979,14 +2015,23 @@ def paired_bootstrap_system_eval(
             )
             ids = pdf["doc_id"].values.astype(np.int64)
             xn = np.sqrt((X * X).sum(axis=1))
-            sims = np.round((X @ Qm.T) / (xn[:, None] * qn[None, :]), 6)
+            # half-away rounding matches SQL round (np.round is
+            # half-to-even — a boundary value would flip the hash)
+            sims = round_half_away(
+                (X @ Qm.T) / (xn[:, None] * qn[None, :]), 6
+            )
             out_q, out_d, out_s = [], [], []
             for j in range(len(qids_np)):
-                col = sims[:, j].copy()
-                col[ids == qids_np[j]] = -np.inf
-                order = np.lexsort((ids, -col))[: _PB_K]
+                # DROP the self row (boolean mask) rather than -inf it:
+                # if a query's finite pool ever fell below k, a -inf
+                # sentinel row could reach the global top-k and diverge
+                # from the oracle's doc_id <> qid filter.
+                keep = ids != qids_np[j]
+                cids = ids[keep]
+                col = sims[keep, j]
+                order = np.lexsort((cids, -col))[: _PB_K]
                 out_q.extend([qids_np[j]] * len(order))
-                out_d.extend(ids[order])
+                out_d.extend(cids[order])
                 out_s.extend(col[order])
             yield pd.DataFrame(
                 {"qid": out_q, "doc_id": out_d, "sim": out_s}

@@ -39,7 +39,7 @@ Scale notes (100 TB)
 - Every operator is a constant number of token/embedding-grain
   aggregations; no pair space anywhere. The LOO valuation's only
   expansion is test-tokens × |langs| × (1 + sparse corrections) — the
-  candidate set is BOUNDED (top-{K} sources) and the correction join
+  candidate set is BOUNDED (top-5 sources) and the correction join
   is inner on the excluded source's vocabulary, so the full-corpus
   token stream is scanned exactly once.
 - The template canonicalization is O(L log L) per document (explode +
@@ -207,7 +207,7 @@ def loo_source_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the excluded source's token counts — only test tokens that
     the excluded source actually contains enter the correction, so the
     expansion is bounded by the per-source vocabulary overlap, not by
-    |test| x |sources|. Candidates are bounded (top-{K} by train doc
+    |test| x |sources|. Candidates are bounded (top-5 by train doc
     count); the per-(lang, source) denominators and priors are
     broadcast scalars. Precondition (documented, holds by fixture
     construction): every (lang, candidate source) pair leaves >= 1
@@ -786,18 +786,22 @@ def coreset_sensitivity_sample(
     )
     kept = scored.where(
         F.round(F.col("u"), 7) < F.round(F.col("p"), 7)
-    ).select("cost", "sc", "n", (F.lit(1.0) / F.col("p")).alias("w"))
-    return kept.groupBy("sc", "n").agg(
+    ).select("cost", (F.lit(1.0) / F.col("p")).alias("w"))
+    # Aggregate kept WITHOUT a groupBy and join the (possibly NULL)
+    # sums onto the 1-row totals frame: an empty coreset must still
+    # yield one (n_points, 0, NULL, NULL) row, mirroring the oracle's
+    # scalar subqueries (unreachable at _CS_M=64 on current fixtures,
+    # but the degenerate shapes must agree).
+    ks = kept.agg(
         F.count(F.lit(1)).alias("coreset_n"),
-        F.round(F.sum("w"), 2).alias("est_mass"),
-        F.round(F.sum(F.col("w") * F.col("cost")) / F.first("sc"), 3).alias(
-            "cost_ratio"
-        ),
-    ).select(
+        F.sum("w").alias("w_sum"),
+        F.sum(F.col("w") * F.col("cost")).alias("wc_sum"),
+    )
+    return tot.crossJoin(F.broadcast(ks)).select(
         F.col("n").cast("long").alias("n_points"),
         F.col("coreset_n").cast("long").alias("coreset_n"),
-        "est_mass",
-        "cost_ratio",
+        F.round(F.col("w_sum"), 2).alias("est_mass"),
+        F.round(F.col("wc_sum") / F.col("sc"), 3).alias("cost_ratio"),
     )
 
 
@@ -1010,7 +1014,7 @@ GROUP BY copies_class
     tags=("valuation", "privacy", "memorization", "canary"),
 )
 def canary_extraction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Secret-sharer canary audit, data-side: plant {_CAN_N} canary
+    """Secret-sharer canary audit, data-side: plant 30 canary
     documents at three replication rates (1 / 8 / 64 byte-identical
     copies) and half-straddling the length quality gate, then measure
     how many COPIES survive (a) the quality gate alone and (b) exact

@@ -40,6 +40,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Spark 4's DisableUnnecessaryBucketedScan drops the bucketed
+        # scan even when an IN-list on the bucket column could
+        # bucket-prune (it only protects join/agg distribution needs).
+        # The postings index relies on term-IN-list bucket pruning, so
+        # keep bucketed scans authoritative.
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config(NANOS_AS_LONG, "true")
     )

@@ -135,6 +135,14 @@ SHUFFLE_BUDGET = {
     # (doc,tok) agg + doc agg + fp groupBy, + the 1-row derived-offset
     # max(doc_id) aggregate (SinglePartition — the planted-twin id base)
     "template_dups_cross_lang": 5,
+    # r9 postings-index store twins: the corpus census is PERSISTED
+    # (paid once at index build), so the query plans carry only
+    # hit-grain aggregates
+    "bm25_topk_from_index": 1,  # bucket-pruned scan + doc groupBy
+    "rm3_query_expansion_from_index": 4,  # pass-3 doc agg + tiny weight-model re-aggs
+    # q/base joins + AP windows + bootstrap re-aggs; the census
+    # tokenize/tf/impact-window shuffles are gone (store-read)
+    "paired_bootstrap_from_index": 13,
 }
 
 
@@ -209,6 +217,8 @@ def test_budget_covers_all_bench_queries():
 SCAN_BUDGET = {
     ("lineitem", "q21_suppliers_kept_orders_waiting"): 1,  # aggregate rewrite
     ("documents", "bm25_topk"): 2,  # tf persisted: 2 scans, not 3
+    ("documents", "bm25_topk_from_index"): 0,  # index-only: corpus never read
+    ("documents", "rm3_query_expansion_from_index"): 0,  # pass 3 is index-only (passes 1-2 ran eagerly)
     ("documents", "benchmark_decontamination"): 2,  # eval + train sides
     ("events", "event_funnel_conversion"): 1,  # window chain, single scan
     ("lineitem", "q17_small_quantity_revenue"): 1,  # filter-first window

@@ -1,0 +1,173 @@
+"""Persisted postings-index store: freshness, plan shape, and
+row-identity of the store-reading retrieval twins vs their inline
+forms (plans/postings.py — the lexical sibling of the IVF artifact
+lifecycle pinned in tests/test_ivf_bucketing.py)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from emails_to_vector_db_spark.plans import REGISTRY
+from emails_to_vector_db_spark.plans.postings import (
+    _pst_root,
+    _pst_table_name,
+    ensure_postings_index,
+)
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_bm25_index_twin_matches_inline_and_never_reads_corpus(spark):
+    """The store-reading BM25 must be row-identical to the inline
+    census form AND its plan must contain ZERO scans of the corpus
+    (documents.parquet) — df/dl ride the posting rows, corpus stats
+    are sidecar literals. The inline form's plan (by design: it is the
+    oracle-replayable census) does scan the corpus."""
+    spark.catalog.clearCache()
+    twin = REGISTRY["bm25_topk_from_index"].fn(spark, SF_ORACLE)
+    inline = REGISTRY["bm25_topk"].fn(spark, SF_ORACLE)
+    assert _rows(twin) == _rows(inline)
+
+    p = _plan(twin)
+    assert "documents.parquet" not in p, "store path rescanned the corpus"
+    assert "trim(text" not in p, "store path re-tokenized corpus text"
+    # the IN-list on the bucket column must prune buckets at the scan
+    m = [ln for ln in p.splitlines() if "SelectedBucketsCount" in ln]
+    assert m, "postings scan lost its bucket spec"
+    assert "SelectedBucketsCount: 16 out of 16" not in m[0], (
+        "query-term IN-list did not bucket-prune: " + m[0]
+    )
+    assert "documents.parquet" in _plan(inline)
+
+
+def test_rm3_index_twin_matches_inline(spark):
+    """Store-reading RM3 == inline RM3, and its term-grain passes read
+    postings: the only corpus-text tokenization left is the 10
+    feedback docs' forward lookup (doc-grain, row store)."""
+    spark.catalog.clearCache()
+    twin = REGISTRY["rm3_query_expansion_from_index"].fn(spark, SF_ORACLE)
+    inline = REGISTRY["rm3_query_expansion"].fn(spark, SF_ORACLE)
+    assert _rows(twin) == _rows(inline)
+
+    p = _plan(twin)
+    assert "postings" in p, "rm3 twin never read the postings store"
+    # pass 3 (the returned plan) is index-only: no corpus text reads
+    assert "trim(text" not in p, (
+        "rm3 re-scoring pass re-tokenized corpus text"
+    )
+
+
+def test_pb_index_twin_matches_inline_census_gone(spark):
+    """Store-reading paired bootstrap == inline form row-for-row; the
+    postings census (tokenize -> explode -> tf groupBy -> impact
+    window over term) is GONE from the twin's plan — the impact cap is
+    a pushed-down imp_rnk predicate on the postings scan."""
+    spark.catalog.clearCache()
+    twin = REGISTRY["paired_bootstrap_from_index"].fn(spark, SF_SMOKE)
+    inline = REGISTRY["paired_bootstrap_system_eval"].fn(spark, SF_SMOKE)
+    assert _rows(twin) == _rows(inline)
+
+    p = _plan(twin)
+    # the dense arm and relevance joins legitimately read documents/
+    # embeddings, and the 20-row query frame still tokenizes ITS text;
+    # the census fingerprint is the term-partitioned impact window —
+    # it must be gone from the twin (pushed imp_rnk predicate instead)
+    assert "windowspecdefinition(term" not in p, (
+        "pb twin recomputed the impact window (census crept back)"
+    )
+    assert "postings" in p
+    # the inline form DOES carry the census window (oracle replay)
+    assert "windowspecdefinition(term" in _plan(inline)
+
+
+def test_postings_staleness_rebuild(spark, tmp_path):
+    """A regenerated fixture (newer documents.parquet mtime) must
+    rebuild the index; an unchanged fixture must NOT rewrite it."""
+    sf_dir = str(tmp_path / "sfX")
+    os.makedirs(sf_dir)
+    shutil.copy(
+        os.path.join(SF_SMOKE, "documents.parquet"),
+        os.path.join(sf_dir, "documents.parquet"),
+    )
+    name, n_docs, avgdl = ensure_postings_index(spark, sf_dir)
+    assert n_docs > 0 and avgdl > 0
+    first = spark.table(name).count()
+    marker = os.path.join(_pst_root(sf_dir), "_SOURCE_MTIME")
+    with open(marker) as f:
+        recorded = f.read()
+
+    # unchanged source: ensure() is a no-op (marker not rewritten)
+    ensure_postings_index(spark, sf_dir)
+    with open(marker) as f:
+        assert f.read() == recorded
+
+    # regenerated source: must rebuild
+    os.utime(
+        os.path.join(sf_dir, "documents.parquet"),
+        (os.path.getmtime(os.path.join(sf_dir, "documents.parquet")) + 10,)
+        * 2,
+    )
+    name2, n2, _ = ensure_postings_index(spark, sf_dir)
+    assert name2 == name and n2 == n_docs
+    assert spark.table(name).count() == first
+    with open(marker) as f:
+        assert float(f.read()) > float(recorded)
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(_pst_root(sf_dir), ignore_errors=True)
+
+
+def test_postings_cold_catalog_ddl_replay(spark):
+    """Fresh-session simulation: files current but catalog cold → the
+    ensure path replays pure DDL (no data rewrite) and the re-registered
+    table serves identical stats and rows."""
+    name, n_docs, avgdl = ensure_postings_index(spark, SF_ORACLE)
+    rows_before = spark.table(name).count()
+    pst_dir = os.path.join(_pst_root(SF_ORACLE), "postings")
+    mtime_before = os.path.getmtime(pst_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    name2, n2, a2 = ensure_postings_index(spark, SF_ORACLE)
+    assert (name2, n2, a2) == (name, n_docs, avgdl)
+    assert spark.table(name2).count() == rows_before
+    assert os.path.getmtime(pst_dir) == mtime_before, (
+        "DDL replay rewrote the postings files"
+    )
+
+
+def test_postings_df_and_impact_rank_consistency(spark):
+    """Store invariants: df equals the per-term posting count, imp_rnk
+    is a dense 1..df permutation in (tf desc, doc_id asc) order — the
+    contract the impact-capped consumers push down against."""
+    name, _, _ = ensure_postings_index(spark, SF_SMOKE)
+    pst = spark.table(name)
+    bad_df = (
+        pst.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("df").alias("df_min"),
+            F.max("df").alias("df_max"),
+            F.min("imp_rnk").alias("r_min"),
+            F.max("imp_rnk").alias("r_max"),
+            F.countDistinct("imp_rnk").alias("r_distinct"),
+        )
+        .where(
+            (F.col("df_min") != F.col("n"))
+            | (F.col("df_max") != F.col("n"))
+            | (F.col("r_min") != 1)
+            | (F.col("r_max") != F.col("n"))
+            | (F.col("r_distinct") != F.col("n"))
+        )
+    )
+    assert bad_df.count() == 0
