@@ -535,14 +535,19 @@ def leakage_safe_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emails_to_vector_db_spark.operators.components import (
         connected_components,
     )
-    from emails_to_vector_db_spark.operators.dedup import minhash_lsh_pairs
+    from emails_to_vector_db_spark.operators.dedup import (
+        minhash_lsh_component_edges,
+    )
 
     docs = _docs_with_chained_dups(spark, sf_dir)
-    pairs = minhash_lsh_pairs(
-        docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5
-    )
+    # Component-only consumer -> the signature-group star-edge form
+    # (provably component-identical to the pair form; O(n) emission per
+    # signature-identical group instead of O(n²) within-bucket pairs —
+    # the r8 group-grain rule applied to the split path).
     comp = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        minhash_lsh_component_edges(
+            docs, n_hashes=8, n_bands=4, shingle_n=3, threshold=0.5
+        )
     )
     assigned = docs.select("doc_id").join(
         comp, F.col("doc_id") == F.col("id"), "left"
