@@ -76,6 +76,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "bm25_topk_from_index",
     "rm3_query_expansion_from_index",
     "paired_bootstrap_from_index",
+    "longest_dup_substring",
+    "cross_encoder_rerank_topk",
+    "distilled_filter_agreement",
 )
 
 

@@ -2885,3 +2885,145 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest duplicate substring via suffix-ordered adjacency (Lee et al.)
+# ---------------------------------------------------------------------------
+
+_LDS_K = 24  # suffix-prefix cap in tokens — THE scalability knob
+_LDS_MIN = 2  # report only duplicated substrings of >= 2 tokens
+_LDS_TOP = 20
+
+_LDS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKENS_SQL} AS arr FROM documents
+),
+pos AS (
+    SELECT doc_id, arr,
+           unnest(generate_series(1, len(arr))) AS pos
+    FROM toks
+),
+suf AS (
+    SELECT doc_id, pos,
+           arr[pos : least(len(arr), pos + {_LDS_K} - 1)] AS suf
+    FROM pos
+),
+keyed AS (
+    SELECT doc_id, pos, suf, array_to_string(suf, ' ') AS k FROM suf
+),
+adj AS (
+    SELECT suf,
+           lead(suf) OVER (ORDER BY k ASC, doc_id ASC, pos ASC) AS nsuf
+    FROM keyed
+),
+lcp AS (
+    SELECT suf,
+           coalesce(
+               nullif(
+                   list_position(
+                       list_transform(
+                           generate_series(1, least(len(suf), len(nsuf))),
+                           i -> suf[i] = nsuf[i]),
+                       false),
+                   0) - 1,
+               least(len(suf), len(nsuf))
+           ) AS l
+    FROM adj WHERE nsuf IS NOT NULL
+),
+dups AS (
+    SELECT array_to_string(suf[1:l], ' ') AS dup_text, l
+    FROM lcp WHERE l >= {_LDS_MIN}
+)
+SELECT dup_text,
+       l::BIGINT AS dup_tokens,
+       count(*)::BIGINT AS n_adjacent_pairs
+FROM dups GROUP BY dup_text, l
+ORDER BY dup_tokens DESC, dup_text ASC
+LIMIT {_LDS_TOP}
+"""
+
+
+@register(
+    "longest_dup_substring",
+    oracle=_LDS_ORACLE,
+    tags=("cleaning", "dedup", "substring", "suffix-array"),
+    bench=True,
+)
+def longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest duplicated substrings via suffix-ordered adjacency — the
+    actual artifact of Lee et al. 2021's suffix-array dedup, which
+    substring_window_dedup only approximates at a FIXED 16-token
+    window: sort every token-position suffix (truncated to the 24-token
+    cap — the scalability knob; duplicates longer than the cap report
+    as cap-length), then the classic suffix-array property gives the
+    global answer from ADJACENT pairs only — for any two suffixes with
+    a common prefix of length L, every suffix between them in sorted
+    order shares that prefix (token boundaries survive the string sort
+    because the separator sorts below every token character), so the
+    max LCP over all pairs equals the max over the n-1 adjacent pairs —
+    quadratic pair space never materializes. Emits the top-20 duplicate
+    substrings by token length with their adjacent-pair counts.
+
+    Plan shape at 100 TB: suffix rows are one per corpus token (the
+    cap bounds row WIDTH, so the sort input is <= cap x corpus bytes);
+    the sort is a range-partitioned exchange and the global rank is the
+    two-pass distributed_row_number (operators/ranking.py — per-
+    partition counts are the only driver-side object, cluster-bounded,
+    NO single-partition window); adjacency is an equi-join on rank
+    (rank i vs i+1); the LCP is a scan-local array expression
+    (array_position of the first component mismatch — no UDF); the
+    final aggregate is dup-substring-grain. Three linear shuffles
+    total, each corpus-token-sized, none quadratic."""
+    from emails_to_vector_db_spark.operators.ranking import (
+        distributed_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", TX.tokens("text").alias("arr"))
+    suf = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("pos"),
+        "arr",
+    ).select(
+        "doc_id",
+        "pos",
+        F.slice(F.col("arr"), F.col("pos"), _LDS_K).alias("suf"),
+    )
+    keyed = suf.withColumn("k", F.concat_ws(" ", F.col("suf")))
+    pins: list = []
+    ranked = distributed_row_number(
+        keyed,
+        [F.col("k").asc(), F.col("doc_id").asc(), F.col("pos").asc()],
+        rank_col="rn",
+        pins=pins,
+    )
+    left = ranked.select("rn", "suf")
+    right = ranked.select(
+        (F.col("rn") - 1).alias("rn"), F.col("suf").alias("nsuf")
+    )
+    adj = left.join(right, "rn")
+    m = F.least(F.size("suf"), F.size("nsuf"))
+    eqs = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.element_at(F.col("suf"), i)
+        == F.element_at(F.col("nsuf"), i),
+    )
+    mism = F.array_position(eqs, F.lit(False))
+    lcp = F.when(mism == 0, m).otherwise(mism - 1)
+    dups = adj.select(
+        lcp.alias("l"), F.col("suf")
+    ).where(F.col("l") >= _LDS_MIN).select(
+        F.concat_ws(" ", F.slice(F.col("suf"), 1, F.col("l"))).alias(
+            "dup_text"
+        ),
+        F.col("l").cast("long").alias("dup_tokens"),
+    )
+    return (
+        dups.groupBy("dup_text", "dup_tokens")
+        .agg(F.count(F.lit(1)).alias("n_adjacent_pairs"))
+        .orderBy(
+            F.col("dup_tokens").desc(), F.col("dup_text").asc()
+        )
+        .limit(_LDS_TOP)
+    )

@@ -2401,6 +2401,7 @@ FROM cnt c CROSS JOIN crossb x
     "minhash_recall_precision_audit",
     oracle=_RPA_ORACLE,
     tags=("dedup", "eval", "recall", "minhash"),
+    bench=True,
 )
 def minhash_recall_precision_audit(
     spark: SparkSession, sf_dir: str
@@ -2620,6 +2621,7 @@ FROM j
     "embedding_lsh_recall_audit",
     oracle=_ela_oracle(),
     tags=("dedup", "vector", "eval", "recall"),
+    bench=True,
 )
 def embedding_lsh_recall_audit(
     spark: SparkSession, sf_dir: str

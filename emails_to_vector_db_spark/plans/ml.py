@@ -2226,3 +2226,236 @@ def drop_column_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("importance").desc(), F.col("variant").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Teacher -> student distillation agreement (the cheap-filter-at-scale story)
+# ---------------------------------------------------------------------------
+
+
+def _distill_features_sql() -> str:
+    """Features CTE body for the distilled student: the SAME 4 cheap
+    quality signals as _sql_features, but y = the TEACHER's prediction
+    (binary token-NB, en-vs-other, trained on the 80% split, scoring
+    EVERY doc) instead of the gold label — plus the source passthrough
+    for the per-source agreement report."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS c,
+               unnest({_NB_TOKENS_SQL}) AS tok
+        FROM documents
+    ),
+    train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+    prior AS (
+        SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS c,
+               count(*)::DOUBLE AS nd
+        FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+    ),
+    ptot AS (SELECT sum(nd) AS td FROM prior),
+    tot AS (SELECT c, count(*)::DOUBLE AS tot_c FROM train GROUP BY c),
+    vocab AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM train),
+    cnt AS (
+        SELECT c, tok, count(*)::BIGINT AS n FROM train GROUP BY c, tok
+    ),
+    ll AS (
+        SELECT t.doc_id, l.c,
+               sum(ln((coalesce(k.n, 0) + 1) / (l.tot_c + v.v))) AS loglik
+        FROM toks t
+        CROSS JOIN tot l
+        CROSS JOIN vocab v
+        LEFT JOIN cnt k ON k.c = l.c AND k.tok = t.tok
+        GROUP BY t.doc_id, l.c
+    ),
+    post AS (
+        SELECT x.doc_id, x.c, x.loglik + ln(p.nd / pt.td) AS score
+        FROM ll x JOIN prior p ON p.c = x.c CROSS JOIN ptot pt
+    ),
+    teach AS (
+        SELECT doc_id,
+               CASE WHEN round(max(CASE WHEN c = 'en' THEN score END), 6)
+                         >= round(max(CASE WHEN c = 'other' THEN score END), 6)
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM post GROUP BY doc_id
+    )
+    SELECT t.y,
+           1.0 AS x0,
+           d.n_chars / 1000.0 AS x1,
+           len(string_split(d.text, ' ')) / 100.0 AS x2,
+           length(regexp_replace(d.text, '[^.,!?;:]', '', 'g'))
+               / length(d.text)::DOUBLE AS x3,
+           length(regexp_replace(d.text, '[^0-9]', '', 'g'))
+               / length(d.text)::DOUBLE AS x4,
+           d.source AS source
+    FROM documents d JOIN teach t ON t.doc_id = d.doc_id"""
+
+
+def _distill_oracle() -> str:
+    prefix, prev = _training_ctes(_distill_features_sql())
+    margin = " + ".join(f"w.w{j} * f.x{j}" for j in range(_N_FEATURES))
+    return f"""{prefix}
+SELECT f.source,
+       count(*)::BIGINT AS n_docs,
+       round(avg(f.y), 6) AS teacher_pos_rate,
+       round(avg(CASE WHEN ({margin}) > 0 THEN 1.0 ELSE 0.0 END), 6)
+           AS student_pos_rate,
+       round(avg(CASE WHEN (({margin}) > 0) = (f.y = 1.0)
+                      THEN 1.0 ELSE 0.0 END), 6) AS agreement
+FROM features f CROSS JOIN {prev} w
+GROUP BY f.source
+"""
+
+
+@register(
+    "distilled_filter_agreement",
+    oracle=_distill_oracle(),
+    tags=("ml", "distillation", "classifier", "cleaning"),
+    bench=True,
+)
+def distilled_filter_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-classifier DISTILLATION with a per-source deployment
+    audit — the cheap-filter-at-scale story every 100 TB curation
+    pipeline runs: an expensive teacher (token-grain multinomial NB,
+    en-vs-other, add-one smoothing, trained on the 80% split) labels
+    the WHOLE corpus; a cheap student (the 5-feature logistic
+    regression of logreg_quality_classifier, 3 quantized GD steps)
+    trains on the TEACHER's labels, not gold; the report is per-source
+    teacher/student positive rates and agreement — naming exactly the
+    sources where the cheap filter can replace the expensive one and
+    where it cannot (disagreement concentrates where the student's
+    scalar features cannot express the teacher's token evidence).
+
+    Determinism: the teacher argmax compares 6dp-ROUNDED class scores
+    (the naive_bayes_lang_classifier rule — token-order float
+    association cannot flip a label), and the student's weights are
+    6dp-quantized per iteration (the _training_ctes contract), so the
+    DuckDB oracle replays teacher AND student trajectories exactly.
+
+    Plan shape: ONE tokenize+explode pass trains and scores the
+    teacher (model tables are vocabulary-grain broadcasts, the
+    _scoring_join cutover applies when vocab x classes outgrows RAM);
+    teacher labels land in the cached student feature frame (doc-grain,
+    5 doubles + source); each GD step is one map-side-combinable
+    aggregate moving 5 doubles per partition; the report is one
+    |sources|-grain aggregate. The corpus shuffles exactly once (the
+    (c, tok) count census) — everything else is model-table traffic."""
+    from emails_to_vector_db_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.when(F.col("lang") == "en", "en").otherwise("other")
+    toks = docs.select(
+        "doc_id", c.alias("c"), F.explode(TX.tokens("text")).alias("tok")
+    )
+    train = toks.where(F.col("doc_id") % 5 != 0)
+    prior = (
+        docs.where(F.col("doc_id") % 5 != 0)
+        .groupBy(c.alias("c"))
+        .agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    )
+    ptot = prior.agg(F.sum("nd").alias("td"))
+    tot = train.groupBy("c").agg(
+        F.count(F.lit(1)).cast("double").alias("tot_c")
+    )
+    vocab = train.agg(F.countDistinct("tok").cast("double").alias("v"))
+    cnt = train.groupBy("c", "tok").agg(F.count(F.lit(1)).alias("n"))
+    ll = (
+        toks.select("doc_id", "tok")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(cnt), ["c", "tok"], "left")
+        .groupBy("doc_id", "c")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("n"), F.lit(0)) + 1)
+                    / (F.col("tot_c") + F.col("v"))
+                )
+            ).alias("loglik")
+        )
+    )
+    post = (
+        ll.join(F.broadcast(prior), "c")
+        .crossJoin(F.broadcast(ptot))
+        .select(
+            "doc_id",
+            "c",
+            (F.col("loglik") + F.log(F.col("nd") / F.col("td"))).alias(
+                "score"
+            ),
+        )
+    )
+    teach = post.groupBy("doc_id").agg(
+        F.when(
+            F.round(
+                F.max(F.when(F.col("c") == "en", F.col("score"))), 6
+            )
+            >= F.round(
+                F.max(F.when(F.col("c") == "other", F.col("score"))), 6
+            ),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("y")
+    )
+    text_len = F.length("text").cast("double")
+    feats = (
+        docs.join(teach, "doc_id")
+        .select(
+            "y",
+            F.lit(1.0).alias("x0"),
+            (F.col("n_chars") / 1000.0).alias("x1"),
+            (F.size(F.split("text", " ", -1)) / 100.0).alias("x2"),
+            (
+                F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
+                / text_len
+            ).alias("x3"),
+            (
+                F.length(F.regexp_replace("text", r"[^0-9]", ""))
+                / text_len
+            ).alias("x4"),
+            "source",
+        )
+        .cache()
+    )
+    xs = [f"x{j}" for j in range(_N_FEATURES)]
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(_N_FEATURES)]
+    )
+    for _ in range(N_ITERS):
+        joined = feats.crossJoin(F.broadcast(w))
+        margin = sum(
+            (F.col(f"w{j}") * F.col(x) for j, x in enumerate(xs)),
+            F.lit(0.0),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        w = joined.groupBy(*[f"w{j}" for j in range(_N_FEATURES)]).agg(
+            *[
+                F.sum((p - F.col("y")) * F.col(x)).alias(f"g{j}")
+                for j, x in enumerate(xs)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        ).select(
+            *[
+                F.round(
+                    F.col(f"w{j}") - LR * F.col(f"g{j}") / F.col("n"),
+                    _ROUND,
+                ).alias(f"w{j}")
+                for j in range(_N_FEATURES)
+            ]
+        )
+    scored = feats.crossJoin(F.broadcast(w))
+    final_margin = sum(
+        (F.col(f"w{j}") * F.col(x) for j, x in enumerate(xs)), F.lit(0.0)
+    )
+    s_pos = F.when(final_margin > 0, 1.0).otherwise(0.0)
+    agree = F.when(
+        (final_margin > 0) == (F.col("y") == 1.0), 1.0
+    ).otherwise(0.0)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("y"), 6).alias("teacher_pos_rate"),
+        F.round(F.avg(s_pos), 6).alias("student_pos_rate"),
+        F.round(F.avg(agree), 6).alias("agreement"),
+    )

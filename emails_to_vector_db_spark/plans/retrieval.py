@@ -2139,3 +2139,183 @@ def _pb_tail(
         "ci_hi",
         "frac_delta_le0",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder-style reranking: retrieve (bi-encoder) -> rerank (CE)
+# ---------------------------------------------------------------------------
+
+_CE_DEPTH = 50  # bi-encoder candidate depth fed to the reranker
+
+_CE_ORACLE = f"""
+WITH q AS (
+    SELECT e.embedding::DOUBLE[] AS qv,
+           list_distinct(regexp_split_to_array(trim(d.text), '\\s+')) AS qs,
+           len(regexp_split_to_array(trim(d.text), '\\s+')) AS qdl
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE e.vec_id = {_PROBE_ID}
+),
+scored AS (
+    SELECT e.vec_id AS doc_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> {_PROBE_ID}
+),
+cand AS (
+    SELECT doc_id,
+           row_number() OVER (
+               ORDER BY round(sim, 6) DESC, doc_id ASC
+           ) AS bi_rank
+    FROM scored
+    ORDER BY round(sim, 6) DESC, doc_id ASC
+    LIMIT {_CE_DEPTH}
+),
+feat AS (
+    SELECT c.doc_id, c.bi_rank, q.qs, q.qdl,
+           regexp_split_to_array(trim(d.text), '\\s+') AS dt
+    FROM cand c
+    JOIN documents d ON d.doc_id = c.doc_id
+    CROSS JOIN q
+),
+sc AS (
+    SELECT doc_id, bi_rank,
+           len(list_filter(list_distinct(dt),
+                           t -> list_contains(qs, t)))::DOUBLE AS inter,
+           len(qs)::DOUBLE AS nq,
+           len(list_distinct(dt))::DOUBLE AS ndist,
+           coalesce(
+               nullif(list_position(
+                   list_transform(dt, t -> list_contains(qs, t)),
+                   true), 0),
+               len(dt) + 1
+           )::DOUBLE AS first_pos,
+           least(qdl, len(dt))::DOUBLE
+               / greatest(qdl, len(dt)) AS len_ratio
+    FROM feat
+),
+ce AS (
+    SELECT doc_id, bi_rank,
+           2.0 * inter / (nq + ndist - inter)
+           + 1.0 * inter / nq
+           + 0.5 / first_pos
+           + 0.25 * len_ratio AS ce_raw
+    FROM sc
+)
+SELECT doc_id, bi_rank,
+       row_number() OVER (
+           ORDER BY round(ce_raw, 6) DESC, doc_id ASC
+       )::BIGINT AS ce_rank,
+       round(ce_raw, 6) AS ce_score
+FROM ce
+ORDER BY round(ce_raw, 6) DESC, doc_id ASC
+LIMIT {TOP_N}
+"""
+
+
+@register(
+    "cross_encoder_rerank_topk",
+    oracle=_CE_ORACLE,
+    tags=("retrieval", "rerank", "cross-encoder", "hybrid"),
+    bench=True,
+)
+def cross_encoder_rerank_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retrieve -> rerank, the two-stage ranking stack production RAG
+    systems run on top of the reference's single-stage vector search
+    (``rag.py:77-90``): a cheap bi-encoder pass (cosine top-50 for the
+    stored probe — the index-served stage) feeds a cross-encoder-style
+    reranker that scores each (query, candidate) PAIR with interaction
+    features a bi-encoder cannot express — distinct-token Jaccard,
+    query-coverage fraction, earliest-query-term position in the
+    candidate, length ratio — combined with fixed weights as the
+    deterministic stand-in for a learned cross-attention scorer (the
+    SURVEY §5.3 stand-in discipline: real model swaps in behind the
+    same shape). Emits the top-10 with BOTH ranks so rank movement
+    (bi_rank vs ce_rank) is visible — the reranker's value-add.
+
+    Plan shape at 100 TB: stage 1 is the existing TakeOrdered KNN scan
+    (never materializes the corpus ranking); stage 2 touches exactly
+    depth=50 candidate texts — a broadcast semi-join prunes the
+    documents scan to 50 rows, every interaction feature is a
+    scan-local array expression, and the rerank window orders 50 rows.
+    Reranker cost is bounded by the candidate depth at ANY corpus
+    size — which is the entire point of the retrieve->rerank split."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") == _PROBE_ID)
+        .join(docs, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            F.col("embedding").alias("qv"),
+            F.array_distinct(TX.tokens("text")).alias("qs"),
+            F.size(TX.tokens("text")).alias("qdl"),
+        )
+    )
+    scored = (
+        emb.where(F.col("vec_id") != _PROBE_ID)
+        .crossJoin(q)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    w_bi = Window.orderBy(F.round("sim", 6).desc(), F.col("doc_id").asc())
+    cand = (
+        scored.orderBy(F.round("sim", 6).desc(), F.col("doc_id").asc())
+        .limit(_CE_DEPTH)
+        .withColumn("bi_rank", F.row_number().over(w_bi))
+        .select("doc_id", "bi_rank")
+    )
+    feat = (
+        docs.join(F.broadcast(cand), "doc_id")
+        .crossJoin(q)
+        .select(
+            "doc_id",
+            "bi_rank",
+            "qs",
+            "qdl",
+            TX.tokens("text").alias("dt"),
+        )
+    )
+    ds = F.array_distinct(F.col("dt"))
+    inter = F.size(
+        F.filter(ds, lambda t: F.array_contains(F.col("qs"), t))
+    ).cast("double")
+    nq = F.size("qs").cast("double")
+    ndist = F.size(ds).cast("double")
+    fp_raw = F.array_position(
+        F.transform(
+            F.col("dt"), lambda t: F.array_contains(F.col("qs"), t)
+        ),
+        F.lit(True),
+    )
+    first_pos = F.when(fp_raw == 0, F.size("dt") + 1).otherwise(
+        fp_raw
+    ).cast("double")
+    len_ratio = F.least(F.col("qdl"), F.size("dt")).cast(
+        "double"
+    ) / F.greatest(F.col("qdl"), F.size("dt"))
+    ce_raw = (
+        2.0 * inter / (nq + ndist - inter)
+        + 1.0 * inter / nq
+        + 0.5 / first_pos
+        + 0.25 * len_ratio
+    )
+    sc = feat.select("doc_id", "bi_rank", ce_raw.alias("ce_raw"))
+    w_ce = Window.orderBy(
+        F.round("ce_raw", 6).desc(), F.col("doc_id").asc()
+    )
+    return (
+        sc.orderBy(F.round("ce_raw", 6).desc(), F.col("doc_id").asc())
+        .limit(TOP_N)
+        .select(
+            "doc_id",
+            "bi_rank",
+            F.row_number().over(w_ce).cast("long").alias("ce_rank"),
+            F.round("ce_raw", 6).alias("ce_score"),
+        )
+    )

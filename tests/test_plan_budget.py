@@ -143,6 +143,21 @@ SHUFFLE_BUDGET = {
     # q/base joins + AP windows + bootstrap re-aggs; the census
     # tokenize/tf/impact-window shuffles are gone (store-read)
     "paired_bootstrap_from_index": 13,
+    # r9 registrations
+    # range exchange + offsets join + rank adjacency join (2 sides of
+    # the persisted local table) + dup-substring agg — all linear
+    "longest_dup_substring": 5,
+    # stage 1 is TakeOrdered, stage 2 is broadcast-pruned 50 rows
+    "cross_encoder_rerank_topk": 0,
+    # teacher (c,tok) census + doc-grain score agg + 3 GD aggs + the
+    # per-source report, plus tiny model-table re-aggs
+    "distilled_filter_agreement": 13,
+    # r9 bench promotions (the r8 recall audits, verdict task 8):
+    # bounded audit universe by contract — exact truth pair join +
+    # banded detector + bin censuses (repeated persisted subtrees
+    # counted, the prefix_filter convention)
+    "minhash_recall_precision_audit": 33,
+    "embedding_lsh_recall_audit": 9,
 }
 
 
