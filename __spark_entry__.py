@@ -79,6 +79,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "longest_dup_substring",
     "cross_encoder_rerank_topk",
     "distilled_filter_agreement",
+    "streaming_postings_ingest",
 )
 
 

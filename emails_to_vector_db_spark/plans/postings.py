@@ -377,3 +377,153 @@ def rm3_query_expansion_from_index(
         .limit(TOP_N)
         .select("doc_id", F.round("rm3_raw", 6).alias("rm3_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming postings-index maintenance (the lexical stream-ingest leg)
+# ---------------------------------------------------------------------------
+
+_STREAM_PST_VERSION = 1
+_PST_INGEST_BUCKETS = 16
+
+
+def _stream_pst_landing(sf_dir: str) -> str:
+    """Land the documents corpus as THREE parquet files in ascending
+    doc_id order with increasing mtimes — the deterministic micro-batch
+    sequence construction shared with _stream_ivf_landing
+    (plans/vector.py) and the streaming-dedup landing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        root, "spark-warehouse", f"stream_pst_v{_STREAM_PST_VERSION}", sf
+    )
+    src = table_path(sf_dir, "documents")
+    parts = [os.path.join(d, f"part{i}.parquet") for i in range(3)]
+    src_mtime = os.path.getmtime(src)
+    if all(
+        os.path.exists(p) and os.path.getmtime(p) >= src_mtime
+        for p in parts
+    ):
+        return d
+    os.makedirs(d, exist_ok=True)
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
+    rows = sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    n = len(rows)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        chunk = rows[cuts[i] : cuts[i + 1]]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
+                    "text": pa.array([r[1] for r in chunk], pa.string()),
+                }
+            ),
+            parts[i],
+        )
+        os.utime(parts[i], (src_mtime + i, src_mtime + i))
+    return d
+
+
+_STREAM_PST_ORACLE = f"""
+WITH tf AS (
+    SELECT term, doc_id, count(*)::BIGINT AS tf
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    )
+    GROUP BY term, doc_id
+)
+SELECT (('0x' || substr(md5(term), 1, 15))::BIGINT
+            % {_PST_INGEST_BUCKETS}) AS bkt,
+       count(*)::BIGINT AS n_postings,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       sum(tf)::BIGINT AS tf_checksum,
+       sum(doc_id)::BIGINT AS doc_checksum
+FROM tf
+GROUP BY 1
+"""
+
+
+@register(
+    "streaming_postings_ingest",
+    oracle=_STREAM_PST_ORACLE,
+    tags=("streaming", "retrieval", "postings", "index"),
+)
+def streaming_postings_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming LEXICAL-index maintenance — the postings sibling of
+    streaming_ivf_index_ingest, completing the artifact lifecycle
+    symmetry (build → persist → STREAM-INGEST → store-reading query)
+    the vector lane has had since round 6: documents arrive in
+    micro-batches (file stream, one file per trigger); each batch is
+    tokenized and aggregated to (term, doc_id, tf) — per-doc tf is
+    batch-local and exact because a document lives in exactly ONE
+    batch — and appended to the postings store partitioned by the
+    term's md5 bucket (the portable hash, so the oracle can replay the
+    bucketing). The returned per-bucket census (posting count, distinct
+    terms, tf and doc_id checksums) is batching-invariant: the DuckDB
+    oracle computes it from the whole corpus in one pass, so the
+    streamed store is hash-checked against the batch semantics it must
+    preserve. Term-grain stats that are ADDITIVE across batches (df,
+    collection tf) merge downstream exactly as the CMS/KMV sketch
+    merges do; the impact ranks are the one non-additive column — a
+    real deployment recomputes them per maintenance window (the
+    ivf_rebalance pattern), never per batch.
+
+    At 100 TB: per-micro-batch cost is one tokenize + one
+    map-side-combinable (term, doc) aggregate + a partitioned append;
+    the corpus is never rescanned."""
+    import shutil
+
+    landing = _stream_pst_landing(sf_dir)
+    work = landing.rstrip("/") + "__run"
+    shutil.rmtree(work, ignore_errors=True)  # deterministic re-runs
+    store = os.path.join(work, "pst_store")
+
+    def apply(batch: DataFrame, _batch_id: int) -> None:
+        tf = (
+            batch.select(
+                "doc_id", F.explode(TX.tokens("text")).alias("term")
+            )
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                "bkt",
+                F.pmod(TX.md5_long("term"), F.lit(_PST_INGEST_BUCKETS)),
+            )
+        )
+        tf.write.mode("append").partitionBy("bkt").parquet(store)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(store)
+        .groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").alias("tf_checksum"),
+            F.sum("doc_id").alias("doc_checksum"),
+        )
+        .select(
+            F.col("bkt").cast("long").alias("bkt"),
+            "n_postings",
+            "n_terms",
+            "tf_checksum",
+            "doc_checksum",
+        )
+    )
