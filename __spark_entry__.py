@@ -80,6 +80,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "cross_encoder_rerank_topk",
     "distilled_filter_agreement",
     "streaming_postings_ingest",
+    "hybrid_rrf_from_index",
+    "tfidf_cosine_from_index",
+    "bitext_margin_mining",
+    "bitext_margin_mining_ivf",
 )
 
 

@@ -57,15 +57,24 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emails_to_vector_db_spark.functions import text as TX
+from emails_to_vector_db_spark.functions.vector import cosine_similarity
 from emails_to_vector_db_spark.plans.registry import register
 from emails_to_vector_db_spark.plans.retrieval import (
     _BM25_ORACLE,
+    _HYBRID_ORACLE,
     _K1,
     _PB_POSTINGS_CAP,
+    _PROBE_ID,
     _RM3_ALPHA,
     _RM3_EXP_TERMS,
     _RM3_FB_DOCS,
     _RM3_ORACLE,
+    _RRF_DEPTH,
+    _RRF_K0,
+    _TC_DF_ABS_CAP,
+    _TC_DF_FRAC,
+    _TC_ORACLE,
+    _TC_TOP,
     QUERY_TERMS,
     TOP_N,
     _B,
@@ -376,6 +385,141 @@ def rm3_query_expansion_from_index(
         .orderBy(F.round("rm3_raw", 6).desc(), F.col("doc_id").asc())
         .limit(TOP_N)
         .select("doc_id", F.round("rm3_raw", 6).alias("rm3_score"))
+    )
+
+
+@register(
+    "tfidf_cosine_from_index",
+    oracle=_TC_ORACLE,
+    tags=("retrieval", "similarity", "tfidf", "index", "store", "join"),
+)
+def tfidf_cosine_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tfidf_cosine_topk_pairs' store-reading twin (identical oracle):
+    the sparse TF-IDF all-pairs similarity join over the PERSISTED
+    postings index. The inline form's corpus tokenize + (doc,term) tf
+    aggregation + df re-agg — its only corpus-grain shuffles — are
+    already materialized as store columns, and the df-ceiling (the
+    prune that keeps the pair space sub-quadratic, measured 45× on the
+    zipfian stress corpus) becomes a LITERAL min(floor(0.05·N), 1000)
+    predicate PUSHED TO THE PARQUET SCAN: the stop-term postings are
+    skipped at read time via row-group stats, not read-then-filtered.
+    N (distinct docs with ≥1 token — the TF-IDF oracle's universe,
+    which excludes token-less docs, unlike BM25's all-docs count) is
+    a 1-row bounded aggregate over the store. Norms still ride in the
+    postings rows via one doc-partitioned window — they depend on the
+    pruned representation, so they are query-time by construction; no
+    doc-grain table ever joins the pair grain. At 100 TB the pair join
+    reads only informative terms' postings, bounded per term by the
+    ceiling — the index IS the algorithm's input, paid once."""
+    name, _, _ = ensure_postings_index(spark, sf_dir)
+    pst = spark.table(name)
+    n = (
+        pst.agg(F.count_distinct("doc_id").alias("n")).collect()[0]["n"]
+    )  # bounded: 1 row
+    ceiling = min(int(_TC_DF_FRAC * n), _TC_DF_ABS_CAP)
+    w = pst.where(
+        (F.col("df") <= ceiling) & (F.col("df") >= 2)
+    ).select(
+        "doc_id",
+        F.col("term").alias("tok"),
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n)) / F.col("df").cast("double"))
+        ).alias("w"),
+    )
+    wn = w.withColumn(
+        "nrm",
+        F.sqrt(
+            F.sum(F.col("w") * F.col("w")).over(
+                Window.partitionBy("doc_id")
+            )
+        ),
+    )
+    a, b = wn.alias("a"), wn.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_terms"),
+            F.round(
+                F.sum(F.col("a.w") * F.col("b.w"))
+                / (F.max("a.nrm") * F.max("b.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
+        .limit(_TC_TOP)
+    )
+
+
+@register(
+    "hybrid_rrf_from_index",
+    oracle=_HYBRID_ORACLE,
+    tags=("retrieval", "hybrid", "rrf", "index", "store", "vector"),
+)
+def hybrid_rrf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_rrf_topk's store-reading twin (identical oracle): the
+    RRF fusion of the BM25 top-20 and the cosine-KNN top-20, with the
+    KEYWORD arm answered from the persisted postings index — one
+    bucket-pruned scan of the query terms' postings instead of the
+    inline corpus tokenize+census. The vector arm is unchanged (a
+    brute-force cosine TakeOrdered; its persisted artifact is the
+    IVF/PQ store, a separate lane with its own store-reading twins).
+    This is the production hybrid-search shape: BOTH arms are index
+    lookups, each bounded by its own top-depth, and the fusion joins
+    two ≤20-row rankings — broadcast-trivial at any corpus size.
+    Completes the reference-parity chain for hybrid retrieval
+    (reference is vector-only, ``rag.py:77-82``)."""
+    kw = (
+        _bm25_scores_from_index(spark, sf_dir)
+        .orderBy(F.col("bm25_raw").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "kw_rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("bm25_raw").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .select("doc_id", "kw_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        emb.where(F.col("vec_id") == _PROBE_ID).select(
+            F.col("embedding").alias("q")
+        )
+    )
+    vec = (
+        emb.where(F.col("vec_id") != _PROBE_ID)
+        .crossJoin(probe)
+        .withColumn("sim", cosine_similarity("embedding", "q"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "vec_rank")
+    )
+    fused = kw.join(vec, "doc_id", "full_outer").withColumn(
+        "rrf_raw",
+        F.coalesce(1.0 / (_RRF_K0 + F.col("kw_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K0 + F.col("vec_rank")), F.lit(0.0)),
+    )
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
+        .limit(TOP_N)
+        .select("doc_id", F.round("rrf_raw", 6).alias("rrf_score"))
     )
 
 

@@ -20,6 +20,7 @@ import pandas as pd  # noqa: F401  (resolves pandas_udf type hints)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emails_to_vector_db_spark.functions.vector import cosine_similarity
 from emails_to_vector_db_spark.plans.dedup import (
     _EMB_DUP_OFFSET,
     _EMB_N_PLANT,
@@ -674,3 +675,310 @@ def ivfadc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("adist", 6) + F.lit(0.0)).alias("adistance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitext margin mining (Artetxe & Schwenk 2019): cross-lingual parallel-pair
+# extraction — the MT-training-data sibling of the near-dup/similarity family
+# ---------------------------------------------------------------------------
+
+_BMM_K = 4  # neighborhood size for the margin normalizers
+_BMM_TOP = 20
+_BMM_SRC = "en"
+_BMM_TGT = "es"
+
+_BMM_ORACLE = f"""
+WITH x AS (
+    SELECT e.vec_id AS xid, e.embedding::DOUBLE[] AS v
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE d.lang = '{_BMM_SRC}'
+),
+y AS (
+    SELECT e.vec_id AS yid, e.embedding::DOUBLE[] AS v
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE d.lang = '{_BMM_TGT}'
+),
+sims AS (
+    SELECT xid, yid,
+           round(list_dot_product(x.v, y.v)
+                 / (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+    FROM x CROSS JOIN y
+),
+rx AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY xid
+                              ORDER BY sim DESC, yid ASC) AS rnk_x
+    FROM sims
+),
+mx AS (
+    SELECT xid, avg(sim) AS mx FROM rx WHERE rnk_x <= {_BMM_K}
+    GROUP BY xid
+),
+ry AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY yid
+                              ORDER BY sim DESC, xid ASC) AS rnk_y
+    FROM sims
+),
+my AS (
+    SELECT yid, avg(sim) AS my FROM ry WHERE rnk_y <= {_BMM_K}
+    GROUP BY yid
+)
+SELECT r.xid AS src_doc, r.yid AS tgt_doc,
+       round(r.sim / (0.5 * (mx.mx + my.my)), 6) AS margin
+FROM rx r
+JOIN mx USING (xid)
+JOIN my ON my.yid = r.yid
+WHERE r.rnk_x <= {_BMM_K}
+ORDER BY margin DESC, src_doc ASC, tgt_doc ASC
+LIMIT {_BMM_TOP}
+"""
+
+
+@register(
+    "bitext_margin_mining",
+    oracle=_BMM_ORACLE,
+    tags=("vector", "cross-lingual", "bitext", "similarity", "mining"),
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
+    CCMatrix pipeline): mine candidate parallel en→es document pairs
+    by RATIO-MARGIN scoring — cos(x,y) normalized by the mean
+    similarity of each side's k-nearest neighborhood — which suppresses
+    "hub" vectors that are close to everything and is the standard
+    parallel-corpus extraction step for MT training data.
+
+    Plan: ONE pair materialization (the smaller language side is
+    broadcast; distances are native zip_with/aggregate column
+    expressions, map-side, codegen-eligible — functions/vector.py),
+    then two window passes over the pair stream: partition by src doc
+    (candidate rank + neighborhood mean via a null-skipping conditional
+    avg in the SAME exchange), repartition by tgt doc for its mirror.
+    Margins are emitted only for each src doc's top-k candidates; the
+    global top-20 is a TakeOrdered. No doc-grain table ever joins the
+    pair grain — both normalizers ride the pair rows out of their
+    window exchanges.
+
+    At 100 TB the exact pair space is the scale killer, and the cutover
+    is already in the engine: candidate generation routes through
+    ``operators/knn.py::knn_join_adaptive`` (probes broadcast below
+    10k, IVF-bucketed ``ivf_ann_join`` above — margins then normalize
+    over retrieved candidates only, exactly as published); this
+    registered form is the oracle-checkable exact baseline, the same
+    contract as ``knn_topk`` vs the ANN family. Reference parity: the
+    reference's vector store is monolingual (``rag.py:35``); this is
+    the cross-lingual extension its embedding column implies."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sides = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "vec_id", "embedding", "lang"
+    )
+    xs = sides.where(F.col("lang") == _BMM_SRC).select(
+        F.col("vec_id").alias("xid"), F.col("embedding").alias("xv")
+    )
+    ys = sides.where(F.col("lang") == _BMM_TGT).select(
+        F.col("vec_id").alias("yid"), F.col("embedding").alias("yv")
+    )
+    sims = xs.crossJoin(F.broadcast(ys)).select(
+        "xid",
+        "yid",
+        F.round(cosine_similarity("xv", "yv"), 6).alias("sim"),
+    )
+    return _bmm_margin_tail(sims)
+
+
+def _bmm_margin_tail(cand: DataFrame) -> DataFrame:
+    """Shared margin-scoring tail over a (xid, yid, sim) candidate
+    stream: per-src candidate rank + neighborhood mean in one exchange,
+    the per-tgt mirror in a second, then margins for each src doc's
+    top-k and a global TakeOrdered. Works for ANY candidate generator —
+    the exact cross product and the IVF-bucketed form route through the
+    same code, so their only difference is (provably) the candidate
+    set."""
+    from pyspark.sql import Window
+
+    w_x = Window.partitionBy("xid").orderBy(
+        F.col("sim").desc(), F.col("yid").asc()
+    )
+    w_x_all = Window.partitionBy("xid")
+    rx = cand.withColumn("rnk_x", F.row_number().over(w_x)).withColumn(
+        "mx",
+        F.avg(F.when(F.col("rnk_x") <= _BMM_K, F.col("sim"))).over(
+            w_x_all
+        ),
+    )
+    w_y = Window.partitionBy("yid").orderBy(
+        F.col("sim").desc(), F.col("xid").asc()
+    )
+    w_y_all = Window.partitionBy("yid")
+    ry = rx.withColumn("rnk_y", F.row_number().over(w_y)).withColumn(
+        "my",
+        F.avg(F.when(F.col("rnk_y") <= _BMM_K, F.col("sim"))).over(
+            w_y_all
+        ),
+    )
+    return (
+        ry.where(F.col("rnk_x") <= _BMM_K)
+        .select(
+            F.col("xid").alias("src_doc"),
+            F.col("yid").alias("tgt_doc"),
+            F.round(
+                F.col("sim") / (0.5 * (F.col("mx") + F.col("my"))), 6
+            ).alias("margin"),
+        )
+        .orderBy(F.col("margin").desc(), "src_doc", "tgt_doc")
+        .limit(_BMM_TOP)
+    )
+
+
+def _bmm_ivf_oracle() -> str:
+    """The IVF-routed margin mining in ANSI SQL with the persisted
+    quantizer as literals (the _ivf_oracle pattern): target side
+    assigned to its argmin list, source side exploded to the nprobe
+    nearest lists, candidates only within shared lists, margins over
+    the RETRIEVED neighborhoods (as published — CCMatrix normalizes
+    over the FAISS-retrieved k, not the exact k)."""
+    from emails_to_vector_db_spark.plans.vector import (
+        _IVF_NPROBE,
+        _ORACLE_SF_DIR,
+        _embeddings_rows,
+        _ivf_centroids,
+        _ivf_k,
+    )
+
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)))
+    values = ", ".join(
+        f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents AS (
+    SELECT * FROM (VALUES {values}) AS t(cid, c)
+),
+x AS (
+    SELECT e.vec_id AS xid, e.embedding::DOUBLE[] AS v
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE d.lang = '{_BMM_SRC}'
+),
+y AS (
+    SELECT e.vec_id AS yid, e.embedding::DOUBLE[] AS v
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE d.lang = '{_BMM_TGT}'
+),
+y_assign AS (
+    SELECT yid, v, cid FROM (
+        SELECT y.yid, y.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY y.yid
+                   ORDER BY list_distance(y.v, c.c) ASC, c.cid ASC
+               ) AS rnk
+        FROM y CROSS JOIN cents c
+    ) WHERE rnk = 1
+),
+x_probe AS (
+    SELECT xid, v, cid FROM (
+        SELECT x.xid, x.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY x.xid
+                   ORDER BY list_distance(x.v, c.c) ASC, c.cid ASC
+               ) AS rnk
+        FROM x CROSS JOIN cents c
+    ) WHERE rnk <= {_IVF_NPROBE}
+),
+sims AS (
+    SELECT p.xid, b.yid,
+           round(list_dot_product(p.v, b.v)
+                 / (sqrt(list_dot_product(p.v, p.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+    FROM x_probe p JOIN y_assign b ON p.cid = b.cid
+),
+rx AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY xid
+                              ORDER BY sim DESC, yid ASC) AS rnk_x
+    FROM sims
+),
+mx AS (
+    SELECT xid, avg(sim) AS mx FROM rx WHERE rnk_x <= {_BMM_K}
+    GROUP BY xid
+),
+ry AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY yid
+                              ORDER BY sim DESC, xid ASC) AS rnk_y
+    FROM sims
+),
+my AS (
+    SELECT yid, avg(sim) AS my FROM ry WHERE rnk_y <= {_BMM_K}
+    GROUP BY yid
+)
+SELECT r.xid AS src_doc, r.yid AS tgt_doc,
+       round(r.sim / (0.5 * (mx.mx + my.my)), 6) AS margin
+FROM rx r
+JOIN mx USING (xid)
+JOIN my ON my.yid = r.yid
+WHERE r.rnk_x <= {_BMM_K}
+ORDER BY margin DESC, src_doc ASC, tgt_doc ASC
+LIMIT {_BMM_TOP}
+"""
+
+
+@register(
+    "bitext_margin_mining_ivf",
+    oracle=_bmm_ivf_oracle(),
+    tags=("vector", "cross-lingual", "bitext", "ann", "ivf", "mining"),
+)
+def bitext_margin_mining_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """bitext_margin_mining's PRODUCTION form — candidate generation
+    through the persisted IVF quantizer instead of the exact cross
+    product, which is how the published pipeline actually runs
+    (CCMatrix mines margins over FAISS-retrieved neighborhoods): the
+    target side is bucketed by its argmin list (one assignment pass,
+    no pair space), the source side probes its nprobe=4 nearest lists,
+    and candidate pairs exist ONLY within shared lists — the pair
+    space drops from |X|·|Y| to the sum of per-list products, the
+    standard IVF bound that holds at any corpus size because the
+    quantizer is SELF-TUNED (k grows with the corpus, expected list
+    length stays flat). Margins normalize over the retrieved
+    neighborhoods, exactly as published. The margin tail is the SAME
+    code as the exact form (_bmm_margin_tail), so the two registered
+    queries differ only in their hash-checked candidate sets; the
+    quantizer is the same persisted artifact the whole IVF family
+    loads (spark-warehouse/ivf_index/, rebuilt never — the
+    ivf_rebalance lane maintains it)."""
+    from emails_to_vector_db_spark.operators.ivf import (
+        assign_centroid,
+        nearest_centroids,
+    )
+    from emails_to_vector_db_spark.plans.vector import (
+        _IVF_NPROBE,
+        _embeddings_rows,
+        _ivf_centroids,
+        _ivf_k,
+    )
+
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf_dir)))
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sides = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "vec_id", "embedding", "lang"
+    )
+    xs = sides.where(F.col("lang") == _BMM_SRC).select(
+        F.col("vec_id").alias("xid"), F.col("embedding").alias("xv")
+    )
+    ys = sides.where(F.col("lang") == _BMM_TGT).select(
+        F.col("vec_id").alias("yid"), F.col("embedding").alias("yv")
+    )
+    ys_a = ys.withColumn("_cid", assign_centroid(F.col("yv"), cents))
+    xs_p = xs.withColumn(
+        "_cid",
+        F.explode(nearest_centroids(F.col("xv"), cents, _IVF_NPROBE)),
+    )
+    cand = ys_a.join(xs_p, "_cid").select(
+        "xid",
+        "yid",
+        F.round(cosine_similarity("xv", "yv"), 6).alias("sim"),
+    )
+    return _bmm_margin_tail(cand)

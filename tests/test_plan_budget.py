@@ -234,6 +234,7 @@ SCAN_BUDGET = {
     ("documents", "bm25_topk"): 2,  # tf persisted: 2 scans, not 3
     ("documents", "bm25_topk_from_index"): 0,  # index-only: corpus never read
     ("documents", "rm3_query_expansion_from_index"): 0,  # pass 3 is index-only (passes 1-2 ran eagerly)
+    ("documents", "hybrid_rrf_from_index"): 0,  # kw arm index-only; vec arm reads embeddings
     ("documents", "benchmark_decontamination"): 2,  # eval + train sides
     ("events", "event_funnel_conversion"): 1,  # window chain, single scan
     ("lineitem", "q17_small_quantity_revenue"): 1,  # filter-first window

@@ -91,6 +91,46 @@ def test_pb_index_twin_matches_inline_census_gone(spark):
     assert "windowspecdefinition(term" in _plan(inline)
 
 
+def test_hybrid_rrf_index_twin_matches_inline(spark):
+    """Store-reading hybrid RRF == inline hybrid RRF row-for-row; the
+    keyword arm reads postings (no corpus text scan anywhere in the
+    fused plan — the only document-side scan left is the vector arm's
+    embeddings read, a different table)."""
+    spark.catalog.clearCache()
+    twin = REGISTRY["hybrid_rrf_from_index"].fn(spark, SF_ORACLE)
+    inline = REGISTRY["hybrid_rrf_topk"].fn(spark, SF_ORACLE)
+    assert _rows(twin) == _rows(inline)
+
+    p = _plan(twin)
+    assert "postings" in p, "hybrid twin never read the postings store"
+    assert "documents.parquet" not in p, (
+        "hybrid twin rescanned the corpus text"
+    )
+    assert "embeddings.parquet" in p  # the vector arm, by design
+    assert "documents.parquet" in _plan(inline)
+
+
+def test_tfidf_index_twin_matches_inline_df_prune_pushed(spark):
+    """Store-reading TF-IDF pair join == inline form row-for-row; the
+    corpus is never read and the df-ceiling (the sub-quadratic pair
+    bound) is PUSHED to the postings parquet scan, not applied after a
+    full read."""
+    spark.catalog.clearCache()
+    twin = REGISTRY["tfidf_cosine_from_index"].fn(spark, SF_ORACLE)
+    inline = REGISTRY["tfidf_cosine_topk_pairs"].fn(spark, SF_ORACLE)
+    assert _rows(twin) == _rows(inline)
+
+    p = _plan(twin)
+    assert "documents.parquet" not in p, "twin rescanned the corpus"
+    assert "trim(text" not in p, "twin re-tokenized corpus text"
+    pushed = [
+        ln
+        for ln in p.splitlines()
+        if "PushedFilters" in ln and "LessThanOrEqual(df" in ln
+    ]
+    assert pushed, "df-ceiling not pushed to the postings scan"
+
+
 def test_postings_staleness_rebuild(spark, tmp_path):
     """A regenerated fixture (newer documents.parquet mtime) must
     rebuild the index; an unchanged fixture must NOT rewrite it."""
