@@ -319,14 +319,21 @@ def rm3_query_expansion_from_index(
     # pass 2: feedback-doc term distributions from the ROW store
     # (doc-grain forward lookup; see module docstring)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = d.select(
+    # the feedback doc_ids become a LITERAL IN-list (bounded collect,
+    # ≤ _RM3_FB_DOCS rows — the kmeans-seed precedent), so the forward
+    # lookup is a PUSHED parquet predicate that row-group-prunes the
+    # corpus scan; a semi join instead would stream every corpus row's
+    # text through the probe (and a Project below it would tokenize
+    # them all) — measured 8s at sf1 for what the two-index design
+    # promises is 10 docs of work
+    fb_ids = [int(r["doc_id"]) for r in fb.select("doc_id").collect()]
+    base = d.where(F.col("doc_id").isin(fb_ids)).select(
         "doc_id",
         F.size(TX.tokens("text")).alias("dl"),
         TX.tokens("text").alias("toks"),
     )
     fb_tf = (
-        base.join(fb.select("doc_id"), "doc_id", "left_semi")
-        .select("doc_id", "dl", F.explode("toks").alias("term"))
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
