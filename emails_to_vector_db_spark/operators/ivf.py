@@ -306,6 +306,55 @@ def assign_centroids_arrow(
     )
 
 
+def probe_centroids_arrow(
+    df: "DataFrame",
+    centroids: list[list[float]],
+    nprobe: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_cid: str = "cid",
+):
+    """The ``nprobe`` nearest centroid ids through the Arrow BLAS lane —
+    the large-k sibling of ``nearest_centroids`` (which stays an
+    interpreted per-element struct sort: right at query-time k≈16,
+    measured to destruction at a self-tuned k≈1.5k × 200k rows — the
+    ~10M-element-op cutover rule). One BLAS expansion per batch, then a
+    STABLE row argsort: columns are in cid order, so equal distances
+    keep ascending cid — the same (dist, cid) tiebreak as the struct
+    sort and the oracle's rank. Returns (id_col, out_cid) exploded to
+    one row per probed list."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    p = min(nprobe, len(C))
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({id_col: [], out_cid: []})
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d = (
+                (X * X).sum(axis=1)[:, None]
+                + c_sq[None, :]
+                - 2.0 * (X @ C.T)
+            )
+            near = np.argsort(d, axis=1, kind="stable")[:, :p]
+            ids = np.repeat(pdf[id_col].values, p)
+            yield pd.DataFrame(
+                {id_col: ids, out_cid: near.ravel().astype("int32")}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        probe, schema=f"{id_col} bigint, {out_cid} int"
+    )
+
+
 def round_half_away(a, decimals: int = 6):
     """SQL-compatible rounding for numpy arrays: half AWAY from zero.
 

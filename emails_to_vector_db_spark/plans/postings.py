@@ -399,6 +399,7 @@ def rm3_query_expansion_from_index(
     "tfidf_cosine_from_index",
     oracle=_TC_ORACLE,
     tags=("retrieval", "similarity", "tfidf", "index", "store", "join"),
+    bench=True,
 )
 def tfidf_cosine_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tfidf_cosine_topk_pairs' store-reading twin (identical oracle):
@@ -470,6 +471,7 @@ def tfidf_cosine_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hybrid_rrf_from_index",
     oracle=_HYBRID_ORACLE,
     tags=("retrieval", "hybrid", "rrf", "index", "store", "vector"),
+    bench=True,
 )
 def hybrid_rrf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hybrid_rrf_topk's store-reading twin (identical oracle): the

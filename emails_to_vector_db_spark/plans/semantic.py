@@ -927,6 +927,7 @@ LIMIT {_BMM_TOP}
     "bitext_margin_mining_ivf",
     oracle=_bmm_ivf_oracle(),
     tags=("vector", "cross-lingual", "bitext", "ann", "ivf", "mining"),
+    bench=True,
 )
 def bitext_margin_mining_ivf(
     spark: SparkSession, sf_dir: str
@@ -959,7 +960,8 @@ def bitext_margin_mining_ivf(
         _ivf_k,
     )
 
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf_dir)))
+    n_rows = _embeddings_rows(sf_dir)
+    cents = _ivf_centroids(_ivf_k(n_rows))
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     sides = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
@@ -971,6 +973,20 @@ def bitext_margin_mining_ivf(
     ys = sides.where(F.col("lang") == _BMM_TGT).select(
         F.col("vec_id").alias("yid"), F.col("embedding").alias("yv")
     )
+    # Two physical routes, one logical plan (the broadcast↔shuffle
+    # cutover discipline): below the ~10M-element-op line, centroid
+    # assignment is an interpreted struct expression (a pure scan
+    # projection — right at query-time k=16) and candidate cosines are
+    # native folds; above it — self-tuned k in the thousands, corpus-
+    # grain sides — BOTH move to the Arrow BLAS lanes: assignment via
+    # one expansion per batch, and candidate scoring as ONE dgemm PER
+    # INVERTED LIST (cogroup on the list id — this is literally how
+    # FAISS-IVF executes), emitting only each source vector's per-list
+    # top-k pairs plus the y-grain normalizer table, so the shuffle
+    # after the gram is k·|X| + |Y| rows, never the pair space.
+    # (Interpreted folds measured 378s/230s at sf10 — SCALE_NOTES.)
+    if n_rows * len(cents) * 64 > 10_000_000:
+        return _bmm_ivf_blas(spark, xs, ys, cents, _IVF_NPROBE)
     ys_a = ys.withColumn("_cid", assign_centroid(F.col("yv"), cents))
     xs_p = xs.withColumn(
         "_cid",
@@ -982,3 +998,107 @@ def bitext_margin_mining_ivf(
         F.round(cosine_similarity("xv", "yv"), 6).alias("sim"),
     )
     return _bmm_margin_tail(cand)
+
+
+def _bmm_ivf_blas(spark, xs, ys, cents, nprobe) -> DataFrame:
+    """The per-list BLAS route of bitext_margin_mining_ivf (semantics
+    identical to the expression route — pinned by
+    tests/test_bitext_mining.py): Arrow assignment/probing, then one
+    cogroup on the list id where each list's candidate cosines are a
+    single normalized gram matrix. A target vector lives in exactly ONE
+    list, so its normalizer (avg of its top-k candidate sims) is exact
+    list-locally and is emitted as a y-grain table; a source vector
+    probes nprobe lists, so its per-list top-k pairs are emitted and
+    the GLOBAL top-k/normalizer ride one window downstream (superset
+    property). Only k·|X| + |Y| rows ever shuffle after the gram."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from emails_to_vector_db_spark.operators.ivf import (
+        assign_centroids_arrow,
+        probe_centroids_arrow,
+        round_half_away,
+    )
+
+    ya = assign_centroids_arrow(
+        ys.select(
+            F.col("yid").alias("vec_id"), F.col("yv").alias("embedding")
+        ),
+        cents,
+    ).select(F.col("vec_id").alias("yid"), F.col("cid").alias("_cid"))
+    ys_a = ys.join(ya, "yid")
+    xp = probe_centroids_arrow(
+        xs, cents, nprobe, id_col="xid", vec_col="xv", out_cid="_cid"
+    )
+    xs_p = xs.join(xp, "xid")
+
+    gx = xs_p.groupBy("_cid")
+    gy = ys_a.groupBy("_cid")
+
+    def _mats(xpdf, ypdf):
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in xpdf["xv"]]
+        )
+        Y = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in ypdf["yv"]]
+        )
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Y = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+        return round_half_away(X @ Y.T, 6)
+
+    def topk_pairs(_key, xpdf, ypdf):
+        if not len(xpdf) or not len(ypdf):
+            return pd.DataFrame({"xid": [], "yid": [], "sim": []})
+        S = _mats(xpdf, ypdf)
+        yids = ypdf["yid"].to_numpy()
+        out_x, out_y, out_s = [], [], []
+        k = min(_BMM_K, S.shape[1])
+        for i in range(S.shape[0]):
+            order = np.lexsort((yids, -S[i]))[:k]
+            out_x.extend([xpdf["xid"].iloc[i]] * k)
+            out_y.extend(yids[order])
+            out_s.extend(S[i, order])
+        return pd.DataFrame({"xid": out_x, "yid": out_y, "sim": out_s})
+
+    def y_normalizers(_key, xpdf, ypdf):
+        if not len(xpdf) or not len(ypdf):
+            return pd.DataFrame({"yid": [], "my": []})
+        S = _mats(xpdf, ypdf)
+        k = min(_BMM_K, S.shape[0])
+        tops = -np.sort(-S, axis=0, kind="stable")[:k]
+        return pd.DataFrame(
+            {"yid": ypdf["yid"].to_numpy(), "my": tops.mean(axis=0)}
+        )
+
+    pairs = gx.cogroup(gy).applyInPandas(
+        topk_pairs, "xid bigint, yid bigint, sim double"
+    )
+    my_tbl = gx.cogroup(gy).applyInPandas(
+        y_normalizers, "yid bigint, my double"
+    )
+    w_x = Window.partitionBy("xid").orderBy(
+        F.col("sim").desc(), F.col("yid").asc()
+    )
+    w_x_all = Window.partitionBy("xid")
+    rx = pairs.withColumn(
+        "rnk_x", F.row_number().over(w_x)
+    ).withColumn(
+        "mx",
+        F.avg(F.when(F.col("rnk_x") <= _BMM_K, F.col("sim"))).over(
+            w_x_all
+        ),
+    )
+    return (
+        rx.where(F.col("rnk_x") <= _BMM_K)
+        .join(my_tbl, "yid")
+        .select(
+            F.col("xid").alias("src_doc"),
+            F.col("yid").alias("tgt_doc"),
+            F.round(
+                F.col("sim") / (0.5 * (F.col("mx") + F.col("my"))), 6
+            ).alias("margin"),
+        )
+        .orderBy(F.col("margin").desc(), "src_doc", "tgt_doc")
+        .limit(_BMM_TOP)
+    )

@@ -76,6 +76,20 @@ def test_full_coverage_ivf_equals_exact(spark):
     assert _rows(full) == _rows(exact)
 
 
+def test_blas_route_equals_expression_route(spark):
+    """The per-list BLAS route (the >10M-element-op cutover taken at
+    corpus scale) must produce the same mined pairs as the expression
+    route the oracle checks at fixture scale — same candidate
+    semantics, same normalizers, different physical lanes."""
+    from emails_to_vector_db_spark.plans.semantic import _bmm_ivf_blas
+
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(SF_ORACLE)))
+    xs, ys = _sides(spark)
+    blas = _bmm_ivf_blas(spark, xs, ys, cents, 4)
+    expr = REGISTRY["bitext_margin_mining_ivf"].fn(spark, SF_ORACLE)
+    assert _rows(blas) == _rows(expr)
+
+
 def test_production_nprobe_recall(spark):
     """At production nprobe=4 the IVF-mined top pairs must agree with
     the exact form on a clear majority — the measured recall of the

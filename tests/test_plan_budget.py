@@ -143,6 +143,13 @@ SHUFFLE_BUDGET = {
     # q/base joins + AP windows + bootstrap re-aggs; the census
     # tokenize/tf/impact-window shuffles are gone (store-read)
     "paired_bootstrap_from_index": 13,
+    # both retrieval arms are index lookups; the fusion joins two
+    # <=20-row rankings (the 1 exchange is the kw-arm doc groupBy)
+    "hybrid_rrf_from_index": 1,
+    # pushed df-ceiling scan + doc-norm window + pair-key aggregate
+    "tfidf_cosine_from_index": 2,
+    # list-grain candidate join + the two margin window exchanges
+    "bitext_margin_mining_ivf": 4,
     # r9 registrations
     # range exchange + offsets join + rank adjacency join (2 sides of
     # the persisted local table) + dup-substring agg — all linear
