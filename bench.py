@@ -117,6 +117,111 @@ RECORDED_SF01_R07 = {
 # driver regenerates /root/testdata each round and cross-regeneration
 # comparisons carry fixture drift on top of host noise (BASELINE.md
 # "Round-8 full-set reference").
+# Round-9 clean-idle reference: per-query BEST-OF-THREE in-session runs
+# (97 bench queries incl. the 6 r9 promotions: the four postings-store
+# twins, bitext_margin_mining_ivf, and the r8 recall audits kept), on
+# the ROUND-9 regenerated fixtures — same rationale as the r8 block.
+RECORDED_SF01_R09_TOTAL = 134.516
+RECORDED_SF01_R09 = {
+    "adaboost_stumps": 2.028,
+    "adamic_adar_link_prediction": 3.395,
+    "alpha_mixing_weights": 0.806,
+    "asof_last_click_before_purchase": 0.468,
+    "benchmark_decontamination": 1.353,
+    "binary_quantized_knn": 1.348,
+    "bitext_margin_mining_ivf": 2.439,
+    "bm25_topk": 1.141,
+    "bm25_topk_from_index": 0.213,
+    "bpe_segmentation_stats": 1.152,
+    "bucketed_colocated_join": 0.36,
+    "bytes_per_token_by_source": 0.247,
+    "cdc_chunk_stability": 1.529,
+    "changepoint_detection": 1.502,
+    "cohort_retention_matrix": 0.469,
+    "containment_near_supersets": 3.946,
+    "corpus_snapshot_diff": 0.819,
+    "cross_encoder_rerank_topk": 0.7,
+    "curation_pipeline_e2e": 0.785,
+    "dedup_quality_survivors": 3.405,
+    "distilled_filter_agreement": 2.798,
+    "doc_quality_scores": 0.345,
+    "doc_token_stats": 0.249,
+    "duplicate_ngram_coverage": 2.129,
+    "embedding_jl_projection_pairs": 0.583,
+    "embedding_lsh_recall_audit": 3.158,
+    "embedding_near_dup_groups": 1.292,
+    "embedding_near_dups_lsh": 1.31,
+    "embedding_pca_topvar": 0.372,
+    "epoch_shuffle_decorrelation": 0.415,
+    "event_funnel_conversion": 0.519,
+    "exact_dedup_groups": 0.294,
+    "excess_loss_mixture": 2.241,
+    "filter_ablation_matrix": 1.26,
+    "gopher_repetition_filters": 1.023,
+    "hard_negative_mining": 0.468,
+    "hash_embed_knn": 0.803,
+    "heavy_hitter_terms": 0.577,
+    "hourly_event_counts": 0.213,
+    "hybrid_rrf_from_index": 0.696,
+    "incremental_curation_e2e": 5.667,
+    "incremental_lsh_dedup": 4.231,
+    "incremental_mv_refresh": 0.373,
+    "ivf_rebalance_plan": 1.904,
+    "ivfadc_ann_topk": 0.821,
+    "kcore_part_basket": 7.323,
+    "kmv_distinct_sketch": 0.626,
+    "kneser_ney_bigram_scores": 2.269,
+    "knn_join_multi_probe": 0.488,
+    "knn_join_probe_cutover": 2.964,
+    "knn_topk_l2": 0.468,
+    "label_centroid_norm_pandas": 0.398,
+    "lang_id_confusion": 0.638,
+    "logreg_quality_classifier": 1.531,
+    "longest_dup_substring": 3.771,
+    "loo_source_valuation": 5.662,
+    "minhash_lsh_near_dups": 1.023,
+    "minhash_near_dup_groups": 1.448,
+    "minhash_recall_precision_audit": 3.768,
+    "mips_topk_augmented": 0.344,
+    "naive_bayes_lang_classifier": 0.744,
+    "near_dup_components": 2.274,
+    "ngram_novelty_scores": 1.241,
+    "paired_bootstrap_from_index": 2.441,
+    "pq_ann_topk": 0.619,
+    "prefix_filter_jaccard_join": 2.8,
+    "psi_value_drift": 0.528,
+    "q10_returned_item_customers": 0.593,
+    "q1_pricing_summary": 0.311,
+    "q21_suppliers_kept_orders_waiting": 0.771,
+    "q3_shipping_priority": 0.606,
+    "q5_local_supplier_volume": 0.681,
+    "q6_forecast_revenue": 0.185,
+    "q7_volume_shipping": 0.808,
+    "q9_product_type_profit": 0.718,
+    "rfm_customer_segments_approx": 0.991,
+    "rm3_query_expansion": 3.061,
+    "rm3_query_expansion_from_index": 1.562,
+    "semantic_dedup_prune": 0.534,
+    "simhash_near_dups": 0.819,
+    "skyline_pareto_parts": 1.637,
+    "sliding_window_counts": 0.248,
+    "small_file_compaction_plan": 0.663,
+    "softmax_lang_classifier": 1.875,
+    "source_token_kl": 0.399,
+    "span_exact_dedup": 0.877,
+    "spatial_radius_join": 0.697,
+    "spatial_radius_topk": 1.047,
+    "split_contamination_matrix": 3.313,
+    "split_leakage_audit": 0.536,
+    "substring_window_dedup": 1.857,
+    "template_dups_cross_lang": 1.052,
+    "tfidf_cosine_from_index": 0.487,
+    "tfidf_cosine_topk_pairs": 1.164,
+    "tfidf_idf_top30": 0.242,
+    "unigram_perplexity_scores": 0.564,
+    "winnowing_fingerprint_pairs": 1.004,
+}
+
 RECORDED_SF01_R08_TOTAL = 107.067
 RECORDED_SF01_R08 = {
     "adaboost_stumps": 1.79,
@@ -281,6 +386,17 @@ def main() -> None:
             )
         # full-set ratio vs the round-7 reference run (covers the whole
         # bench surface, not just the r01 16-query subset)
+        common9 = [n for n in timings if n in RECORDED_SF01_R09]
+        rec9 = sum(RECORDED_SF01_R09[n] for n in common9)
+        now9 = sum(timings[n] for n in common9)
+        if rec9 > 0:
+            payload["r09_set_ratio"] = round(now9 / rec9, 3)
+            print(
+                f"# vs r09 full-set reference ({len(common9)} queries): "
+                f"{payload['r09_set_ratio']}x (recorded {rec9:.1f}s, "
+                f"now {now9:.1f}s)",
+                file=sys.stderr,
+            )
         common8 = [n for n in timings if n in RECORDED_SF01_R08]
         rec8 = sum(RECORDED_SF01_R08[n] for n in common8)
         now8 = sum(timings[n] for n in common8)
