@@ -84,6 +84,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "tfidf_cosine_from_index",
     "bitext_margin_mining",
     "bitext_margin_mining_ivf",
+    "bitext_mutual_pairs",
 )
 
 

@@ -788,14 +788,13 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bmm_margin_tail(sims)
 
 
-def _bmm_margin_tail(cand: DataFrame) -> DataFrame:
-    """Shared margin-scoring tail over a (xid, yid, sim) candidate
+def _bmm_scored(cand: DataFrame) -> DataFrame:
+    """Shared margin bookkeeping over a (xid, yid, sim) candidate
     stream: per-src candidate rank + neighborhood mean in one exchange,
-    the per-tgt mirror in a second, then margins for each src doc's
-    top-k and a global TakeOrdered. Works for ANY candidate generator —
-    the exact cross product and the IVF-bucketed form route through the
-    same code, so their only difference is (provably) the candidate
-    set."""
+    the per-tgt mirror in a second. Returns the candidate rows with
+    (rnk_x, mx, rnk_y, my) attached — the margin tail and the mutual
+    best-match filter both read this frame, and it works for ANY
+    candidate generator (exact cross product or IVF-bucketed)."""
     from pyspark.sql import Window
 
     w_x = Window.partitionBy("xid").orderBy(
@@ -812,12 +811,18 @@ def _bmm_margin_tail(cand: DataFrame) -> DataFrame:
         F.col("sim").desc(), F.col("xid").asc()
     )
     w_y_all = Window.partitionBy("yid")
-    ry = rx.withColumn("rnk_y", F.row_number().over(w_y)).withColumn(
+    return rx.withColumn("rnk_y", F.row_number().over(w_y)).withColumn(
         "my",
         F.avg(F.when(F.col("rnk_y") <= _BMM_K, F.col("sim"))).over(
             w_y_all
         ),
     )
+
+
+def _bmm_margin_tail(cand: DataFrame) -> DataFrame:
+    """Margins for each src doc's top-k candidates + global TakeOrdered
+    over the shared _bmm_scored frame."""
+    ry = _bmm_scored(cand)
     return (
         ry.where(F.col("rnk_x") <= _BMM_K)
         .select(
@@ -1101,4 +1106,102 @@ def _bmm_ivf_blas(spark, xs, ys, cents, nprobe) -> DataFrame:
         )
         .orderBy(F.col("margin").desc(), "src_doc", "tgt_doc")
         .limit(_BMM_TOP)
+    )
+
+
+_BMM_MUTUAL_TOP = 50
+
+_BMM_MUTUAL_ORACLE = f"""
+WITH x AS (
+    SELECT e.vec_id AS xid, e.embedding::DOUBLE[] AS v
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE d.lang = '{_BMM_SRC}'
+),
+y AS (
+    SELECT e.vec_id AS yid, e.embedding::DOUBLE[] AS v
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    WHERE d.lang = '{_BMM_TGT}'
+),
+sims AS (
+    SELECT xid, yid,
+           round(list_dot_product(x.v, y.v)
+                 / (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+    FROM x CROSS JOIN y
+),
+rx AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY xid
+                              ORDER BY sim DESC, yid ASC) AS rnk_x
+    FROM sims
+),
+mx AS (
+    SELECT xid, avg(sim) AS mx FROM rx WHERE rnk_x <= {_BMM_K}
+    GROUP BY xid
+),
+ry AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY yid
+                              ORDER BY sim DESC, xid ASC) AS rnk_y
+    FROM rx
+),
+my AS (
+    SELECT yid, avg(sim) AS my FROM ry WHERE rnk_y <= {_BMM_K}
+    GROUP BY yid
+)
+SELECT r.xid AS src_doc, r.yid AS tgt_doc,
+       round(r.sim / (0.5 * (mx.mx + my.my)), 6) AS margin
+FROM ry r
+JOIN mx USING (xid)
+JOIN my ON my.yid = r.yid
+WHERE r.rnk_x = 1 AND r.rnk_y = 1
+ORDER BY margin DESC, src_doc ASC, tgt_doc ASC
+LIMIT {_BMM_MUTUAL_TOP}
+"""
+
+
+@register(
+    "bitext_mutual_pairs",
+    oracle=_BMM_MUTUAL_ORACLE,
+    tags=("vector", "cross-lingual", "bitext", "similarity", "mining"),
+)
+def bitext_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION stage of the published bitext pipeline: keep only
+    RECIPROCAL best matches — pairs where the es doc is the en doc's
+    nearest candidate AND vice versa (Artetxe & Schwenk's "mutual"
+    strategy, the highest-precision variant) — ranked by the same
+    ratio margin. Both direction ranks already ride the shared
+    _bmm_scored frame (bitext_margin_mining pays the identical two
+    window exchanges), so mutuality is a row predicate, not a
+    self-join: rnk_x = 1 AND rnk_y = 1. At scale this composes with
+    the IVF candidate route unchanged — a reciprocal-best pair within
+    probed lists is exactly what the approximate pipeline keeps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sides = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "vec_id", "embedding", "lang"
+    )
+    xs = sides.where(F.col("lang") == _BMM_SRC).select(
+        F.col("vec_id").alias("xid"), F.col("embedding").alias("xv")
+    )
+    ys = sides.where(F.col("lang") == _BMM_TGT).select(
+        F.col("vec_id").alias("yid"), F.col("embedding").alias("yv")
+    )
+    sims = xs.crossJoin(F.broadcast(ys)).select(
+        "xid",
+        "yid",
+        F.round(cosine_similarity("xv", "yv"), 6).alias("sim"),
+    )
+    scored = _bmm_scored(sims)
+    return (
+        scored.where((F.col("rnk_x") == 1) & (F.col("rnk_y") == 1))
+        .select(
+            F.col("xid").alias("src_doc"),
+            F.col("yid").alias("tgt_doc"),
+            F.round(
+                F.col("sim") / (0.5 * (F.col("mx") + F.col("my"))), 6
+            ).alias("margin"),
+        )
+        .orderBy(F.col("margin").desc(), "src_doc", "tgt_doc")
+        .limit(_BMM_MUTUAL_TOP)
     )
