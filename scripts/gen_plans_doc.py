@@ -202,6 +202,20 @@ SHOWCASE = [
         "join, map-side dense top-k lane, query-grain paired Poisson "
         "bootstrap unrolled against a broadcast replica range.",
     ),
+    (
+        "bm25_topk_from_index",
+        "Store-reading BM25: the query terms' IN-list bucket-prunes the "
+        "persisted postings table (SelectedBucketsCount in the scan), df "
+        "and dl ride the posting rows, corpus stats are sidecar "
+        "literals — no corpus scan, no tokenize, no census window.",
+    ),
+    (
+        "bitext_margin_mining_ivf",
+        "Cross-lingual margin mining through the persisted IVF "
+        "quantizer: candidates only within shared lists; above the "
+        "~10M-element-op cutover both assignment and scoring run in "
+        "Arrow BLAS lanes (one dgemm per inverted list).",
+    ),
 ]
 
 
