@@ -85,6 +85,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "bitext_margin_mining",
     "bitext_margin_mining_ivf",
     "bitext_mutual_pairs",
+    "reembedding_migration_audit",
 )
 
 

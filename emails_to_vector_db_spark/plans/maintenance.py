@@ -1130,3 +1130,228 @@ def small_file_compaction_plan(
         F.min("fname").alias("first_file"),
         F.max("fname").alias("last_file"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Re-embedding migration audit (model-upgrade churn over the ANN index)
+# ---------------------------------------------------------------------------
+
+
+def _remb_v2_sql(v: str) -> str:
+    """The deterministic 'model upgrade' transform in DuckDB list
+    algebra (1-indexed): each dimension blends with its cyclic
+    neighbor — a stand-in for a new encoder checkpoint whose outputs
+    correlate with, but do not equal, the old space."""
+    return (
+        f"list_transform(range(1, 65), i -> "
+        f"0.95 * {v}[i] + 0.05 * {v}[CASE WHEN i = 64 THEN 1 "
+        f"ELSE i + 1 END])"
+    )
+
+
+def _remb_oracle() -> str:
+    from emails_to_vector_db_spark.plans.vector import (
+        _ORACLE_SF_DIR,
+        _embeddings_rows,
+        _ivf_centroids,
+        _ivf_k,
+    )
+
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)))
+    values = ", ".join(
+        f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents AS (
+    SELECT * FROM (VALUES {values}) AS t(cid, c)
+),
+base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_remb_v2_sql("(embedding::DOUBLE[])")} AS v2
+    FROM embeddings
+),
+assigned AS (
+    SELECT vec_id, v, v2, old_cid, new_cid FROM (
+        SELECT b.vec_id, b.v, b.v2,
+               first_value(c.cid) OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_distance(b.v, c.c) ASC, c.cid ASC
+               ) AS old_cid,
+               first_value(c.cid) OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_distance(b.v2, c.c) ASC, c.cid ASC
+               ) AS new_cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY c.cid) AS rn
+        FROM base b CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+old_g AS (
+    SELECT old_cid AS cid, count(*)::BIGINT AS n_old,
+           sum(CASE WHEN old_cid <> new_cid THEN 1 ELSE 0 END)::BIGINT
+               AS n_moved_out,
+           round(avg(list_dot_product(v, v2)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(v2, v2)))), 6) AS avg_drift
+    FROM assigned GROUP BY 1
+),
+new_g AS (
+    SELECT new_cid AS cid, count(*)::BIGINT AS n_new,
+           sum(CASE WHEN old_cid <> new_cid THEN 1 ELSE 0 END)::BIGINT
+               AS n_moved_in
+    FROM assigned GROUP BY 1
+)
+SELECT coalesce(o.cid, n.cid) AS cid,
+       coalesce(o.n_old, 0)::BIGINT AS n_old,
+       coalesce(n.n_new, 0)::BIGINT AS n_new,
+       coalesce(o.n_moved_out, 0)::BIGINT AS n_moved_out,
+       coalesce(n.n_moved_in, 0)::BIGINT AS n_moved_in,
+       o.avg_drift
+FROM old_g o FULL OUTER JOIN new_g n ON o.cid = n.cid
+ORDER BY cid
+"""
+
+
+def _remb_assigned_arrow(emb: DataFrame, cents) -> DataFrame:
+    """The >10M-element-op route of the migration audit (the bitext
+    BLAS precedent): one mapInPandas batch lane computes the upgrade
+    transform (a cyclic roll), BOTH argmin assignments (one BLAS
+    expansion per side; numpy argmin = first minimal index = the
+    oracle's cid-ASC tiebreak), and the row-wise drift cosine — the
+    corpus streams through once, no per-element interpreted folds."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    def audit(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {"vec_id": [], "old_cid": [], "new_cid": [],
+                     "drift": []}
+                )
+                continue
+            X = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in pdf["embedding"]
+                ]
+            )
+            X2 = 0.95 * X + 0.05 * np.roll(X, -1, axis=1)
+            out = {}
+            for key, M in (("old_cid", X), ("new_cid", X2)):
+                d = (
+                    (M * M).sum(axis=1)[:, None]
+                    + c_sq[None, :]
+                    - 2.0 * (M @ C.T)
+                )
+                out[key] = d.argmin(axis=1).astype("int32")
+            drift = (X * X2).sum(axis=1) / (
+                np.linalg.norm(X, axis=1) * np.linalg.norm(X2, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "old_cid": out["old_cid"],
+                    "new_cid": out["new_cid"],
+                    "drift": drift,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        audit,
+        schema="vec_id bigint, old_cid int, new_cid int, drift double",
+    )
+
+
+@register(
+    "reembedding_migration_audit",
+    oracle=_remb_oracle(),
+    tags=("vector", "maintenance", "ivf", "migration", "drift"),
+)
+def reembedding_migration_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model-upgrade churn audit over the ANN index: when a corpus is
+    re-embedded by a new encoder checkpoint, the operational question
+    is not "did the vectors change" but "how much of the inverted
+    index must MOVE" — per list, how many members leave, how many
+    arrive, and how far the space drifted (avg cosine old↔new). The
+    upgrade is a deterministic cyclic-blend transform (so the DuckDB
+    oracle replays it exactly); both assignments use the SAME persisted
+    quantizer (spark-warehouse/ivf_index/) because migration planning
+    runs against the index you have, not one you might retrain — lists
+    with high churn are exactly the ivf_rebalance_plan inputs.
+
+    Plan: ONE embeddings scan computes v2 + both argmin assignments +
+    the drift cosine in a single projection (centroid literals,
+    expression form at the fixtures' query-time k; above the
+    ~10M-element-op cutover the bitext-mining precedent applies —
+    assign_centroids_arrow per side), then two 16-row grouped
+    aggregates full-outer-joined on the list id. At 100 TB the scan is
+    the corpus pass re-embedding already pays; the audit itself adds
+    two k-row aggregates."""
+    from emails_to_vector_db_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from emails_to_vector_db_spark.operators.ivf import assign_centroid
+    from emails_to_vector_db_spark.plans.vector import (
+        _embeddings_rows,
+        _ivf_centroids,
+        _ivf_k,
+    )
+
+    n_rows = _embeddings_rows(sf_dir)
+    cents = _ivf_centroids(_ivf_k(n_rows))
+    emb = load_table(spark, sf_dir, "embeddings")
+    if n_rows * len(cents) * 64 * 2 > 10_000_000:
+        assigned = _remb_assigned_arrow(emb, cents)
+    else:
+        v = F.col("embedding").cast("array<double>")
+        v2 = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: 0.95 * F.element_at(v, i)
+            + 0.05
+            * F.element_at(
+                v, F.when(i == 64, F.lit(1)).otherwise(i + 1)
+            ),
+        )
+        base = emb.select(
+            "vec_id",
+            v.alias("v"),
+            v2.alias("v2"),
+        )
+        assigned = base.select(
+            "vec_id",
+            assign_centroid(F.col("v"), cents).alias("old_cid"),
+            assign_centroid(F.col("v2"), cents).alias("new_cid"),
+            cosine_similarity("v", "v2").alias("drift"),
+        )
+    moved = (F.col("old_cid") != F.col("new_cid")).cast("long")
+    old_g = assigned.groupBy(
+        F.col("old_cid").alias("cid")
+    ).agg(
+        F.count(F.lit(1)).alias("n_old"),
+        F.sum(moved).alias("n_moved_out"),
+        F.round(F.avg("drift"), 6).alias("avg_drift"),
+    )
+    new_g = assigned.groupBy(
+        F.col("new_cid").alias("cid")
+    ).agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(moved).alias("n_moved_in"),
+    )
+    return (
+        old_g.join(new_g, "cid", "full_outer")
+        .select(
+            "cid",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_moved_out", F.lit(0)).alias("n_moved_out"),
+            F.coalesce("n_moved_in", F.lit(0)).alias("n_moved_in"),
+            "avg_drift",
+        )
+        .orderBy("cid")
+    )
