@@ -86,6 +86,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "bitext_margin_mining_ivf",
     "bitext_mutual_pairs",
     "reembedding_migration_audit",
+    "boolean_and_from_index",
 )
 
 

@@ -60,7 +60,9 @@ from emails_to_vector_db_spark.functions import text as TX
 from emails_to_vector_db_spark.functions.vector import cosine_similarity
 from emails_to_vector_db_spark.plans.registry import register
 from emails_to_vector_db_spark.plans.retrieval import (
+    _AND_TERMS,
     _BM25_ORACLE,
+    _BOOLEAN_AND_ORACLE,
     _HYBRID_ORACLE,
     _K1,
     _PB_POSTINGS_CAP,
@@ -464,6 +466,38 @@ def tfidf_cosine_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), "doc_a", "doc_b")
         .limit(_TC_TOP)
+    )
+
+
+@register(
+    "boolean_and_from_index",
+    oracle=_BOOLEAN_AND_ORACLE,
+    tags=("retrieval", "postings", "boolean", "index", "store"),
+)
+def boolean_and_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boolean_and_retrieval's store-reading twin (identical oracle) —
+    the production form its own docstring promises ("a real index
+    persists the postings table bucketed by term; this plan is the
+    query-time shape over it"): the AND intersection is a bucket-pruned
+    scan of the 3 query terms' postings + one map-side-combinable
+    groupBy whose count must equal the query arity; the store's
+    (term, doc_id) grain is distinct by construction, so no
+    array_distinct pass. The (lang, n_chars) payload comes from the
+    row store keyed by the matched doc_ids — Spark broadcasts the tiny
+    hit set onto the documents scan."""
+    name, _, _ = ensure_postings_index(spark, sf_dir)
+    hits = (
+        spark.table(name)
+        .where(F.col("term").isin(*_AND_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .where(F.col("n_matched") == len(_AND_TERMS))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        F.broadcast(hits.select("doc_id"))
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "n_chars")
     )
 
 

@@ -131,6 +131,21 @@ def test_tfidf_index_twin_matches_inline_df_prune_pushed(spark):
     assert pushed, "df-ceiling not pushed to the postings scan"
 
 
+def test_boolean_and_index_twin_matches_inline(spark):
+    """Store-reading AND intersection == inline form row-for-row; the
+    only documents scan left is the row-store payload lookup (lang,
+    n_chars) keyed by the matched ids — the tokenize/explode census is
+    gone."""
+    spark.catalog.clearCache()
+    twin = REGISTRY["boolean_and_from_index"].fn(spark, SF_ORACLE)
+    inline = REGISTRY["boolean_and_retrieval"].fn(spark, SF_ORACLE)
+    assert _rows(twin) == _rows(inline)
+
+    p = _plan(twin)
+    assert "postings" in p
+    assert "trim(text" not in p, "twin re-tokenized corpus text"
+
+
 def test_postings_staleness_rebuild(spark, tmp_path):
     """A regenerated fixture (newer documents.parquet mtime) must
     rebuild the index; an unchanged fixture must NOT rewrite it."""
