@@ -87,6 +87,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "bitext_mutual_pairs",
     "reembedding_migration_audit",
     "boolean_and_from_index",
+    "phrase_match_stats",
+    "reembedding_rebuild_plan",
 )
 
 

@@ -1355,3 +1355,61 @@ def reembedding_migration_audit(
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Drift-driven rebuild plan (compose the migration audit into actions)
+# ---------------------------------------------------------------------------
+
+_REMB_CHURN_TAU = 0.5  # rewrite a list when churn exceeds half its size
+
+
+def _remb_rebuild_oracle() -> str:
+    base = _remb_oracle().rstrip().rstrip(";")
+    return f"""
+WITH audit AS (
+{base}
+)
+SELECT cid, n_old, n_new,
+       round((n_moved_out + n_moved_in)
+             / greatest(n_old, 1)::DOUBLE, 6) AS churn,
+       CASE WHEN (n_moved_out + n_moved_in)
+                 / greatest(n_old, 1)::DOUBLE > {_REMB_CHURN_TAU}
+            THEN 'rewrite' ELSE 'keep' END AS action
+FROM audit
+ORDER BY cid
+"""
+
+
+@register(
+    "reembedding_rebuild_plan",
+    oracle=_remb_rebuild_oracle(),
+    tags=("vector", "maintenance", "ivf", "migration", "plan"),
+)
+def reembedding_rebuild_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ACTION layer over the migration audit — the drift-driven
+    sibling of ivf_rebalance_plan (which reacts to SIZE skew; this
+    reacts to a model upgrade): lists whose churn (movers out + in,
+    relative to current size) exceeds the threshold are marked
+    'rewrite' — their postings must be rebuilt under the new vectors —
+    and quiet lists are kept as-is, which is what makes a re-embed an
+    INCREMENTAL index migration instead of a full rebuild. One lazy
+    plan: the audit's per-list frame (one corpus pass at any scale —
+    the Arrow lane above the cutover) feeds a k-row action projection;
+    nothing is re-scanned between audit and plan (the
+    incremental_curation_e2e composition discipline)."""
+    audit = reembedding_migration_audit(spark, sf_dir)
+    churn = (F.col("n_moved_out") + F.col("n_moved_in")) / F.greatest(
+        F.col("n_old"), F.lit(1)
+    ).cast("double")
+    return audit.select(
+        "cid",
+        "n_old",
+        "n_new",
+        F.round(churn, 6).alias("churn"),
+        F.when(churn > _REMB_CHURN_TAU, "rewrite")
+        .otherwise("keep")
+        .alias("action"),
+    ).orderBy("cid")

@@ -2319,3 +2319,77 @@ def cross_encoder_rerank_topk(
             F.round("ce_raw", 6).alias("ce_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase (positional) retrieval: adjacency matching — the positional-index
+# query class beside the bag-of-words lanes
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("vector", "merge")
+_PHRASE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang, {_TOKENS_SQL} AS t FROM documents
+),
+m AS (
+    SELECT doc_id, lang,
+           len(list_filter(range(1, len(t)), i ->
+               t[i] = '{_PHRASE[0]}' AND t[i + 1] = '{_PHRASE[1]}'))
+               ::BIGINT AS n_occurrences
+    FROM toks
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_occurrences > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_matching,
+       sum(n_occurrences)::BIGINT AS total_occurrences
+FROM m
+GROUP BY lang
+"""
+
+
+@register(
+    "phrase_match_stats",
+    oracle=_PHRASE_ORACLE,
+    tags=("retrieval", "phrase", "positional", "text"),
+)
+def phrase_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE retrieval — exact token adjacency ("vector merge" as
+    consecutive tokens), the query class a positional index serves and
+    the bag-of-words lanes (BM25/TF-IDF/boolean AND) cannot express:
+    AND-retrieval finds documents containing both terms anywhere;
+    phrase match requires position i and i+1. Per-language doc counts,
+    match counts, and total occurrences.
+
+    Plan: adjacency is evaluated INSIDE the scan projection as a
+    higher-order filter over the token array — no posexplode (which
+    would shuffle corpus_tokens rows to reassemble positions), no
+    self-join of a positional postings table on (doc, pos+1). The
+    whole query is one corpus scan + one lang-grain aggregate; at
+    100 TB the production form stores positional postings beside the
+    term-bucketed store (term, doc, positions[]) and intersects
+    position lists for the rare-term side only — the same rare-first
+    discipline as the set-similarity joins (operators/setsim.py)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TX.tokens("text").alias("t")
+    )
+    # guard: Spark's sequence(1, 0) DESCENDS through index 0 (DuckDB's
+    # range(1, 1) is empty), so a 1-token doc must short-circuit
+    occ = F.when(
+        F.size("t") >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: (F.element_at("t", i) == _PHRASE[0])
+                & (F.element_at("t", i + 1) == _PHRASE[1]),
+            )
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    m = docs.select("lang", occ.alias("n_occurrences"))
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_occurrences") > 0, 1).otherwise(0)
+        ).alias("n_matching"),
+        F.sum("n_occurrences").alias("total_occurrences"),
+    )
