@@ -89,6 +89,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "boolean_and_from_index",
     "phrase_match_stats",
     "reembedding_rebuild_plan",
+    "phrase_match_from_index",
 )
 
 

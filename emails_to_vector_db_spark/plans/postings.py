@@ -66,6 +66,8 @@ from emails_to_vector_db_spark.plans.retrieval import (
     _HYBRID_ORACLE,
     _K1,
     _PB_POSTINGS_CAP,
+    _PHRASE,
+    _PHRASE_ORACLE,
     _PROBE_ID,
     _RM3_ALPHA,
     _RM3_EXP_TERMS,
@@ -713,4 +715,129 @@ def streaming_postings_ingest(
             "tf_checksum",
             "doc_checksum",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional postings sidecar + phrase retrieval from the index
+# ---------------------------------------------------------------------------
+
+_POS_VERSION = 1
+
+
+def _pos_root(sf_dir: str) -> str:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        root, "spark-warehouse", f"postings_pos_v{_POS_VERSION}", sf
+    )
+
+
+def ensure_positional_index(spark: SparkSession, sf_dir: str) -> str:
+    """The POSITIONAL sidecar of the postings store — (term, doc_id,
+    positions array, 1-based), bucketed by term like the main table,
+    with its own mtime staleness guard and pure-DDL catalog replay.
+    Kept as a separate table (not a column on the tf store) because
+    positions are ~dl/df× larger than the tf rows and only phrase /
+    proximity queries pay for them — the standard Lucene split between
+    frequency and position files."""
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"pstpos_documents_{sf}"
+    path = os.path.join(_pos_root(sf_dir), "positions")
+    marker = os.path.join(_pos_root(sf_dir), "_SOURCE_MTIME")
+    src_mtime = os.path.getmtime(table_path(sf_dir, "documents"))
+    fresh = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            fresh = float(f.read().strip()) >= src_mtime
+    if spark.catalog.tableExists(name) and not fresh:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if not fresh:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        pos = docs.select(
+            "doc_id",
+            F.posexplode(TX.tokens("text")).alias("pos0", "term"),
+        ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+        pst = pos.groupBy("term", "doc_id").agg(
+            F.sort_array(F.collect_list("pos")).alias("positions")
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            pst.repartition(_PST_BUCKETS, F.col("term"))
+            .write.format("parquet")
+            .bucketBy(_PST_BUCKETS, "term")
+            .sortBy("term")
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        with open(marker, "w") as f:
+            f.write(str(src_mtime))
+    elif not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} (term string, doc_id bigint, "
+            "positions array<int>) "
+            "USING parquet CLUSTERED BY (term) SORTED BY (term) "
+            f"INTO {_PST_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+    return name
+
+
+@register(
+    "phrase_match_from_index",
+    oracle=_PHRASE_ORACLE,
+    tags=("retrieval", "phrase", "positional", "index", "store"),
+)
+def phrase_match_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """phrase_match_stats' store-reading twin (identical oracle) — the
+    production shape its docstring names: the two phrase terms'
+    position lists come from the POSITIONAL postings sidecar
+    (bucket-pruned IN-list scan), and adjacency is
+    |positions(a) ∩ (positions(b) − 1)| — the classic positional-index
+    phrase intersection, evaluated per candidate doc that contains
+    BOTH terms (an equi-join of two pruned posting lists, never a
+    corpus tokenize). The per-language denominators come from the row
+    store reading ONLY (doc_id, lang) — text is never touched
+    anywhere in the plan (pinned in tests/test_postings_store.py). At
+    100 TB the intersection is rare-term-bounded: the join's build
+    side is the rarer term's postings, the same rare-first discipline
+    as the set-similarity joins."""
+    name = ensure_positional_index(spark, sf_dir)
+    pst = spark.table(name)
+    pa = pst.where(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    pb = pst.where(F.col("term") == _PHRASE[1]).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    occ = pa.join(pb, "doc_id").select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                "pa", F.transform("pb", lambda x: x - 1)
+            )
+        )
+        .cast("long")
+        .alias("n_occurrences"),
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    m = meta.join(occ, "doc_id", "left").select(
+        "lang",
+        F.coalesce("n_occurrences", F.lit(0)).alias("n_occurrences"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_occurrences") > 0, 1).otherwise(0)
+        ).alias("n_matching"),
+        F.sum("n_occurrences").alias("total_occurrences"),
     )

@@ -146,6 +146,28 @@ def test_boolean_and_index_twin_matches_inline(spark):
     assert "trim(text" not in p, "twin re-tokenized corpus text"
 
 
+def test_phrase_index_twin_matches_inline(spark):
+    """Positional-sidecar phrase match == the inline adjacency scan
+    row-for-row; the twin never tokenizes text — its documents scan
+    reads only (doc_id, lang) for the per-language denominators."""
+    spark.catalog.clearCache()
+    twin = REGISTRY["phrase_match_from_index"].fn(spark, SF_ORACLE)
+    inline = REGISTRY["phrase_match_stats"].fn(spark, SF_ORACLE)
+    assert _rows(twin) == _rows(inline)
+
+    p = _plan(twin)
+    assert "pstpos" in p, "twin never read the positional sidecar"
+    assert "trim(text" not in p, "twin re-tokenized corpus text"
+    doc_scans = [
+        ln
+        for ln in p.splitlines()
+        if "documents.parquet" in ln and "ReadSchema" in ln
+    ]
+    assert all("text" not in ln for ln in doc_scans), (
+        "documents scan reads text in the phrase twin"
+    )
+
+
 def test_postings_staleness_rebuild(spark, tmp_path):
     """A regenerated fixture (newer documents.parquet mtime) must
     rebuild the index; an unchanged fixture must NOT rewrite it."""
