@@ -90,6 +90,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "phrase_match_stats",
     "reembedding_rebuild_plan",
     "phrase_match_from_index",
+    "proximity_match_from_index",
 )
 
 

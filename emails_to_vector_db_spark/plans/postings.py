@@ -841,3 +841,117 @@ def phrase_match_from_index(
         ).alias("n_matching"),
         F.sum("n_occurrences").alias("total_occurrences"),
     )
+
+
+_PROX_WINDOW = 3  # max token distance for the proximity predicate
+
+_PROX_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang, {{tokens}} AS t FROM documents
+),
+pos AS (
+    SELECT doc_id, lang, t[i] AS term, i AS p
+    FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+    WHERE t[i] IN ('{{a}}', '{{b}}')
+),
+pairs AS (
+    SELECT a.doc_id, a.lang,
+           count(*)::BIGINT AS n_windows,
+           min(abs(a.p - b.p))::BIGINT AS min_dist
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id
+     AND a.term = '{{a}}' AND b.term = '{{b}}'
+     AND abs(a.p - b.p) <= {_PROX_WINDOW}
+    GROUP BY a.doc_id, a.lang
+)
+SELECT lang,
+       count(*)::BIGINT AS n_matching,
+       sum(n_windows)::BIGINT AS total_windows,
+       min(min_dist)::BIGINT AS closest
+FROM pairs
+GROUP BY lang
+"""
+
+
+@register(
+    "proximity_match_from_index",
+    oracle=_PROX_ORACLE.replace("{tokens}", "regexp_split_to_array(trim(text), '\\s+')")
+    .replace("{a}", _PHRASE[0])
+    .replace("{b}", _PHRASE[1]),
+    tags=("retrieval", "proximity", "positional", "index", "store"),
+)
+def proximity_match_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROXIMITY retrieval (Lucene's sloppy phrase / NEAR operator):
+    documents where the two terms co-occur within a 3-token
+    window, with per-language match counts, total qualifying position
+    pairs, and the closest observed distance. Reads the POSITIONAL
+    sidecar: two bucket-pruned position-list scans joined on doc_id,
+    the window predicate evaluated as a zip-free positions×positions
+    expression per candidate doc — position lists are dl-bounded and
+    the candidate set is the AND intersection, so per-doc work is
+    |pa|·|pb| over ALREADY-PRUNED lists (rare-term-bounded at a
+    realistic vocabulary, the same bound as the phrase twin). The
+    oracle recomputes from raw text; the twin never tokenizes."""
+    name = ensure_positional_index(spark, sf_dir)
+    pst = spark.table(name)
+    pa = pst.where(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    pb = pst.where(F.col("term") == _PHRASE[1]).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    pairs_in_window = F.aggregate(
+        F.col("pa"),
+        F.struct(
+            F.lit(0).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("mind"),
+        ),
+        lambda acc, x: F.struct(
+            (
+                acc["n"]
+                + F.size(
+                    F.filter(
+                        F.col("pb"),
+                        lambda y: F.abs(x - y) <= _PROX_WINDOW,
+                    )
+                )
+            ).alias("n"),
+            F.least(
+                F.coalesce(acc["mind"], F.lit(1 << 60)),
+                F.coalesce(
+                    F.array_min(
+                        F.transform(
+                            F.filter(
+                                F.col("pb"),
+                                lambda y: F.abs(x - y)
+                                <= _PROX_WINDOW,
+                            ),
+                            lambda y: F.abs(x - y).cast("long"),
+                        )
+                    ),
+                    F.lit(1 << 60),
+                ),
+            ).alias("mind"),
+        ),
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    cand = (
+        pa.join(pb, "doc_id")
+        .withColumn("agg", pairs_in_window)
+        .where(F.col("agg.n") > 0)
+        .select(
+            "doc_id",
+            F.col("agg.n").alias("n_windows"),
+            F.col("agg.mind").alias("min_dist"),
+        )
+        .join(meta, "doc_id")
+    )
+    return cand.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_matching"),
+        F.sum("n_windows").alias("total_windows"),
+        F.min("min_dist").alias("closest"),
+    )
