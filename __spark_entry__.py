@@ -29,21 +29,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["knn_topk_l2"].fn(spark, SMOKE_SF_DIR)
 
 
-def _driver_green_names() -> set[str]:
+def _driver_green_names(
+    max_round: int | None = None, root: str | None = None
+) -> set[str]:
     """Union of driver-green names across every CORRECTNESS_r*.json on disk.
 
     A name is green once a driver round recorded rows+schema matching
     (hash too when the oracle emits one; rows-only checks record no hash).
     Derived at import time so the rotation below is provably
     registry-minus-green, never hand-maintained.
+
+    ``max_round`` (exclusive) restricts the union to artifacts written by
+    rounds BEFORE it. The staleness tripwire needs this: the driver writes
+    ``CORRECTNESS_r{N}.json`` *after* round N's final commit, so names
+    registered in round N are green in that artifact by construction —
+    evidence the driver sampled them, not that the tuple is stale. Only a
+    green row from a round *earlier* than the registering round proves the
+    tuple was left unrefreshed. ``root`` overrides the scan directory
+    (tests simulate a post-commit driver write in a tmp dir).
     """
     import glob
     import json
     import os
+    import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = root or os.path.dirname(os.path.abspath(__file__))
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        if max_round is not None:
+            m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+            if m and int(m.group(1)) >= max_round:
+                continue
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -67,30 +83,14 @@ def _driver_green_names() -> set[str]:
 # math in _driver_green_names can't tell a week-old backlog entry from a
 # query added an hour ago — registration age isn't recorded anywhere —
 # so this is the one piece of rotation state that must be declared).
-# Emptied/refreshed each round. Staleness fails LOUDLY via
-# tests/test_rotation_state.py: every name here must be absent from all
-# CORRECTNESS_r*.json (a green name in this tuple means a past round's
-# entries were never retired, quietly demoting the older backlog).
+# Emptied/refreshed each round, with the registering round stamped in
+# _THIS_ROUND_NO. Staleness fails LOUDLY via tests/test_rotation_state.py:
+# every name here must be absent from CORRECTNESS_r*.json artifacts of
+# rounds BEFORE _THIS_ROUND_NO (a green row in the registering round's own
+# artifact is the normal post-commit driver write, not staleness).
+_THIS_ROUND_NO = 10
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # round 9 registrations (appended as they land this round)
-    "bm25_topk_from_index",
-    "rm3_query_expansion_from_index",
-    "paired_bootstrap_from_index",
-    "longest_dup_substring",
-    "cross_encoder_rerank_topk",
-    "distilled_filter_agreement",
-    "streaming_postings_ingest",
-    "hybrid_rrf_from_index",
-    "tfidf_cosine_from_index",
-    "bitext_margin_mining",
-    "bitext_margin_mining_ivf",
-    "bitext_mutual_pairs",
-    "reembedding_migration_audit",
-    "boolean_and_from_index",
-    "phrase_match_stats",
-    "reembedding_rebuild_plan",
-    "phrase_match_from_index",
-    "proximity_match_from_index",
+    # round 10 registrations (appended as they land this round)
 )
 
 
