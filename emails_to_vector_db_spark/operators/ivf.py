@@ -92,7 +92,19 @@ def train_centroids_numpy(
     (sample, seed) regardless of cluster partitioning, so the SAME
     centroid literals can be embedded in the Spark plan and the DuckDB
     oracle SQL. Centroids are rounded to 6dp for compact plan/SQL
-    literals."""
+    literals.
+
+    The assignment step is a row-chunked BLAS gram (argmin over
+    ``|c|² − 2x·c`` — the ``|x|²`` term is constant per row, so dropping
+    it preserves the argmin) instead of the naive
+    ``((X[:,None]-C)**2).sum(-1)`` broadcast: the corpus-scaled training
+    samples this now serves (~40·k rows, k up to thousands) would make
+    the broadcast allocate an n×k×d intermediate (7 GB at the sf30
+    rung's 188k×4.7k×64) and run element-wise; the gram is one matmul.
+    The mean update is one bincount per dimension — no per-cluster
+    Python loop. Empty clusters keep their previous centroid, argmin
+    ties resolve to the lowest centroid id (numpy first-min), matching
+    the assignment tiebreak every consumer's oracle replays."""
     import numpy as np
 
     X = np.asarray(vectors, dtype=np.float64)
@@ -101,20 +113,151 @@ def train_centroids_numpy(
         raise ValueError(f"need >= {n_centroids} sample vectors, got {n}")
     rng = np.random.default_rng(seed)
     centroids = X[rng.choice(n, size=n_centroids, replace=False)].copy()
+    k, d = centroids.shape
+    # bound the chunk score matrix at ~256 MB regardless of k
+    chunk = max(256, (1 << 25) // max(k, 1))
+    assign = np.empty(n, dtype=np.int64)
     for _ in range(max_iter):
-        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=-1)
-        assign = d.argmin(axis=1)
-        updated = np.stack(
-            [
-                X[assign == j].mean(axis=0) if (assign == j).any() else centroids[j]
-                for j in range(n_centroids)
-            ]
-        )
+        c_sq = (centroids * centroids).sum(axis=1)
+        for i in range(0, n, chunk):
+            xc = X[i : i + chunk]
+            scores = c_sq[None, :] - 2.0 * (xc @ centroids.T)
+            assign[i : i + chunk] = scores.argmin(axis=1)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.empty((k, d), dtype=np.float64)
+        for j in range(d):
+            sums[:, j] = np.bincount(assign, weights=X[:, j], minlength=k)
+        nz = counts > 0
+        updated = centroids.copy()
+        updated[nz] = sums[nz] / counts[nz, None]
         if np.allclose(updated, centroids):
             centroids = updated
             break
         centroids = updated
     return np.round(centroids, 6).tolist()
+
+
+_HASH_SAMPLE_MULT = 0x9E3779B97F4A7C15  # odd ⇒ bijective mod 2^64
+
+
+def hash_sample_vectors(
+    source: str,
+    target: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic CORPUS-SCALED training sample: the ``target`` rows
+    whose multiplicative-hashed ids are smallest, read straight from
+    parquet (pyarrow dataset — handles both single-file fixtures and
+    Spark-written directories; no Spark session, so oracle registration
+    at import time can call it). Replaces the fixed 500-row slice that
+    clamped every self-tuned quantizer at 125 lists (the round-9 sf30
+    superlinearity mechanism).
+
+    Order-independent and exactly reproducible: the hash is a bijection
+    over uint64, so each distinct id has a unique rank and "the target
+    smallest hashes" names the same row set however the files are split.
+    Two passes, both batched: pass 1 reads ONLY the id column to find
+    the rank-``target`` hash threshold; pass 2 streams (id, vec) batches
+    and keeps rows under it — peak memory is the sample itself, never
+    the corpus. (At true 100 TB scale the same selection is one Spark
+    filter ``hash(id) <= thr`` pushed into the scan; this local reader
+    is the driver-side index-build path for corpora that fit one box.)
+    The sample is returned in id order so k-means init is stable."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    dset = ds.dataset(source, format="parquet")
+    mult = np.uint64(_HASH_SAMPLE_MULT)
+    ids = dset.to_table(columns=[id_col])[id_col].to_numpy()
+    if len(ids) <= target:
+        tbl = dset.to_table(columns=[id_col, vec_col]).sort_by(id_col)
+        return tbl[vec_col].to_pylist()
+    h = ids.astype(np.uint64) * mult  # wraparound is the hash
+    thr = np.partition(h, target - 1)[target - 1]
+    kept_ids: list = []
+    kept_vecs: list = []
+    for batch in dset.to_batches(columns=[id_col, vec_col]):
+        bi = batch.column(0).to_numpy()
+        mask = (bi.astype(np.uint64) * mult) <= thr
+        if mask.any():
+            idx = np.flatnonzero(mask)
+            kept_ids.append(bi[idx])
+            vecs = batch.column(1).to_pylist()
+            kept_vecs.extend(vecs[i] for i in idx)
+    order = np.argsort(np.concatenate(kept_ids), kind="stable")
+    return [kept_vecs[i] for i in order]
+
+
+def source_mtime(source: str) -> float:
+    """Freshness stamp for a parquet source that may be a single file or
+    a Spark-written directory (max over the directory's entries)."""
+    import os
+
+    if os.path.isdir(source):
+        entries = [
+            os.path.getmtime(os.path.join(source, f))
+            for f in os.listdir(source)
+        ]
+        return max(entries, default=os.path.getmtime(source))
+    return os.path.getmtime(source)
+
+
+def save_quantizer(
+    path: str,
+    centroids: list[list[float]],
+    *,
+    src: str,
+    src_mtime: float,
+    n_sample: int,
+) -> None:
+    """Persist a trained quantizer WITH its provenance (source path,
+    source mtime, sample size): load_quantizer refuses a stale or
+    cross-corpus artifact instead of silently serving it (the
+    basename-collision / fixture-regeneration hazard ADVICE r9 flagged
+    for the postings store applies to this index family too)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "centroids": centroids,
+                "src": os.path.abspath(src),
+                "src_mtime": src_mtime,
+                "n_sample": n_sample,
+            },
+            f,
+        )
+    os.replace(tmp, path)  # atomic publish
+
+
+def load_quantizer(
+    path: str, *, src: str, src_mtime: float
+) -> list[list[float]] | None:
+    """Load a persisted quantizer iff it was trained on THIS source at
+    its current mtime; None (→ retrain) on miss, stale, or legacy
+    bare-list format."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            art = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if not isinstance(art, dict):
+        return None  # legacy bare-list artifact: retrain under new format
+    if art.get("src") != os.path.abspath(src):
+        return None
+    if art.get("src_mtime") != src_mtime:
+        return None
+    return art.get("centroids")
 
 
 def save_centroids(path: str, centroids: list[list[float]]) -> None:
@@ -216,6 +359,57 @@ def nearest_centroids(
     )
 
 
+# Interpreted-vs-Arrow assignment cutover, expressed on the quantizer
+# size alone: k self-tunes to ~n/128, so n·k·d ≈ 128·k²·64 crosses the
+# measured ~10M-element-op interpreted-fold budget near k≈35. Below the
+# cutover the pure column expression wins (scan-local, pushdown-friendly,
+# no Python lane spin-up); above it the BLAS expansion is the only sane
+# lane (measured: the r10 jittered sf10 fixture self-tunes to k=1563 and
+# the interpreted assignment took 498s for a plan the Arrow lane runs in
+# seconds).
+_ASSIGN_ARROW_K_CUTOVER = 48
+
+
+def _assign_with_vec_arrow(
+    base: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """assign_centroids_arrow with the vector column PASSED THROUGH the
+    Arrow batch (schema (id, vec, _cid)) so the bucket join's rerank
+    side needs no second base scan/join to recover the embedding."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    vec_type = dict(base.dtypes)[vec_col]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(_cid=np.zeros(0, dtype="int32"))
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d = c_sq[None, :] - 2.0 * (X @ C.T)  # +x² constant per row
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    vec_col: pdf[vec_col].values,
+                    "_cid": d.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    return base.select(id_col, vec_col).mapInPandas(
+        assign,
+        schema=f"{id_col} bigint, {vec_col} {vec_type}, _cid int",
+    )
+
+
 def ivf_ann_join(
     probes: DataFrame,
     base: DataFrame,
@@ -231,19 +425,30 @@ def ivf_ann_join(
     base_vec: str = "embedding",
     metric: str = "l2",
     dist_col: str = "distance",
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Approximate KNN join through an IVF index. Pass prebuilt
     ``centroids`` (load_centroids of a persisted index) to amortize the
     index across queries — the intended production path; otherwise
     sample-trains on the base as a convenience (an index build runs
-    inside the call)."""
+    inside the call). Base-side assignment cuts over from the column
+    expression to the Arrow BLAS lane at _ASSIGN_ARROW_K_CUTOVER lists
+    (override with ``arrow``); the probe side stays interpreted — the
+    probe frame is query-sized, never corpus-sized."""
     if centroids is None:
         centroids = train_centroids(
             base, vec_col=base_vec, n_centroids=n_centroids, seed=seed
         )
-    base_a = base.withColumn(
-        "_cid", assign_centroid(F.col(base_vec), centroids)
-    )
+    if arrow is None:
+        arrow = len(centroids) >= _ASSIGN_ARROW_K_CUTOVER
+    if arrow:
+        base_a = _assign_with_vec_arrow(
+            base, centroids, id_col=base_id, vec_col=base_vec
+        )
+    else:
+        base_a = base.withColumn(
+            "_cid", assign_centroid(F.col(base_vec), centroids)
+        )
     probe_a = probes.withColumn(
         "_cid",
         F.explode(nearest_centroids(F.col(probe_vec), centroids, nprobe)),

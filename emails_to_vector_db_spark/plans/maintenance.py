@@ -1157,7 +1157,7 @@ def _remb_oracle() -> str:
         _ivf_k,
     )
 
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)))
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)), _ORACLE_SF_DIR)
     values = ", ".join(
         f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents)
     )
@@ -1304,7 +1304,7 @@ def reembedding_migration_audit(
     )
 
     n_rows = _embeddings_rows(sf_dir)
-    cents = _ivf_centroids(_ivf_k(n_rows))
+    cents = _ivf_centroids(_ivf_k(n_rows), sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     if n_rows * len(cents) * 64 * 2 > 10_000_000:
         assigned = _remb_assigned_arrow(emb, cents)

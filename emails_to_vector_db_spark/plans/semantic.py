@@ -54,40 +54,55 @@ def _sem_k(n_rows: int) -> int:
     return n_centroids_for(n_rows)
 
 
-def _sem_centroids(k: int) -> list[list[float]]:
+def _sem_centroids(k: int, sf_dir: str) -> list[list[float]]:
     """Persisted SemDeDup cluster index: k-means centroids over the
     L2-NORMALIZED training sample (SemDeDup clusters directions, not
     magnitudes — a scaled copy of a vector must land in its original's
     cluster). Built once, loaded thereafter; reproducible from (sample,
-    k, seed)."""
+    k, seed). The sample is CORPUS-SCALED (max(500, 40·k) hash-sampled
+    rows of sf_dir's own embeddings) and the artifact is keyed by corpus
+    path + provenance-checked, same contract as the IVF quantizer
+    (plans/vector.py::_ivf_centroids) — a fixed slice would clamp the
+    self-tuned k exactly like the r9 sf30 superlinearity."""
+    import os
+
     from emails_to_vector_db_spark.operators.ivf import (
-        load_centroids,
-        save_centroids,
+        hash_sample_vectors,
+        load_quantizer,
+        save_quantizer,
+        source_mtime,
         train_centroids_numpy,
     )
-
-    path = _warehouse_path(
-        "semdedup_index", f"embeddings_k{k}_seed{_SEM_SEED}.json"
+    from emails_to_vector_db_spark.plans.vector import (
+        _corpus_tag,
+        _ivf_sample_target,
     )
-    cents = load_centroids(path)
+
+    src = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    mtime = source_mtime(src)
+    path = _warehouse_path(
+        "semdedup_index",
+        f"embeddings_{_corpus_tag(sf_dir)}_k{k}_seed{_SEM_SEED}.json",
+    )
+    cents = load_quantizer(path, src=src, src_mtime=mtime)
     if cents is None:
         import numpy as np
-        import pyarrow.parquet as pq
 
-        tbl = pq.read_table(_TRAIN_SAMPLE, columns=["vec_id", "embedding"])
-        d = tbl.sort_by("vec_id").to_pydict()
-        X = np.asarray(d["embedding"], dtype=np.float64)
+        sample = hash_sample_vectors(src, _ivf_sample_target(k))
+        X = np.asarray(sample, dtype=np.float64)
         X = X / np.linalg.norm(X, axis=1, keepdims=True)
         k_eff = min(k, len(X) // 4)
         cents = train_centroids_numpy(X, n_centroids=k_eff, seed=_SEM_SEED)
-        save_centroids(path, cents)
+        save_quantizer(
+            path, cents, src=src, src_mtime=mtime, n_sample=len(X)
+        )
     return cents
 
 
 def _semdedup_oracle() -> str:
     from emails_to_vector_db_spark.plans.vector import _embeddings_rows
 
-    cents = _sem_centroids(_sem_k(_embeddings_rows(_ORACLE_SF_DIR)))
+    cents = _sem_centroids(_sem_k(_embeddings_rows(_ORACLE_SF_DIR)), _ORACLE_SF_DIR)
     values = ", ".join(f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents))
     return f"""
 WITH cents AS (
@@ -195,7 +210,7 @@ def _sem_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emails_to_vector_db_spark.plans.vector import _embeddings_rows
 
     cents = np.asarray(
-        _sem_centroids(_sem_k(_embeddings_rows(sf_dir))), dtype=np.float64
+        _sem_centroids(_sem_k(_embeddings_rows(sf_dir)), sf_dir), dtype=np.float64
     )
 
     @F.pandas_udf("struct<u: array<double>, cid: int>")
@@ -239,6 +254,173 @@ def semantic_pruned_ids(assigned: DataFrame) -> DataFrame:
         )
 
     return assigned.groupBy("cid").applyInPandas(prune, "cid int, id_b long")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup from the PERSISTED IVF lists (r9 verdict task 7a): one
+# clustering artifact serves search AND dedup — no fresh clustering pass
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_ivf_oracle() -> str:
+    from emails_to_vector_db_spark.plans.vector import (
+        _embeddings_rows,
+        _ivf_centroids,
+        _ivf_k,
+    )
+
+    cents = _ivf_centroids(
+        _ivf_k(_embeddings_rows(_ORACLE_SF_DIR)), _ORACLE_SF_DIR
+    )
+    values = ", ".join(
+        f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents AS (
+    SELECT * FROM (VALUES {values}) AS t(cid, c)
+),
+corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_EMB_DUP_OFFSET} AS vec_id, embedding::DOUBLE[] AS v
+    FROM embeddings WHERE vec_id < {_EMB_N_PLANT}
+),
+assigned AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT b.vec_id, b.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_distance(b.v, c.c) ASC, c.cid ASC
+               ) AS rnk
+        FROM corpus b CROSS JOIN cents c
+    ) WHERE rnk = 1
+),
+unit AS (
+    SELECT vec_id, cid,
+           list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+    FROM assigned
+),
+pruned_ids AS (
+    SELECT DISTINCT a.cid, b.vec_id AS id_b
+    FROM unit a JOIN unit b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.u, b.u) >= {_SEM_TAU}
+),
+members AS (
+    SELECT cid, count(*)::BIGINT AS n_members FROM assigned GROUP BY cid
+),
+pruned AS (
+    SELECT cid, count(*)::BIGINT AS n_pruned FROM pruned_ids GROUP BY cid
+)
+SELECT m.cid, m.n_members,
+       coalesce(p.n_pruned, 0)::BIGINT AS n_pruned
+FROM members m LEFT JOIN pruned p USING (cid)
+"""
+
+
+@register(
+    "semdedup_from_ivf_lists",
+    oracle=_semdedup_ivf_oracle(),
+    tags=("vector", "dedup", "semdedup", "ivf", "index", "store"),
+)
+def semdedup_from_ivf_lists(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup riding the PERSISTED IVF search index — cluster-then-
+    dedup with NO fresh clustering pass: the coarse quantizer that
+    already partitions the corpus for ANN search
+    (plans/vector.py::_ivf_centroids, corpus-scaled training sample,
+    provenance-checked artifact) doubles as the SemDeDup cluster map,
+    so one index artifact serves retrieval AND curation. Within each
+    inverted list, a vector is pruned when a lower-id list-mate has
+    cosine ≥ 0.99 (keep-min-id) — the corpus carries planted EXACT
+    copies (vec_id + offset, embedding unchanged: an identical vector
+    lands in an identical list with cosine exactly 1, so every plant is
+    prunable BY CONSTRUCTION under an L2 quantizer — unlike the scaled
+    copies of semantic_dedup_prune, which need that query's normalized
+    quantizer to co-cluster). Returns per-list member/pruned counts.
+
+    Production form: streaming_ivf_index_ingest already persists the
+    (vec_id, cid) assignment table, so at 100 TB this query's
+    assignment stage is a store read (the ivf_rebalance_plan_from_index
+    convention); the registered form keeps the inline argmin ONLY so
+    the DuckDB oracle can replay end-to-end from the raw table. Plan
+    shape: one scan-local assignment (expression lane at fixture k;
+    the Arrow BLAS lane above the r7 ~10M-element-op cutover), ONE
+    shuffle on cid, a per-list BLAS gram over unit vectors with counts
+    emitted directly — pair rows never materialize, and per-list work
+    is flat because k self-tunes to ~128-vector lists."""
+    import numpy as np
+
+    from emails_to_vector_db_spark.operators.ivf import (
+        _ASSIGN_ARROW_K_CUTOVER,
+        assign_centroid,
+    )
+    from emails_to_vector_db_spark.plans.vector import (
+        _embeddings_rows,
+        _ivf_centroids,
+        _ivf_k,
+    )
+
+    n_rows = _embeddings_rows(sf_dir)
+    cents = _ivf_centroids(_ivf_k(n_rows), sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    planted = emb.where(F.col("vec_id") < _EMB_N_PLANT).select(
+        (F.col("vec_id") + _EMB_DUP_OFFSET).alias("vec_id"),
+        v.alias("v"),
+    )
+    corpus = emb.select("vec_id", v.alias("v")).unionByName(planted)
+
+    if len(cents) >= _ASSIGN_ARROW_K_CUTOVER:
+        C = np.asarray(cents, dtype=np.float64)
+        c_sq = (C * C).sum(axis=1)
+
+        @F.pandas_udf("struct<u: array<double>, cid: int>")
+        def assign_unit(vs: pd.Series) -> pd.DataFrame:
+            X = np.array(vs.tolist(), dtype=np.float64)
+            U = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+            d = c_sq[None, :] - 2.0 * (X @ C.T)
+            return pd.DataFrame(
+                {"u": list(U), "cid": d.argmin(1).astype(np.int32)}
+            )
+
+        na = corpus.select("vec_id", assign_unit("v").alias("na"))
+        assigned = na.select(
+            "vec_id",
+            F.col("na.u").alias("u"),
+            F.col("na.cid").alias("cid"),
+        )
+    else:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.col("v"), F.lit(0.0), lambda a, x: a + x * x
+            )
+        )
+        assigned = corpus.select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / nrm).alias("u"),
+            assign_centroid(F.col("v"), cents).alias("cid"),
+        )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        X = np.array(pdf["u"].tolist(), dtype=np.float64)[order]
+        sims = X @ X.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        pruned = np.unique(ju[sims[iu, ju] >= _SEM_TAU])
+        return pd.DataFrame(
+            {
+                "cid": [int(pdf["cid"].iloc[0])],
+                "n_members": [len(ids)],
+                "n_pruned": [len(pruned)],
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(
+        stats, "cid int, n_members long, n_pruned long"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -489,7 +671,7 @@ def _ivfadc_oracle() -> str:
         _ORACLE_SF_DIR as _VEC_ORACLE_SF,
     )
 
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_VEC_ORACLE_SF)))
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_VEC_ORACLE_SF)), _VEC_ORACLE_SF)
     cent_values = ", ".join(
         f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents)
     )
@@ -608,7 +790,7 @@ def ivfadc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVF_NPROBE,
     )
 
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf_dir)))
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf_dir)), sf_dir)
     cbs = _pq_codebooks()
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
@@ -852,7 +1034,7 @@ def _bmm_ivf_oracle() -> str:
         _ivf_k,
     )
 
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)))
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)), _ORACLE_SF_DIR)
     values = ", ".join(
         f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents)
     )
@@ -966,7 +1148,7 @@ def bitext_margin_mining_ivf(
     )
 
     n_rows = _embeddings_rows(sf_dir)
-    cents = _ivf_centroids(_ivf_k(n_rows))
+    cents = _ivf_centroids(_ivf_k(n_rows), sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     sides = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(

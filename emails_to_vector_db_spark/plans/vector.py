@@ -429,7 +429,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_NPROBE = 4
 _IVF_SEED = 42
-_IVF_SAMPLE = "/root/testdata/sf0.001/embeddings.parquet"
+# training rows per target list: sample = max(500, 40·k) grows WITH the
+# self-tuned k so the quantizer is never clamped by a fixed slice (the
+# round-9 sf30 superlinearity: 500 fixed rows → k capped at 125 lists
+# forever → per-list rerank grows linearly with the corpus)
+_IVF_SAMPLE_PER_LIST = 40
 
 
 def _ivf_k(n_rows: int) -> int:
@@ -442,53 +446,82 @@ def _ivf_k(n_rows: int) -> int:
     return n_centroids_for(n_rows)
 
 
-def _ivf_index_path(k: int) -> str:
+def _ivf_sample_target(k: int) -> int:
+    return max(500, _IVF_SAMPLE_PER_LIST * k)
+
+
+def _corpus_tag(sf_dir: str) -> str:
+    """Index-artifact key for a corpus — sources.tables.corpus_tag."""
+    from emails_to_vector_db_spark.sources.tables import corpus_tag
+
+    return corpus_tag(sf_dir)
+
+
+def _ivf_index_path(k: int, sf_dir: str) -> str:
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     return os.path.join(
         root, "spark-warehouse", "ivf_index",
-        f"embeddings_k{k}_seed{_IVF_SEED}.json",
+        f"embeddings_{_corpus_tag(sf_dir)}_k{k}_seed{_IVF_SEED}.json",
     )
 
 
-def _ivf_centroids(k: int) -> list[list[float]]:
-    """The persisted IVF quantizer: loaded from the warehouse index
-    artifact; (re)built once from the fixed training sample (the sf0.001
-    embeddings slice, read via pyarrow — no Spark session, no jobs) with
-    deterministic numpy k-means. Both the Spark plan and the DuckDB
-    oracle embed these SAME centroid literals, so the registered query
-    never fits k-means — it loads the index, like a real vector store."""
+def _ivf_centroids(k: int, sf_dir: str) -> list[list[float]]:
+    """The persisted IVF quantizer for THIS corpus: loaded from the
+    warehouse index artifact (provenance-checked — source path + mtime,
+    so a regenerated fixture or a basename-colliding corpus retrains
+    instead of serving a stale index); (re)built once from a
+    CORPUS-SCALED deterministic hash sample (max(500, 40·k) rows of the
+    corpus's own embeddings, read via pyarrow — no Spark session, no
+    jobs) with deterministic numpy k-means. Both the Spark plan and the
+    DuckDB oracle embed these SAME centroid literals, so the registered
+    query never fits k-means — it loads the index, like a real vector
+    store. Because the sample grows with k, the expected list length
+    stays ~128 at any corpus size: the round-9 sf30 superlinearity
+    (quantizer clamped at 125 lists by a fixed 500-row sample) cannot
+    recur."""
+    import os
+
     from emails_to_vector_db_spark.operators.ivf import (
-        load_centroids,
-        save_centroids,
+        hash_sample_vectors,
+        load_quantizer,
+        save_quantizer,
+        source_mtime,
         train_centroids_numpy,
     )
 
-    path = _ivf_index_path(k)
-    cents = load_centroids(path)
+    src = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    mtime = source_mtime(src)
+    path = _ivf_index_path(k, sf_dir)
+    cents = load_quantizer(path, src=src, src_mtime=mtime)
     if cents is None:
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(_IVF_SAMPLE, columns=["vec_id", "embedding"])
-        d = tbl.sort_by("vec_id").to_pydict()  # stable sample order
-        # a quantizer cannot have more lists than training vectors; a
-        # self-tuned k beyond the sample means the sample (not k) is
-        # undersized — clamp loudly rather than let k-means degenerate
-        k_eff = min(k, len(d["embedding"]) // 4)
+        sample = hash_sample_vectors(src, _ivf_sample_target(k))
+        # a quantizer cannot have more lists than training vectors; with
+        # the corpus-scaled sample this fires only for degenerate tiny
+        # corpora (< 4·k rows with k at the floor) — still guard loudly
+        # rather than let k-means degenerate
+        k_eff = min(k, len(sample) // 4)
         if k_eff < k:
             import warnings
 
             warnings.warn(
-                f"IVF k clamped {k}->{k_eff}: training sample has only "
-                f"{len(d['embedding'])} vectors; grow the sample for "
-                "corpora this large"
+                f"IVF k clamped {k}->{k_eff}: corpus yielded only "
+                f"{len(sample)} training vectors"
             )
         cents = train_centroids_numpy(
-            d["embedding"], n_centroids=k_eff, seed=_IVF_SEED
+            sample, n_centroids=k_eff, seed=_IVF_SEED
         )
-        save_centroids(path, cents)
+        save_quantizer(
+            path, cents, src=src, src_mtime=mtime, n_sample=len(sample)
+        )
     return cents
+
+
+def _ivf_quantizer(sf_dir: str) -> list[list[float]]:
+    """Convenience: the persisted corpus-scaled quantizer for sf_dir
+    (row count from parquet footer → self-tuned k → centroids)."""
+    return _ivf_centroids(_ivf_k(_embeddings_rows(sf_dir)), sf_dir)
 
 
 def _ivf_oracle() -> str:
@@ -496,7 +529,7 @@ def _ivf_oracle() -> str:
     literals: rank-based assignment (argmin with cid tiebreak — identical
     to Spark's array_min over (dist, cid) structs), probe explosion to
     the nprobe nearest lists, bucket-equi-join, exact rerank."""
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)))
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)), _ORACLE_SF_DIR)
     values = ", ".join(f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents))
     return f"""
 WITH cents AS (
@@ -566,7 +599,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes,
         emb,
         k=K,
-        centroids=_ivf_centroids(_ivf_k(_embeddings_rows(sf_dir))),
+        centroids=_ivf_quantizer(sf_dir),
         nprobe=_IVF_NPROBE,
     )
     return res.select(
@@ -875,7 +908,7 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes,
         emb,
         k=K,
-        centroids=_ivf_centroids(_ivf_k(_embeddings_rows(sf_dir))),
+        centroids=_ivf_quantizer(sf_dir),
         nprobe=_IVF_NPROBE,
     ).select("probe_id", "vec_id")
     return _recall_result(_exact_topk_df(spark, sf_dir, "l2"), ann)
@@ -1114,7 +1147,7 @@ def _stream_ivf_oracle() -> str:
     """Per-list occupancy of the streamed index — batching-invariant, so
     the oracle just replays the rank-based assignment with the same
     persisted centroid literals over the whole corpus."""
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)))
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)), _ORACLE_SF_DIR)
     values = ", ".join(f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents))
     return f"""
 WITH cents AS (
@@ -1168,7 +1201,7 @@ def streaming_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_centroids_arrow,
     )
 
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf_dir)))
+    cents = _ivf_quantizer(sf_dir)
     landing = _stream_ivf_landing(sf_dir)
     work = landing.rstrip("/") + "__run"
     shutil.rmtree(work, ignore_errors=True)  # deterministic re-runs
@@ -1552,7 +1585,7 @@ def _centroid_merge_targets(cents: list[list[float]]) -> list[int]:
 
 
 def _rebalance_oracle() -> str:
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)))
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(_ORACLE_SF_DIR)), _ORACLE_SF_DIR)
     k = len(cents)
     values = ", ".join(f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents))
     merges = ", ".join(
@@ -1628,7 +1661,7 @@ def ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from emails_to_vector_db_spark.operators.ivf import assign_centroid
 
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf_dir)))
+    cents = _ivf_quantizer(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = emb.select(
         assign_centroid(F.col("embedding"), cents).alias("cid")

@@ -44,7 +44,7 @@ KEY_SHIFTS = {
 }
 
 
-def build(spark, copies: int) -> None:
+def build(spark, copies: int, jitter_embeddings: bool = True) -> None:
     for name in TABLE_NAMES:
         src = load_table(spark, SRC, name)
         if not KEY_SHIFTS[name]:
@@ -62,6 +62,23 @@ def build(spark, copies: int) -> None:
                 if name == "events":
                     df = df.withColumn(
                         "ts", F.col("ts") + F.expr(f"INTERVAL {i * 31} DAYS")
+                    )
+                if name == "embeddings" and jitter_embeddings and i > 0:
+                    # Deterministic per-copy jitter (fixture v2): exact
+                    # replication collapses the embedding space onto the
+                    # 2,000 source directions, so a self-tuned quantizer
+                    # measures the DUPLICATION factor, not corpus growth
+                    # (the r9 sf30 superlinearity confound). A real
+                    # corpus adds new directions as it grows; jittered
+                    # copies model that while staying reproducible
+                    # (sin-hash of (vec_id, dim, copy) — no RNG state).
+                    df = df.withColumn(
+                        "embedding",
+                        F.expr(
+                            "transform(embedding, (x, j) -> cast(x + 0.1 "
+                            f"* sin(vec_id * 12.9898 + j * 78.233 + {i} "
+                            "* 37.719) as float))"
+                        ),
                     )
                 parts.append(df)
             out = parts[0]
@@ -82,6 +99,12 @@ def main() -> None:
         help="fixture output dir (e.g. .scale/sf10 with --copies 100)",
     )
     ap.add_argument(
+        "--no-jitter",
+        action="store_true",
+        help="replicate embeddings exactly (fixture v1 behavior) instead "
+        "of the default deterministic per-copy jitter",
+    )
+    ap.add_argument(
         "--queries",
         default=None,
         help="comma-separated registry names to run instead of the "
@@ -93,7 +116,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if not args.skip_build:
         t0 = time.perf_counter()
-        build(spark, args.copies)
+        build(spark, args.copies, jitter_embeddings=not args.no_jitter)
         print(f"build: {time.perf_counter() - t0:.1f}s")
 
     if args.queries:

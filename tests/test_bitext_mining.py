@@ -57,7 +57,7 @@ def test_full_coverage_ivf_equals_exact(spark):
     cross product ⇒ the mined pairs must be bit-identical to the exact
     form. This is the cutover-correctness pin: any divergence means the
     IVF routing itself (not the approximation) is wrong."""
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(SF_ORACLE)))
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(SF_ORACLE)), SF_ORACLE)
     xs, ys = _sides(spark)
     ys_a = ys.withColumn("_cid", assign_centroid(F.col("yv"), cents))
     xs_p = xs.withColumn(
@@ -83,7 +83,7 @@ def test_blas_route_equals_expression_route(spark):
     semantics, same normalizers, different physical lanes."""
     from emails_to_vector_db_spark.plans.semantic import _bmm_ivf_blas
 
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(SF_ORACLE)))
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(SF_ORACLE)), SF_ORACLE)
     xs, ys = _sides(spark)
     blas = _bmm_ivf_blas(spark, xs, ys, cents, 4)
     expr = REGISTRY["bitext_margin_mining_ivf"].fn(spark, SF_ORACLE)

@@ -88,10 +88,85 @@ def test_registered_ivf_query_uses_persisted_index():
     )
 
     k = _ivf_k(_embeddings_rows(_ORACLE_SF_DIR))
-    c1 = _ivf_centroids(k)
-    assert os.path.exists(_ivf_index_path(k))  # persisted artifact on disk
-    assert _ivf_centroids(k) == c1
+    c1 = _ivf_centroids(k, _ORACLE_SF_DIR)
+    # persisted artifact on disk, keyed by corpus + k
+    assert os.path.exists(_ivf_index_path(k, _ORACLE_SF_DIR))
+    assert _ivf_centroids(k, _ORACLE_SF_DIR) == c1
     assert len(c1) == 16 and len(c1[0]) == 64  # fixture-scale quantizer
+
+
+def test_quantizer_artifact_is_provenance_checked(tmp_path):
+    """A persisted quantizer trained on a DIFFERENT source (basename
+    collision) or an OLDER mtime (regenerated fixture) must miss, not
+    silently serve stale centroids — the r9 ADVICE hazard."""
+    from emails_to_vector_db_spark.operators.ivf import (
+        load_quantizer,
+        save_quantizer,
+    )
+
+    path = str(tmp_path / "q.json")
+    src = str(tmp_path / "embeddings.parquet")
+    save_quantizer(path, [[0.0, 1.0]], src=src, src_mtime=100.0, n_sample=4)
+    assert load_quantizer(path, src=src, src_mtime=100.0) == [[0.0, 1.0]]
+    # regenerated source (new mtime) → miss
+    assert load_quantizer(path, src=src, src_mtime=200.0) is None
+    # same basename, different corpus dir → miss
+    other = str(tmp_path / "elsewhere" / "embeddings.parquet")
+    assert load_quantizer(path, src=other, src_mtime=100.0) is None
+
+
+def test_training_sample_scales_with_quantizer_size():
+    """The r9 scale gap: a fixed 500-row sample clamps the self-tuned k
+    at 125 lists forever. The sample target must grow with k so k_eff
+    == k for any built corpus."""
+    from emails_to_vector_db_spark.plans.vector import (
+        _ivf_k,
+        _ivf_sample_target,
+    )
+
+    assert _ivf_sample_target(8) == 500  # small-k floor
+    # fixture k=16 → 640-row target; the 500-row fixture corpora are
+    # smaller than that, so their sample is the whole corpus
+    assert _ivf_sample_target(16) == 640
+    k_sf30 = _ivf_k(600_000)  # the sf30 rung's self-tuned k
+    assert k_sf30 > 125
+    # sample covers 4·k with headroom → the degeneracy clamp can't fire
+    assert _ivf_sample_target(k_sf30) >= 4 * k_sf30
+
+
+def test_hash_sample_is_deterministic_and_corpus_scaled(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from emails_to_vector_db_spark.operators.ivf import hash_sample_vectors
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                rng.normal(size=(n, 8)).astype("float32").tolist(),
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    src = str(tmp_path / "embeddings.parquet")
+    pq.write_table(tbl, src)
+    s1 = hash_sample_vectors(src, 800)
+    s2 = hash_sample_vectors(src, 800)
+    assert len(s1) == 800 and s1 == s2  # exact size, reproducible
+    # same rows selected regardless of file split (order-independence)
+    half = str(tmp_path / "split")
+    import os
+
+    os.makedirs(half)
+    pq.write_table(tbl.slice(0, 2500), os.path.join(half, "a.parquet"))
+    pq.write_table(tbl.slice(2500), os.path.join(half, "b.parquet"))
+    assert hash_sample_vectors(half, 800) == s1
+    # target beyond the corpus → whole corpus, id-ordered
+    assert len(hash_sample_vectors(src, 10_000)) == n
 
 
 def test_bucketed_join_is_exchange_free(spark, tmp_path):
@@ -188,7 +263,7 @@ def test_rebalance_store_path_matches_inline_and_skips_scan(spark, tmp_path):
     from emails_to_vector_db_spark.plans import REGISTRY
 
     sf = SF_SMOKE
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf)))
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(sf)), sf)
     # the index store: (vec_id, cid) written once at build/ingest time
     emb = load_table(spark, sf, "embeddings")
     store = str(tmp_path / "ivf_assignments.parquet")

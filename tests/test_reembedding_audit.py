@@ -23,7 +23,7 @@ from tests.conftest import SF_ORACLE
 def test_arrow_route_matches_expression_route(spark):
     """Assignments must be bit-identical between routes; drift cosines
     agree to 9dp (BLAS vs fold accumulation order)."""
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(SF_ORACLE)))
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(SF_ORACLE)), SF_ORACLE)
     emb = load_table(spark, SF_ORACLE, "embeddings")
     arrow = {
         r["vec_id"]: (r["old_cid"], r["new_cid"], round(r["drift"], 9))

@@ -181,7 +181,7 @@ def test_ivfadc_subset_of_pq_ordering(spark):
     from emails_to_vector_db_spark.sources.tables import load_table
     from pyspark.sql import functions as F
 
-    cents = _ivf_centroids(_ivf_k(_embeddings_rows(SF_ORACLE)))
+    cents = _ivf_centroids(_ivf_k(_embeddings_rows(SF_ORACLE)), SF_ORACLE)
     cbs = _pq_codebooks()
     emb = load_table(spark, SF_ORACLE, "embeddings")
     v = F.col("embedding").cast("array<double>")
