@@ -91,6 +91,11 @@ def _driver_green_names(
 _THIS_ROUND_NO = 10
 _NEW_THIS_ROUND: tuple[str, ...] = (
     # round 10 registrations (appended as they land this round)
+    "streaming_phrase_from_positions",
+    "postings_vocab_rebuild_plan",
+    "term_stats_from_index",
+    "retrieve_rerank_eval_chain",
+    "semdedup_from_ivf_lists",
 )
 
 

@@ -159,6 +159,205 @@ def bm25_plan(docs: DataFrame, pushdown: bool) -> DataFrame:
     )
 
 
+# zipf-native retrieval-lane parameters (the driver fixture's ~31-type
+# vocabulary can't regression-test the lane's pruning wins — SCALE_NOTES
+# has carried that caveat since round 7; this corpus is the standing
+# reference)
+_AND_TERMS_Z = ("w53", "w403", "w1096")  # torso terms: real intersection
+_PHRASE_Z = ("w2", "w7")  # head terms: long position lists (stress)
+_PROX_WINDOW_Z = 3
+_RM3_FB_DOCS_Z = 10
+_RM3_EXP_TERMS_Z = 10
+
+
+def lane_bench(spark, docs: DataFrame) -> dict[str, float]:
+    """The standing retrieval-lane bench table (r9 verdict task 5):
+    each lane measured inline (corpus tokenize) vs from the persisted
+    index on the SAME zipfian corpus, best-of-3 warm. Replaces the
+    'HONEST FLAT' rows the 31-type driver fixture forced."""
+    import shutil
+
+    from emails_to_vector_db_spark.plans.postings import (
+        _bm25_term_score,
+        _pos_root,
+        _pst_root,
+        ensure_positional_index,
+        ensure_postings_index,
+    )
+
+    results: dict[str, float] = {}
+
+    shutil.rmtree(_pst_root(DST), ignore_errors=True)
+    t0 = time.perf_counter()
+    name, n_docs, avgdl = ensure_postings_index(spark, DST)
+    results["postings_build"] = time.perf_counter() - t0
+    print(f"  postings build (once per corpus): "
+          f"{results['postings_build']:.2f}s", flush=True)
+    shutil.rmtree(_pos_root(DST), ignore_errors=True)
+    t0 = time.perf_counter()
+    pos_name = ensure_positional_index(spark, DST)
+    results["positions_build"] = time.perf_counter() - t0
+    print(f"  positions build (once per corpus): "
+          f"{results['positions_build']:.2f}s", flush=True)
+    pst = spark.table(name)
+    pos = spark.table(pos_name)
+
+    # -- BM25 ---------------------------------------------------------
+    def bm25_idx(terms) -> DataFrame:
+        return (
+            pst.where(F.col("term").isin(*terms))
+            .groupBy("doc_id")
+            .agg(F.sum(_bm25_term_score(n_docs, avgdl)).alias("bm25_raw"))
+            .orderBy(F.col("bm25_raw").desc(), F.col("doc_id").asc())
+            .limit(10)
+        )
+
+    results["bm25_inline"] = timed("bm25 inline    ", bm25_plan(docs, True))
+    results["bm25_from_index"] = timed("bm25 from index", bm25_idx(QTERMS))
+
+    # -- boolean AND ---------------------------------------------------
+    def and_inline() -> DataFrame:
+        toks = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(tokens("text"), lambda x: x.isin(*_AND_TERMS_Z))
+                )
+            ).alias("term"),
+        )
+        return (
+            toks.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") == len(_AND_TERMS_Z))
+        )
+
+    def and_idx() -> DataFrame:
+        return (
+            pst.where(F.col("term").isin(*_AND_TERMS_Z))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") == len(_AND_TERMS_Z))
+        )
+
+    results["bool_and_inline"] = timed("AND inline     ", and_inline())
+    results["bool_and_from_index"] = timed("AND from index ", and_idx())
+
+    # -- phrase / proximity (positional sidecar) ------------------------
+    def pos_inline(win: int | None) -> DataFrame:
+        p = docs.select(
+            "doc_id",
+            F.posexplode(tokens("text")).alias("p0", "term"),
+        ).where(F.col("term").isin(*_PHRASE_Z))
+        a = p.where(F.col("term") == _PHRASE_Z[0]).select(
+            "doc_id", F.col("p0").alias("pa")
+        )
+        b = p.where(F.col("term") == _PHRASE_Z[1]).select(
+            "doc_id", F.col("p0").alias("pb")
+        )
+        cond = (
+            (F.col("pb") - F.col("pa") == 1)
+            if win is None
+            else (F.abs(F.col("pb") - F.col("pa")) <= win)
+        )
+        return (
+            a.join(b, "doc_id")
+            .where(cond)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+        )
+
+    def pos_idx(win: int | None) -> DataFrame:
+        a = pos.where(F.col("term") == _PHRASE_Z[0]).select(
+            "doc_id", F.col("positions").alias("pa")
+        )
+        b = pos.where(F.col("term") == _PHRASE_Z[1]).select(
+            "doc_id", F.col("positions").alias("pb")
+        )
+        if win is None:
+            n = F.size(
+                F.array_intersect(
+                    "pa", F.transform("pb", lambda x: x - 1)
+                )
+            )
+        else:
+            n = F.aggregate(
+                F.col("pa"),
+                F.lit(0),
+                lambda acc, x: acc
+                + F.size(
+                    F.filter(F.col("pb"), lambda y: F.abs(x - y) <= win)
+                ),
+            )
+        return (
+            a.join(b, "doc_id")
+            .select("doc_id", n.alias("n_occ"))
+            .where(F.col("n_occ") > 0)
+        )
+
+    results["phrase_inline"] = timed("phrase inline   ", pos_inline(None))
+    results["phrase_from_index"] = timed("phrase from idx ", pos_idx(None))
+    results["prox_inline"] = timed(
+        "proximity inline", pos_inline(_PROX_WINDOW_Z)
+    )
+    results["prox_from_index"] = timed(
+        "proximity fr idx", pos_idx(_PROX_WINDOW_Z)
+    )
+
+    # -- RM3 (3-pass pseudo-relevance feedback) -------------------------
+    def rm3(from_index: bool) -> DataFrame:
+        base = bm25_idx(QTERMS) if from_index else bm25_plan(docs, True)
+        fb = base.limit(_RM3_FB_DOCS_Z).select("doc_id")
+        fb_ids = [r["doc_id"] for r in fb.collect()]  # bounded: 10 ids
+        # feedback-term distribution: doc-grain forward lookup (row
+        # store, pushed IN-list) — the two-index split by design
+        fb_tf = (
+            docs.where(F.col("doc_id").isin(fb_ids))
+            .select("doc_id", F.explode(tokens("text")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("ftf"))
+            .orderBy(F.col("ftf").desc(), F.col("term").asc())
+            .limit(_RM3_EXP_TERMS_Z)
+        )
+        exp_terms = [r["term"] for r in fb_tf.collect()]  # bounded: 10
+        terms = sorted(set(QTERMS) | set(exp_terms))
+        if from_index:
+            return bm25_idx(terms)
+        return bm25_plan(docs, True)  # inline replays the full census
+
+    results["rm3_inline"] = timed("rm3 inline     ", rm3(False))
+    results["rm3_from_index"] = timed("rm3 from index ", rm3(True))
+
+    # -- hybrid RRF (keyword arm; the vector arm is the vector lane's
+    #    own benched artifact — fusion joins two <=20-row rankings) ----
+    def hybrid(from_index: bool) -> DataFrame:
+        kw = (bm25_idx(QTERMS) if from_index else bm25_plan(docs, True))
+        kw = kw.withColumn(
+            "kw_rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("bm25_raw").desc(), F.col("doc_id").asc()
+                )
+            ),
+        ).select("doc_id", "kw_rank")
+        vec = spark.createDataFrame(
+            [(i, r) for r, i in enumerate(range(20), start=1)],
+            "doc_id bigint, vec_rank int",
+        )
+        fused = kw.join(vec, "doc_id", "full_outer").withColumn(
+            "rrf",
+            F.coalesce(1.0 / (60 + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+        )
+        return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+    results["hybrid_inline"] = timed("hybrid inline   ", hybrid(False))
+    results["hybrid_from_index"] = timed("hybrid from idx ", hybrid(True))
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"DROP TABLE IF EXISTS {pos_name}")
+    return results
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200_000)
@@ -166,6 +365,13 @@ def main() -> None:
     ap.add_argument("--s", type=float, default=1.1)
     ap.add_argument("--tfidf-docs", type=int, default=10_000)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument(
+        "--lane-bench",
+        action="store_true",
+        help="run the standing retrieval-lane table (inline vs index "
+        "for bm25/AND/phrase/proximity/rm3/hybrid) instead of the "
+        "pruning ON/OFF sweep",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="zipf-stress", cpus=32)
@@ -176,6 +382,14 @@ def main() -> None:
 
     docs = spark.read.parquet(os.path.join(DST, "documents.parquet"))
     from pyspark import StorageLevel
+
+    if args.lane_bench:
+        results = lane_bench(spark, docs)
+        print("\n== lane summary (best-of-3 sec) ==")
+        for k, v in results.items():
+            print(f"{k}: {round(v, 2)}")
+        spark.stop()
+        return
 
     results: dict[str, float] = {}
 

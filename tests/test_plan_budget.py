@@ -242,6 +242,14 @@ SCAN_BUDGET = {
     ("documents", "bm25_topk_from_index"): 0,  # index-only: corpus never read
     ("documents", "rm3_query_expansion_from_index"): 0,  # pass 3 is index-only (passes 1-2 ran eagerly)
     ("documents", "hybrid_rrf_from_index"): 0,  # kw arm index-only; vec arm reads embeddings
+    # r10: the drift statistic reads ONLY the postings store — the
+    # vocabulary analysis never scans the corpus
+    ("documents", "postings_vocab_rebuild_plan"): 0,
+    # r10: the term-weight audit is index-only too
+    ("documents", "term_stats_from_index"): 0,
+    # r10: the e2e chain's only corpus read is the 50-candidate payload
+    # lookup (broadcast-pruned); retrieval itself is index-only
+    ("documents", "retrieve_rerank_eval_chain"): 1,
     ("documents", "benchmark_decontamination"): 2,  # eval + train sides
     ("events", "event_funnel_conversion"): 1,  # window chain, single scan
     ("lineitem", "q17_small_quantity_revenue"): 1,  # filter-first window

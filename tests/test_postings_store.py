@@ -5,6 +5,7 @@ lifecycle pinned in tests/test_ivf_bucketing.py)."""
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -199,7 +200,10 @@ def test_postings_staleness_rebuild(spark, tmp_path):
     assert name2 == name and n2 == n_docs
     assert spark.table(name).count() == first
     with open(marker) as f:
-        assert float(f.read()) > float(recorded)
+        rebuilt = json.load(f)
+    assert rebuilt["mtime"] > json.loads(recorded)["mtime"]
+    # v2 marker records WHICH source it was built from
+    assert rebuilt["src"] == os.path.join(sf_dir, "documents.parquet")
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     shutil.rmtree(_pst_root(sf_dir), ignore_errors=True)
@@ -221,6 +225,55 @@ def test_postings_cold_catalog_ddl_replay(spark):
     assert os.path.getmtime(pst_dir) == mtime_before, (
         "DDL replay rewrote the postings files"
     )
+
+
+def test_cold_catalog_with_missing_data_rebuilds(spark, tmp_path):
+    """r9 ADVICE: marker+stats present but the parquet data directory
+    gone (partial warehouse cleanup) must REBUILD, not replay DDL over
+    a missing LOCATION and silently scan empty."""
+    sf_dir = str(tmp_path / "sfY")
+    os.makedirs(sf_dir)
+    shutil.copy(
+        os.path.join(SF_SMOKE, "documents.parquet"),
+        os.path.join(sf_dir, "documents.parquet"),
+    )
+    name, n_docs, _ = ensure_postings_index(spark, sf_dir)
+    rows = spark.table(name).count()
+    assert rows > 0
+    spark.sql(f"DROP TABLE IF EXISTS {name}")  # cold catalog
+    shutil.rmtree(os.path.join(_pst_root(sf_dir), "postings"))  # lost data
+
+    name2, n2, _ = ensure_postings_index(spark, sf_dir)
+    assert n2 == n_docs
+    assert spark.table(name2).count() == rows  # rebuilt, not empty
+    spark.sql(f"DROP TABLE IF EXISTS {name2}")
+    shutil.rmtree(_pst_root(sf_dir), ignore_errors=True)
+
+
+def test_marker_is_source_specific(tmp_path):
+    """A v2 marker written for one corpus must read stale for another
+    corpus whose documents.parquet happens to be OLDER (the exact
+    basename-collision serving bug from the r9 ADVICE)."""
+    from emails_to_vector_db_spark.plans.postings import (
+        _marker_fresh,
+        _write_marker,
+    )
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    for d in (a, b):
+        os.makedirs(d)
+        (d / "documents.parquet").write_bytes(b"x")
+    # b is OLDER than a → the legacy mtime-only check would read fresh
+    os.utime(b / "documents.parquet", (1000.0, 1000.0))
+    marker = str(tmp_path / "_SOURCE_MTIME")
+    _write_marker(marker, str(a / "documents.parquet"))
+    assert _marker_fresh(marker, str(a / "documents.parquet"))
+    assert not _marker_fresh(marker, str(b / "documents.parquet"))
+    # legacy bare-float marker → stale (forces one rebuild, never serves)
+    with open(marker, "w") as f:
+        f.write("9999999999.0")
+    assert not _marker_fresh(marker, str(a / "documents.parquet"))
 
 
 def test_postings_df_and_impact_rank_consistency(spark):
@@ -248,3 +301,105 @@ def test_postings_df_and_impact_rank_consistency(spark):
         )
     )
     assert bad_df.count() == 0
+
+
+def test_streamed_positions_equal_batch_positional_index(spark):
+    """Round-10 sidecar maintenance: the STREAM-built positions store
+    (micro-batch appends, one tokenize pass shared with the tf store)
+    must hold bit-identical (term, doc_id, positions) rows to the
+    BATCH-built positional index — positions are doc-internal and a doc
+    lives in one batch, so batching must be invisible."""
+    from emails_to_vector_db_spark.plans.postings import (
+        _run_stream_postings,
+        ensure_positional_index,
+    )
+
+    _, pos_store = _run_stream_postings(spark, SF_SMOKE)
+    streamed = spark.read.parquet(pos_store).select(
+        "term", "doc_id", "positions"
+    )
+    batch = spark.table(ensure_positional_index(spark, SF_SMOKE)).select(
+        "term", "doc_id", "positions"
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    # and the tf store is exactly size(positions) of the sidecar
+    tf_store = pos_store.replace("pos_store", "pst_store")
+    tf = spark.read.parquet(tf_store).select("term", "doc_id", "tf")
+    derived = streamed.select(
+        "term", "doc_id", F.size("positions").cast("long").alias("tf")
+    )
+    assert tf.exceptAll(derived).count() == 0
+
+
+def _write_docs(tmp_path, name, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(str(tmp_path), name)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int32()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def test_drift_plan_actions_flip_with_append_vocabulary(spark, tmp_path):
+    """The r9 verdict's done-criterion for the drift-triggered rebuild
+    plan: appends past a threshold must FLIP the action rows. Three
+    synthetic corpora hit all three actions:
+    - heavy appends reusing the base vocabulary → growth ≫ τ in the
+      base-term buckets → 'compact' (the planted spelling-drift suffix
+      routes its new terms to OTHER buckets, which read 'rebuild')
+    - appends introducing fresh vocabulary → new-term mass ≈ 1 →
+      'rebuild'
+    - a single tiny append (sparse id space) → 'keep' everywhere."""
+    from emails_to_vector_db_spark.plans.postings import (
+        _pst_root,
+        postings_vocab_rebuild_plan,
+    )
+
+    def actions(sf_dir):
+        df = postings_vocab_rebuild_plan(spark, sf_dir)
+        acts = {r["action"] for r in df.collect()}
+        name, _, _ = ensure_postings_index(spark, sf_dir)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(_pst_root(sf_dir), ignore_errors=True)
+        return acts
+
+    # heavy same-vocab appends: base-term buckets' growth 80/30 ≫ τ
+    same = _write_docs(
+        tmp_path,
+        "same",
+        [(i, "alpha beta gamma") for i in range(30)]
+        + [(i, "alpha beta gamma") for i in range(900, 1000)],
+    )
+    assert "compact" in actions(same)
+
+    # appended tail (doc_id > 2·max/3) carries fresh vocabulary → rebuild
+    fresh = _write_docs(
+        tmp_path,
+        "fresh",
+        [(i, "alpha beta gamma") for i in range(60)]
+        + [(i, f"neo{i} zet{i}") for i in range(60, 90)],
+    )
+    assert "rebuild" in actions(fresh)
+
+    # sparse tail: one appended doc, base vocab, id NOT divisible by 5
+    # (so the planted-drift suffix stays off) → tiny growth → keep only
+    sparse = _write_docs(
+        tmp_path,
+        "sparse",
+        [(i, "alpha beta gamma") for i in range(60)] + [(1001, "alpha")],
+    )
+    assert actions(sparse) == {"keep"}
