@@ -368,6 +368,25 @@ def nearest_centroids(
 # the interpreted assignment took 498s for a plan the Arrow lane runs in
 # seconds).
 _ASSIGN_ARROW_K_CUTOVER = 48
+# At k ≥ this, Arrow-lane assignment arithmetic drops to float32 and the
+# score block is sized to stay CPU-cache-resident: the f64 n×k score
+# matrix is what made the sf30 assignment memory-bound — 30 concurrent
+# workers each streaming 134 MB blocks through DRAM collapsed aggregate
+# throughput to ~4 GFLOP/s (measured: 114s for 360 GFLOP; one solo
+# worker gets 3.9 GF/s, thirty together share the same DRAM). No oracle
+# replays any k ≥ 48 assignment (those corpora take the expression
+# lane), so f32 near-tie flips are unobservable.
+_ASSIGN_F32_K_CUTOVER = 512
+
+
+def _assign_dtype_chunk(k: int):
+    """(dtype, row-chunk) for centroid-scoring lanes: chunk × k scores
+    bounded at ~2 MB so the block lives in L2/L3 instead of DRAM."""
+    import numpy as np
+
+    dt = np.float32 if k >= _ASSIGN_F32_K_CUTOVER else np.float64
+    itemsize = 4 if dt is np.float32 else 8
+    return dt, max(64, (2 << 20) // max(k * itemsize, 1))
 
 
 def _assign_with_vec_arrow(
@@ -383,7 +402,8 @@ def _assign_with_vec_arrow(
     import numpy as np
     import pandas as pd
 
-    C = np.asarray(centroids, dtype=np.float64)
+    dt, chunk = _assign_dtype_chunk(len(centroids))
+    C = np.asarray(centroids, dtype=dt)
     c_sq = (C * C).sum(axis=1)
     vec_type = dict(base.dtypes)[vec_col]
 
@@ -393,14 +413,18 @@ def _assign_with_vec_arrow(
                 yield pdf.assign(_cid=np.zeros(0, dtype="int32"))
                 continue
             X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                [np.asarray(v, dtype=dt) for v in pdf[vec_col]]
             )
-            d = c_sq[None, :] - 2.0 * (X @ C.T)  # +x² constant per row
+            cid = np.empty(len(X), dtype="int32")
+            for i in range(0, len(X), chunk):
+                # +|x|² is constant per row — dropping it keeps argmin
+                d = c_sq[None, :] - 2.0 * (X[i : i + chunk] @ C.T)
+                cid[i : i + chunk] = d.argmin(axis=1).astype("int32")
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
                     vec_col: pdf[vec_col].values,
-                    "_cid": d.argmin(axis=1).astype("int32"),
+                    "_cid": cid,
                 }
             )
 
@@ -431,10 +455,13 @@ def ivf_ann_join(
     ``centroids`` (load_centroids of a persisted index) to amortize the
     index across queries — the intended production path; otherwise
     sample-trains on the base as a convenience (an index build runs
-    inside the call). Base-side assignment cuts over from the column
-    expression to the Arrow BLAS lane at _ASSIGN_ARROW_K_CUTOVER lists
-    (override with ``arrow``); the probe side stays interpreted — the
-    probe frame is query-sized, never corpus-sized."""
+    inside the call). BOTH sides cut over from column expressions to
+    the Arrow BLAS lanes at _ASSIGN_ARROW_K_CUTOVER lists (override
+    with ``arrow``): the base side because the interpreted fold is
+    n·k·d element-ops, and the probe side because the k×dim centroid
+    LITERAL itself costs analyzer/codegen time proportional to k —
+    measured 23s at k=4688 for a 20-row probe frame; the Arrow lane
+    ships centroids by closure, zero plan bytes."""
     if centroids is None:
         centroids = train_centroids(
             base, vec_col=base_vec, n_centroids=n_centroids, seed=seed
@@ -445,14 +472,24 @@ def ivf_ann_join(
         base_a = _assign_with_vec_arrow(
             base, centroids, id_col=base_id, vec_col=base_vec
         )
+        probe_a = probe_centroids_with_vec_arrow(
+            probes,
+            centroids,
+            nprobe,
+            id_col=probe_id,
+            vec_col=probe_vec,
+            out_cid="_cid",
+        )
     else:
         base_a = base.withColumn(
             "_cid", assign_centroid(F.col(base_vec), centroids)
         )
-    probe_a = probes.withColumn(
-        "_cid",
-        F.explode(nearest_centroids(F.col(probe_vec), centroids, nprobe)),
-    )
+        probe_a = probes.withColumn(
+            "_cid",
+            F.explode(
+                nearest_centroids(F.col(probe_vec), centroids, nprobe)
+            ),
+        )
     cand = base_a.join(F.broadcast(probe_a), "_cid").withColumn(
         dist_col, distance(metric, F.col(base_vec), F.col(probe_vec))
     )
@@ -485,23 +522,27 @@ def assign_centroids_arrow(
     import numpy as np
     import pandas as pd
 
-    C = np.asarray(centroids, dtype=np.float64)
+    dt, chunk = _assign_dtype_chunk(len(centroids))
+    C = np.asarray(centroids, dtype=dt)
     c_sq = (C * C).sum(axis=1)
 
     def assign(batches):
         for pdf in batches:
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            ) if len(pdf) else np.zeros((0, C.shape[1]))
-            if len(pdf):
-                d = (
-                    (X * X).sum(axis=1)[:, None]
-                    + c_sq[None, :]
-                    - 2.0 * (X @ C.T)
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].values,
+                     "cid": np.zeros(0, dtype="int32")}
                 )
-                cid = d.argmin(axis=1).astype("int32")
-            else:
-                cid = np.zeros(0, dtype="int32")
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=dt) for v in pdf[vec_col]]
+            )
+            cid = np.empty(len(X), dtype="int32")
+            for i in range(0, len(X), chunk):
+                xc = X[i : i + chunk]
+                # |x|² is constant per row — dropping it preserves argmin
+                d = c_sq[None, :] - 2.0 * (xc @ C.T)
+                cid[i : i + chunk] = d.argmin(axis=1).astype("int32")
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].values, "cid": cid}
             )
@@ -533,7 +574,6 @@ def probe_centroids_arrow(
     import pandas as pd
 
     C = np.asarray(centroids, dtype=np.float64)
-    c_sq = (C * C).sum(axis=1)
     p = min(nprobe, len(C))
 
     def probe(batches):
@@ -544,12 +584,7 @@ def probe_centroids_arrow(
             X = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            d = (
-                (X * X).sum(axis=1)[:, None]
-                + c_sq[None, :]
-                - 2.0 * (X @ C.T)
-            )
-            near = np.argsort(d, axis=1, kind="stable")[:, :p]
+            near = _nearest_p_chunked(X, C, p)
             ids = np.repeat(pdf[id_col].values, p)
             yield pd.DataFrame(
                 {id_col: ids, out_cid: near.ravel().astype("int32")}
@@ -558,6 +593,90 @@ def probe_centroids_arrow(
     return df.select(id_col, vec_col).mapInPandas(
         probe, schema=f"{id_col} bigint, {out_cid} int"
     )
+
+
+def probe_centroids_with_vec_arrow(
+    df: "DataFrame",
+    centroids: list[list[float]],
+    nprobe: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_cid: str = "cid",
+):
+    """probe_centroids_arrow with the vector PASSED THROUGH the Arrow
+    batch — (id, vec, cid) exploded to one row per probed list, so a
+    downstream per-list cogroup needs no join back to the vector frame
+    (measured as the r10 sf30 join leg: re-joining (id, cid) onto the
+    embeddings recomputed the probe lane under each consumer — 158s of
+    pure rework; the pass-through duplicates nprobe× the vector bytes
+    into the ONE shuffle the cogroup pays anyway)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    p = min(nprobe, len(C))
+    vec_type = dict(df.dtypes)[vec_col]
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {id_col: [], vec_col: [], out_cid: []}
+                )
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            near = _nearest_p_chunked(X, C, p)
+            idx = np.repeat(np.arange(len(pdf)), p)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values[idx],
+                    vec_col: pdf[vec_col].values[idx],
+                    out_cid: near.ravel().astype("int32"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        probe,
+        schema=f"{id_col} bigint, {vec_col} {vec_type}, {out_cid} int",
+    )
+
+
+def _nearest_p_chunked(X, C, p):
+    """Row-wise p nearest centroid ids in (dist asc, cid asc) order —
+    argpartition + an exact lexsort of the selected slice instead of a
+    FULL per-row argsort (measured as the r10 sf30 probe leg: 247k rows
+    × a full stable sort of k=4688 ≈ 14G comparisons, 124s; the
+    partition is linear in k). A margin of 8 beyond p is re-sorted
+    exactly, so the (dist, cid) tiebreak matches the struct sort unless
+    9+ candidates tie EXACTLY at the selection boundary — impossible
+    for the ≤48-list corpora whose oracles replay this rank (they take
+    the expression lane), and measure-zero on real-valued embeddings.
+    Row-chunked like the assignment lane to bound the score matrix."""
+    import numpy as np
+
+    n, k = len(X), len(C)
+    dt, chunk = _assign_dtype_chunk(k)
+    C = np.asarray(C, dtype=dt)
+    X = np.asarray(X, dtype=dt)
+    c_sq = (C * C).sum(axis=1)
+    m = min(k, p + 8)
+    out = np.empty((n, p), dtype=np.int64)
+    for i in range(0, n, chunk):
+        xc = X[i : i + chunk]
+        d = c_sq[None, :] - 2.0 * (xc @ C.T)  # +|x|² row-constant
+        if m < k:
+            part = np.argpartition(d, m - 1, axis=1)[:, :m]
+        else:
+            part = np.broadcast_to(np.arange(k), (len(xc), k)).copy()
+        dp = np.take_along_axis(d, part, axis=1)
+        # exact (dist, cid) order within the selected slice
+        for r in range(len(xc)):
+            order = np.lexsort((part[r], dp[r]))[:p]
+            out[i + r] = part[r][order]
+    return out
 
 
 def round_half_away(a, decimals: int = 6):

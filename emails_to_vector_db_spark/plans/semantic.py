@@ -1203,22 +1203,20 @@ def _bmm_ivf_blas(spark, xs, ys, cents, nprobe) -> DataFrame:
     from pyspark.sql import Window
 
     from emails_to_vector_db_spark.operators.ivf import (
-        assign_centroids_arrow,
-        probe_centroids_arrow,
+        _assign_with_vec_arrow,
+        probe_centroids_with_vec_arrow,
         round_half_away,
     )
 
-    ya = assign_centroids_arrow(
-        ys.select(
-            F.col("yid").alias("vec_id"), F.col("yv").alias("embedding")
-        ),
-        cents,
-    ).select(F.col("vec_id").alias("yid"), F.col("cid").alias("_cid"))
-    ys_a = ys.join(ya, "yid")
-    xp = probe_centroids_arrow(
+    # vectors ride THROUGH the Arrow lanes as (id, vec, cid): joining
+    # the bare (id, cid) output back onto the vector frames re-executed
+    # both lanes under every consumer branch (r10 sf30 profile: 158s of
+    # rework on top of 54s + 124s lane cost); the pass-through feeds
+    # the cogroup's one shuffle directly
+    ys_a = _assign_with_vec_arrow(ys, cents, id_col="yid", vec_col="yv")
+    xs_p = probe_centroids_with_vec_arrow(
         xs, cents, nprobe, id_col="xid", vec_col="xv", out_cid="_cid"
     )
-    xs_p = xs.join(xp, "xid")
 
     gx = xs_p.groupBy("_cid")
     gy = ys_a.groupBy("_cid")

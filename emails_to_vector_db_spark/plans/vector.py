@@ -1659,13 +1659,23 @@ def ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row total, and k²-sized Python-side merge-target arithmetic at
     plan-build time. Nothing corpus-sized shuffles.
     """
-    from emails_to_vector_db_spark.operators.ivf import assign_centroid
+    from emails_to_vector_db_spark.operators.ivf import (
+        _ASSIGN_ARROW_K_CUTOVER,
+        assign_centroid,
+        assign_centroids_arrow,
+    )
 
     cents = _ivf_quantizer(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = emb.select(
-        assign_centroid(F.col("embedding"), cents).alias("cid")
-    )
+    if len(cents) >= _ASSIGN_ARROW_K_CUTOVER:
+        # large self-tuned k: closure-shipped BLAS assignment — the
+        # k×dim plan literal alone costs analyzer time ∝ k (measured
+        # 23s at k=4688), on top of the interpreted n·k·d fold
+        assigned = assign_centroids_arrow(emb, cents).select("cid")
+    else:
+        assigned = emb.select(
+            assign_centroid(F.col("embedding"), cents).alias("cid")
+        )
     return _rebalance_actions(spark, assigned, cents)
 
 
