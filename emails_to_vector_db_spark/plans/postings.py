@@ -961,6 +961,7 @@ ORDER BY bkt
     "postings_vocab_rebuild_plan",
     oracle=_pst_rebuild_oracle(),
     tags=("retrieval", "postings", "index", "maintenance", "plan", "store"),
+    bench=True,
 )
 def postings_vocab_rebuild_plan(
     spark: SparkSession, sf_dir: str
@@ -1330,6 +1331,7 @@ LIMIT {_TS_TOP}
     "term_stats_from_index",
     oracle=_TERM_STATS_ORACLE,
     tags=("retrieval", "postings", "index", "stats", "store"),
+    bench=True,
 )
 def term_stats_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection-frequency / term-weight audit answered ENTIRELY from
@@ -1497,6 +1499,7 @@ FROM gains
     "retrieve_rerank_eval_chain",
     oracle=_chain_oracle(),
     tags=("retrieval", "rerank", "eval", "index", "store", "e2e"),
+    bench=True,
 )
 def retrieve_rerank_eval_chain(
     spark: SparkSession, sf_dir: str

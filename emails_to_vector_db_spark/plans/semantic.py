@@ -322,6 +322,7 @@ FROM members m LEFT JOIN pruned p USING (cid)
     "semdedup_from_ivf_lists",
     oracle=_semdedup_ivf_oracle(),
     tags=("vector", "dedup", "semdedup", "ivf", "index", "store"),
+    bench=True,
 )
 def semdedup_from_ivf_lists(
     spark: SparkSession, sf_dir: str

@@ -165,6 +165,11 @@ SHUFFLE_BUDGET = {
     # counted, the prefix_filter convention)
     "minhash_recall_precision_audit": 33,
     "embedding_lsh_recall_audit": 9,
+    # r10 bench promotions — the index-only / store-reading lanes
+    "term_stats_from_index": 0,  # one postings scan + map-side term agg + TakeOrdered
+    "retrieve_rerank_eval_chain": 2,  # index-hit doc agg + 1-row eval agg; rerank windows ride <=50 rows
+    "postings_vocab_rebuild_plan": 4,  # base lexicon distinct + anti-probe join + two bucket aggs
+    "semdedup_from_ivf_lists": 1,  # one cid exchange into the per-list gram lane
 }
 
 
