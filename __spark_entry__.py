@@ -96,6 +96,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "term_stats_from_index",
     "retrieve_rerank_eval_chain",
     "semdedup_from_ivf_lists",
+    "query_likelihood_from_index",
+    "heaps_law_fit_from_index",
+    "dsir_weights_from_index",
 )
 
 

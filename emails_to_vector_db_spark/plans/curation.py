@@ -592,3 +592,172 @@ def incremental_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection with importance resampling (Xie et al. 2023) —
+# hashed-feature importance weights from the postings index
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256  # hashed feature space (the paper hashes n-grams)
+_DSIR_LAMBDA = 1.0  # add-λ smoothing on both feature LMs
+_DSIR_TARGET_LANG = "en"  # the target distribution: English docs
+
+
+def _dsir_oracle() -> str:
+    b = (
+        f"(('0x' || substr(md5(term), 1, 15))::BIGINT"
+        f" % {_DSIR_BUCKETS})"
+    )
+    return f"""
+WITH tf AS (
+    SELECT term, doc_id, count(*)::BIGINT AS tf
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    )
+    GROUP BY term, doc_id
+),
+bt AS (
+    SELECT {b} AS b, t.doc_id, sum(t.tf)::BIGINT AS tf
+    FROM tf t GROUP BY 1, 2
+),
+tgt AS (
+    SELECT b.b, sum(b.tf)::BIGINT AS n
+    FROM bt b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE d.lang = '{_DSIR_TARGET_LANG}'
+    GROUP BY b.b
+),
+raw AS (SELECT b, sum(tf)::BIGINT AS n FROM bt GROUP BY b),
+tot AS (
+    SELECT (SELECT coalesce(sum(n), 0)::DOUBLE FROM tgt) AS tn,
+           (SELECT sum(n)::DOUBLE FROM raw) AS rn
+),
+ratio AS (
+    SELECT r.b,
+           ln((coalesce(t.n, 0) + {_DSIR_LAMBDA})
+              / (tot.tn + {_DSIR_LAMBDA} * {_DSIR_BUCKETS}))
+           - ln((r.n + {_DSIR_LAMBDA})
+                / (tot.rn + {_DSIR_LAMBDA} * {_DSIR_BUCKETS})) AS lr
+    FROM raw r LEFT JOIN tgt t ON t.b = r.b, tot
+),
+docw AS (
+    SELECT bt.doc_id, sum(bt.tf * ratio.lr) AS logw
+    FROM bt JOIN ratio ON ratio.b = bt.b
+    GROUP BY bt.doc_id
+)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       round(avg(w.logw), 6) AS avg_logw,
+       sum(CASE WHEN w.logw > 0 THEN 1 ELSE 0 END)::BIGINT AS n_selected
+FROM docw w JOIN documents d ON d.doc_id = w.doc_id
+GROUP BY d.source
+"""
+
+
+@register(
+    "dsir_weights_from_index",
+    oracle=_dsir_oracle(),
+    tags=("curation", "selection", "dsir", "index", "store"),
+)
+def dsir_weights_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dsir_importance_weights' STORE-READING sibling at report grain
+    (the inline form in plans/cleaning.py scores per-doc from a corpus
+    tokenize; this one answers from the postings index and reports the
+    per-source selection statistics the resampling step consumes) —
+    DSIR, Data Selection with Importance Resampling (Xie et al. 2023): per-document importance log-weights under hashed-feature
+    bag-of-ngrams language models, log w(d) = Σ_f c_d(f) ·
+    log(p_target(f)/p_raw(f)), with add-λ smoothing on both LMs and a
+    256-bucket hashed feature space (the paper's hashing trick — the
+    md5 bucket is the portable hash the oracle replays). The target
+    distribution is the English slice; the raw distribution is the
+    whole corpus. Reported per source: mean log-weight and how many
+    docs the w>1 rule would select — the statistic the paper's
+    resampling step consumes.
+
+    STORE-READING: token counts come from the persisted postings index
+    (one scan, bucket-aggregated), never a corpus tokenize; the only
+    documents reads are doc-grain (doc_id, lang) / (doc_id, source)
+    column projections for the two metadata joins. Plan: postings →
+    256-cell feature census (two bucket-grain aggregates, one filtered
+    by the lang join) → a 256-row broadcast of log-ratios back onto
+    the (bucket, doc) frame → doc-grain weight agg → source report.
+    At 100 TB every corpus-grain stage is a map-side-combinable
+    aggregate keyed by 256 buckets or by doc_id; the feature LMs are
+    512 numbers."""
+    from emails_to_vector_db_spark.plans.postings import (
+        ensure_postings_index,
+    )
+
+    name, _, _ = ensure_postings_index(spark, sf_dir)
+    pst = spark.table(name)
+    bt = (
+        pst.select(
+            F.pmod(TX.md5_long("term"), F.lit(_DSIR_BUCKETS)).alias("b"),
+            "doc_id",
+            "tf",
+        )
+        .groupBy("b", "doc_id")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    lang = docs.select("doc_id", "lang")
+    tgt = (
+        bt.join(lang, "doc_id")
+        .where(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("tf").alias("tn"))
+    )
+    raw = bt.groupBy("b").agg(F.sum("tf").alias("rn"))
+    tots = F.broadcast(
+        raw.agg(F.sum("rn").cast("double").alias("rtot")).crossJoin(
+            tgt.agg(
+                F.coalesce(F.sum("tn"), F.lit(0))
+                .cast("double")
+                .alias("ttot")
+            )
+        )
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(tots)
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("tn"), F.lit(0)) + _DSIR_LAMBDA)
+                    / (
+                        F.col("ttot")
+                        + F.lit(_DSIR_LAMBDA * _DSIR_BUCKETS)
+                    )
+                )
+                - F.log(
+                    (F.col("rn") + _DSIR_LAMBDA)
+                    / (
+                        F.col("rtot")
+                        + F.lit(_DSIR_LAMBDA * _DSIR_BUCKETS)
+                    )
+                )
+            ).alias("lr"),
+        )
+    )
+    docw = (
+        bt.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("lr")).alias("logw"))
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        docw.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("logw"), 6).alias("avg_logw"),
+            F.sum(
+                F.when(F.col("logw") > 0, 1).otherwise(0)
+            ).alias("n_selected"),
+        )
+    )

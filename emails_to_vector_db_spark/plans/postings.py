@@ -1640,3 +1640,227 @@ def retrieve_rerank_eval_chain(
         F.round(F.col("dcg_bm25") / F.col("idcg"), 6).alias("ndcg_bm25"),
         F.round(F.col("dcg_ce") / F.col("idcg"), 6).alias("ndcg_ce"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood (Dirichlet-smoothed LM) retrieval from the index — the
+# second classic probabilistic ranker next to BM25 (Zhai & Lafferty 2001)
+# ---------------------------------------------------------------------------
+
+_QL_MU = 300.0  # Dirichlet prior mass (~6× fixture avgdl)
+
+
+def _ql_oracle() -> str:
+    q_in = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return f"""
+WITH tf AS (
+    SELECT term, doc_id, count(*)::BIGINT AS tf, min(dl) AS dl
+    FROM (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    )
+    GROUP BY term, doc_id
+),
+cf AS (
+    SELECT term,
+           sum(tf)::DOUBLE / (SELECT sum(tf)::DOUBLE FROM tf) AS pc
+    FROM tf WHERE term IN ({q_in}) GROUP BY term
+),
+qconst AS (
+    SELECT sum(ln({_QL_MU} * pc)) AS c0,
+           count(*)::DOUBLE AS nq
+    FROM cf
+),
+cand AS (
+    SELECT t.doc_id, min(t.dl) AS dl,
+           sum(ln(1 + t.tf / ({_QL_MU} * c.pc))) AS hitsum
+    FROM tf t JOIN cf c ON c.term = t.term
+    GROUP BY t.doc_id
+)
+SELECT doc_id,
+       round(c0 - nq * ln(dl + {_QL_MU}) + hitsum, 6) AS ql
+FROM cand, qconst
+ORDER BY round(c0 - nq * ln(dl + {_QL_MU}) + hitsum, 6) DESC, doc_id ASC
+LIMIT {TOP_N}
+"""
+
+
+@register(
+    "query_likelihood_from_index",
+    oracle=_ql_oracle(),
+    tags=("retrieval", "lm", "dirichlet", "index", "store"),
+)
+def query_likelihood_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    2001) answered from the postings index — the probabilistic-LM
+    ranker beside BM25, in its standard decomposed form: score =
+    Σ_q log(μ·P(t|C)) − |q|·log(dl+μ) + Σ_{t∈q∩d} log(1 + tf/(μ·P(t|C))),
+    evaluated over candidate docs (≥1 query-term hit, the WAND-style
+    evaluation every practical system uses). Everything comes from the
+    store: tf/dl ride the bucket-pruned posting rows, the query terms'
+    collection probabilities are a 3-row index aggregate (broadcast),
+    and the collection token count is exactly the sidecar's sum_dl
+    (every token contributes one tf unit — integers < 2^53, exact in
+    doubles). The corpus text is never read. At 100 TB the plan is an
+    index lookup bounded by the query terms' document frequencies plus
+    a 3-row broadcast — identical cost class to bm25_topk_from_index."""
+    name, n_docs, _ = ensure_postings_index(spark, sf_dir)
+    with open(os.path.join(_pst_root(sf_dir), "_STATS.json")) as f:
+        ct = float(json.load(f)["sum_dl"])
+    pst = spark.table(name)
+    pc = (
+        pst.where(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("term")
+        .agg((F.sum("tf").cast("double") / F.lit(ct)).alias("pc"))
+    )
+    qconst = F.broadcast(
+        pc.agg(
+            F.sum(F.log(_QL_MU * F.col("pc"))).alias("c0"),
+            F.count(F.lit(1)).cast("double").alias("nq"),
+        )
+    )
+    cand = (
+        pst.where(F.col("term").isin(*QUERY_TERMS))
+        .join(F.broadcast(pc), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.min("dl").alias("dl"),
+            F.sum(
+                F.log(1 + F.col("tf") / (_QL_MU * F.col("pc")))
+            ).alias("hitsum"),
+        )
+    )
+    ql = F.round(
+        F.col("c0")
+        - F.col("nq") * F.log(F.col("dl") + _QL_MU)
+        + F.col("hitsum"),
+        6,
+    )
+    return (
+        cand.crossJoin(qconst)
+        .select("doc_id", ql.alias("ql"))
+        .orderBy(F.col("ql").desc(), F.col("doc_id").asc())
+        .limit(TOP_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit from the index — corpus linguistics for
+# the tokenizer/vocab-budget decisions a training pipeline makes
+# ---------------------------------------------------------------------------
+
+
+def _heaps_oracle() -> str:
+    return """
+WITH tf AS (
+    SELECT DISTINCT term, doc_id
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    )
+),
+docs_r AS (
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+    FROM (SELECT DISTINCT doc_id FROM tf)
+),
+firsts AS (
+    SELECT d.r AS fr
+    FROM (SELECT term, min(doc_id) AS fd FROM tf GROUP BY term) f
+    JOIN docs_r d ON d.doc_id = f.fd
+),
+ckpt AS (
+    SELECT r FROM docs_r
+    WHERE (r & (r - 1)) = 0 OR r = (SELECT max(r) FROM docs_r)
+),
+pts AS (
+    SELECT ln(c.r::DOUBLE) AS x, ln(count(*)::DOUBLE) AS y
+    FROM ckpt c JOIN firsts ON firsts.fr <= c.r
+    GROUP BY c.r
+),
+s AS (
+    SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM pts
+)
+SELECT n::BIGINT AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta_hat,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS log_k_hat
+FROM s
+"""
+
+
+@register(
+    "heaps_law_fit_from_index",
+    oracle=_heaps_oracle(),
+    tags=("retrieval", "postings", "index", "stats", "store", "linguistics"),
+)
+def heaps_law_fit_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Heaps'-law fit V(n) ≈ K·n^β from the postings store — the
+    vocabulary-growth curve that sizes tokenizer vocabularies and
+    predicts new-term influx for the drift rebuild plan, computed
+    WITHOUT touching the corpus: each term's first-occurrence doc rank
+    comes from a per-term min over the posting rows, the cumulative
+    vocabulary V(r) is evaluated at the ~log₂(n) power-of-two
+    checkpoint ranks (a broadcast ≤-join of 13 checkpoint rows against
+    the term-grain firsts), and β/log K are the closed-form
+    least-squares slope/intercept over (ln r, ln V). The doc-rank
+    window is the one corpus-cardinality sort (n_docs ids, not
+    postings); at 100 TB it is the same range-partitioned rank the
+    suffix-array lane already runs, and everything after it is
+    checkpoint-grain. The zipf sibling (zipf_slope_fit) reads term
+    frequencies; this reads vocabulary growth — together they are the
+    two corpus-linguistics laws a data pipeline monitors."""
+    name, _, _ = ensure_postings_index(spark, sf_dir)
+    pst = spark.table(name).select("term", "doc_id")
+    docs_r = (
+        pst.select("doc_id")
+        .distinct()
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.col("doc_id")))
+        )
+    )
+    firsts = (
+        pst.groupBy("term")
+        .agg(F.min("doc_id").alias("fd"))
+        .join(docs_r, F.col("fd") == F.col("doc_id"))
+        .select(F.col("r").alias("fr"))
+    )
+    max_r = docs_r.agg(F.max("r").alias("mr"))
+    ckpt = docs_r.crossJoin(F.broadcast(max_r)).where(
+        (F.expr("(r & (r - 1)) = 0")) | (F.col("r") == F.col("mr"))
+    ).select("r")
+    pts = (
+        F.broadcast(ckpt)
+        .join(firsts, firsts["fr"] <= ckpt["r"])
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("v").cast("double")).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(beta, 6).alias("beta_hat"),
+        F.round(
+            (F.col("sy") - beta * F.col("sx")) / F.col("n"), 6
+        ).alias("log_k_hat"),
+    )

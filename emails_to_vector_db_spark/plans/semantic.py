@@ -812,12 +812,19 @@ def ivfadc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 continue
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            d = (
-                (X * X).sum(axis=1)[:, None]
-                + c_sq[None, :]
-                - 2.0 * (X @ C.T)
+            # row-chunked, |x|²-free argmin (the r10 cache-resident
+            # score-block rule — operators/ivf.py::_assign_dtype_chunk)
+            from emails_to_vector_db_spark.operators.ivf import (
+                _assign_dtype_chunk,
             )
-            cid = d.argmin(axis=1).astype("int32")
+
+            a_dt, a_chunk = _assign_dtype_chunk(len(C))
+            Xa, Ca = X.astype(a_dt), C.astype(a_dt)
+            ca_sq = (Ca * Ca).sum(axis=1)
+            cid = np.empty(n, dtype="int32")
+            for i in range(0, n, a_chunk):
+                dd = ca_sq[None, :] - 2.0 * (Xa[i : i + a_chunk] @ Ca.T)
+                cid[i : i + a_chunk] = dd.argmin(axis=1).astype("int32")
             codes = np.empty((n, m), dtype=np.int32)
             for s in range(m):
                 sub = X[:, s * dsub : (s + 1) * dsub]
@@ -836,16 +843,44 @@ def ivfadc_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select("vec_id", "embedding").mapInPandas(
         _assign_encode, "vec_id long, cid int, codes array<int>"
     )
-    probe = F.broadcast(
-        emb.where(F.col("vec_id") == PROBE_ID)
-        .select(v.alias("q"))
-        .select(
-            F.expr(_pq_lut_sql(cbs)).alias("lut"),
-            nearest_centroids(F.col("q"), cents, _IVF_NPROBE).alias(
-                "probed"
-            ),
-        )
+    from emails_to_vector_db_spark.operators.ivf import (
+        _ASSIGN_ARROW_K_CUTOVER,
+        _nearest_p_chunked,
     )
+
+    if len(cents) >= _ASSIGN_ARROW_K_CUTOVER:
+        # bounded: 1 row — the probe vector comes to the driver and its
+        # nprobe lists are picked in numpy, so the k×dim centroid
+        # LITERAL never enters the plan (analyzer cost ∝ k — measured
+        # 23s at k=4688 for a 1-row probe; the r10 plan-literal rule)
+        qv = np.asarray(
+            emb.where(F.col("vec_id") == PROBE_ID)
+            .select(v.alias("q"))
+            .collect()[0]["q"],
+            dtype=np.float64,
+        )
+        probed = _nearest_p_chunked(qv[None, :], C, _IVF_NPROBE)[0]
+        probe = F.broadcast(
+            emb.where(F.col("vec_id") == PROBE_ID)
+            .select(v.alias("q"))
+            .select(
+                F.expr(_pq_lut_sql(cbs)).alias("lut"),
+                F.array(
+                    *[F.lit(int(c)) for c in probed]
+                ).alias("probed"),
+            )
+        )
+    else:
+        probe = F.broadcast(
+            emb.where(F.col("vec_id") == PROBE_ID)
+            .select(v.alias("q"))
+            .select(
+                F.expr(_pq_lut_sql(cbs)).alias("lut"),
+                nearest_centroids(F.col("q"), cents, _IVF_NPROBE).alias(
+                    "probed"
+                ),
+            )
+        )
     return (
         base.crossJoin(probe)
         .where(F.array_contains("probed", F.col("cid")))

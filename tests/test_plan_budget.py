@@ -255,6 +255,13 @@ SCAN_BUDGET = {
     # r10: the e2e chain's only corpus read is the 50-candidate payload
     # lookup (broadcast-pruned); retrieval itself is index-only
     ("documents", "retrieve_rerank_eval_chain"): 1,
+    # r10: both rankers and both corpus-linguistics fits are index-only
+    ("documents", "query_likelihood_from_index"): 0,
+    ("documents", "heaps_law_fit_from_index"): 0,
+    # r10: DSIR's token counts are index-reads; the two documents scans
+    # left are the doc-grain (doc_id, lang) and (doc_id, source)
+    # metadata projections
+    ("documents", "dsir_weights_from_index"): 2,
     ("documents", "benchmark_decontamination"): 2,  # eval + train sides
     ("events", "event_funnel_conversion"): 1,  # window chain, single scan
     ("lineitem", "q17_small_quantity_revenue"): 1,  # filter-first window
