@@ -99,6 +99,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "query_likelihood_from_index",
     "heaps_law_fit_from_index",
     "dsir_weights_from_index",
+    "streaming_proximity_from_positions",
+    "prefix_terms_from_index",
+    "spelling_variants_from_index",
 )
 
 

@@ -660,6 +660,7 @@ GROUP BY d.source
     "dsir_weights_from_index",
     oracle=_dsir_oracle(),
     tags=("curation", "selection", "dsir", "index", "store"),
+    bench=True,
 )
 def dsir_weights_from_index(
     spark: SparkSession, sf_dir: str

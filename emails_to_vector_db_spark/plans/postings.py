@@ -1691,6 +1691,7 @@ LIMIT {TOP_N}
     "query_likelihood_from_index",
     oracle=_ql_oracle(),
     tags=("retrieval", "lm", "dirichlet", "index", "store"),
+    bench=True,
 )
 def query_likelihood_from_index(
     spark: SparkSession, sf_dir: str
@@ -1799,6 +1800,7 @@ FROM s
     "heaps_law_fit_from_index",
     oracle=_heaps_oracle(),
     tags=("retrieval", "postings", "index", "stats", "store", "linguistics"),
+    bench=True,
 )
 def heaps_law_fit_from_index(
     spark: SparkSession, sf_dir: str
@@ -1863,4 +1865,216 @@ def heaps_law_fit_from_index(
         F.round(
             (F.col("sy") - beta * F.col("sx")) / F.col("n"), 6
         ).alias("log_k_hat"),
+    )
+
+
+@register(
+    "streaming_proximity_from_positions",
+    oracle=_PROX_ORACLE.replace(
+        "{tokens}", "regexp_split_to_array(trim(text), '\\s+')"
+    )
+    .replace("{a}", _PHRASE[0])
+    .replace("{b}", _PHRASE[1]),
+    tags=("streaming", "retrieval", "proximity", "positional", "index"),
+)
+def streaming_proximity_from_positions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Proximity (NEAR/3) retrieval served from the STREAM-MAINTAINED
+    positional sidecar — the proximity leg of the stream≡batch
+    equivalence family (same oracle as proximity_match_from_index):
+    with phrase covered by streaming_phrase_from_positions, this closes
+    the full positional query class over the streamed store, so a
+    pipeline appending documents micro-batch by micro-batch serves
+    BOTH positional operators with no batch rebuild. Identical window
+    arithmetic to the batch twin; only the store differs."""
+    _, pos_store = _run_stream_postings(spark, sf_dir)
+    pst = spark.read.parquet(pos_store)
+    pa = pst.where(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    pb = pst.where(F.col("term") == _PHRASE[1]).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    pairs_in_window = F.aggregate(
+        F.col("pa"),
+        F.struct(
+            F.lit(0).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("mind"),
+        ),
+        lambda acc, x: F.struct(
+            (
+                acc["n"]
+                + F.size(
+                    F.filter(
+                        F.col("pb"),
+                        lambda y: F.abs(x - y) <= _PROX_WINDOW,
+                    )
+                )
+            ).alias("n"),
+            F.least(
+                F.coalesce(acc["mind"], F.lit(1 << 60)),
+                F.coalesce(
+                    F.array_min(
+                        F.transform(
+                            F.filter(
+                                F.col("pb"),
+                                lambda y: F.abs(x - y)
+                                <= _PROX_WINDOW,
+                            ),
+                            lambda y: F.abs(x - y).cast("long"),
+                        )
+                    ),
+                    F.lit(1 << 60),
+                ),
+            ).alias("mind"),
+        ),
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    cand = (
+        pa.join(pb, "doc_id")
+        .withColumn("agg", pairs_in_window)
+        .where(F.col("agg.n") > 0)
+        .select(
+            "doc_id",
+            F.col("agg.n").alias("n_windows"),
+            F.col("agg.mind").alias("min_dist"),
+        )
+        .join(meta, "doc_id")
+    )
+    return cand.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_matching"),
+        F.sum("n_windows").alias("total_windows"),
+        F.min("min_dist").alias("closest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexicon probing: prefix search and 1-edit spelling variants — the
+# search-engine features a term dictionary serves beside ranked retrieval
+# ---------------------------------------------------------------------------
+
+_PFX = "s"  # query prefix (fixture vocabulary: scan/sort/spark/...)
+_PFX_TOP = 10
+
+_PREFIX_ORACLE = f"""
+WITH tf AS (
+    SELECT term, doc_id, count(*)::BIGINT AS tf
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    )
+    GROUP BY term, doc_id
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf
+WHERE term LIKE '{_PFX}%'
+GROUP BY term
+ORDER BY cf DESC, term ASC
+LIMIT {_PFX_TOP}
+"""
+
+
+@register(
+    "prefix_terms_from_index",
+    oracle=_PREFIX_ORACLE,
+    tags=("retrieval", "postings", "index", "lexicon", "store"),
+    bench=True,
+)
+def prefix_terms_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Prefix search over the term DICTIONARY (autocomplete's data
+    layer): top terms matching a literal prefix by collection
+    frequency, with df, answered from the postings store. The prefix
+    predicate pushes to the parquet scan as a StartsWith filter —
+    row-group term ranges skip non-matching buckets' sorted runs — but
+    it cannot bucket-prune (buckets key on the FULL term hash; a
+    dictionary-ordered secondary structure is what a production engine
+    adds for dense prefix workloads — the standard FST/terms-dict
+    layer, out of scope for a postings table). Term-grain work only;
+    the corpus is never read."""
+    name, _, _ = ensure_postings_index(spark, sf_dir)
+    return (
+        spark.table(name)
+        .where(F.col("term").startswith(_PFX))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+        )
+        .orderBy(F.col("cf").desc(), F.col("term").asc())
+        .limit(_PFX_TOP)
+    )
+
+
+_SPELL_Q = "windwo"  # a misspelling of the fixture term 'window'
+_SPELL_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _edit1_variants(w: str) -> list[str]:
+    """All distinct edit-distance-1 variants of w (deletes, transposes,
+    replaces, inserts) — the Norvig candidate generator; the LEXICON
+    probe set, built driver-side (bounded: ~54·|w|+25 strings)."""
+    splits = [(w[:i], w[i:]) for i in range(len(w) + 1)]
+    deletes = [a + b[1:] for a, b in splits if b]
+    transposes = [a + b[1] + b[0] + b[2:] for a, b in splits if len(b) > 1]
+    replaces = [a + c + b[1:] for a, b in splits if b for c in _SPELL_ALPHA]
+    inserts = [a + c + b for a, b in splits for c in _SPELL_ALPHA]
+    return sorted(set(deletes + transposes + replaces + inserts) - {w})
+
+
+def _spell_oracle() -> str:
+    variants = ", ".join(f"'{v}'" for v in _edit1_variants(_SPELL_Q))
+    return f"""
+WITH tf AS (
+    SELECT term, doc_id, count(*)::BIGINT AS tf
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    )
+    GROUP BY term, doc_id
+)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf
+WHERE term IN ({variants})
+GROUP BY term
+ORDER BY cf DESC, term ASC
+"""
+
+
+@register(
+    "spelling_variants_from_index",
+    oracle=_spell_oracle(),
+    tags=("retrieval", "postings", "index", "lexicon", "spell", "store"),
+    bench=True,
+)
+def spelling_variants_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spell correction's candidate lookup (the Norvig generator over a
+    real dictionary): every edit-distance-1 variant of the misspelled
+    query is generated DRIVER-SIDE (bounded: ~54·|w|+25 strings) and
+    probed against the postings store as one IN-list — which both
+    bucket-prunes AND pushes to the parquet scan, so the lexicon ranks
+    existing variants by collection frequency without reading anything
+    else. This is dictionary-as-index: the same store that serves
+    ranked retrieval answers 'did you mean' — no separate speller
+    artifact. At 100 TB the probe cost is |variants| point lookups in
+    term-sorted buckets, independent of corpus size."""
+    name, _, _ = ensure_postings_index(spark, sf_dir)
+    variants = _edit1_variants(_SPELL_Q)
+    return (
+        spark.table(name)
+        .where(F.col("term").isin(*variants))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+        )
+        .orderBy(F.col("cf").desc(), F.col("term").asc())
     )

@@ -170,6 +170,11 @@ SHUFFLE_BUDGET = {
     "retrieve_rerank_eval_chain": 2,  # index-hit doc agg + 1-row eval agg; rerank windows ride <=50 rows
     "postings_vocab_rebuild_plan": 4,  # base lexicon distinct + anti-probe join + two bucket aggs
     "semdedup_from_ivf_lists": 1,  # one cid exchange into the per-list gram lane
+    "query_likelihood_from_index": 2,  # 3-row cf agg + candidate doc agg
+    "heaps_law_fit_from_index": 6,  # doc-rank window + firsts/ckpt aggs (n_docs-sized, never postings-grain)
+    "dsir_weights_from_index": 13,  # 256-cell censuses + metadata joins + doc/source aggs (bucket- or doc-grain)
+    "prefix_terms_from_index": 0,  # pushed StartsWith + map-side term agg + TakeOrdered
+    "spelling_variants_from_index": 1,  # bucket-pruned IN-list probe + term agg
 }
 
 
@@ -262,6 +267,9 @@ SCAN_BUDGET = {
     # left are the doc-grain (doc_id, lang) and (doc_id, source)
     # metadata projections
     ("documents", "dsir_weights_from_index"): 2,
+    # r10: lexicon probes are pure dictionary reads
+    ("documents", "prefix_terms_from_index"): 0,
+    ("documents", "spelling_variants_from_index"): 0,
     ("documents", "benchmark_decontamination"): 2,  # eval + train sides
     ("events", "event_funnel_conversion"): 1,  # window chain, single scan
     ("lineitem", "q17_small_quantity_revenue"): 1,  # filter-first window
