@@ -1489,8 +1489,10 @@ gains AS (
 )
 SELECT {_PROBE_ID}::BIGINT AS query_id,
        n_cand,
-       round(dcg_bm25 / idcg, 6) AS ndcg_bm25,
-       round(dcg_ce / idcg, 6) AS ndcg_ce
+       CASE WHEN coalesce(idcg, 0) > 0
+            THEN round(dcg_bm25 / idcg, 6) END AS ndcg_bm25,
+       CASE WHEN coalesce(idcg, 0) > 0
+            THEN round(dcg_ce / idcg, 6) END AS ndcg_ce
 FROM gains
 """
 
@@ -1634,11 +1636,20 @@ def retrieve_rerank_eval_chain(
             )
         ).alias("idcg"),
     )
+    # idcg == 0 (no relevant candidate in the pool at all — observed at
+    # the sf10 rung, where the probe's source never reaches the BM25
+    # top-50) must yield NULL metrics, not a divide-by-zero; the oracle
+    # carries the identical CASE guard
+    has_ideal = F.coalesce(F.col("idcg"), F.lit(0.0)) > 0
     return agg.select(
         F.lit(_PROBE_ID).cast("long").alias("query_id"),
         "n_cand",
-        F.round(F.col("dcg_bm25") / F.col("idcg"), 6).alias("ndcg_bm25"),
-        F.round(F.col("dcg_ce") / F.col("idcg"), 6).alias("ndcg_ce"),
+        F.when(
+            has_ideal, F.round(F.col("dcg_bm25") / F.col("idcg"), 6)
+        ).alias("ndcg_bm25"),
+        F.when(
+            has_ideal, F.round(F.col("dcg_ce") / F.col("idcg"), 6)
+        ).alias("ndcg_ce"),
     )
 
 

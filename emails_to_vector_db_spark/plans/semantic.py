@@ -436,16 +436,25 @@ _PQ_DSUB = _PQ_DIM // _PQ_M
 
 
 def _pq_codebooks() -> list[list[list[float]]]:
-    from emails_to_vector_db_spark.operators.pq import (
-        load_codebooks,
-        save_codebooks,
-        train_pq_codebooks,
+    """PQ codebooks trained once on the fixed sf0.001 slice. Unlike the
+    coarse quantizers, k here is FIXED (32 codewords × 8 subspaces — it
+    does not self-tune with the corpus), so a fixed training sample is
+    statistically sound; the artifact still carries provenance (source
+    path + mtime) so a regenerated fixture retrains instead of serving
+    codebooks for vanished data (the r10 guarded-artifact rule)."""
+    from emails_to_vector_db_spark.operators.ivf import (
+        load_quantizer,
+        save_quantizer,
+        source_mtime,
     )
+    from emails_to_vector_db_spark.operators.pq import train_pq_codebooks
 
+    mtime = source_mtime(_TRAIN_SAMPLE)
     path = _warehouse_path(
-        "pq_index", f"embeddings_m{_PQ_M}_k{_PQ_K}_seed{_PQ_SEED}.json"
+        "pq_index",
+        f"embeddings_m{_PQ_M}_k{_PQ_K}_seed{_PQ_SEED}_v2.json",
     )
-    cbs = load_codebooks(path)
+    cbs = load_quantizer(path, src=_TRAIN_SAMPLE, src_mtime=mtime)
     if cbs is None:
         import pyarrow.parquet as pq
 
@@ -454,7 +463,13 @@ def _pq_codebooks() -> list[list[list[float]]]:
         cbs = train_pq_codebooks(
             d["embedding"], m=_PQ_M, k=_PQ_K, seed=_PQ_SEED
         )
-        save_codebooks(path, cbs)
+        save_quantizer(
+            path,
+            cbs,
+            src=_TRAIN_SAMPLE,
+            src_mtime=mtime,
+            n_sample=len(d["embedding"]),
+        )
     return cbs
 
 
