@@ -102,6 +102,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "streaming_proximity_from_positions",
     "prefix_terms_from_index",
     "spelling_variants_from_index",
+    "snippet_windows_from_index",
 )
 
 

@@ -2089,3 +2089,163 @@ def spelling_variants_from_index(
         )
         .orderBy(F.col("cf").desc(), F.col("term").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Snippet selection (hit highlighting) from the positional sidecar — the
+# other classic positional-index consumer beside phrase/proximity
+# ---------------------------------------------------------------------------
+
+_SNIP_W = 10  # snippet window width in tokens
+_SNIP_DOCS = 3  # how many top-ranked docs get snippets
+
+
+def _snippet_oracle() -> str:
+    q_in = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return f"""
+WITH tf AS (
+    SELECT term, doc_id, count(*)::BIGINT AS tf, min(dl) AS dl
+    FROM (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    )
+    GROUP BY term, doc_id
+),
+stats AS (
+    SELECT count(*)::DOUBLE AS n_docs,
+           avg(len(regexp_split_to_array(trim(text), '\\s+'))) AS avgdl
+    FROM documents
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT t.doc_id,
+           sum(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (t.tf * {_K1 + 1}) / (t.tf + {_K1} * (1 - {_B}
+                   + {_B} * t.dl / s.avgdl))) AS bm25_raw
+    FROM tf t JOIN dfs f ON f.term = t.term CROSS JOIN stats s
+    WHERE t.term IN ({q_in})
+    GROUP BY t.doc_id
+),
+top_docs AS (
+    SELECT doc_id,
+           row_number() OVER (
+               ORDER BY round(bm25_raw, 6) DESC, doc_id ASC
+           ) AS rnk
+    FROM scored
+    ORDER BY round(bm25_raw, 6) DESC, doc_id ASC
+    LIMIT {_SNIP_DOCS}
+),
+hits AS (
+    SELECT d.doc_id, d.rnk, p AS pos
+    FROM top_docs d
+    JOIN (
+        SELECT doc_id, i AS p, t[i] AS term
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), UNNEST(range(1, len(t) + 1)) AS r(i)
+        WHERE t[i] IN ({q_in})
+    ) h ON h.doc_id = d.doc_id
+),
+windows AS (
+    SELECT a.doc_id, a.rnk, a.pos AS win_start,
+           count(*)::BIGINT AS n_hits
+    FROM hits a JOIN hits b
+      ON b.doc_id = a.doc_id
+     AND b.pos >= a.pos AND b.pos < a.pos + {_SNIP_W}
+    GROUP BY a.doc_id, a.rnk, a.pos
+),
+best AS (
+    SELECT doc_id, rnk, win_start, n_hits,
+           row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY n_hits DESC, win_start ASC
+           ) AS b
+    FROM windows
+)
+SELECT doc_id, rnk::BIGINT AS rnk, win_start::BIGINT AS win_start,
+       n_hits
+FROM best WHERE b = 1
+ORDER BY rnk
+"""
+
+
+@register(
+    "snippet_windows_from_index",
+    oracle=_snippet_oracle(),
+    tags=("retrieval", "positional", "snippet", "index", "store"),
+    bench=True,
+)
+def snippet_windows_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snippet selection / hit highlighting — for each of the BM25
+    top-3 documents, the best {W}-token window (most query-term hits;
+    ties to the earliest start, anchored at hit positions — the
+    standard highlighter recipe): retrieval is bm25_topk_from_index's
+    plan, and the hit positions come from the POSITIONAL sidecar
+    pruned by BOTH a query-term IN-list (bucket-pruned) and the 3
+    winning doc ids (bounded collect — the rm3 pushed-IN-list
+    convention), so no document text is ever tokenized for display
+    logic; the window argmax is a per-doc array expression over the
+    merged position list (≤ dl values). This and phrase/proximity are
+    the two consumers that justify the Lucene frequency/position file
+    split the sidecar implements. Corpus cost: one index lookup; the
+    highlighting itself touches 3 rows."""
+    name, n_docs, avgdl = ensure_postings_index(spark, sf_dir)
+    scored = (
+        spark.table(name)
+        .where(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.sum(_bm25_term_score(n_docs, avgdl)).alias("bm25_raw"))
+    )
+    w_r = Window.orderBy(
+        F.round("bm25_raw", 6).desc(), F.col("doc_id").asc()
+    )
+    top = (
+        scored.orderBy(F.round("bm25_raw", 6).desc(), F.col("doc_id").asc())
+        .limit(_SNIP_DOCS)
+        .withColumn("rnk", F.row_number().over(w_r).cast("long"))
+        .select("doc_id", "rnk")
+    )
+    # bounded: _SNIP_DOCS ids — pushed into the positional scan
+    ids = {r["doc_id"]: r["rnk"] for r in top.collect()}
+    pos_name = ensure_positional_index(spark, sf_dir)
+    merged = (
+        spark.table(pos_name)
+        .where(F.col("term").isin(*QUERY_TERMS))
+        .where(F.col("doc_id").isin(*ids.keys()))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.flatten(F.collect_list("positions"))
+            ).alias("ps")
+        )
+    )
+    n_in_win = lambda s: F.size(  # noqa: E731
+        F.filter(
+            F.col("ps"), lambda q: (q >= s) & (q < s + _SNIP_W)
+        )
+    ).cast("long")
+    best_n = F.array_max(
+        F.transform(F.col("ps"), lambda p: n_in_win(p))
+    )
+    win_start = F.array_min(
+        F.filter(F.col("ps"), lambda p: n_in_win(p) == F.col("best"))
+    ).cast("long")
+    rnk_map = F.create_map(
+        *[F.lit(x) for kv in ids.items() for x in kv]
+    )
+    return (
+        merged.withColumn("best", best_n)
+        .select(
+            "doc_id",
+            rnk_map[F.col("doc_id")].cast("long").alias("rnk"),
+            win_start.alias("win_start"),
+            F.col("best").alias("n_hits"),
+        )
+        .orderBy("rnk")
+    )

@@ -175,6 +175,7 @@ SHUFFLE_BUDGET = {
     "dsir_weights_from_index": 13,  # 256-cell censuses + metadata joins + doc/source aggs (bucket- or doc-grain)
     "prefix_terms_from_index": 0,  # pushed StartsWith + map-side term agg + TakeOrdered
     "spelling_variants_from_index": 1,  # bucket-pruned IN-list probe + term agg
+    "snippet_windows_from_index": 2,  # bm25 doc agg + 3-doc position merge agg
 }
 
 
@@ -270,6 +271,9 @@ SCAN_BUDGET = {
     # r10: lexicon probes are pure dictionary reads
     ("documents", "prefix_terms_from_index"): 0,
     ("documents", "spelling_variants_from_index"): 0,
+    # r10: highlighting never tokenizes text — retrieval reads postings,
+    # hit positions read the sidecar (pruned by terms AND the 3 doc ids)
+    ("documents", "snippet_windows_from_index"): 0,
     ("documents", "benchmark_decontamination"): 2,  # eval + train sides
     ("events", "event_funnel_conversion"): 1,  # window chain, single scan
     ("lineitem", "q17_small_quantity_revenue"): 1,  # filter-first window
