@@ -461,7 +461,13 @@ def ivf_ann_join(
     n·k·d element-ops, and the probe side because the k×dim centroid
     LITERAL itself costs analyzer/codegen time proportional to k —
     measured 23s at k=4688 for a 20-row probe frame; the Arrow lane
-    ships centroids by closure, zero plan bytes."""
+    ships centroids by closure, zero plan bytes.
+
+    Column contract: BOTH lanes narrow base to (base_id, base_vec)
+    before assignment — identical internal schema on either side of
+    the cutover (r10 ADVICE) — and the result is always exactly
+    (probe_id, base_id, dist_col). Callers needing extra base columns
+    join the result back to base on ``base_id``."""
     if centroids is None:
         centroids = train_centroids(
             base, vec_col=base_vec, n_centroids=n_centroids, seed=seed
@@ -481,10 +487,10 @@ def ivf_ann_join(
             out_cid="_cid",
         )
     else:
-        base_a = base.withColumn(
+        base_a = base.select(base_id, base_vec).withColumn(
             "_cid", assign_centroid(F.col(base_vec), centroids)
         )
-        probe_a = probes.withColumn(
+        probe_a = probes.select(probe_id, probe_vec).withColumn(
             "_cid",
             F.explode(
                 nearest_centroids(F.col(probe_vec), centroids, nprobe)
@@ -650,11 +656,12 @@ def _nearest_p_chunked(X, C, p):
     FULL per-row argsort (measured as the r10 sf30 probe leg: 247k rows
     × a full stable sort of k=4688 ≈ 14G comparisons, 124s; the
     partition is linear in k). A margin of 8 beyond p is re-sorted
-    exactly, so the (dist, cid) tiebreak matches the struct sort unless
-    9+ candidates tie EXACTLY at the selection boundary — impossible
-    for the ≤48-list corpora whose oracles replay this rank (they take
-    the expression lane), and measure-zero on real-valued embeddings.
-    Row-chunked like the assignment lane to bound the score matrix."""
+    exactly; if the distance at the cut (position p-1) still equals the
+    LAST distance in the slice (position m-1), candidates tied at the
+    selection boundary may extend past the margin, so that row falls
+    back to an exact full lexsort — exactness never depends on the
+    margin width (r10 ADVICE). Row-chunked like the assignment lane to
+    bound the score matrix."""
     import numpy as np
 
     n, k = len(X), len(C)
@@ -674,8 +681,14 @@ def _nearest_p_chunked(X, C, p):
         dp = np.take_along_axis(d, part, axis=1)
         # exact (dist, cid) order within the selected slice
         for r in range(len(xc)):
-            order = np.lexsort((part[r], dp[r]))[:p]
-            out[i + r] = part[r][order]
+            order = np.lexsort((part[r], dp[r]))
+            dps = dp[r][order]
+            if m < k and dps[p - 1] == dps[m - 1]:
+                # boundary tie may cross the margin: exact full sort
+                full = np.lexsort((np.arange(k), d[r]))[:p]
+                out[i + r] = full
+            else:
+                out[i + r] = part[r][order[:p]]
     return out
 
 

@@ -355,6 +355,7 @@ def semdedup_from_ivf_lists(
 
     from emails_to_vector_db_spark.operators.ivf import (
         _ASSIGN_ARROW_K_CUTOVER,
+        _assign_dtype_chunk,
         assign_centroid,
     )
     from emails_to_vector_db_spark.plans.vector import (
@@ -374,17 +375,26 @@ def semdedup_from_ivf_lists(
     corpus = emb.select("vec_id", v.alias("v")).unionByName(planted)
 
     if len(cents) >= _ASSIGN_ARROW_K_CUTOVER:
-        C = np.asarray(cents, dtype=np.float64)
+        # Assignment arithmetic routed through _assign_dtype_chunk so
+        # THIS query assigns with the identical dtype/chunking as every
+        # other consumer of the same quantizer artifact (streamed
+        # (vec_id, cid) store, ivf_ann_join) — near-tie assignments
+        # cannot disagree across lanes (r10 ADVICE). The unit vector U
+        # stays float64: it feeds the gram the oracle replays.
+        dt, chunk = _assign_dtype_chunk(len(cents))
+        C = np.asarray(cents, dtype=dt)
         c_sq = (C * C).sum(axis=1)
 
         @F.pandas_udf("struct<u: array<double>, cid: int>")
         def assign_unit(vs: pd.Series) -> pd.DataFrame:
-            X = np.array(vs.tolist(), dtype=np.float64)
-            U = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
-            d = c_sq[None, :] - 2.0 * (X @ C.T)
-            return pd.DataFrame(
-                {"u": list(U), "cid": d.argmin(1).astype(np.int32)}
-            )
+            X64 = np.array(vs.tolist(), dtype=np.float64)
+            U = X64 / np.sqrt((X64 * X64).sum(axis=1, keepdims=True))
+            X = X64.astype(dt, copy=False)
+            cid = np.empty(len(X), dtype=np.int32)
+            for i in range(0, len(X), chunk):
+                d = c_sq[None, :] - 2.0 * (X[i : i + chunk] @ C.T)
+                cid[i : i + chunk] = d.argmin(1).astype(np.int32)
+            return pd.DataFrame({"u": list(U), "cid": cid})
 
         na = corpus.select("vec_id", assign_unit("v").alias("na"))
         assigned = na.select(

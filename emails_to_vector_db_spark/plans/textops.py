@@ -151,13 +151,30 @@ FROM pred GROUP BY 1, 2
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language-ID heuristic, reported as a confusion matrix
     against the fixture's lang column. Deterministic tiebreak: en>fr>es>de,
-    'und' when no stopwords hit."""
+    'und' when no stopwords hit.
+
+    ROUND-11 (r10 verdict task 3): the four per-language scores are now
+    ``regexp_count`` over the raw text with whitespace-boundary
+    lookarounds ``(?<!\\S)(word|…)(?!\\S)`` — a token of the \\s+ split
+    matches a stopword iff that bounded occurrence matches, so the
+    count is EXACTLY ``size(filter(tokens, isin(stopwords)))`` — but
+    evaluated inside whole-stage codegen instead of the interpreted
+    per-token higher-order fold × 4 languages that made this query the
+    one corpus-composition-sensitive bench mover (r9→r10 triage:
+    0.47→0.82s tracked per-doc token counts). One scan, one exchange
+    (the final confusion-matrix groupBy), budget unchanged."""
     d = load_table(spark, sf_dir, "documents")
-    tok = TX.tokens("text")
+    n_tok = F.greatest(F.size(TX.tokens("text")), F.lit(1))
     scored = d.select(
         F.col("lang").alias("actual_lang"),
         *[
-            TX.stopword_ratio(tok, ws).alias(f"score_{lang}")
+            (
+                F.regexp_count(
+                    "text",
+                    F.lit("(?<!\\S)(?:" + "|".join(ws) + ")(?!\\S)"),
+                )
+                / n_tok
+            ).alias(f"score_{lang}")
             for lang, ws in TX.LANG_STOPWORDS.items()
         ],
     )

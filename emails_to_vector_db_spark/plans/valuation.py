@@ -265,14 +265,26 @@ def loo_source_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_docs_ls").cast("double").alias("nd_ls"))
     )
     td = dcen.agg(F.sum("n_docs_ls").cast("double").alias("td"))
-    tot = census.groupBy("lang").agg(
-        F.sum("n_lst").cast("double").alias("tot_l")
+    # ROUND-11 (r10 verdict task 6): every model table derives from ONE
+    # census-grain re-aggregate instead of five independent ones —
+    # cnt_g (lang, tok) is the single full-census shuffle; tot rolls up
+    # from cnt_g, gt rolls up from cnt_g at vocab grain, vocab is
+    # |gt| (countDistinct(tok) over the census == gt's row count), and
+    # cnt_s needs NO aggregation at all: the census is already unique
+    # at (lang, source, tok), so the candidate slice is a rename.
+    cnt_g = (
+        census.groupBy("lang", "tok")
+        .agg(F.sum("n_lst").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    tot = cnt_g.groupBy("lang").agg(
+        F.sum("c").cast("double").alias("tot_l")
+    )
+    gt = cnt_g.groupBy("tok").agg(F.sum("c").alias("g"))
+    vocab = gt.agg(F.count(F.lit(1)).cast("double").alias("v"))
     tot_s = census_c.groupBy("lang", "source").agg(
         F.sum("n_lst").cast("double").alias("tot_ls")
     )
-    vocab = census.agg(F.countDistinct("tok").cast("double").alias("v"))
-    gt = census.groupBy("tok").agg(F.sum("n_lst").alias("g"))
     gs = census_c.groupBy("tok", "source").agg(
         F.sum("n_lst").alias("gsum")
     )
@@ -282,9 +294,8 @@ def loo_source_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("double").alias("u_s"))
     )
-    cnt_g = census.groupBy("lang", "tok").agg(F.sum("n_lst").alias("c"))
-    cnt_s = census_c.groupBy("lang", "source", "tok").agg(
-        F.sum("n_lst").alias("c_s")
+    cnt_s = census_c.select(
+        "lang", "source", "tok", F.col("n_lst").alias("c_s")
     )
 
     test_toks = toks.where(F.col("split") == 0).select(

@@ -322,3 +322,28 @@ def test_min_cost_arrow_matches_expression_fold(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_nearest_p_chunked_boundary_tie_falls_back_to_exact():
+    """r10 ADVICE: when more candidates tie exactly at the selection
+    boundary than the argpartition margin holds, the row must fall back
+    to a full exact (dist, cid) sort — probe-list order can never
+    depend on the margin width. 20 centroids equidistant from the query
+    (unit vectors ×20 > p+margin=12) force the tie; expected order is
+    ascending cid among the tied set."""
+    import numpy as np
+
+    from emails_to_vector_db_spark.operators.ivf import _nearest_p_chunked
+
+    k, d, p = 20, 20, 4
+    C = np.eye(k, d)  # every centroid at distance sqrt(2) from origin-ish
+    X = np.zeros((3, d))  # all centroids tie exactly
+    out = _nearest_p_chunked(X, C, p)
+    assert out.shape == (3, p)
+    for r in range(3):
+        assert list(out[r]) == [0, 1, 2, 3], list(out[r])
+
+    # mixed row: some strictly nearer, tie block crossing the boundary
+    C2 = np.vstack([np.eye(k, d) * 3.0, np.eye(k, d)])  # cids k..2k-1 tie
+    out2 = _nearest_p_chunked(np.zeros((1, d)), C2, 6)
+    assert list(out2[0]) == [k, k + 1, k + 2, k + 3, k + 4, k + 5]

@@ -332,6 +332,45 @@ def test_streamed_positions_equal_batch_positional_index(spark):
     assert tf.exceptAll(derived).count() == 0
 
 
+def test_streamed_store_warm_across_calls_and_stale_restream(
+    spark, tmp_path, capsys
+):
+    """Round-11 (r10 verdict task 2 / ADVICE): the streamed store must
+    be WARM — a second invocation returns the persisted store without
+    re-driving the micro-batch ingest (marker untouched, work dir not
+    rebuilt) — and a STALE landing (source parquet regenerated) must
+    re-stream LOUDLY (stderr names the mismatch) rather than serve rows
+    for vanished data."""
+    from emails_to_vector_db_spark.plans import postings as P
+
+    d = _write_docs(
+        tmp_path,
+        "sfwarm",
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "alpha gamma")],
+    )
+    tf1, pos1 = P._run_stream_postings(spark, d)
+    work = os.path.dirname(tf1)
+    marker = os.path.join(work, "_STREAMED_OK")
+    assert os.path.exists(marker)
+    m0 = os.path.getmtime(marker)
+    rows0 = sorted(map(tuple, spark.read.parquet(pos1).collect()))
+
+    capsys.readouterr()
+    tf2, pos2 = P._run_stream_postings(spark, d)
+    assert (tf2, pos2) == (tf1, pos1)
+    assert os.path.getmtime(marker) == m0, "warm call rebuilt the store"
+    assert "re-streaming" not in capsys.readouterr().err
+
+    # regenerate the source (newer mtime) → loud re-stream
+    src = os.path.join(d, "documents.parquet")
+    os.utime(src, (os.path.getmtime(src) + 10,) * 2)
+    capsys.readouterr()
+    tf3, pos3 = P._run_stream_postings(spark, d)
+    assert "re-streaming" in capsys.readouterr().err
+    assert os.path.getmtime(marker) > m0, "stale landing was served warm"
+    assert rows0 == sorted(map(tuple, spark.read.parquet(pos3).collect()))
+
+
 def _write_docs(tmp_path, name, rows):
     import pyarrow as pa
     import pyarrow.parquet as pq
