@@ -1322,6 +1322,151 @@ def proximity_match_from_index(
     )
 
 
+_PROX_RARE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, lang, t[i] AS term, i AS p
+    FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+dfs AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM pos GROUP BY term
+),
+head AS (SELECT term FROM dfs ORDER BY df DESC, term ASC LIMIT 1),
+rare AS (
+    SELECT term FROM dfs
+    WHERE df >= 2 AND term <> (SELECT term FROM head)
+    ORDER BY df ASC, term ASC LIMIT 1
+),
+pairs AS (
+    SELECT a.doc_id, a.lang,
+           count(*)::BIGINT AS n_windows,
+           min(abs(a.p - b.p))::BIGINT AS min_dist
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id
+     AND a.term = (SELECT term FROM rare)
+     AND b.term = (SELECT term FROM head)
+     AND abs(a.p - b.p) <= {_PROX_WINDOW}
+    GROUP BY a.doc_id, a.lang
+)
+SELECT lang,
+       count(*)::BIGINT AS n_matching,
+       sum(n_windows)::BIGINT AS total_windows,
+       min(min_dist)::BIGINT AS closest
+FROM pairs
+GROUP BY lang
+"""
+
+
+@register(
+    "proximity_rare_from_index",
+    oracle=_PROX_RARE_ORACLE,
+    tags=("retrieval", "proximity", "positional", "index", "store", "rare"),
+    bench=True,
+)
+def proximity_rare_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DF-AWARE proximity (r10 verdict task 4): NEAR/3 between the
+    corpus's rarest usable term and its most frequent term, with the
+    evaluation ORDER chosen from the lexicon's document frequencies —
+    the pruning Lucene applies by always advancing the rarest iterator
+    first. Term selection is itself two index probes (TakeOrdered over
+    the posting rows' df column — no vocabulary shuffle, 1-row
+    collects: the plan-literal rule), so the query is corpus-agnostic:
+    the same code picks zipf-tail terms on `.scale/zipf` and the
+    min-df type on the driver fixture.
+
+    Plan shape: the RARE term's position list (df_rare rows — bounded
+    by selection to the corpus minimum) is BROADCAST into the join
+    against the head list, so non-candidate docs never reach the
+    window arithmetic and the head term's long lists are pruned to
+    df_rare docs before the |pa|·|pb| fold runs — the fold's outer
+    list is the rare one, making per-doc cost ~|pb|, linear in the
+    head list. No shuffle anywhere except the final ≤n_lang-row
+    confusion agg; at 100 TB the head-bucket scan is the cost floor
+    and everything after it is df_rare-bounded. The zipf lane table
+    (SCALE_NOTES) records the AND-class gap vs inline."""
+    tf_name, _, _ = ensure_postings_index(spark, sf_dir)
+    pos_name = ensure_positional_index(spark, sf_dir)
+    tf = spark.table(tf_name).select("term", "df")
+    head = tf.orderBy(F.col("df").desc(), F.col("term").asc()).first()[
+        "term"
+    ]
+    rare = (
+        tf.where((F.col("df") >= 2) & (F.col("term") != head))
+        .orderBy(F.col("df").asc(), F.col("term").asc())
+        .first()["term"]
+    )
+    pst = spark.table(pos_name)
+    ra = pst.where(F.col("term") == rare).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    hb = pst.where(F.col("term") == head).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    pairs_in_window = F.aggregate(
+        F.col("pa"),
+        F.struct(
+            F.lit(0).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("mind"),
+        ),
+        lambda acc, x: F.struct(
+            (
+                acc["n"]
+                + F.size(
+                    F.filter(
+                        F.col("pb"),
+                        lambda y: F.abs(x - y) <= _PROX_WINDOW,
+                    )
+                )
+            ).alias("n"),
+            F.least(
+                F.coalesce(acc["mind"], F.lit(1 << 60)),
+                F.coalesce(
+                    F.array_min(
+                        F.transform(
+                            F.filter(
+                                F.col("pb"),
+                                lambda y: F.abs(x - y)
+                                <= _PROX_WINDOW,
+                            ),
+                            lambda y: F.abs(x - y).cast("long"),
+                        )
+                    ),
+                    F.lit(1 << 60),
+                ),
+            ).alias("mind"),
+        ),
+    )
+    cand = (
+        hb.join(F.broadcast(ra), "doc_id")
+        .withColumn("agg", pairs_in_window)
+        .where(F.col("agg.n") > 0)
+        .select(
+            "doc_id",
+            F.col("agg.n").alias("n_windows"),
+            F.col("agg.mind").alias("min_dist"),
+        )
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    return (
+        meta.join(F.broadcast(cand), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_matching"),
+            F.sum("n_windows").alias("total_windows"),
+            F.min("min_dist").alias("closest"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Index-only corpus statistics: collection-frequency / term-weight audit
 # (r9 verdict task 7b — zero corpus scans, the SCAN_BUDGET family)

@@ -196,6 +196,13 @@ class EmailCorpusStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = int(start["idx"])
         hi = min(self._last_idx(), lo + self.batch_size)
+        if hi == lo:
+            # Drained mailbox: end == start. Spark's prefetch wrapper
+            # asserts this batch is empty by calling next() on it
+            # (datasource_internal.add_result_to_cache), so it MUST be
+            # an iterator — a list raises TypeError and kills the
+            # stream right after the final real batch.
+            return iter(()), {"idx": hi}
         return self._rows(lo, hi), {"idx": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -165,6 +165,7 @@ def bm25_plan(docs: DataFrame, pushdown: bool) -> DataFrame:
 # reference)
 _AND_TERMS_Z = ("w53", "w403", "w1096")  # torso terms: real intersection
 _PHRASE_Z = ("w2", "w7")  # head terms: long position lists (stress)
+_PROX_RARE_Z = ("w9001", "w2")  # (rare tail term, head term): df-aware order
 _PROX_WINDOW_Z = 3
 _RM3_FB_DOCS_Z = 10
 _RM3_EXP_TERMS_Z = 10
@@ -301,6 +302,59 @@ def lane_bench(spark, docs: DataFrame) -> dict[str, float]:
     )
     results["prox_from_index"] = timed(
         "proximity fr idx", pos_idx(_PROX_WINDOW_Z)
+    )
+
+    # -- RARE-term proximity (r10 verdict task 4): df-aware ordering —
+    # the rare list is broadcast and prunes the head list's docs BEFORE
+    # any window arithmetic, so the index lane inherits the AND-class
+    # pruning gap that head×head proximity honestly cannot show.
+    def prox_rare_inline() -> DataFrame:
+        p = docs.select(
+            "doc_id",
+            F.posexplode(tokens("text")).alias("p0", "term"),
+        ).where(F.col("term").isin(*_PROX_RARE_Z))
+        a = p.where(F.col("term") == _PROX_RARE_Z[0]).select(
+            "doc_id", F.col("p0").alias("pa")
+        )
+        b = p.where(F.col("term") == _PROX_RARE_Z[1]).select(
+            "doc_id", F.col("p0").alias("pb")
+        )
+        return (
+            a.join(b, "doc_id")
+            .where(F.abs(F.col("pb") - F.col("pa")) <= _PROX_WINDOW_Z)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+        )
+
+    def prox_rare_idx() -> DataFrame:
+        a = pos.where(F.col("term") == _PROX_RARE_Z[0]).select(
+            "doc_id", F.col("positions").alias("pa")
+        )
+        b = pos.where(F.col("term") == _PROX_RARE_Z[1]).select(
+            "doc_id", F.col("positions").alias("pb")
+        )
+        n = F.aggregate(
+            F.col("pa"),
+            F.lit(0),
+            lambda acc, x: acc
+            + F.size(
+                F.filter(
+                    F.col("pb"),
+                    lambda y: F.abs(x - y) <= _PROX_WINDOW_Z,
+                )
+            ),
+        )
+        return (
+            b.join(F.broadcast(a), "doc_id")
+            .select("doc_id", n.alias("n_occ"))
+            .where(F.col("n_occ") > 0)
+        )
+
+    results["prox_rare_inline"] = timed(
+        "rare-prox inline", prox_rare_inline()
+    )
+    results["prox_rare_from_index"] = timed(
+        "rare-prox fr idx", prox_rare_idx()
     )
 
     # -- RM3 (3-pass pseudo-relevance feedback) -------------------------

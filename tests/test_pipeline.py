@@ -295,6 +295,14 @@ def test_email_streaming_connector_matches_batch(spark):
             if spark.table("em_stream_t").count() >= 20:
                 break
             time.sleep(0.5)
+        # r11: the DRAINED stream must stay alive — Spark probes the
+        # empty end==start batch with next(), so read() must hand back
+        # an iterator there; a list kills the query with a TypeError
+        # right after the last real batch. Give the poller time for at
+        # least one drained-mailbox cycle, then assert no exception.
+        time.sleep(2.0)
+        assert q.exception() is None, f"stream died on drain: {q.exception()}"
+        assert q.isActive
     finally:
         q.stop()
     got = {
