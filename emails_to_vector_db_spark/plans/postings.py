@@ -2428,3 +2428,200 @@ def snippet_windows_from_index(
         )
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction retrieval (r10 verdict task 8): ColBERT-style MaxSim
+# scored entirely from the postings store with deterministic char-trigram
+# hash embeddings per TOKEN — soft lexical matching (morphological
+# variants score high) without a neural model, SQL-replayable end to end
+# ---------------------------------------------------------------------------
+
+_CB_DIM = 32  # token-embedding buckets (char 3-grams + whole-term feature)
+_CB_TOP = 10
+
+
+def _cb_gram_hashes(term_col):
+    """md5-bucket hashes of a term's features: the whole term plus its
+    character trigrams (FastText-style subword units) — a term of < 3
+    chars still embeds via the whole-term feature, so norms are never
+    zero. Portable to DuckDB verbatim (same md5 → 15-hex → mod)."""
+    L = F.length(term_col)
+    grams = F.concat(
+        F.array(term_col),
+        F.when(
+            L >= 3,
+            F.transform(
+                F.sequence(F.lit(1), L - 2),
+                lambda i: term_col.substr(i, F.lit(3)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return F.transform(grams, lambda g: TX.md5_long(g) % _CB_DIM)
+
+
+def _cb_unit_frame(df: DataFrame) -> DataFrame:
+    """Append ``u`` = L2-normalized _CB_DIM-dim count vector of the
+    term's feature hashes. Staged selects so CollapseProject keeps the
+    hash list and count vector materialized (the hash_embed_knn rule)
+    instead of re-inlining the md5 pass _CB_DIM times."""
+    hashed = df.select(
+        "*", _cb_gram_hashes(F.col("term")).alias("hl")
+    )
+    counted = hashed.select(
+        "*",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_CB_DIM - 1)),
+            lambda j: F.size(F.filter("hl", lambda h: h == j)).cast(
+                "double"
+            ),
+        ).alias("c"),
+    ).drop("hl")
+    # counts are small integers: the sum of their squares is exact in
+    # doubles under ANY accumulation order, so the norm is engine-
+    # portable even though DuckDB's list_sum may not fold sequentially
+    norm = F.sqrt(
+        F.aggregate("c", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return counted.select(
+        "*", F.transform("c", lambda x: x / norm).alias("u")
+    ).drop("c")
+
+
+def _cb_embed_sql(src: str) -> str:
+    """The DuckDB twin of _cb_gram_hashes + _cb_unit_frame over a
+    relation ``src(term)`` — returns SQL producing (term, u)."""
+    return f"""
+    SELECT term,
+           list_transform(c, x -> x / sqrt(
+               list_sum(list_transform(c, y -> y * y)))) AS u
+    FROM (
+        SELECT term,
+               list_transform(generate_series(0, {_CB_DIM - 1}),
+                   j -> len(list_filter(hl, h -> h = j))::DOUBLE) AS c
+        FROM (
+            SELECT term,
+                   list_transform(
+                       list_concat([term],
+                           CASE WHEN len(term) >= 3
+                                THEN list_transform(
+                                    generate_series(1, len(term) - 2),
+                                    i -> substr(term, i, 3))
+                                ELSE [] END),
+                       g -> ('0x' || substr(md5(g), 1, 15))::BIGINT
+                            % {_CB_DIM}) AS hl
+            FROM {src}
+        )
+    )
+    """
+
+
+_CB_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+),
+tfd AS (SELECT DISTINCT term, doc_id FROM toks),
+qterms AS (
+    SELECT * FROM (VALUES {", ".join(
+        f"({i + 1}, '{t}')" for i, t in enumerate(QUERY_TERMS)
+    )}) AS q(qi, term)
+),
+allterms AS (
+    SELECT DISTINCT term FROM tfd
+    UNION SELECT term FROM qterms
+),
+unitv AS ({_cb_embed_sql("allterms")}),
+sims AS (
+    SELECT v.term, q.qi,
+           list_sum(list_transform(generate_series(1, {_CB_DIM}),
+               j -> v.u[j] * uq.u[j])) AS sim
+    FROM unitv v
+    CROSS JOIN qterms q
+    JOIN unitv uq ON uq.term = q.term
+),
+doc_max AS (
+    SELECT t.doc_id,
+           max(CASE WHEN s.qi = 1 THEN s.sim END) AS m1,
+           max(CASE WHEN s.qi = 2 THEN s.sim END) AS m2,
+           max(CASE WHEN s.qi = 3 THEN s.sim END) AS m3
+    FROM tfd t JOIN sims s ON s.term = t.term
+    GROUP BY t.doc_id
+)
+SELECT doc_id, round(m1 + m2 + m3, 6) AS maxsim
+FROM doc_max
+ORDER BY round(m1 + m2 + m3, 6) DESC, doc_id ASC
+LIMIT {_CB_TOP}
+"""
+
+
+@register(
+    "colbert_maxsim_from_index",
+    oracle=_CB_ORACLE,
+    tags=("retrieval", "index", "store", "late-interaction", "maxsim"),
+    bench=True,
+)
+def colbert_maxsim_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Late-interaction retrieval (ColBERT's MaxSim, Khattab &
+    Zaharia 2020) over the postings store: score(q, d) =
+    Σ_i max_{t ∈ d} cos(E(q_i), E(t)), with E a deterministic
+    char-trigram hash embedding per TOKEN — the soft-matching scorer
+    that ranks morphological variants (the ``_v2`` spelling drift, or
+    shared-stem terms) high where BM25's exact term match scores zero.
+    No corpus tokenize: document token SETS come from the (term,
+    doc_id) posting rows, and token embeddings are computed once per
+    LEXICON entry, not per occurrence.
+
+    Plan shape at 100 TB: (1) vocab-grain embedding + 3 dot products —
+    ∝ |lexicon|, not corpus; (2) ONE index-grain join postings ⋈ sims
+    on term — both sides derive from the term-bucketed store, so the
+    join co-locates without a shuffle; (3) one doc-grain agg whose
+    partial max compresses each doc to 3 doubles map-side; (4)
+    TakeOrdered top-k. Late interaction's honest cost is touching
+    every posting once — the production pruning path (per-query-token
+    centroid buckets over the lexicon embedding space, the PLAID
+    refinement) drops lexicon terms whose sim is dominated, and slots
+    into step (1) without changing (2)-(4). Query embeddings are a
+    3-row collect inlined as literals (the plan-literal rule)."""
+    tf_name, _, _ = ensure_postings_index(spark, sf_dir)
+    tf = spark.table(tf_name).select("term", "doc_id")
+    qdf = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(QUERY_TERMS)],
+        "qi int, term string",
+    )
+    qu = {
+        r["qi"]: list(r["u"])
+        for r in _cb_unit_frame(qdf).collect()
+    }
+
+    def dot(qvec) -> "Column":
+        return F.aggregate(
+            F.zip_with(
+                "u",
+                F.array(*[F.lit(float(x)) for x in qvec]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    sims = _cb_unit_frame(tf.select("term").distinct()).select(
+        "term", *[dot(qu[i]).alias(f"s{i}") for i in sorted(qu)]
+    )
+    scores = (
+        tf.join(sims, "term")
+        .groupBy("doc_id")
+        .agg(
+            (F.max("s1") + F.max("s2") + F.max("s3")).alias("raw")
+        )
+    )
+    return (
+        scores.select(
+            "doc_id", F.round("raw", 6).alias("maxsim")
+        )
+        .orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
+        .limit(_CB_TOP)
+    )

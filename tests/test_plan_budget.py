@@ -139,6 +139,12 @@ SHUFFLE_BUDGET = {
     # (paid once at index build), so the query plans carry only
     # hit-grain aggregates
     "bm25_topk_from_index": 1,  # bucket-pruned scan + doc groupBy
+    # r11 late-interaction: vocab distinct rides the term-bucketed scan
+    # (no exchange), sims broadcast; 1 doc-grain agg + headroom for a
+    # vanilla-session distinct fallback
+    "colbert_maxsim_from_index": 2,
+    # r11 df-aware proximity: broadcast rare list + ≤n_lang final agg
+    "proximity_rare_from_index": 1,
     "rm3_query_expansion_from_index": 4,  # pass-3 doc agg + tiny weight-model re-aggs
     # q/base joins + AP windows + bootstrap re-aggs; the census
     # tokenize/tf/impact-window shuffles are gone (store-read)
