@@ -18,8 +18,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_T_IMPORT0 = time.perf_counter()
 from emails_to_vector_db_spark.plans import REGISTRY  # noqa: E402
 from emails_to_vector_db_spark.session import get_spark  # noqa: E402
+
+# registry-import cost (plan modules + their numpy/pandas deps) — part
+# of the session-fixed overhead decomposition (r10 verdict task 7)
+_IMPORT_SEC = time.perf_counter() - _T_IMPORT0
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -334,13 +339,16 @@ RECORDED_SF01 = {
 
 
 def main() -> None:
+    t_wall0 = time.perf_counter()
     spark = get_spark(app_name="e2v-bench", cpus=CPUS)
     # Warm the JVM/codegen path once on the smallest table so the first
     # measured query doesn't pay session startup.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    session_sec = time.perf_counter() - t_wall0
 
     bench_specs = {n: s for n, s in REGISTRY.items() if s.bench}
     timings: dict[str, float] = {}
+    sum_runs = 0.0
     for name, spec in sorted(bench_specs.items()):
         # Best of three runs: the host shows heavy run-to-run noise (the
         # same plan has measured 1.3s and 8.7s minutes apart), and later
@@ -352,6 +360,7 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            sum_runs += dt
             best = dt if best is None else min(best, dt)
             # Cache hygiene BETWEEN runs and queries: several plans persist
             # a shared intermediate (retrieval/dedup); leaving those cached
@@ -369,6 +378,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # session-fixed overhead decomposition (r10 verdict task 7):
+        # wall = import + session/JVM spinup + 3×query runs + residual
+        # (inter-query hygiene, artifact freshness probes, GC)
+        "overhead": {
+            "wall_sec": round(time.perf_counter() - t_wall0, 3),
+            "import_sec": round(_IMPORT_SEC, 3),
+            "session_sec": round(session_sec, 3),
+            "sum_best_sec": round(sum(timings.values()), 3),
+            "sum_runs_sec": round(sum_runs, 3),
+        },
     }
     if payload["sf"] == 0.1:
         # regression vs the recorded round-1 baseline, over the queries

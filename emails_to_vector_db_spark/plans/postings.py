@@ -860,6 +860,7 @@ def _run_stream_postings(
     "streaming_phrase_from_positions",
     oracle=_PHRASE_ORACLE,
     tags=("streaming", "retrieval", "phrase", "positional", "index"),
+    bench=True,  # r11: warm streamed store → tracks QUERY cost, not ingest
 )
 def streaming_phrase_from_positions(
     spark: SparkSession, sf_dir: str
@@ -2066,6 +2067,7 @@ def heaps_law_fit_from_index(
     .replace("{a}", _PHRASE[0])
     .replace("{b}", _PHRASE[1]),
     tags=("streaming", "retrieval", "proximity", "positional", "index"),
+    bench=True,  # r11: warm streamed store → tracks QUERY cost, not ingest
 )
 def streaming_proximity_from_positions(
     spark: SparkSession, sf_dir: str

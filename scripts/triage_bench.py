@@ -28,7 +28,14 @@ def main() -> None:
         sf_dir = args[1]
         args = args[2:]
     spark = get_spark(app_name="triage-bench", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    import glob
+
+    warm = (
+        f"{sf_dir}/region.parquet"
+        if os.path.exists(f"{sf_dir}/region.parquet")
+        else sorted(glob.glob(f"{sf_dir}/*.parquet"))[0]
+    )
+    spark.read.parquet(warm).count()
     for name in args:
         spec = REGISTRY[name]
         runs = []
