@@ -856,6 +856,20 @@ def _run_stream_postings(
     return tf_store, pos_store
 
 
+def _pst_bucket_of(term: str) -> int:
+    """Driver-side twin of TX.md5_long(term) % _PST_INGEST_BUCKETS — the
+    streamed stores are DIRECTORY-partitioned by this bucket, so a
+    term-lookup query pins the partition as a literal and Spark prunes
+    the other 15 bucket directories at planning time (the streamed
+    store's analogue of the batch store's SelectedBucketsCount)."""
+    import hashlib
+
+    return (
+        int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
+        % _PST_INGEST_BUCKETS
+    )
+
+
 @register(
     "streaming_phrase_from_positions",
     oracle=_PHRASE_ORACLE,
@@ -881,12 +895,14 @@ def streaming_phrase_from_positions(
     positions file did not."""
     _, pos_store = _run_stream_postings(spark, sf_dir)
     pst = spark.read.parquet(pos_store)
-    pa = pst.where(F.col("term") == _PHRASE[0]).select(
-        "doc_id", F.col("positions").alias("pa")
-    )
-    pb = pst.where(F.col("term") == _PHRASE[1]).select(
-        "doc_id", F.col("positions").alias("pb")
-    )
+    pa = pst.where(
+        (F.col("bkt") == _pst_bucket_of(_PHRASE[0]))
+        & (F.col("term") == _PHRASE[0])
+    ).select("doc_id", F.col("positions").alias("pa"))
+    pb = pst.where(
+        (F.col("bkt") == _pst_bucket_of(_PHRASE[1]))
+        & (F.col("term") == _PHRASE[1])
+    ).select("doc_id", F.col("positions").alias("pb"))
     occ = pa.join(pb, "doc_id").select(
         "doc_id",
         F.size(
@@ -2082,12 +2098,14 @@ def streaming_proximity_from_positions(
     arithmetic to the batch twin; only the store differs."""
     _, pos_store = _run_stream_postings(spark, sf_dir)
     pst = spark.read.parquet(pos_store)
-    pa = pst.where(F.col("term") == _PHRASE[0]).select(
-        "doc_id", F.col("positions").alias("pa")
-    )
-    pb = pst.where(F.col("term") == _PHRASE[1]).select(
-        "doc_id", F.col("positions").alias("pb")
-    )
+    pa = pst.where(
+        (F.col("bkt") == _pst_bucket_of(_PHRASE[0]))
+        & (F.col("term") == _PHRASE[0])
+    ).select("doc_id", F.col("positions").alias("pa"))
+    pb = pst.where(
+        (F.col("bkt") == _pst_bucket_of(_PHRASE[1]))
+        & (F.col("term") == _PHRASE[1])
+    ).select("doc_id", F.col("positions").alias("pb"))
     pairs_in_window = F.aggregate(
         F.col("pa"),
         F.struct(
