@@ -88,21 +88,12 @@ def _driver_green_names(
 # every name here must be absent from CORRECTNESS_r*.json artifacts of
 # rounds BEFORE _THIS_ROUND_NO (a green row in the registering round's own
 # artifact is the normal post-commit driver write, not staleness).
-_THIS_ROUND_NO = 10
+_THIS_ROUND_NO = 11
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # round 10 registrations (appended as they land this round)
-    "streaming_phrase_from_positions",
-    "postings_vocab_rebuild_plan",
-    "term_stats_from_index",
-    "retrieve_rerank_eval_chain",
-    "semdedup_from_ivf_lists",
-    "query_likelihood_from_index",
-    "heaps_law_fit_from_index",
-    "dsir_weights_from_index",
-    "streaming_proximity_from_positions",
-    "prefix_terms_from_index",
-    "spelling_variants_from_index",
-    "snippet_windows_from_index",
+    # round 11 registrations (appended as they land this round)
+    "proximity_rare_from_index",
+    "colbert_maxsim_from_index",
+    "splade_expansion_from_index",
 )
 
 

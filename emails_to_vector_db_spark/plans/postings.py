@@ -2645,3 +2645,149 @@ def colbert_maxsim_from_index(
         .orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
         .limit(_CB_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# SPLADE-style sparse expansion (the learned-sparse sibling of MaxSim):
+# each query token expands into trigram-similar lexicon terms, and the
+# expanded weighted term set scores documents THROUGH the postings store
+# ---------------------------------------------------------------------------
+
+_SPL_TAU = 0.4  # minimum trigram-cosine for a lexicon term to enter the expansion
+_SPL_TOP = 10
+
+
+_SPL_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT term, doc_id, count(*)::BIGINT AS tf
+    FROM toks GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM toks),
+qterms AS (
+    SELECT * FROM (VALUES {", ".join(
+        f"({i + 1}, '{t}')" for i, t in enumerate(QUERY_TERMS)
+    )}) AS q(qi, term)
+),
+allterms AS (
+    SELECT DISTINCT term FROM dfs
+    UNION SELECT term FROM qterms
+),
+unitv AS ({{embed}}),
+sims AS (
+    SELECT v.term,
+           max(list_sum(list_transform(generate_series(1, {_CB_DIM}),
+               j -> v.u[j] * uq.u[j]))) AS w_q
+    FROM unitv v
+    CROSS JOIN qterms q
+    JOIN unitv uq ON uq.term = q.term
+    GROUP BY v.term
+),
+expansion AS (
+    SELECT s.term, s.w_q, ln(n.n / d.df) AS idf
+    FROM sims s JOIN dfs d ON d.term = s.term CROSS JOIN nd n
+    WHERE s.w_q >= {_SPL_TAU}
+),
+scored AS (
+    SELECT t.doc_id,
+           sum(e.w_q * e.idf * ln(1 + t.tf)) AS raw,
+           count(*)::BIGINT AS n_terms_hit
+    FROM tf t JOIN expansion e ON e.term = t.term
+    GROUP BY t.doc_id
+)
+SELECT doc_id, round(raw, 6) AS splade, n_terms_hit
+FROM scored
+ORDER BY round(raw, 6) DESC, doc_id ASC
+LIMIT {_SPL_TOP}
+"""
+
+
+@register(
+    "splade_expansion_from_index",
+    oracle=_SPL_ORACLE.replace("{embed}", _cb_embed_sql("allterms")),
+    tags=("retrieval", "index", "store", "sparse", "expansion"),
+    bench=True,
+)
+def splade_expansion_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPLADE-style sparse retrieval (Formal et al. 2021) with a
+    deterministic expansion model: each query token expands into every
+    LEXICON term whose char-trigram embedding cosine is ≥ τ — the
+    morphology-aware recall net a learned sparse encoder provides,
+    stood in by the same subword hash embeddings as
+    colbert_maxsim_from_index — and the expanded weighted term set
+    scores documents ENTIRELY through the postings store:
+    score(d) = Σ_t w_q(t) · idf(t) · ln(1 + tf(t, d)), with
+    w_q(t) = max_i cos(E(q_i), E(t)). Where MaxSim touches every
+    posting (late interaction), the expansion lane touches ONLY the
+    expanded terms' posting rows — the classic inverted-index win that
+    makes learned-sparse retrieval deployable.
+
+    Plan shape at 100 TB: vocab-grain sims (∝ lexicon) → a FILTERED
+    expansion table, bounded by the sim threshold, broadcast into the
+    postings join — the τ-filter is what keeps the probe set small, so
+    the single index-grain stage reads only the expansion terms' rows
+    (the store's term-bucketed layout turns the broadcast-hash probe
+    into a per-bucket stream); then one doc-grain agg with map-side
+    partial sums and TakeOrdered top-k. df/idf ride the posting rows
+    (denormalized df column); N comes from the stats sidecar — no
+    corpus scan anywhere."""
+    tf_name, n_docs, _ = ensure_postings_index(spark, sf_dir)
+    pst = spark.table(tf_name).select("term", "doc_id", "tf", "df")
+    qdf = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(QUERY_TERMS)],
+        "qi int, term string",
+    )
+    qu = {
+        r["qi"]: list(r["u"]) for r in _cb_unit_frame(qdf).collect()
+    }
+
+    def dot(qvec) -> "Column":
+        return F.aggregate(
+            F.zip_with(
+                "u",
+                F.array(*[F.lit(float(x)) for x in qvec]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    lex = pst.select("term").distinct()
+    expansion = (
+        _cb_unit_frame(lex)
+        .select(
+            "term",
+            F.greatest(
+                *[dot(qu[i]) for i in sorted(qu)]
+            ).alias("w_q"),
+        )
+        .where(F.col("w_q") >= _SPL_TAU)
+    )
+    scored = (
+        pst.join(F.broadcast(expansion), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("w_q")
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+                * F.log(F.lit(1.0) + F.col("tf"))
+            ).alias("raw"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round("raw", 6).alias("splade"),
+            "n_terms_hit",
+        )
+        .orderBy(F.col("splade").desc(), F.col("doc_id").asc())
+        .limit(_SPL_TOP)
+    )
