@@ -130,7 +130,7 @@ SHUFFLE_BUDGET = {
     # the persisted census subtree under every consumer (the
     # prefix_filter convention: repeated subtrees counted) — the
     # EXECUTED plan reads the cache: 10 exchanges for loo.
-    "loo_source_valuation": 59,
+    "loo_source_valuation": 57,  # r11 single-census collapse (was 59)
     "excess_loss_mixture": 20,
     # (doc,tok) agg + doc agg + fp groupBy, + the 1-row derived-offset
     # max(doc_id) aggregate (SinglePartition — the planted-twin id base)
@@ -145,6 +145,14 @@ SHUFFLE_BUDGET = {
     "colbert_maxsim_from_index": 2,
     # r11 df-aware proximity: broadcast rare list + ≤n_lang final agg
     "proximity_rare_from_index": 1,
+    # r11 sparse expansion: broadcast expansion probe + doc-grain agg;
+    # vocab distinct rides the term-bucketed scan
+    "splade_expansion_from_index": 1,
+    # r11 warm streamed lanes (store read, not ingest): proximity is
+    # candidate-inner-join + lang agg; phrase pays its per-language
+    # denominator contract (doc-grain meta left join) = 3
+    "streaming_phrase_from_positions": 3,
+    "streaming_proximity_from_positions": 1,
     "rm3_query_expansion_from_index": 4,  # pass-3 doc agg + tiny weight-model re-aggs
     # q/base joins + AP windows + bootstrap re-aggs; the census
     # tokenize/tf/impact-window shuffles are gone (store-read)
