@@ -2674,18 +2674,34 @@ qterms AS (
         f"({i + 1}, '{t}')" for i, t in enumerate(QUERY_TERMS)
     )}) AS q(qi, term)
 ),
-allterms AS (
-    SELECT DISTINCT term FROM dfs
-    UNION SELECT term FROM qterms
+hv AS (
+    SELECT term,
+           list_transform(
+               list_concat([term],
+                   CASE WHEN len(term) >= 3
+                        THEN list_transform(
+                            generate_series(1, len(term) - 2),
+                            i -> substr(term, i, 3))
+                        ELSE [] END),
+               g -> ('0x' || substr(md5(g), 1, 15))::BIGINT
+                    % {_CB_DIM}) AS hl
+    FROM dfs
 ),
-unitv AS ({{embed}}),
+vecs AS (
+    SELECT term, hl,
+           sqrt(list_sum(list_transform(hl,
+               h -> len(list_filter(hl, x -> x = h))::DOUBLE))) AS nrm
+    FROM hv
+),
+qv AS ({{embed}}),
 sims AS (
     SELECT v.term,
-           max(list_sum(list_transform(generate_series(1, {_CB_DIM}),
-               j -> v.u[j] * uq.u[j]))) AS w_q
-    FROM unitv v
+           max(round(
+               list_sum(list_transform(v.hl, h -> uq.u[h + 1]))
+                   / v.nrm, 6)) AS w_q
+    FROM vecs v
     CROSS JOIN qterms q
-    JOIN unitv uq ON uq.term = q.term
+    JOIN qv uq ON uq.term = q.term
     GROUP BY v.term
 ),
 expansion AS (
@@ -2709,7 +2725,9 @@ LIMIT {_SPL_TOP}
 
 @register(
     "splade_expansion_from_index",
-    oracle=_SPL_ORACLE.replace("{embed}", _cb_embed_sql("allterms")),
+    oracle=_SPL_ORACLE.replace(
+        "{embed}", _cb_embed_sql("(SELECT term FROM qterms)")
+    ),
     tags=("retrieval", "index", "store", "sparse", "expansion"),
     bench=True,
 )
@@ -2737,7 +2755,19 @@ def splade_expansion_from_index(
     into a per-bucket stream); then one doc-grain agg with map-side
     partial sums and TakeOrdered top-k. df/idf ride the posting rows
     (denormalized df column); N comes from the stats sidecar — no
-    corpus scan anywhere."""
+    corpus scan anywhere.
+
+    Arithmetic contract: the lexicon-side cosine is evaluated as a fold
+    over the term's gram-hash list — Σ_{h∈hl} u_q[h] equals the dot
+    c·u_q because the query vector is indexed once per occurrence — and
+    the norm as Σ_{h∈hl} multiplicity(h) (exact-in-doubles integer
+    sums). This keeps the per-row expression |hl|-sized: the τ-filter's
+    predicate pushdown SUBSTITUTES the whole sim expression through the
+    staged projections, and the j-indexed _CB_DIM-wide form re-inlines
+    the md5 chain ~200× per lexicon row under that substitution
+    (measured: the zipf vocabulary ran minutes instead of seconds).
+    Per-(term, qi) sims are rounded to 6dp BEFORE the τ compare and the
+    max, so both engines feed bit-identical weights into the score."""
     tf_name, n_docs, _ = ensure_postings_index(spark, sf_dir)
     pst = spark.table(tf_name).select("term", "doc_id", "tf", "df")
     qdf = spark.createDataFrame(
@@ -2747,28 +2777,57 @@ def splade_expansion_from_index(
     qu = {
         r["qi"]: list(r["u"]) for r in _cb_unit_frame(qdf).collect()
     }
+    # Arrow lane for the lexicon sweep (the r8 cutover rule: a
+    # vocab-grain numeric score behind an interpreted higher-order fold
+    # ran 36s on the 50k-type zipf lexicon — C-speed md5 + float sums
+    # run it in ~1s; spinup-bounded at fixture vocab). Arithmetic is
+    # bit-matching the docstring contract: hl order = whole term then
+    # trigrams, sequential sum, exact integer norm, half-away 6dp round.
+    qvecs = {i: qu[i] for i in sorted(qu)}
 
-    def dot(qvec) -> "Column":
-        return F.aggregate(
-            F.zip_with(
-                "u",
-                F.array(*[F.lit(float(x)) for x in qvec]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    def weigh(batches):
+        import hashlib
+        import math
+        from collections import Counter
 
-    lex = pst.select("term").distinct()
+        import pandas as pd
+
+        for pdf in batches:
+            out_t: list = []
+            out_w: list = []
+            for t in pdf["term"]:
+                grams = [t] + (
+                    [t[i : i + 3] for i in range(len(t) - 2)]
+                    if len(t) >= 3
+                    else []
+                )
+                hl = [
+                    int(
+                        hashlib.md5(g.encode()).hexdigest()[:15], 16
+                    )
+                    % _CB_DIM
+                    for g in grams
+                ]
+                c = Counter(hl)
+                nrm = math.sqrt(float(sum(v * v for v in c.values())))
+                best = max(
+                    # positive-domain half-away-from-zero 6dp round —
+                    # F.round / DuckDB round semantics, NOT banker's
+                    math.floor(
+                        (sum(qv[h] for h in hl) / nrm) * 1e6 + 0.5
+                    )
+                    / 1e6
+                    for qv in qvecs.values()
+                )
+                if best >= _SPL_TAU:
+                    out_t.append(t)
+                    out_w.append(best)
+            yield pd.DataFrame({"term": out_t, "w_q": out_w})
+
     expansion = (
-        _cb_unit_frame(lex)
-        .select(
-            "term",
-            F.greatest(
-                *[dot(qu[i]) for i in sorted(qu)]
-            ).alias("w_q"),
-        )
-        .where(F.col("w_q") >= _SPL_TAU)
+        pst.select("term")
+        .distinct()
+        .mapInPandas(weigh, schema="term string, w_q double")
     )
     scored = (
         pst.join(F.broadcast(expansion), "term")
