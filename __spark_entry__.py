@@ -94,6 +94,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "proximity_rare_from_index",
     "colbert_maxsim_from_index",
     "splade_expansion_from_index",
+    "plaid_pruned_maxsim_topk",
 )
 
 

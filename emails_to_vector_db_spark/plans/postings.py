@@ -2850,3 +2850,218 @@ def splade_expansion_from_index(
         .orderBy(F.col("splade").desc(), F.col("doc_id").asc())
         .limit(_SPL_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# PLAID-style pruned MaxSim: the production pruning path for the
+# late-interaction lane — per-query-token top-m lexicon terms by sim,
+# scored through ONLY those terms' posting rows (bucket-pruned IN-list)
+# ---------------------------------------------------------------------------
+
+_PLAID_M = 32  # lexicon terms kept per query token
+
+
+_PLAID_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+),
+tfd AS (SELECT DISTINCT term, doc_id FROM toks),
+dfs AS (SELECT DISTINCT term FROM tfd),
+qterms AS (
+    SELECT * FROM (VALUES {", ".join(
+        f"({i + 1}, '{t}')" for i, t in enumerate(QUERY_TERMS)
+    )}) AS q(qi, term)
+),
+hv AS (
+    SELECT term,
+           list_transform(
+               list_concat([term],
+                   CASE WHEN len(term) >= 3
+                        THEN list_transform(
+                            generate_series(1, len(term) - 2),
+                            i -> substr(term, i, 3))
+                        ELSE [] END),
+               g -> ('0x' || substr(md5(g), 1, 15))::BIGINT
+                    % {_CB_DIM}) AS hl
+    FROM dfs
+),
+vecs AS (
+    SELECT term, hl,
+           sqrt(list_sum(list_transform(hl,
+               h -> len(list_filter(hl, x -> x = h))::DOUBLE))) AS nrm
+    FROM hv
+),
+qv AS ({{embed}}),
+sims AS (
+    SELECT v.term, q.qi,
+           round(list_sum(list_transform(v.hl, h -> uq.u[h + 1]))
+                 / v.nrm, 6) AS sim
+    FROM vecs v
+    CROSS JOIN qterms q
+    JOIN qv uq ON uq.term = q.term
+),
+kept AS (
+    SELECT term, qi, sim FROM (
+        SELECT term, qi, sim,
+               row_number() OVER (
+                   PARTITION BY qi ORDER BY sim DESC, term ASC
+               ) AS rn
+        FROM sims
+    ) WHERE rn <= {_PLAID_M}
+),
+hits AS (
+    SELECT t.doc_id, k.qi, max(k.sim) AS m
+    FROM tfd t JOIN kept k ON k.term = t.term
+    GROUP BY t.doc_id, k.qi
+),
+doc AS (
+    SELECT doc_id,
+           coalesce(max(CASE WHEN qi = 1 THEN m END), 0)
+         + coalesce(max(CASE WHEN qi = 2 THEN m END), 0)
+         + coalesce(max(CASE WHEN qi = 3 THEN m END), 0) AS raw
+    FROM hits GROUP BY doc_id
+)
+SELECT doc_id, round(raw, 6) AS plaid
+FROM doc
+ORDER BY round(raw, 6) DESC, doc_id ASC
+LIMIT {_CB_TOP}
+"""
+
+
+@register(
+    "plaid_pruned_maxsim_topk",
+    oracle=_PLAID_ORACLE.replace(
+        "{embed}", _cb_embed_sql("(SELECT term FROM qterms)")
+    ),
+    tags=("retrieval", "index", "store", "late-interaction", "pruned"),
+    bench=True,
+)
+def plaid_pruned_maxsim_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRUNED late-interaction path (PLAID, Santhanam et al. 2022,
+    re-expressed for the lexical-hash embedding space): instead of
+    MaxSim over every posting (colbert_maxsim_from_index's honest
+    exact cost), each query token keeps only its top-m lexicon terms
+    by embedding sim; absent tokens contribute 0 to the doc score.
+
+    The pruning is where the scale win lives: the kept set is
+    3·m rows COLLECTED to the driver (bounded by construction — the
+    plan-literal rule) and pushed into the postings scan as a term
+    IN-list, so the term-bucketed store prunes buckets at planning
+    time and only kept terms' posting rows are ever READ — the same
+    I/O class as a 96-term boolean query, independent of corpus size.
+    The lexicon sweep reuses the SPLADE Arrow lane with BATCH-LOCAL
+    top-m pre-pruning (a batch's top-m superset-contains the global
+    top-m members in that batch), so the final exact top-m window
+    orders 3·m·n_batches rows, never the lexicon. Per-(term, qi) sims
+    round to 6dp before ranking — kept-set membership is engine-exact
+    (ties broken by term); the doc score is an explicit m1+m2+m3 sum
+    of per-token maxes."""
+    tf_name, _, _ = ensure_postings_index(spark, sf_dir)
+    pst = spark.table(tf_name).select("term", "doc_id")
+    qdf = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(QUERY_TERMS)],
+        "qi int, term string",
+    )
+    qu = {
+        r["qi"]: list(r["u"]) for r in _cb_unit_frame(qdf).collect()
+    }
+    qvecs = {i: qu[i] for i in sorted(qu)}
+
+    def sims_topm(batches):
+        import hashlib
+        import math
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for t in pdf["term"]:
+                grams = [t] + (
+                    [t[i : i + 3] for i in range(len(t) - 2)]
+                    if len(t) >= 3
+                    else []
+                )
+                hl = [
+                    int(
+                        hashlib.md5(g.encode()).hexdigest()[:15], 16
+                    )
+                    % _CB_DIM
+                    for g in grams
+                ]
+                c = Counter(hl)
+                nrm = math.sqrt(float(sum(v * v for v in c.values())))
+                for qi, qv in qvecs.items():
+                    s = (
+                        math.floor(
+                            (sum(qv[h] for h in hl) / nrm) * 1e6
+                            + 0.5
+                        )
+                        / 1e6
+                    )
+                    rows.append((t, qi, s))
+            df = pd.DataFrame(
+                rows, columns=["term", "qi", "sim"]
+            )
+            # batch-local prune: global top-m members of this batch
+            # all survive (sim desc, term asc within qi)
+            df = (
+                df.sort_values(
+                    ["qi", "sim", "term"],
+                    ascending=[True, False, True],
+                )
+                .groupby("qi", sort=False)
+                .head(_PLAID_M)
+            )
+            yield df
+
+    pruned = (
+        pst.select("term")
+        .distinct()
+        .mapInPandas(
+            sims_topm, schema="term string, qi int, sim double"
+        )
+    )
+    w = Window.partitionBy("qi").orderBy(
+        F.col("sim").desc(), F.col("term").asc()
+    )
+    kept_rows = (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _PLAID_M)
+        .select("term", "qi", "sim")
+        .collect()
+    )
+    kept_terms = sorted({r["term"] for r in kept_rows})
+    kept = spark.createDataFrame(
+        [(r["term"], r["qi"], r["sim"]) for r in kept_rows],
+        "term string, qi int, sim double",
+    )
+    hits = (
+        pst.where(F.col("term").isin(*kept_terms))
+        .join(F.broadcast(kept), "term")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("qi") == i, F.col("sim"))
+                ).alias(f"m{i}")
+                for i in sorted(qvecs)
+            ]
+        )
+    )
+    raw = (
+        F.coalesce("m1", F.lit(0.0))
+        + F.coalesce("m2", F.lit(0.0))
+        + F.coalesce("m3", F.lit(0.0))
+    )
+    return (
+        hits.select(
+            "doc_id", F.round(raw, 6).alias("plaid")
+        )
+        .orderBy(F.col("plaid").desc(), F.col("doc_id").asc())
+        .limit(_CB_TOP)
+    )

@@ -148,6 +148,9 @@ SHUFFLE_BUDGET = {
     # r11 sparse expansion: broadcast expansion probe + doc-grain agg;
     # vocab distinct rides the term-bucketed scan
     "splade_expansion_from_index": 1,
+    # r11 pruned late-interaction: IN-list bucket-pruned scan +
+    # broadcast kept set + doc-grain agg (kept-window runs eagerly)
+    "plaid_pruned_maxsim_topk": 1,
     # r11 warm streamed lanes (store read, not ingest): proximity is
     # candidate-inner-join + lang agg; phrase pays its per-language
     # denominator contract (doc-grain meta left join) = 3
