@@ -52,10 +52,13 @@ def _sql_features() -> str:
     FROM documents"""
 
 
-def _spark_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_features(
+    spark: SparkSession, sf_dir: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     text_len = F.length("text").cast("double")
     return docs.select(
+        *[F.col(c) for c in extra],
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
         F.lit(1.0).alias("x0"),
         (F.col("n_chars") / 1000.0).alias("x1"),
@@ -117,27 +120,12 @@ GROUP BY {w_cols}
 """
 
 
-@register(
-    "logreg_quality_classifier",
-    oracle=_logreg_oracle(),
-    tags=("ml", "iterative", "classifier", "cleaning"),
-    bench=True,
-)
-def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-batch logistic regression (3 GD steps, lr=0.5) predicting
-    lang='en' from 4 cheap text-quality features — the in-engine learned
-    filter of a curation pipeline, trained WITHOUT the corpus ever
-    leaving the executors.
-
-    Plan: the feature projection is cached once; each iteration is one
-    aggregation producing the 5 gradient components (map-side combined,
-    5 doubles per partition cross the wire), cross-joined back as the
-    next 1-row weight vector — fully lazy, no driver-side sync, Catalyst
-    sees the whole unrolled trajectory. Weights are 6dp-quantized per
-    step so the DuckDB replay is exact. Returns the trained weights,
-    the training row count, and training accuracy at threshold 0.5.
-    """
-    feats = _spark_features(spark, sf_dir).cache()
+def _train_weights(feats: DataFrame) -> DataFrame:
+    """The lazy unrolled GD trajectory over a features frame — shared
+    by training, calibration, and fairness queries so every consumer
+    replays the IDENTICAL 6dp-quantized weight sequence (the oracle's
+    _training_ctes twin). Returns the 1-row final weight frame."""
+    spark = feats.sparkSession
     xs = [f"x{j}" for j in range(_N_FEATURES)]
     w = spark.range(1).select(
         *[F.lit(0.0).alias(f"w{j}") for j in range(_N_FEATURES)]
@@ -164,6 +152,32 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(_N_FEATURES)
             ]
         )
+    return w
+
+
+@register(
+    "logreg_quality_classifier",
+    oracle=_logreg_oracle(),
+    tags=("ml", "iterative", "classifier", "cleaning"),
+    bench=True,
+)
+def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch logistic regression (3 GD steps, lr=0.5) predicting
+    lang='en' from 4 cheap text-quality features — the in-engine learned
+    filter of a curation pipeline, trained WITHOUT the corpus ever
+    leaving the executors.
+
+    Plan: the feature projection is cached once; each iteration is one
+    aggregation producing the 5 gradient components (map-side combined,
+    5 doubles per partition cross the wire), cross-joined back as the
+    next 1-row weight vector — fully lazy, no driver-side sync, Catalyst
+    sees the whole unrolled trajectory. Weights are 6dp-quantized per
+    step so the DuckDB replay is exact. Returns the trained weights,
+    the training row count, and training accuracy at threshold 0.5.
+    """
+    feats = _spark_features(spark, sf_dir).cache()
+    xs = [f"x{j}" for j in range(_N_FEATURES)]
+    w = _train_weights(feats)
     scored = feats.crossJoin(F.broadcast(w))
     final_margin = sum(
         (F.col(f"w{j}") * F.col(x) for j, x in enumerate(xs)), F.lit(0.0)
