@@ -95,6 +95,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "colbert_maxsim_from_index",
     "splade_expansion_from_index",
     "plaid_pruned_maxsim_topk",
+    "plaid_recall_audit",
 )
 
 

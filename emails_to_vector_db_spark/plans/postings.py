@@ -3065,3 +3065,187 @@ def plaid_pruned_maxsim_topk(
         .orderBy(F.col("plaid").desc(), F.col("doc_id").asc())
         .limit(_CB_TOP)
     )
+
+
+_PLAID_AUDIT_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+),
+tfd AS (SELECT DISTINCT term, doc_id FROM toks),
+dfs AS (SELECT DISTINCT term FROM tfd),
+qterms AS (
+    SELECT * FROM (VALUES {", ".join(
+        f"({i + 1}, '{t}')" for i, t in enumerate(QUERY_TERMS)
+    )}) AS q(qi, term)
+),
+hv AS (
+    SELECT term,
+           list_transform(
+               list_concat([term],
+                   CASE WHEN len(term) >= 3
+                        THEN list_transform(
+                            generate_series(1, len(term) - 2),
+                            i -> substr(term, i, 3))
+                        ELSE [] END),
+               g -> ('0x' || substr(md5(g), 1, 15))::BIGINT
+                    % {_CB_DIM}) AS hl
+    FROM dfs
+),
+vecs AS (
+    SELECT term, hl,
+           sqrt(list_sum(list_transform(hl,
+               h -> len(list_filter(hl, x -> x = h))::DOUBLE))) AS nrm
+    FROM hv
+),
+qv AS ({{embed}}),
+sims AS (
+    SELECT v.term, q.qi,
+           round(list_sum(list_transform(v.hl, h -> uq.u[h + 1]))
+                 / v.nrm, 6) AS sim
+    FROM vecs v
+    CROSS JOIN qterms q
+    JOIN qv uq ON uq.term = q.term
+),
+exact_doc AS (
+    SELECT t.doc_id,
+           max(CASE WHEN s.qi = 1 THEN s.sim END)
+         + max(CASE WHEN s.qi = 2 THEN s.sim END)
+         + max(CASE WHEN s.qi = 3 THEN s.sim END) AS raw
+    FROM tfd t JOIN sims s ON s.term = t.term
+    GROUP BY t.doc_id
+),
+exact_top AS (
+    SELECT doc_id FROM exact_doc
+    ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT {_CB_TOP}
+),
+kept AS (
+    SELECT term, qi, sim FROM (
+        SELECT term, qi, sim,
+               row_number() OVER (
+                   PARTITION BY qi ORDER BY sim DESC, term ASC
+               ) AS rn
+        FROM sims
+    ) WHERE rn <= {_PLAID_M}
+),
+plaid_doc AS (
+    SELECT t.doc_id,
+           coalesce(max(CASE WHEN k.qi = 1 THEN k.sim END), 0)
+         + coalesce(max(CASE WHEN k.qi = 2 THEN k.sim END), 0)
+         + coalesce(max(CASE WHEN k.qi = 3 THEN k.sim END), 0) AS raw
+    FROM tfd t JOIN kept k ON k.term = t.term
+    GROUP BY t.doc_id
+),
+plaid_top AS (
+    SELECT doc_id FROM plaid_doc
+    ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT {_CB_TOP}
+)
+SELECT {_CB_TOP}::BIGINT AS k,
+       count(*)::BIGINT AS n_overlap,
+       round(count(*) / {_CB_TOP}.0, 6) AS recall_at_k
+FROM exact_top e JOIN plaid_top p USING (doc_id)
+"""
+
+
+@register(
+    "plaid_recall_audit",
+    oracle=_PLAID_AUDIT_ORACLE.replace(
+        "{embed}", _cb_embed_sql("(SELECT term FROM qterms)")
+    ),
+    tags=("retrieval", "index", "late-interaction", "audit", "recall"),
+)
+def plaid_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap@k of the PLAID-pruned MaxSim against the UNPRUNED
+    MaxSim under the same rounded-sim contract — the late-interaction
+    member of the recall-audit family (ann_lsh_recall_audit,
+    ivf_recall_audit, minhash_recall_precision_audit,
+    matryoshka_recall_audit): the pruning knob's real-world quality is
+    a hash-checked engine result, not a claim. The exact arm pays the
+    full every-posting cost BY CONTRACT (it is the audit's ground
+    truth); both arms rank by (6dp-rounded score, doc_id), so the
+    compared sets are engine-exact."""
+    tf_name, _, _ = ensure_postings_index(spark, sf_dir)
+    pst = spark.table(tf_name).select("term", "doc_id")
+    qdf = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(QUERY_TERMS)],
+        "qi int, term string",
+    )
+    qu = {
+        r["qi"]: list(r["u"]) for r in _cb_unit_frame(qdf).collect()
+    }
+    qvecs = {i: qu[i] for i in sorted(qu)}
+
+    def sims_all(batches):
+        import hashlib
+        import math
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for t in pdf["term"]:
+                grams = [t] + (
+                    [t[i : i + 3] for i in range(len(t) - 2)]
+                    if len(t) >= 3
+                    else []
+                )
+                hl = [
+                    int(
+                        hashlib.md5(g.encode()).hexdigest()[:15], 16
+                    )
+                    % _CB_DIM
+                    for g in grams
+                ]
+                c = Counter(hl)
+                nrm = math.sqrt(float(sum(v * v for v in c.values())))
+                rows.append(
+                    tuple(
+                        [t]
+                        + [
+                            math.floor(
+                                (sum(qv[h] for h in hl) / nrm) * 1e6
+                                + 0.5
+                            )
+                            / 1e6
+                            for qv in qvecs.values()
+                        ]
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["term", "s1", "s2", "s3"]
+            )
+
+    sims = (
+        pst.select("term")
+        .distinct()
+        .mapInPandas(
+            sims_all,
+            schema="term string, s1 double, s2 double, s3 double",
+        )
+    )
+    exact_raw = (
+        F.col("m1") + F.col("m2") + F.col("m3")
+    )
+    exact_top = (
+        pst.join(sims, "term")
+        .groupBy("doc_id")
+        .agg(
+            *[F.max(f"s{i}").alias(f"m{i}") for i in sorted(qvecs)]
+        )
+        .select("doc_id", F.round(exact_raw, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_CB_TOP)
+        .select("doc_id")
+    )
+    pruned_top = plaid_pruned_maxsim_topk(spark, sf_dir).select(
+        "doc_id"
+    )
+    return exact_top.join(pruned_top, "doc_id").agg(
+        F.lit(_CB_TOP).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / float(_CB_TOP), 6).alias(
+            "recall_at_k"
+        ),
+    )
