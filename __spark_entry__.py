@@ -96,6 +96,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "splade_expansion_from_index",
     "plaid_pruned_maxsim_topk",
     "plaid_recall_audit",
+    "trihybrid_rrf_from_index",
 )
 
 

@@ -3249,3 +3249,215 @@ def plaid_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tri-arm hybrid fusion: BM25 + SPLADE expansion + PLAID late-interaction,
+# all three arms answered from the ONE postings store, fused with RRF
+# ---------------------------------------------------------------------------
+
+
+def _trihybrid_oracle() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    qvals = ", ".join(
+        f"({i + 1}, '{t}')" for i, t in enumerate(QUERY_TERMS)
+    )
+    embed = _cb_embed_sql("(SELECT term FROM qterms)")
+    return f"""
+WITH bt AS (
+    SELECT doc_id, len(tok) AS dl,
+           list_filter(tok, x -> x IN ({terms_sql})) AS qtoks
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\\s+') AS tok
+          FROM documents)
+),
+bstats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM bt),
+btf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf, min(dl) AS dl
+    FROM (SELECT doc_id, dl, unnest(qtoks) AS term FROM bt)
+    GROUP BY doc_id, term
+),
+bdf AS (SELECT term, count(*)::BIGINT AS df FROM btf GROUP BY term),
+bm25 AS (
+    SELECT t.doc_id,
+           sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({_K1} + 1))
+               / (t.tf + {_K1} * (1 - {_B} + {_B} * t.dl / s.avgdl)))
+               AS raw
+    FROM btf t JOIN bdf d USING (term) CROSS JOIN bstats s
+    GROUP BY t.doc_id
+),
+arm_bm25 AS (
+    SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (
+            ORDER BY round(raw, 6) DESC, doc_id ASC) AS r
+        FROM bm25
+    ) WHERE r <= {TOP_N}
+),
+toks2 AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents
+),
+tfd AS (SELECT DISTINCT term, doc_id FROM toks2),
+stf AS (
+    SELECT term, doc_id, count(*)::BIGINT AS tf
+    FROM toks2 GROUP BY term, doc_id
+),
+sdf AS (SELECT term, count(*)::BIGINT AS df FROM stf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM toks2),
+dfs AS (SELECT DISTINCT term FROM tfd),
+qterms AS (SELECT * FROM (VALUES {qvals}) AS q(qi, term)),
+hv AS (
+    SELECT term,
+           list_transform(
+               list_concat([term],
+                   CASE WHEN len(term) >= 3
+                        THEN list_transform(
+                            generate_series(1, len(term) - 2),
+                            i -> substr(term, i, 3))
+                        ELSE [] END),
+               g -> ('0x' || substr(md5(g), 1, 15))::BIGINT
+                    % {_CB_DIM}) AS hl
+    FROM dfs
+),
+vecs AS (
+    SELECT term, hl,
+           sqrt(list_sum(list_transform(hl,
+               h -> len(list_filter(hl, x -> x = h))::DOUBLE))) AS nrm
+    FROM hv
+),
+qv AS ({embed}),
+sims AS (
+    SELECT v.term, q.qi,
+           round(list_sum(list_transform(v.hl, h -> uq.u[h + 1]))
+                 / v.nrm, 6) AS sim
+    FROM vecs v
+    CROSS JOIN qterms q
+    JOIN qv uq ON uq.term = q.term
+),
+spl AS (
+    SELECT t.doc_id,
+           sum(e.w_q * ln(n.n / d.df) * ln(1 + t.tf)) AS raw
+    FROM stf t
+    JOIN (SELECT term, max(sim) AS w_q FROM sims
+          GROUP BY term HAVING max(sim) >= {_SPL_TAU}) e USING (term)
+    JOIN sdf d ON d.term = t.term
+    CROSS JOIN nd n
+    GROUP BY t.doc_id
+),
+arm_spl AS (
+    SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (
+            ORDER BY round(raw, 6) DESC, doc_id ASC) AS r
+        FROM spl
+    ) WHERE r <= {TOP_N}
+),
+kept AS (
+    SELECT term, qi, sim FROM (
+        SELECT term, qi, sim,
+               row_number() OVER (
+                   PARTITION BY qi ORDER BY sim DESC, term ASC
+               ) AS rn
+        FROM sims
+    ) WHERE rn <= {_PLAID_M}
+),
+plaid_doc AS (
+    SELECT t.doc_id,
+           coalesce(max(CASE WHEN k.qi = 1 THEN k.sim END), 0)
+         + coalesce(max(CASE WHEN k.qi = 2 THEN k.sim END), 0)
+         + coalesce(max(CASE WHEN k.qi = 3 THEN k.sim END), 0) AS raw
+    FROM tfd t JOIN kept k ON k.term = t.term
+    GROUP BY t.doc_id
+),
+arm_plaid AS (
+    SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (
+            ORDER BY round(raw, 6) DESC, doc_id ASC) AS r
+        FROM plaid_doc
+    ) WHERE r <= {TOP_N}
+),
+fused AS (
+    SELECT doc_id,
+           coalesce(1.0 / ({_RRF_K0} + b.r), 0)
+         + coalesce(1.0 / ({_RRF_K0} + s.r), 0)
+         + coalesce(1.0 / ({_RRF_K0} + p.r), 0) AS rrf
+    FROM arm_bm25 b
+    FULL JOIN arm_spl s USING (doc_id)
+    FULL JOIN arm_plaid p USING (doc_id)
+)
+SELECT doc_id, round(rrf, 6) AS rrf_score
+FROM fused
+ORDER BY round(rrf, 6) DESC, doc_id ASC
+LIMIT {TOP_N}
+"""
+
+
+@register(
+    "trihybrid_rrf_from_index",
+    oracle=_trihybrid_oracle(),
+    tags=("retrieval", "index", "store", "hybrid", "fusion"),
+    bench=True,
+)
+def trihybrid_rrf_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Three-family rank fusion on ONE index artifact: the exact-match
+    arm (BM25 over query-term postings), the learned-sparse arm
+    (SPLADE-style trigram expansion), and the late-interaction arm
+    (PLAID-pruned MaxSim), fused with reciprocal-rank fusion — the
+    modern hybrid-retrieval stack (Cormack et al. RRF; the
+    BM25+SPLADE+ColBERT ensemble of current IR practice) with every
+    arm reading the same term-bucketed postings store and NO corpus
+    scan anywhere. Each arm ranks its own top-{TOP_N} by
+    (6dp-rounded score, doc_id) — rank positions are engine-exact —
+    and fusion is a 3-way full outer join of ≤{TOP_N}-row frames.
+
+    At 100 TB the three arms share the store's bucket pruning: BM25
+    reads the query terms' buckets, SPLADE the τ-expansion's, PLAID
+    the kept set's — the fusion stage itself is constant-size. The
+    arms run as independent subplans (a scheduler may run them
+    concurrently); only ranks cross the fusion boundary."""
+    bm25 = _bm25_scores_from_index(spark, sf_dir).select(
+        "doc_id", F.round("bm25_raw", 6).alias("s")
+    )
+    spl = splade_expansion_from_index(spark, sf_dir).select(
+        "doc_id", F.col("splade").alias("s")
+    )
+    plaid = plaid_pruned_maxsim_topk(spark, sf_dir).select(
+        "doc_id", F.col("plaid").alias("s")
+    )
+
+    def rank10(df: DataFrame, name: str) -> DataFrame:
+        top = df.orderBy(
+            F.col("s").desc(), F.col("doc_id").asc()
+        ).limit(TOP_N)
+        w = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        return top.withColumn(name, F.row_number().over(w)).select(
+            "doc_id", name
+        )
+
+    fused = (
+        rank10(bm25, "rb")
+        .join(rank10(spl, "rs"), "doc_id", "full_outer")
+        .join(rank10(plaid, "rp"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (_RRF_K0 + F.col("rb")), F.lit(0.0))
+                + F.coalesce(
+                    1.0 / (_RRF_K0 + F.col("rs")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (_RRF_K0 + F.col("rp")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id", F.round("rrf", 6).alias("rrf_score")
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(TOP_N)
+    )

@@ -151,6 +151,9 @@ SHUFFLE_BUDGET = {
     # r11 pruned late-interaction: IN-list bucket-pruned scan +
     # broadcast kept set + doc-grain agg (kept-window runs eagerly)
     "plaid_pruned_maxsim_topk": 1,
+    # r11 tri-arm fusion: 3 doc-grain arm aggs + 2 rank/fusion
+    # exchanges over <=10-row frames
+    "trihybrid_rrf_from_index": 5,
     # r11 warm streamed lanes (store read, not ingest): proximity is
     # candidate-inner-join + lang agg; phrase pays its per-language
     # denominator contract (doc-grain meta left join) = 3
