@@ -338,6 +338,35 @@ RECORDED_SF01 = {
 }
 
 
+def _tree_rss_gb() -> float:
+    """Total RSS of this process tree (driver JVM + Python workers), via
+    /proc — stderr diagnostics only, never part of the JSON contract."""
+    import glob as _glob
+
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    rss: dict[int, int] = {}
+    for sf in _glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(sf) as fh:
+                parts = fh.read().rsplit(") ", 1)[-1].split()
+            pid = int(sf.split("/")[2])
+            ppid = int(parts[1])
+            rss[pid] = int(parts[21]) * os.sysconf("SC_PAGE_SIZE")
+            children.setdefault(ppid, []).append(pid)
+        except (OSError, ValueError, IndexError):
+            continue
+    total, stack, seen = 0, [me], set()
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        total += rss.get(p, 0)
+        stack.extend(children.get(p, []))
+    return total / (1 << 30)
+
+
 def main() -> None:
     t_wall0 = time.perf_counter()
     spark = get_spark(app_name="e2v-bench", cpus=CPUS)
@@ -356,10 +385,12 @@ def main() -> None:
         # number that actually compares plan quality across rounds. Two
         # runs proved not enough: one noise window covers both.
         best = None
+        runs: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            runs.append(dt)
             sum_runs += dt
             best = dt if best is None else min(best, dt)
             # Cache hygiene BETWEEN runs and queries: several plans persist
@@ -369,7 +400,11 @@ def main() -> None:
             # must pay (and only pay) its own plan's cost.
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]}s runs={[round(r, 2) for r in runs]} "
+            f"rss_gb={_tree_rss_gb():.1f}",
+            file=sys.stderr,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {

@@ -2967,53 +2967,106 @@ def longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: suffix rows are one per corpus token (the
     cap bounds row WIDTH, so the sort input is <= cap x corpus bytes);
-    the sort is a range-partitioned exchange and the global rank is the
-    two-pass distributed_row_number (operators/ranking.py — per-
-    partition counts are the only driver-side object, cluster-bounded,
-    NO single-partition window); adjacency is an equi-join on rank
-    (rank i vs i+1); the LCP is a scan-local array expression
-    (array_position of the first component mismatch — no UDF); the
-    final aggregate is dup-substring-grain. Three linear shuffles
-    total, each corpus-token-sized, none quadratic."""
-    from emails_to_vector_db_spark.operators.ranking import (
-        distributed_row_number,
-    )
-
+    ONE range-partitioned exchange carries only (k, doc_id, pos) — the
+    token arrays are re-derived from k by split() after the exchange,
+    never shipped (k IS the space-joined suffix, so the split is exact,
+    not a re-tokenize). Adjacency needs NO global rank: range
+    partitioning already totally orders partitions, so lead() within
+    each range partition (re-using the exchange's partitioning — zero
+    extra shuffles, guide §2.4) yields every adjacent pair except the
+    per-partition-boundary ones, and those are stitched from a bounds
+    frame of <= 2 rows per partition (cluster-width, the same driver-
+    bound argument as distributed_row_number's offsets table; its
+    single-partition window sorts partition-count rows, not data).
+    r11: this replaces the previous global-rank (persist + counts
+    collect + offsets join) + rank-equi-self-join form — 11 exchanges
+    down to 6, two corpus-sized shuffles (rank join build/probe)
+    removed, identical pair multiset by the suffix-array adjacency
+    argument. The LCP is a scan-local UNROLLED comparison chain — 24
+    static try_element_at equality terms with a running AND, summed —
+    instead of the transform()/array_position higher-order fold: HOF
+    lambdas do not participate in whole-stage codegen, and the
+    interpreted fold measured 2-3x the unrolled codegen chain on this
+    corpus (the r8 interpreted-HOF cutover lesson, minus the Python
+    boundary: the cap is small enough that unrolling stays native).
+    The (l, suf) pair is persisted before the l >= MIN filter: filter
+    pushdown would otherwise substitute the whole LCP chain (with its
+    split() calls re-inlined) into a scan-level predicate and evaluate
+    it twice per row (the round's pushdown-inlining trap) — the cache
+    barrier makes the filter read a cached scalar. The final aggregate
+    is dup-substring-grain."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", TX.tokens("text").alias("arr"))
-    suf = toks.select(
+    keyed = toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("pos"),
         "arr",
     ).select(
         "doc_id",
         "pos",
-        F.slice(F.col("arr"), F.col("pos"), _LDS_K).alias("suf"),
+        F.concat_ws(
+            " ", F.slice(F.col("arr"), F.col("pos"), _LDS_K)
+        ).alias("k"),
     )
-    keyed = suf.withColumn("k", F.concat_ws(" ", F.col("suf")))
-    pins: list = []
-    ranked = distributed_row_number(
-        keyed,
-        [F.col("k").asc(), F.col("doc_id").asc(), F.col("pos").asc()],
-        rank_col="rn",
-        pins=pins,
+    order_cols = [F.col("k").asc(), F.col("doc_id").asc(), F.col("pos").asc()]
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    loc = (
+        keyed.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .select(
+            "k",
+            "doc_id",
+            "pos",
+            F.lead("k").over(w).alias("nk"),
+            F.row_number().over(w).alias("__lr"),
+        )
+        # one evaluation of spark_partition_id + the window sort,
+        # shared by the inner-pair and bounds consumers (the
+        # distributed_row_number pin discipline)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    left = ranked.select("rn", "suf")
-    right = ranked.select(
-        (F.col("rn") - 1).alias("rn"), F.col("suf").alias("nsuf")
+    inner = loc.where(F.col("nk").isNotNull()).select("k", "nk")
+    # partition firsts and lasts in global order: the successor of a
+    # LAST row in this tiny frame is exactly the next non-empty
+    # partition's FIRST row (range partitions are contiguous), so
+    # lead() over the global order of the bounds frame stitches every
+    # cross-partition adjacent pair; rows that are only firsts emit
+    # nothing. <= 2 rows per partition — the single-partition window
+    # is cluster-width-bounded, not data-bounded.
+    bounds = loc.where(
+        F.col("nk").isNull() | (F.col("__lr") == 1)
+    ).select("k", "doc_id", "pos", F.col("nk").isNull().alias("is_last"))
+    boundary = (
+        bounds.withColumn(
+            "nk", F.lead("k").over(Window.orderBy(*order_cols))
+        )
+        .where(F.col("is_last") & F.col("nk").isNotNull())
+        .select("k", "nk")
     )
-    adj = left.join(right, "rn")
-    m = F.least(F.size("suf"), F.size("nsuf"))
-    eqs = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.element_at(F.col("suf"), i)
-        == F.element_at(F.col("nsuf"), i),
+    adj = inner.unionByName(boundary).select(
+        F.split("k", " ").alias("suf"), F.split("nk", " ").alias("nsuf")
     )
-    mism = F.array_position(eqs, F.lit(False))
-    lcp = F.when(mism == 0, m).otherwise(mism - 1)
-    dups = adj.select(
-        lcp.alias("l"), F.col("suf")
-    ).where(F.col("l") >= _LDS_MIN).select(
+    # unrolled LCP: prefix-AND of the first _LDS_K element equalities,
+    # summed — pure codegen, equal to array_position-of-first-mismatch
+    # (try_element_at past either array's end is NULL -> coalesce False
+    # breaks the prefix exactly at min(len) like the bounded fold did)
+    pref = None
+    terms = []
+    for i in range(1, _LDS_K + 1):
+        eq = F.coalesce(
+            F.try_element_at(F.col("suf"), F.lit(i))
+            == F.try_element_at(F.col("nsuf"), F.lit(i)),
+            F.lit(False),
+        )
+        pref = eq if pref is None else (pref & eq)
+        terms.append(pref.cast("int"))
+    lcp = terms[0]
+    for t in terms[1:]:
+        lcp = lcp + t
+    ls = adj.select(lcp.alias("l"), F.col("suf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dups = ls.where(F.col("l") >= _LDS_MIN).select(
         F.concat_ws(" ", F.slice(F.col("suf"), 1, F.col("l"))).alias(
             "dup_text"
         ),

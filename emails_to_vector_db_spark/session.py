@@ -29,6 +29,17 @@ def get_spark(
         shuffle_partitions = (
             int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
         )
+    # Shuffle/spill scratch space: the sandbox's root disk shows
+    # multi-second write stalls under load (measured: identical plans
+    # swinging 9s -> 102s with ZERO GC time and <3% CPU steal — the
+    # stall is the local-dir write path). Shuffle files for this
+    # engine's bench are far smaller than RAM, so point local.dir at
+    # tmpfs when available. Parameterized for clusters
+    # ($SPARK_GRAFT_LOCAL_DIR on fast local disks/NVMe); the /tmp
+    # fallback keeps behavior unchanged where /dev/shm is absent.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -49,6 +60,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config(NANOS_AS_LONG, "true")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
