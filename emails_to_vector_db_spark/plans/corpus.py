@@ -2982,13 +2982,19 @@ def longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect + offsets join) + rank-equi-self-join form — 11 exchanges
     down to 6, two corpus-sized shuffles (rank join build/probe)
     removed, identical pair multiset by the suffix-array adjacency
-    argument. The LCP is a scan-local UNROLLED comparison chain — 24
-    static try_element_at equality terms with a running AND, summed —
-    instead of the transform()/array_position higher-order fold: HOF
-    lambdas do not participate in whole-stage codegen, and the
-    interpreted fold measured 2-3x the unrolled codegen chain on this
-    corpus (the r8 interpreted-HOF cutover lesson, minus the Python
-    boundary: the cap is small enough that unrolling stays native).
+    argument. The LCP is a scan-local UNROLLED first-mismatch CASE —
+    24 static try_element_at equality branches, built as one
+    F.expr string — instead of the transform()/array_position
+    higher-order fold: HOF lambdas do not participate in whole-stage
+    codegen, and the interpreted fold measured 2-3x the unrolled
+    codegen chain on this corpus (the r8 interpreted-HOF cutover
+    lesson, minus the Python boundary: the cap is small enough that
+    unrolling stays native). The CASE references each equality once
+    (linear tree — an incremental prefix-AND nested pref_{i-1} inside
+    pref_i and sent codegen's subexpression elimination into seconds
+    of recursive driver work per run) and one expr string is one py4j
+    call (~3ms each on this sandbox — a 150-op Column loop pays ~1.5s
+    of plan-build wall).
     The (l, suf) pair is persisted before the l >= MIN filter: filter
     pushdown would otherwise substitute the whole LCP chain (with its
     split() calls re-inlined) into a scan-level predicate and evaluate
@@ -3046,23 +3052,29 @@ def longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = inner.unionByName(boundary).select(
         F.split("k", " ").alias("suf"), F.split("nk", " ").alias("nsuf")
     )
-    # unrolled LCP: prefix-AND of the first _LDS_K element equalities,
-    # summed — pure codegen, equal to array_position-of-first-mismatch
-    # (try_element_at past either array's end is NULL -> coalesce False
-    # breaks the prefix exactly at min(len) like the bounded fold did)
-    pref = None
-    terms = []
-    for i in range(1, _LDS_K + 1):
-        eq = F.coalesce(
-            F.try_element_at(F.col("suf"), F.lit(i))
-            == F.try_element_at(F.col("nsuf"), F.lit(i)),
-            F.lit(False),
-        )
-        pref = eq if pref is None else (pref & eq)
-        terms.append(pref.cast("int"))
-    lcp = terms[0]
-    for t in terms[1:]:
-        lcp = lcp + t
+    # unrolled LCP: first-mismatch CASE over the first _LDS_K element
+    # equalities — pure whole-stage codegen, equal to array_position-
+    # of-first-mismatch (try_element_at past either array's end is
+    # NULL -> coalesce False breaks the prefix exactly at min(len)
+    # like the bounded fold did). Built as ONE F.expr string: (a) each
+    # equality appears ONCE, so the expression tree is linear in the
+    # cap — an earlier incremental prefix-AND form nested pref_{i-1}
+    # inside pref_i and drove codegen's subexpression elimination into
+    # seconds of recursive driver work per run (thread-dumped:
+    # ResultQueryStageExecution pinned in
+    # evaluateSubExprEliminationState); (b) one py4j call instead of
+    # ~150 Column ops — this sandbox measures ~3ms per py4j roundtrip
+    # (10-50x typical loopback), so chatty Column-loop construction
+    # costs real plan-build seconds.
+    eqs = [
+        f"coalesce(try_element_at(suf, {i}) = try_element_at(nsuf, {i}),"
+        " false)"
+        for i in range(1, _LDS_K + 1)
+    ]
+    whens = " ".join(
+        f"WHEN NOT {eq} THEN {i}" for i, eq in enumerate(eqs)
+    )
+    lcp = F.expr(f"CASE {whens} ELSE {_LDS_K} END")
     ls = adj.select(lcp.alias("l"), F.col("suf")).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -1303,10 +1303,14 @@ def _kcore_rounds(
             filt = edges.join(probe_src, "src", "left_semi").join(
                 probe_dst, "dst", "left_semi"
             )
+        # eager=False: the checkpoint materializes as a side effect of
+        # the stat-row collect right below — ONE job per round instead
+        # of checkpoint-job + collect-job (r11: halves the peel loop's
+        # job count; lineage is truncated identically once computed)
         deg = (
             filt.groupBy("src")
             .agg(F.count(F.lit(1)).alias("c"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         agg = deg.agg(
             (F.coalesce(F.sum("c"), F.lit(0)) / 2)
