@@ -40,6 +40,21 @@ def get_spark(
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
         "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
     )
+    if local_dir:
+        # tmpfs files are RAM: a SIGKILLed session skips Spark's
+        # shutdown-hook cleanup and would leak its scratch across
+        # rounds. Best-effort sweep of long-dead per-app subdirs
+        # (anything a live session touches has a fresh mtime).
+        import shutil
+        import time as _time
+
+        try:
+            cutoff = _time.time() - 2 * 3600
+            for ent in os.scandir(local_dir):
+                if ent.is_dir() and ent.stat().st_mtime < cutoff:
+                    shutil.rmtree(ent.path, ignore_errors=True)
+        except OSError:
+            pass
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
