@@ -20,7 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _T_IMPORT0 = time.perf_counter()
 from emails_to_vector_db_spark.plans import REGISTRY  # noqa: E402
-from emails_to_vector_db_spark.session import get_spark  # noqa: E402
+from emails_to_vector_db_spark.session import (  # noqa: E402
+    get_spark,
+    use_tmpfs_scratch,
+)
+
+# Measurement entrypoint: shuffle scratch on tmpfs (the r11 sandbox
+# root-disk stall fix). $SPARK_GRAFT_LOCAL_DIR, when set, wins; general
+# (non-bench) sessions now default to Spark's on-disk local dir — the
+# r11 verdict's "tmpfs must be opt-in" item.
+use_tmpfs_scratch()
 
 # registry-import cost (plan modules + their numpy/pandas deps) — part
 # of the session-fixed overhead decomposition (r10 verdict task 7)
@@ -492,7 +501,23 @@ def main() -> None:
                 f"now {now7:.1f}s)",
                 file=sys.stderr,
             )
-    print(json.dumps(payload))
+    line = json.dumps(payload)
+    # The one-line stdout contract stays authoritative; the sidecar file
+    # is a byte-identical fallback for tail-capture truncation (round 10's
+    # official geomean was lost to a mid-line cut of this very line —
+    # r11 verdict "What's wrong" #4 / task 2).
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_out.json",
+            ),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        print(f"# bench_out.json not written: {exc}", file=sys.stderr)
+    print(line)
     spark.stop()
 
 

@@ -2967,90 +2967,73 @@ def longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: suffix rows are one per corpus token (the
     cap bounds row WIDTH, so the sort input is <= cap x corpus bytes);
-    ONE range-partitioned exchange carries only (k, doc_id, pos) — the
-    token arrays are re-derived from k by split() after the exchange,
-    never shipped (k IS the space-joined suffix, so the split is exact,
-    not a re-tokenize). Adjacency needs NO global rank: range
-    partitioning already totally orders partitions, so lead() within
-    each range partition (re-using the exchange's partitioning — zero
-    extra shuffles, guide §2.4) yields every adjacent pair except the
-    per-partition-boundary ones, and those are stitched from a bounds
-    frame of <= 2 rows per partition (cluster-width, the same driver-
-    bound argument as distributed_row_number's offsets table; its
-    single-partition window sorts partition-count rows, not data).
-    r11: this replaces the previous global-rank (persist + counts
-    collect + offsets join) + rank-equi-self-join form — 11 exchanges
-    down to 6, two corpus-sized shuffles (rank join build/probe)
-    removed, identical pair multiset by the suffix-array adjacency
-    argument. The LCP is a scan-local UNROLLED first-mismatch CASE —
-    24 static try_element_at equality branches, built as one
-    F.expr string — instead of the transform()/array_position
-    higher-order fold: HOF lambdas do not participate in whole-stage
-    codegen, and the interpreted fold measured 2-3x the unrolled
-    codegen chain on this corpus (the r8 interpreted-HOF cutover
-    lesson, minus the Python boundary: the cap is small enough that
-    unrolling stays native). The CASE references each equality once
-    (linear tree — an incremental prefix-AND nested pref_{i-1} inside
-    pref_i and sent codegen's subexpression elimination into seconds
-    of recursive driver work per run) and one expr string is one py4j
-    call (~3ms each on this sandbox — a 150-op Column loop pays ~1.5s
-    of plan-build wall).
+    ONE hash exchange carries only (g2, k) — the token arrays are
+    re-derived from k by split() after the exchange, never shipped
+    (k IS the space-joined suffix, so the split is exact, not a
+    re-tokenize). r12 prefix-bucketed two-level sort: the bucket key
+    g2 is the suffix's first _LDS_MIN tokens, the window partitions by
+    g2 and sorts by k WITHIN each bucket — the window re-uses its own
+    hash exchange (verified: one Exchange hashpartitioning(g2) in the
+    plan, vs the r11 range form whose partitionBy(__pid) window forced
+    a second corpus-sized Exchange the range partitioning could not
+    satisfy — the r11 ADVICE finding). Equivalence to the global
+    suffix sort: (a) every k sharing a g2 value is CONTIGUOUS in the
+    global string order (the separator sorts below every token
+    character, the same argument that makes token boundaries survive
+    the sort), so within-bucket adjacency IS global adjacency
+    restricted to the bucket; (b) a globally-adjacent pair that
+    straddles two buckets differs in its first _LDS_MIN tokens, hence
+    has LCP < _LDS_MIN and is dropped by the l >= _LDS_MIN filter in
+    both forms; (c) the pair multiset is invariant to tie order among
+    equal k (tied runs emit (k,k) pairs regardless of permutation) —
+    so the l >= MIN pair multiset, and therefore the aggregate, is
+    IDENTICAL, and the r11 boundary-stitch frames (persist + bounds +
+    cluster-width global window) are no longer needed at all. Skew
+    honesty: the largest window partition is bounded by the hottest
+    _LDS_MIN-token prefix's occurrence count (AQE skew handling does
+    not split windows); natural-language bigram frequencies cap that
+    in the low single-digit percents of corpus tokens, and a hotter
+    template prefix is exactly a giant duplicate run — whose bucket
+    sort is near-linear (all keys equal). The LCP is a scan-local
+    UNROLLED first-mismatch CASE — 24 static try_element_at equality
+    branches, built as one F.expr string — instead of the
+    transform()/array_position higher-order fold: HOF lambdas do not
+    participate in whole-stage codegen, and the interpreted fold
+    measured 2-3x the unrolled codegen chain on this corpus (the r8
+    interpreted-HOF cutover lesson, minus the Python boundary: the cap
+    is small enough that unrolling stays native). The CASE references
+    each equality once (linear tree — an incremental prefix-AND nested
+    pref_{i-1} inside pref_i and sent codegen's subexpression
+    elimination into seconds of recursive driver work per run) and one
+    expr string is one py4j call (~3ms each on this sandbox — a 150-op
+    Column loop pays ~1.5s of plan-build wall).
     The (l, suf) pair is persisted before the l >= MIN filter: filter
     pushdown would otherwise substitute the whole LCP chain (with its
     split() calls re-inlined) into a scan-level predicate and evaluate
-    it twice per row (the round's pushdown-inlining trap) — the cache
+    it twice per row (the r11 pushdown-inlining trap) — the cache
     barrier makes the filter read a cached scalar. The final aggregate
     is dup-substring-grain."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", TX.tokens("text").alias("arr"))
     keyed = toks.select(
-        "doc_id",
         F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("pos"),
         "arr",
     ).select(
-        "doc_id",
-        "pos",
+        F.concat_ws(
+            " ", F.slice(F.col("arr"), F.col("pos"), _LDS_MIN)
+        ).alias("g2"),
         F.concat_ws(
             " ", F.slice(F.col("arr"), F.col("pos"), _LDS_K)
         ).alias("k"),
     )
-    order_cols = [F.col("k").asc(), F.col("doc_id").asc(), F.col("pos").asc()]
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    loc = (
-        keyed.repartitionByRange(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("g2").orderBy(F.col("k").asc())
+    adj = (
+        keyed.select("g2", "k", F.lead("k").over(w).alias("nk"))
+        .where(F.col("nk").isNotNull())
         .select(
-            "k",
-            "doc_id",
-            "pos",
-            F.lead("k").over(w).alias("nk"),
-            F.row_number().over(w).alias("__lr"),
+            F.split("k", " ").alias("suf"),
+            F.split("nk", " ").alias("nsuf"),
         )
-        # one evaluation of spark_partition_id + the window sort,
-        # shared by the inner-pair and bounds consumers (the
-        # distributed_row_number pin discipline)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    inner = loc.where(F.col("nk").isNotNull()).select("k", "nk")
-    # partition firsts and lasts in global order: the successor of a
-    # LAST row in this tiny frame is exactly the next non-empty
-    # partition's FIRST row (range partitions are contiguous), so
-    # lead() over the global order of the bounds frame stitches every
-    # cross-partition adjacent pair; rows that are only firsts emit
-    # nothing. <= 2 rows per partition — the single-partition window
-    # is cluster-width-bounded, not data-bounded.
-    bounds = loc.where(
-        F.col("nk").isNull() | (F.col("__lr") == 1)
-    ).select("k", "doc_id", "pos", F.col("nk").isNull().alias("is_last"))
-    boundary = (
-        bounds.withColumn(
-            "nk", F.lead("k").over(Window.orderBy(*order_cols))
-        )
-        .where(F.col("is_last") & F.col("nk").isNotNull())
-        .select("k", "nk")
-    )
-    adj = inner.unionByName(boundary).select(
-        F.split("k", " ").alias("suf"), F.split("nk", " ").alias("nsuf")
     )
     # unrolled LCP: first-mismatch CASE over the first _LDS_K element
     # equalities — pure whole-stage codegen, equal to array_position-

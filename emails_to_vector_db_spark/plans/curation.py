@@ -471,16 +471,23 @@ def incremental_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         _incremental_lsh_routing,
     )
 
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
     bk = TX.md5_long(F.col("doc_id").cast("string"), salt="snap:") % 10
+    # r12 (verdict task 4): the derived-offset aggregate is persisted —
+    # it feeds BOTH spawn branches of snap_b, and snap_b itself has two
+    # consumers, so the unpersisted 1-row max(doc_id) subtree (a full
+    # doc_id-column scan) appeared 4x in the plan and executed per
+    # consumer; cached, it is one scan total (the loo cnt_g pattern).
     ofs = F.broadcast(
         d.agg(
             F.expr("((max(doc_id) div 10000000) + 1) * 10000000").alias(
                 "ofs"
             )
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     # snapshot B: bk=0 removed, bk=1 revised, bk=2 spawns a near-dup
     # doc, bk=3 spawns a genuinely novel doc (md5 token soup)
@@ -508,6 +515,12 @@ def incremental_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ).alias("text"),
     )
+    # NOT persisted (r12, measured): snap_b feeds two consumers (the
+    # diff's fb side and the delta text-fetch join), but caching the
+    # corpus-sized text union costs more than the recompute it saves —
+    # isolated best-of-3 went 4.7s -> 6.6s with a persist here (the
+    # guide §5 caching rule); each consumer's recompute is a pipelined
+    # documents scan + cheap projections.
     snap_b = b_kept.unionByName(spawn_near).unionByName(spawn_novel)
 
     # stage 1 — diff: presence + fingerprint only ride the join
@@ -529,8 +542,6 @@ def incremental_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    from pyspark import StorageLevel
-
     # persisted: the classification feeds THREE consumers (removed,
     # delta, and — through delta — both the routing signatures and the
     # action join); unpersisted, the corpus-scale full-outer join would

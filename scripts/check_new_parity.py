@@ -13,7 +13,14 @@ sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
 from emails_to_vector_db_spark.plans import REGISTRY  # noqa: E402
-from emails_to_vector_db_spark.session import get_spark  # noqa: E402
+from emails_to_vector_db_spark.session import (  # noqa: E402
+    get_spark,
+    use_tmpfs_scratch,
+)
+
+# measurement entrypoint: tmpfs shuffle scratch (r11 stall fix),
+# $SPARK_GRAFT_LOCAL_DIR wins when set
+use_tmpfs_scratch()
 from tests.conftest import SF_ORACLE, duck_con, rows_match  # noqa: E402
 
 

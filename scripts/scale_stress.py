@@ -20,7 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from emails_to_vector_db_spark.plans import REGISTRY  # noqa: E402
-from emails_to_vector_db_spark.session import get_spark  # noqa: E402
+from emails_to_vector_db_spark.session import (  # noqa: E402
+    get_spark,
+    use_tmpfs_scratch,
+)
+
+# measurement entrypoint: tmpfs shuffle scratch (r11 stall fix),
+# $SPARK_GRAFT_LOCAL_DIR wins when set
+use_tmpfs_scratch()
 from emails_to_vector_db_spark.sources.tables import (  # noqa: E402
     TABLE_NAMES,
     load_table,

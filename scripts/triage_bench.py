@@ -18,7 +18,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from emails_to_vector_db_spark.plans import REGISTRY  # noqa: E402
-from emails_to_vector_db_spark.session import get_spark  # noqa: E402
+from emails_to_vector_db_spark.session import (  # noqa: E402
+    get_spark,
+    use_tmpfs_scratch,
+)
+
+# measurement entrypoint: tmpfs shuffle scratch (r11 stall fix),
+# $SPARK_GRAFT_LOCAL_DIR wins when set
+use_tmpfs_scratch()
 
 
 def main() -> None:

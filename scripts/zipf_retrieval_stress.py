@@ -46,7 +46,14 @@ import numpy as np  # noqa: E402
 from pyspark.sql import DataFrame, Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from emails_to_vector_db_spark.session import get_spark  # noqa: E402
+from emails_to_vector_db_spark.session import (  # noqa: E402
+    get_spark,
+    use_tmpfs_scratch,
+)
+
+# measurement entrypoint: tmpfs shuffle scratch (r11 stall fix),
+# $SPARK_GRAFT_LOCAL_DIR wins when set
+use_tmpfs_scratch()
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DST = os.path.join(ROOT, ".scale", "zipf")

@@ -123,7 +123,7 @@ SHUFFLE_BUDGET = {
     # chain (~13, see incremental_lsh_dedup) + action joins/aggs; the
     # corpus-scale diff and the delta are persisted so no branch
     # re-executes them
-    "incremental_curation_e2e": 27,
+    "incremental_curation_e2e": 24,  # r12: persisted 1-row offset frame collapses the derived-offset re-aggs
     # r8 valuation flagships: ONE corpus-grain census each; the rest are
     # vocabulary-grain re-aggregates (plus the bounded x-langs x-cand
     # test-side expansion for loo). The uncached-plan print re-prints
@@ -152,14 +152,16 @@ SHUFFLE_BUDGET = {
     # broadcast kept set + doc-grain agg (kept-window runs eagerly)
     "plaid_pruned_maxsim_topk": 1,
     # r11 tri-arm fusion: 3 doc-grain arm aggs + 2 rank/fusion
-    # exchanges over <=10-row frames
+    # exchanges over <=10-row frames; r12: ONE shared lexicon sweep
+    # (persisted) feeds both sparse arms — same budget, one fewer
+    # store term scan + Arrow pass
     "trihybrid_rrf_from_index": 5,
     # r11 warm streamed lanes (store read, not ingest): proximity is
     # candidate-inner-join + lang agg; phrase pays its per-language
     # denominator contract (doc-grain meta left join) = 3
     "streaming_phrase_from_positions": 3,
     "streaming_proximity_from_positions": 1,
-    "rm3_query_expansion_from_index": 4,  # pass-3 doc agg + tiny weight-model re-aggs
+    "rm3_query_expansion_from_index": 1,  # r12: pass-3 doc agg only (feedback frame, score-sum and weight model are collected literals)
     # q/base joins + AP windows + bootstrap re-aggs; the census
     # tokenize/tf/impact-window shuffles are gone (store-read)
     "paired_bootstrap_from_index": 13,
@@ -171,9 +173,10 @@ SHUFFLE_BUDGET = {
     # list-grain candidate join + the two margin window exchanges
     "bitext_margin_mining_ivf": 4,
     # r9 registrations
-    # range exchange + offsets join + rank adjacency join (2 sides of
-    # the persisted local table) + dup-substring agg — all linear
-    "longest_dup_substring": 5,
+    # r12 prefix-bucket form: ONE hash exchange (window re-uses its
+    # own g2 partitioning — no __pid re-shuffle, no range sampling, no
+    # stitch frames) + the dup-substring aggregate
+    "longest_dup_substring": 2,
     # stage 1 is TakeOrdered, stage 2 is broadcast-pruned 50 rows
     "cross_encoder_rerank_topk": 0,
     # teacher (c,tok) census + doc-grain score agg + 3 GD aggs + the
