@@ -1274,26 +1274,65 @@ def _kcore_rounds(
     k: int,
     rounds: int,
     broadcast_max_nodes: int,
+    delta_max_frac: float = 0.25,
 ) -> DataFrame:
     """The peeling loop behind kcore_part_basket, parameterized on the
     broadcast cutover so both probe paths are equivalence-testable.
     ``edges`` must be the symmetrized (src, dst) list, already pinned.
-    """
+
+    r12 delta-peeling (the r11 verdict's named refinement): once a
+    round's REMOVED set (alive_{r-1} minus alive_r, known exactly from
+    the previous collect) is small — under ``delta_max_frac`` of the
+    previous alive count and broadcastable — the new degree table is
+    DERIVED instead of recomputed: deg_r(s) = deg_{r-1}(s) − |{d ∈
+    removed: (s,d) ∈ E}| for s in alive_r, because deg_{r-1} counts
+    neighbors in alive_{r-1} and the lost ones are exactly the edges
+    into the removed set. The per-round groupBy then shuffles only
+    REMOVED-INCIDENT edges (the edge scan probes a broadcast of the
+    tiny removed set) plus a node-grain join, instead of re-shuffling
+    every surviving edge — after the first big peel wave the cascade
+    tail becomes near-free. Rows with c=0 (alive node that lost every
+    neighbor) are harmless: they contribute 0 to the pair sum and
+    cannot pass c >= k. Both stats are provably identical to the
+    refilter form (the equivalence test pins all three paths)."""
     alive = (
         edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
     n_alive = alive.count()
+    deg_prev: DataFrame | None = None
+    removed_cnt = 0
     stat_rows: list[tuple[int, int, int]] = []
     for rnd in range(rounds + 1):
         # round 0's alive set is ALL nodes by construction — the semi
         # probes would be no-ops, so degree-count the raw edge list.
-        # (Deeper cascades would warrant delta-peeling: subtract each
-        # round's edge losses against the TINY removed set instead of
-        # re-filtering all edges — the named refinement if peeling
-        # depth ever dominates; at <=8 rounds the full refilter of the
-        # cached list is one in-memory pass per round.)
         if rnd == 0:
-            filt = edges
+            deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        elif (
+            deg_prev is not None
+            and removed_cnt <= broadcast_max_nodes
+            and removed_cnt <= delta_max_frac * (n_alive + removed_cnt)
+        ):
+            # delta path: subtract removed-incident edge counts
+            removed = F.broadcast(
+                deg_prev.where(F.col("c") < k).select(
+                    F.col("src").alias("dst")
+                )
+            )
+            dec = (
+                edges.join(removed, "dst", "left_semi")
+                .groupBy("src")
+                .agg(F.count(F.lit(1)).alias("dc"))
+            )
+            deg = (
+                deg_prev.where(F.col("c") >= k)
+                .join(dec, "src", "left")
+                .select(
+                    "src",
+                    (
+                        F.col("c") - F.coalesce(F.col("dc"), F.lit(0))
+                    ).alias("c"),
+                )
+            )
         else:
             probe_src = alive.withColumnRenamed("node", "src")
             probe_dst = alive.withColumnRenamed("node", "dst")
@@ -1303,15 +1342,12 @@ def _kcore_rounds(
             filt = edges.join(probe_src, "src", "left_semi").join(
                 probe_dst, "dst", "left_semi"
             )
+            deg = filt.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
         # eager=False: the checkpoint materializes as a side effect of
         # the stat-row collect right below — ONE job per round instead
         # of checkpoint-job + collect-job (r11: halves the peel loop's
         # job count; lineage is truncated identically once computed)
-        deg = (
-            filt.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .localCheckpoint(eager=False)
-        )
+        deg = deg.localCheckpoint(eager=False)
         agg = deg.agg(
             (F.coalesce(F.sum("c"), F.lit(0)) / 2)
             .cast("long")
@@ -1334,6 +1370,8 @@ def _kcore_rounds(
             alive = deg.where(F.col("c") >= k).select(
                 F.col("src").alias("node")
             )
+            deg_prev = deg
+            removed_cnt = n_alive - agg["n_next"]
             n_alive = agg["n_next"]
     return spark.createDataFrame(
         stat_rows, "round int, n_alive_nodes long, n_alive_pairs long"

@@ -51,9 +51,17 @@ def main() -> None:
             re.findall(r"\b(?:BatchEvalPython|ArrowEvalPython)\b", plan)
         )
         n_cart = len(re.findall(r"\bCartesianProduct\b", plan))
-        n_gw = len(
-            re.findall(r"Window .*windowspecdefinition\(\[\]", plan)
-        ) + plan.count("Window [")  # partitionless window heads
+        # r12 (ADVICE fix): count only PARTITIONLESS windows. A
+        # WindowExec prints `Window [exprs], [partSpec], [orderSpec]`
+        # — two top-level `], [` separators — while a global window
+        # omits the partition group and prints exactly one. The old
+        # blanket `plan.count("Window [")` counted partitioned windows
+        # too and overstated the audit column.
+        n_gw = 0
+        for ln in plan.splitlines():
+            m = re.search(r"\bWindow \[", ln)
+            if m:
+                n_gw += ln[m.start():].count("], [") == 1
         print(
             f"{name}\t{n_ex}\t{n_sp}\t{n_smj}\t{n_py}\t{n_cart}\t{n_gw}\t"
         )

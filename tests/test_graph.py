@@ -69,3 +69,32 @@ def test_kcore_probe_paths_equivalent(spark):
     # 5-clique: 8 nodes -> ... -> 5 nodes, 10 undirected pairs
     assert rows[0][1] == 8
     assert rows[-1][1] == 5 and rows[-1][2] == 10
+
+
+def test_kcore_delta_peel_equivalent(spark):
+    """r12 delta-peeling (deg_r derived by subtracting removed-incident
+    edge counts) must match the full-refilter form round for round. A
+    path graph at k=2 peels two pendant ends per round — a gradual
+    multi-round cascade where the delta path is actually taken (small
+    removed fractions), including the degree-0 middle node edge case
+    on the final round."""
+    from emails_to_vector_db_spark.plans.graph import _kcore_rounds
+
+    path = []
+    for i in range(9):
+        path += [(i, i + 1), (i + 1, i)]
+    edges = spark.createDataFrame(path, "src long, dst long").persist()
+    delta_forced = _kcore_rounds(
+        spark, edges, k=2, rounds=6, broadcast_max_nodes=10**9,
+        delta_max_frac=1.0,
+    ).collect()
+    delta_off = _kcore_rounds(
+        spark, edges, k=2, rounds=6, broadcast_max_nodes=10**9,
+        delta_max_frac=0.0,
+    ).collect()
+    edges.unpersist()
+    rows = [tuple(r) for r in delta_forced]
+    assert rows == [tuple(r) for r in delta_off]
+    # 10-node path: ends peel 2 per round until everything dissolves
+    assert rows[0][1] == 10
+    assert rows[-1][1] == 0 and rows[-1][2] == 0
